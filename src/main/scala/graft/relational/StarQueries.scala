@@ -1,0 +1,382 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Relational operator coverage over the TPC-H-ish star schema + events.
+  *
+  * Every query here has a DuckDB oracle (see [[oracles]]) and is written
+  * for exact hash-parity with it:
+  *   - money arithmetic is done in DECIMAL(18,2) (inputs have <=2 decimal
+  *     places, so sums/products are exact) and cast to DOUBLE only at the
+  *     very end — both engines then produce bit-identical doubles;
+  *   - every output is totally ordered (explicit tie-break columns), so
+  *     LIMIT boundaries are deterministic;
+  *   - time arithmetic uses integer microseconds (`unix_micros` /
+  *     `epoch_us`), never truncating second-level casts.
+  *
+  * Scale notes (100 TB design):
+  *   - aggregations happen BEFORE joins wherever possible (shrink shuffle);
+  *   - dimension tables (region/nation/supplier/part/customer) are
+  *     broadcast — at SF100k customer stops being broadcastable and falls
+  *     back to a shuffle join automatically if the hint is dropped by AQE;
+  *   - every filter is a plain Column predicate, so parquet pushdown and
+  *     column pruning apply.
+  */
+object StarQueries {
+
+  /** Exact money type: inputs in the test data carry <=2 decimals. */
+  private def money(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  private def revenueExpr(ep: Column, disc: Column): Column =
+    money(ep) * (lit(1) - money(disc))
+
+  // ---------------------------------------------------------------- queries
+
+  /** TPC-H Q1 — scan + filter + hash aggregate (partial/final for free). */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    li.filter($"l_shipdate" <= lit("1998-09-01").cast(TimestampType))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(money($"l_quantity")).cast(DoubleType).as("sum_qty"),
+        sum(money($"l_extendedprice")).cast(DoubleType).as("sum_base_price"),
+        sum(revenueExpr($"l_extendedprice", $"l_discount")).cast(DoubleType).as("sum_disc_price"),
+        sum(revenueExpr($"l_extendedprice", $"l_discount") * (lit(1) + money($"l_tax")))
+          .cast(DoubleType).as("sum_charge"),
+        round(sum(money($"l_quantity")).cast(DoubleType) / count(lit(1)), 4).as("avg_qty"),
+        round(sum(money($"l_extendedprice")).cast(DoubleType) / count(lit(1)), 4).as("avg_price"),
+        round(sum(money($"l_discount")).cast(DoubleType) / count(lit(1)), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Pre-aggregate then broadcast-join the `part` dimension; top-k. */
+  def q02TopParts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    li.groupBy($"l_partkey")
+      .agg(sum(revenueExpr($"l_extendedprice", $"l_discount")).as("rev"),
+        count(lit(1)).as("n_items"))
+      .join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .select($"p_partkey", $"p_name", $"p_brand",
+        $"rev".cast(DoubleType).as("revenue"), $"n_items")
+      .orderBy($"revenue".desc, $"p_partkey")
+      .limit(10)
+  }
+
+  /** TPC-H Q3-style shipping priority: 3-way join, filter both sides. */
+  def q03ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = lit("1998-01-01").cast(TimestampType)
+    val c = Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
+    val o = Tables.orders(spark, dir).filter($"o_orderdate" < cutoff)
+    val li = Tables.lineitem(spark, dir).filter($"l_shipdate" > cutoff)
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey", "left_semi")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(sum(revenueExpr($"l_extendedprice", $"l_discount"))
+        .cast(DoubleType).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: revenue by region/nation of the customer. */
+  def q04RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(sum(revenueExpr($"l_extendedprice", $"l_discount"))
+        .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** Anti join: customers with no large (>400k) order, profiled by segment. */
+  def q05CustomersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter($"o_totalprice" > 400000).select($"o_custkey")
+    c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(money($"c_acctbal")).cast(DoubleType).as("total_acctbal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Semi join: suppliers that actually shipped anything. */
+  def q06ActiveSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = Tables.supplier(spark, dir)
+    val li = Tables.lineitem(spark, dir).select($"l_suppkey")
+    s.join(li, $"s_suppkey" === $"l_suppkey", "left_semi")
+      .select($"s_suppkey", $"s_name", $"s_nationkey")
+      .orderBy($"s_suppkey")
+  }
+
+  /** Window top-N per group: each customer's 3 biggest orders. */
+  def q07TopOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    o.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"rn", $"o_orderkey",
+        money($"o_totalprice").cast(DoubleType).as("totalprice"))
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  /** ROLLUP aggregation (grouping sets). */
+  def q08StatusRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    o.rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(money($"o_totalprice")).cast(DoubleType).as("total_price"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  /** Set operations: INTERSECT + EXCEPT on customer key sets. */
+  def q09SetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val bigSpenders = o.groupBy($"o_custkey")
+      .agg(sum(money($"o_totalprice")).as("spent"))
+      .filter($"spent" > lit(1000000))
+      .select($"o_custkey".as("custkey"))
+    val rich = c.filter($"c_acctbal" > 5000).select($"c_custkey".as("custkey"))
+    val automobile = c.filter($"c_mktsegment" === "AUTOMOBILE")
+      .select($"c_custkey".as("custkey"))
+    bigSpenders.intersect(rich).except(automobile).orderBy($"custkey")
+  }
+
+  /** Date bucketing: revenue by calendar month. */
+  def q10MonthlyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    o.groupBy(date_trunc("month", $"o_orderdate").cast(DateType).as("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(money($"o_totalprice")).cast(DoubleType).as("total_price"))
+      .orderBy($"o_month")
+  }
+
+  /** Tumbling 15-minute windows over the event stream (batch form of the
+    * Structured Streaming aggregation in graft.streaming).
+    */
+  def q11EventTumbling(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(window($"ts", "15 minutes").getField("start").as("window_start"),
+        $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(money($"value")).cast(DoubleType).as("total_value"))
+      .orderBy($"window_start", $"event_type")
+  }
+
+  /** Semi-structured extraction: pull `k` out of the JSON props column. */
+  def q12EventProps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    ev.withColumn("k", regexp_extract($"props", "\"k\": (\\d+)", 1).cast(LongType))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"), sum($"k").as("sum_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  /** Sessionization: 30-minute inactivity gap, per user, via lag().
+    * Gap math in integer microseconds for exact cross-engine parity.
+    */
+  def q13Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    ev.withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+      .withColumn("new_sess",
+        when($"prev_us".isNull || unix_micros($"ts") - $"prev_us" > 1800000000L, 1L)
+          .otherwise(0L))
+      .groupBy($"user_id")
+      .agg(sum($"new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  /** NTILE deciles of customers by account balance. */
+  def q14BalanceDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    val w = Window.orderBy($"c_acctbal", $"c_custkey")
+    c.withColumn("decile", ntile(10).over(w))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(money($"c_acctbal")).cast(DoubleType).as("total_acctbal"),
+        min(money($"c_acctbal")).cast(DoubleType).as("min_acctbal"),
+        max(money($"c_acctbal")).cast(DoubleType).as("max_acctbal"))
+      .orderBy($"decile")
+  }
+
+  /** "Above own average" without float division: o_totalprice * n > sum
+    * stays in exact decimal/integer arithmetic. Correlated-subquery class.
+    */
+  def q15AboveAvgOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val perCust = o.groupBy($"o_custkey".as("agg_custkey"))
+      .agg(sum(money($"o_totalprice")).as("spent"), count(lit(1)).as("n_orders"))
+    o.join(perCust, $"o_custkey" === $"agg_custkey")
+      .filter(money($"o_totalprice") * $"n_orders" > $"spent")
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_above"))
+      .orderBy($"o_custkey")
+  }
+
+  // ---------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> q01PricingSummary _,
+    "q02_top_parts" -> q02TopParts _,
+    "q03_shipping_priority" -> q03ShippingPriority _,
+    "q04_region_revenue" -> q04RegionRevenue _,
+    "q05_customers_without_orders" -> q05CustomersWithoutOrders _,
+    "q06_active_suppliers" -> q06ActiveSuppliers _,
+    "q07_top_orders_per_customer" -> q07TopOrdersPerCustomer _,
+    "q08_status_rollup" -> q08StatusRollup _,
+    "q09_set_ops" -> q09SetOps _,
+    "q10_monthly_revenue" -> q10MonthlyRevenue _,
+    "q11_event_tumbling" -> q11EventTumbling _,
+    "q12_event_props" -> q12EventProps _,
+    "q13_sessionize" -> q13Sessionize _,
+    "q14_balance_deciles" -> q14BalanceDeciles _,
+    "q15_above_avg_orders" -> q15AboveAvgOrders _,
+  )
+
+  private val DEC = "DECIMAL(18,2)"
+  private def m(c: String) = s"CAST($c AS $DEC)"
+  private val REV = s"${m("l_extendedprice")} * (1 - ${m("l_discount")})"
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | CAST(SUM(${m("l_quantity")}) AS DOUBLE) AS sum_qty,
+         | CAST(SUM(${m("l_extendedprice")}) AS DOUBLE) AS sum_base_price,
+         | CAST(SUM($REV) AS DOUBLE) AS sum_disc_price,
+         | CAST(SUM($REV * (1 + ${m("l_tax")})) AS DOUBLE) AS sum_charge,
+         | ROUND(CAST(SUM(${m("l_quantity")}) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+         | ROUND(CAST(SUM(${m("l_extendedprice")}) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+         | ROUND(CAST(SUM(${m("l_discount")}) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+         | COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_top_parts" ->
+      s"""SELECT p_partkey, p_name, p_brand,
+         | CAST(SUM($REV) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_partkey, p_name, p_brand
+         |ORDER BY revenue DESC, p_partkey LIMIT 10""".stripMargin,
+    "q03_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         | CAST(SUM($REV) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q04_region_revenue" ->
+      s"""SELECT r_name, n_name,
+         | CAST(SUM($REV) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+         |FROM lineitem
+         | JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         | JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q05_customers_without_orders" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_customers,
+         | CAST(SUM(${m("c_acctbal")}) AS DOUBLE) AS total_acctbal
+         |FROM customer WHERE c_custkey NOT IN
+         | (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q06_active_suppliers" ->
+      """SELECT s_suppkey, s_name, s_nationkey FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q07_top_orders_per_customer" ->
+      s"""SELECT o_custkey, rn, o_orderkey, totalprice FROM (
+         | SELECT o_custkey, o_orderkey,
+         |  CAST(${m("o_totalprice")} AS DOUBLE) AS totalprice,
+         |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+         |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         | FROM orders) WHERE rn <= 3
+         |ORDER BY o_custkey, rn""".stripMargin,
+    "q08_status_rollup" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+         | CAST(SUM(${m("o_totalprice")}) AS DOUBLE) AS total_price
+         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q09_set_ops" ->
+      s"""(SELECT o_custkey AS custkey FROM orders
+         |  GROUP BY o_custkey HAVING SUM(${m("o_totalprice")}) > 1000000
+         | INTERSECT
+         | SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
+         |EXCEPT
+         |SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+         |ORDER BY custkey""".stripMargin,
+    "q10_monthly_revenue" ->
+      s"""SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS o_month,
+         | COUNT(*) AS n_orders,
+         | CAST(SUM(${m("o_totalprice")}) AS DOUBLE) AS total_price
+         |FROM orders GROUP BY 1 ORDER BY o_month""".stripMargin,
+    "q11_event_tumbling" ->
+      s"""SELECT date_trunc('hour', ts)
+         |   + (CAST(FLOOR(minute(ts)/15) AS INT) * INTERVAL 15 MINUTE) AS window_start,
+         | event_type, COUNT(*) AS n_events,
+         | CAST(SUM(${m("value")}) AS DOUBLE) AS total_value
+         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q12_event_props" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+        | MAX(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q13_sessionize" ->
+      """SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events FROM (
+        | SELECT user_id,
+        |  CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |       THEN 1 ELSE 0 END AS new_sess
+        | FROM (SELECT user_id, ts, LAG(epoch_us(ts)) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |       FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q14_balance_deciles" ->
+      s"""SELECT decile, COUNT(*) AS n_customers,
+         | CAST(SUM(${m("c_acctbal")}) AS DOUBLE) AS total_acctbal,
+         | CAST(MIN(${m("c_acctbal")}) AS DOUBLE) AS min_acctbal,
+         | CAST(MAX(${m("c_acctbal")}) AS DOUBLE) AS max_acctbal
+         |FROM (SELECT c_acctbal, NTILE(10) OVER
+         |       (ORDER BY c_acctbal, c_custkey) AS decile FROM customer)
+         |GROUP BY decile ORDER BY decile""".stripMargin,
+    "q15_above_avg_orders" ->
+      s"""SELECT o_custkey, COUNT(*) AS n_above
+         |FROM orders JOIN (SELECT o_custkey AS agg_custkey,
+         |   SUM(${m("o_totalprice")}) AS spent, COUNT(*) AS n_orders
+         |  FROM orders GROUP BY o_custkey) ON o_custkey = agg_custkey
+         |WHERE ${m("o_totalprice")} * n_orders > spent
+         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+  )
+}
