@@ -1,0 +1,185 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for large-scale training-data pipelines, over
+  * the `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * Every op is a narrow per-row projection followed by (at most) a
+  * low-cardinality aggregate, so at 100 TB:
+  *   - no shuffle happens until after the text column has been reduced to
+  *     a handful of integers per row (map-side partial aggregation);
+  *   - all scoring is integer / exact arithmetic, so results are
+  *     reproducible bit-for-bit across engines (DuckDB oracle hash-match)
+  *     and across cluster re-runs;
+  *   - everything stays inside whole-stage codegen (built-in string /
+  *     higher-order array functions only — no UDFs).
+  *
+  * Reference capability being generalized: the RASS engine tokenizes,
+  * chunks, and scores medical text (reference `app/main.py:2160-2170`
+  * chunker, `main.py:1403-1430` per-field text scoring); these operators
+  * are the corpus-analysis counterpart a 100 TB ingest pipeline needs.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of `text` (reference tokenization is lower+split,
+    * `app/main.py:2160-2170`).
+    */
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  /** BPE-ish subword count: runs of <=4 letters, digit runs, or single
+    * punctuation — a deterministic stand-in for a real BPE vocab that
+    * both Spark (Java regex) and the oracle (RE2) evaluate identically.
+    */
+  private val BpePattern = "[a-zA-Z]{1,4}|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  /** Per-document token statistics (exact ints). */
+  def p01TokenStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        $"doc_id",
+        size(toks($"text")).cast("long").as("n_tokens"),
+        length($"text").cast("long").as("n_chars"),
+        size(array_distinct(toks($"text"))).cast("long").as("n_uniq_tokens"),
+        array_max(transform(toks($"text"), t => length(t))).cast("long")
+          .as("max_token_len"),
+        regexp_count($"text", lit(BpePattern)).cast("long").as("n_subtokens"))
+      .orderBy($"doc_id")
+  }
+
+  private val Stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  /** Quality-bucket profile: integer cross-multiplied ratio thresholds
+    * (n_stop*5 >= n_tokens <=> stopword ratio >= 0.2) keep the bucketing
+    * exact — no float division anywhere.
+    */
+  def p02QualityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .select(
+        $"doc_id",
+        size(toks($"text")).cast("long").as("n_tokens"),
+        size(filter(toks($"text"), t => t.isInCollection(Stopwords)))
+          .cast("long").as("n_stop"))
+    d.withColumn("quality_bucket",
+        when($"n_tokens" < 30, "short")
+          .when($"n_stop" * 5 >= $"n_tokens", "stop_heavy")
+          .otherwise("clean"))
+      .groupBy($"quality_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("sum_tokens"),
+        sum($"n_stop").as("sum_stop"))
+      .orderBy($"quality_bucket")
+  }
+
+  /** Corpus profile by language label (exact integer aggregates). */
+  def p03LangProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"),
+        sum(size(toks($"text")).cast("long")).as("sum_tokens"))
+      .orderBy($"lang")
+  }
+
+  /** Heuristic language-ID (charset + function-word markers) vs the label:
+    * a confusion matrix. The heuristic is the real operator; on this
+    * synthetic corpus (English word salad under every label) it
+    * deterministically predicts `en`, which the matrix makes visible.
+    */
+  def p04LangIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val padded = concat(lit(" "), $"text", lit(" "))
+    def hasWord(w: String): Column = instr(padded, s" $w ") > 0
+    val pred =
+      when($"text".rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+        .when(hasWord("el") || hasWord("que") || hasWord("una"), "es")
+        .when(hasWord("der") || hasWord("und") || hasWord("nicht"), "de")
+        .when(hasWord("le") || hasWord("les") || hasWord("est"), "fr")
+        .when(hasWord("the") || hasWord("is") || hasWord("and"), "en")
+        .otherwise("unknown")
+    Tables.documents(spark, dir)
+      .select($"lang", pred.as("pred_lang"))
+      .groupBy($"lang", $"pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"pred_lang")
+  }
+
+  /** Canonical-token fingerprint (md5 of sorted distinct tokens): detects
+    * bag-of-words duplicates regardless of word order. Only the 32-char
+    * hash and two ids shuffle — the text column never leaves the mapper.
+    */
+  def p05Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        md5(array_join(array_sort(array_distinct(toks($"text"))), " "))
+          .as("fingerprint"))
+      .groupBy($"fingerprint")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("keep_id"))
+      .orderBy($"fingerprint")
+  }
+
+  // ---------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_token_stats" -> p01TokenStats _,
+    "p02_quality_buckets" -> p02QualityBuckets _,
+    "p03_lang_profile" -> p03LangProfile _,
+    "p04_langid_confusion" -> p04LangIdConfusion _,
+    "p05_fingerprint" -> p05Fingerprint _,
+  )
+
+  private val TOKS = raw"regexp_split_to_array(trim(text), '\s+')"
+  private val NTOK = s"len($TOKS)"
+  private val NSTOP =
+    s"len(list_filter($TOKS, t -> t IN ('the','a','of','and','in','to','is')))"
+
+  val oracles: Map[String, String] = Map(
+    "p01_token_stats" ->
+      s"""SELECT doc_id, $NTOK AS n_tokens, length(text) AS n_chars,
+         | len(list_distinct($TOKS)) AS n_uniq_tokens,
+         | list_max(list_transform($TOKS, t -> length(t))) AS max_token_len,
+         | len(regexp_extract_all(text, '[a-zA-Z]{1,4}|[0-9]+|[^a-zA-Z0-9\\s]'))
+         |   AS n_subtokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "p02_quality_buckets" ->
+      s"""SELECT quality_bucket, COUNT(*) AS n_docs,
+         | SUM(n_tokens) AS sum_tokens, SUM(n_stop) AS sum_stop
+         |FROM (SELECT
+         |   CASE WHEN n_tokens < 30 THEN 'short'
+         |        WHEN n_stop * 5 >= n_tokens THEN 'stop_heavy'
+         |        ELSE 'clean' END AS quality_bucket, n_tokens, n_stop
+         |  FROM (SELECT $NTOK AS n_tokens, $NSTOP AS n_stop FROM documents))
+         |GROUP BY quality_bucket ORDER BY quality_bucket""".stripMargin,
+    "p03_lang_profile" ->
+      s"""SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+         | MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+         | SUM($NTOK) AS sum_tokens
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "p04_langid_confusion" ->
+      s"""SELECT lang, pred_lang, COUNT(*) AS n_docs FROM (
+         | SELECT lang,
+         |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |   WHEN instr(p,' el ')>0 OR instr(p,' que ')>0 OR instr(p,' una ')>0 THEN 'es'
+         |   WHEN instr(p,' der ')>0 OR instr(p,' und ')>0 OR instr(p,' nicht ')>0 THEN 'de'
+         |   WHEN instr(p,' le ')>0 OR instr(p,' les ')>0 OR instr(p,' est ')>0 THEN 'fr'
+         |   WHEN instr(p,' the ')>0 OR instr(p,' is ')>0 OR instr(p,' and ')>0 THEN 'en'
+         |   ELSE 'unknown' END AS pred_lang
+         | FROM (SELECT lang, text, ' ' || text || ' ' AS p FROM documents))
+         |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+    "p05_fingerprint" ->
+      s"""SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+         |FROM (SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct($TOKS)), ' '))
+         |    AS fingerprint FROM documents)
+         |GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,
+  )
+}
