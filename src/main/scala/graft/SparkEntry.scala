@@ -18,12 +18,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.StarQueries.queries ++
-      pipeline.TextAnalysis.queries
+      pipeline.TextAnalysis.queries ++
+      pipeline.Dedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     relational.StarQueries.oracles ++
-      pipeline.TextAnalysis.oracles
+      pipeline.TextAnalysis.oracles ++
+      pipeline.Dedup.oracles
 }

@@ -1,0 +1,313 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators for training-data pipelines, over the
+  * `documents` (and `embeddings`) tables.
+  *
+  * Design for 100 TB:
+  *   - the raw text column never shuffles: every op first reduces a
+  *     document to hashes / shingle-hashes / integer signatures in the
+  *     mapper, and only those (bytes, not kilobytes) cross the wire;
+  *   - candidate generation is always *blocked* (LSH band buckets for
+  *     MinHash, signature bands for SimHash) so no O(n^2) pair join ever
+  *     materializes at scale — the brute-force joins only appear in the
+  *     DuckDB oracle, where n=500;
+  *   - all similarity thresholds are integer cross-multiplications
+  *     (`inter*5 >= union*4` for Jaccard>=0.8) or bit counts, so
+  *     results hash-match the oracle exactly; the only floating-point op
+  *     (embedding cosine, d05) is written as an identical sequential
+  *     left-fold in both engines, which IEEE-754 makes bit-reproducible.
+  *
+  * Reference context: RASS dedupes retrieval hits by `doc_id`
+  * (`app/main.py:2894-2910`) and has no corpus-level dedup; these
+  * operators add the corpus-level capability a 100 TB ingest needs.
+  */
+object Dedup {
+
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Distinct word-3-gram shingles: (doc_id, shingle) rows. */
+  private def shingleRows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", toks($"text").as("t"))
+      .filter(size($"t") >= 3)
+      .select($"doc_id", explode(array_distinct(
+        transform(sequence(lit(1), size($"t") - 2),
+          i => array_join(slice($"t", i, lit(3)), " ")))).as("shingle"))
+  }
+
+  /** Jaccard >= 0.8 as pure integer arithmetic. */
+  private def jaccardAtLeast08(inter: Column, na: Column, nb: Column): Column =
+    inter * 5 >= (na + nb - inter) * 4
+
+  /** d01 — exact duplicate profile per source: hash-groupBy on md5(text).
+    * Only the 16-byte hash shuffles.
+    */
+  def d01ExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"source", md5($"text").as("h"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"h").as("n_uniq_texts"))
+      .withColumn("n_dup_docs", $"n_docs" - $"n_uniq_texts")
+      .orderBy($"source")
+  }
+
+  /** d02 — near-duplicate pairs by word-3-gram Jaccard >= 0.8.
+    * Inverted-index self-join on the shingle (the classic formulation):
+    * at scale, shingles with document frequency above a cap would be
+    * dropped first (they generate quadratic candidates and carry no
+    * dedup signal); unnecessary at this corpus size.
+    */
+  def d02NgramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingleRows(spark, dir)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes).as("sa"), $"a_id" === $"sa.doc_id")
+      .join(broadcast(sizes).as("sb"), $"b_id" === $"sb.doc_id")
+      .filter(jaccardAtLeast08($"inter", $"sa.n", $"sb.n"))
+      .select($"a_id", $"b_id", $"inter", $"sa.n".as("na"), $"sb.n".as("nb"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** MinHash/LSH parameters: 12 hash functions, 4 bands x 3 rows.
+    * Hash_i(shingle) = md5("i|" + shingle), minimized lexicographically —
+    * md5 hex is engine-independent, so the oracle reproduces the exact
+    * signature.
+    */
+  private val NumHashes = 12
+  private val Bands = 4
+  private val RowsPerBand = NumHashes / Bands
+
+  /** d03 — MinHash + LSH banding near-dup pairs, verified by true
+    * Jaccard (integer threshold, same as d02). The band-bucket join is
+    * the scale path: candidate volume is proportional to true-duplicate
+    * volume, not corpus^2.
+    */
+  def d03MinhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingleRows(spark, dir)
+    val minCols = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), $"shingle"))).as(s"h$i"))
+    val sig = sh.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+    val bands = (0 until Bands).map { b =>
+      val cols = (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(i => col(s"h$i"))
+      sig.select($"doc_id", lit(b).as("band"),
+        md5(concat(cols: _*)).as("bucket"))
+    }.reduce(_.unionAll(_))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bucket" === $"y.bucket" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
+      .distinct()
+    val inter = cand
+      .join(sh.as("sa"), $"a_id" === $"sa.doc_id")
+      .join(sh.as("sb"), $"b_id" === $"sb.doc_id" && $"sa.shingle" === $"sb.shingle")
+      .groupBy($"a_id", $"b_id")
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    inter
+      .join(broadcast(sizes).as("za"), $"a_id" === $"za.doc_id")
+      .join(broadcast(sizes).as("zb"), $"b_id" === $"zb.doc_id")
+      .filter(jaccardAtLeast08($"inter", $"za.n", $"zb.n"))
+      .select($"a_id", $"b_id", $"inter", $"za.n".as("na"), $"zb.n".as("nb"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** SimHash: 56-bit signature over distinct tokens. Token hash = the
+    * first 14 hex chars of md5, folded to a 56-bit int — identical in
+    * both engines, and 56 bits keeps every intermediate (including
+    * h*16+digit) far from int64 overflow.
+    */
+  private val SimBits = 56
+  private val SimBands = 4
+  private val SimBandBits = SimBits / SimBands
+
+  /** (doc_id, sim) — the per-document SimHash signature. */
+  private def simhashDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tokenHash = expr(
+      """aggregate(split(substring(md5(token), 1, 14), ''),
+        | CAST(0 AS BIGINT),
+        | (h, ch) -> h * 16 + instr('0123456789abcdef', ch) - 1)""".stripMargin)
+    val bitSums = (0 until SimBits).map(b =>
+      sum(shiftright($"th", b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b"))
+    val perBit = Tables.documents(spark, dir)
+      .select($"doc_id", explode(array_distinct(toks($"text"))).as("token"))
+      .withColumn("th", tokenHash)
+      .groupBy($"doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+    val simVal = (0 until SimBits).map(b =>
+      when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    perBit.select($"doc_id", simVal.as("sim"))
+  }
+
+  /** d04 — SimHash near-dup pairs at Hamming distance <= 3. Candidate
+    * generation via 4 x 14-bit band equality: Hamming <= 3 over 4 bands
+    * pigeonholes at least one identical band, so banding loses nothing
+    * vs the brute-force O(n^2) join the oracle runs.
+    */
+  def d04SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sim = simhashDf(spark, dir)
+    val bands = (0 until SimBands).map { b =>
+      sim.select($"doc_id", $"sim", lit(b).as("band"),
+        shiftright($"sim", b * SimBandBits)
+          .bitwiseAND(lit((1L << SimBandBits) - 1)).as("bv"))
+    }.reduce(_.unionAll(_))
+    bands.as("x")
+      .join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bv" === $"y.bv" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"),
+        bit_count($"x.sim".bitwiseXOR($"y.sim")).cast("long").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 3)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** d05 — embedding-cosine near-dup candidates (cosine > 0.4; this
+    * synthetic corpus has no high-cosine pairs, so the operator's
+    * threshold is set where it has work to do). The dot product and
+    * norms are sequential left-folds in double precision — the oracle
+    * uses the same fold, making the floats bit-identical. At 100 TB the
+    * pair join is replaced by the sign-LSH blocking in
+    * [[Similarity.s02SignLshKnn]]; brute force here doubles as the
+    * ground truth for that op's recall test.
+    */
+  def d05EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate(transform($"v", x => x * x), lit(0.0), (a, x) => a + x)))
+    val cos = aggregate(
+      zip_with($"a.v", $"b.v", (x, y) => x * y), lit(0.0), (a, x) => a + x) /
+      ($"a.nrm" * $"b.nrm")
+    e.as("a").join(broadcast(e.as("b")), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"), cos.as("cosine"))
+      .filter($"cosine" > 0.4)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  // ---------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> d01ExactDedup _,
+    "d02_ngram_jaccard_pairs" -> d02NgramJaccardPairs _,
+    "d03_minhash_lsh_pairs" -> d03MinhashLshPairs _,
+    "d04_simhash_pairs" -> d04SimhashPairs _,
+    "d05_embedding_neardup" -> d05EmbeddingNearDup _,
+  )
+
+  // Shared oracle CTEs (DuckDB SQL mirroring the Spark expressions).
+  private val ShingleCte =
+    raw"""tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') t
+         |       FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |         [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]))
+         |         AS shingle
+         |       FROM tk WHERE len(t) >= 3),
+         |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id)""".stripMargin
+
+  private val minhashSigSql: String = {
+    val mins = (0 until NumHashes)
+      .map(i => s"min(md5('$i|' || shingle)) AS h$i").mkString(", ")
+    s"SELECT doc_id, $mins FROM sh GROUP BY doc_id"
+  }
+
+  private val minhashBandsSql: String =
+    (0 until Bands).map { b =>
+      val cat = (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(i => s"h$i").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+
+  private val simhashCte: String = {
+    val sums = (0 until SimBits)
+      .map(b => s"SUM(((th >> $b) & 1) * 2 - 1) AS s$b").mkString(", ")
+    val value = (0 until SimBits)
+      .map(b => s"CASE WHEN s$b >= 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END")
+      .mkString(" + ")
+    raw"""th AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+         |         list_transform(string_split(substr(md5(token), 1, 14), ''),
+         |           ch -> (instr('0123456789abcdef', ch) - 1)::BIGINT)),
+         |         (h, c) -> h * 16 + c) AS th
+         |       FROM (SELECT doc_id, unnest(list_distinct(
+         |               regexp_split_to_array(trim(text), '\s+'))) AS token
+         |             FROM documents)),
+         |bits AS (SELECT doc_id, $sums FROM th GROUP BY doc_id),
+         |simhash AS (SELECT doc_id, $value AS sim FROM bits)""".stripMargin
+  }
+
+  private val SeqFoldDot =
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(a.v, b.v)," +
+      " p -> p[1] * p[2])), (s, x) -> s + x)"
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        | COUNT(DISTINCT md5(text)) AS n_uniq_texts,
+        | COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "d02_ngram_jaccard_pairs" ->
+      s"""WITH $ShingleCte,
+         |pairs AS (
+         |  SELECT a.doc_id a_id, b.doc_id b_id, count(*) inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id, inter, sa.n AS na, sb.n AS nb
+         |FROM pairs JOIN sizes sa ON a_id = sa.doc_id
+         |           JOIN sizes sb ON b_id = sb.doc_id
+         |WHERE inter * 5 >= (sa.n + sb.n - inter) * 4
+         |ORDER BY a_id, b_id""".stripMargin,
+    "d03_minhash_lsh_pairs" ->
+      s"""WITH $ShingleCte,
+         |sig AS ($minhashSigSql),
+         |bands AS ($minhashBandsSql),
+         |cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |pairs AS (SELECT c.a_id, c.b_id, count(*) inter
+         |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+         |              JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id, inter, za.n AS na, zb.n AS nb
+         |FROM pairs JOIN sizes za ON a_id = za.doc_id
+         |           JOIN sizes zb ON b_id = zb.doc_id
+         |WHERE inter * 5 >= (za.n + zb.n - inter) * 4
+         |ORDER BY a_id, b_id""".stripMargin,
+    "d04_simhash_pairs" ->
+      s"""WITH $simhashCte
+         |SELECT a.doc_id a_id, b.doc_id b_id,
+         | bit_count(xor(a.sim, b.sim)) AS hamming
+         |FROM simhash a JOIN simhash b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin,
+    "d05_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |  sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(v, x -> x * x)), (s, x) -> s + x)) AS nrm FROM e)
+         |SELECT * FROM (
+         |  SELECT a.vec_id a_id, b.vec_id b_id,
+         |    $SeqFoldDot / (a.nrm * b.nrm) AS cosine
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |WHERE cosine > 0.4 ORDER BY a_id, b_id""".stripMargin,
+  )
+}

@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  test("every dedup query has an oracle and runs non-empty") {
+    assert(Dedup.oracles.keySet == Dedup.queries.keySet)
+    Dedup.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sfDir).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("d01 dup counts are consistent") {
+    Dedup.d01ExactDedup(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Long]("n_uniq_texts") + r.getAs[Long]("n_dup_docs")
+        == r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("d02 pairs satisfy the integer Jaccard threshold and id ordering") {
+    Dedup.d02NgramJaccardPairs(spark, sfDir).collect().foreach { r =>
+      val (inter, na, nb) = (r.getAs[Long]("inter"), r.getAs[Long]("na"), r.getAs[Long]("nb"))
+      assert(inter <= math.min(na, nb))
+      assert(inter * 5 >= (na + nb - inter) * 4)
+      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+    }
+  }
+
+  test("d03 MinHash/LSH pairs are a subset of brute-force Jaccard pairs") {
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val brute = keys(Dedup.d02NgramJaccardPairs(spark, sfDir))
+    val lsh = keys(Dedup.d03MinhashLshPairs(spark, sfDir))
+    assert(lsh.subsetOf(brute))
+    // 4 bands x 3 rows at j>=0.8: P(miss) = (1-j^3)^4 <= 0.06 per pair;
+    // on this corpus the banding should catch essentially everything.
+    assert(lsh.size >= brute.size * 8 / 10, s"LSH recall too low: ${lsh.size}/${brute.size}")
+  }
+
+  test("d04 SimHash: bag-of-words duplicates collide at hamming 0") {
+    val rows = Dedup.d04SimhashPairs(spark, sfDir).collect()
+    assert(rows.forall(r => r.getAs[Long]("hamming") <= 3))
+    assert(rows.exists(r => r.getAs[Long]("hamming") == 0L),
+      "fingerprint-identical docs must have identical simhash")
+  }
+
+  test("d05 cosines are in (0.4, 1] and pairs are id-ordered") {
+    Dedup.d05EmbeddingNearDup(spark, sfDir).collect().foreach { r =>
+      val c = r.getAs[Double]("cosine")
+      assert(c > 0.4 && c <= 1.000001)
+      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+    }
+  }
+}
