@@ -19,7 +19,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.StarQueries.queries ++
       pipeline.TextAnalysis.queries ++
-      pipeline.Dedup.queries
+      pipeline.Dedup.queries ++
+      pipeline.Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -27,5 +28,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     relational.StarQueries.oracles ++
       pipeline.TextAnalysis.oracles ++
-      pipeline.Dedup.oracles
+      pipeline.Dedup.oracles ++
+      pipeline.Similarity.oracles
 }
