@@ -20,7 +20,8 @@ object SparkEntry {
     relational.StarQueries.queries ++
       pipeline.TextAnalysis.queries ++
       pipeline.Dedup.queries ++
-      pipeline.Similarity.queries
+      pipeline.Similarity.queries ++
+      pipeline.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -29,5 +30,6 @@ object SparkEntry {
     relational.StarQueries.oracles ++
       pipeline.TextAnalysis.oracles ++
       pipeline.Dedup.oracles ++
-      pipeline.Similarity.oracles
+      pipeline.Similarity.oracles ++
+      pipeline.Multimodal.oracles
 }

@@ -1,0 +1,181 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing for training-data pipelines.
+  *
+  * Media (image/audio/video) are opaque `binary` payloads with typed
+  * metadata travelling alongside — the payload is never interpreted by
+  * Catalyst, only by an explicit decode seam. Here the payload is
+  * derived deterministically from `documents.text` (utf-8 bytes) so the
+  * whole pipeline is testable without media libraries; a real deployment
+  * swaps [[MediaDecoder]] for one wrapping an image/audio codec and
+  * nothing else changes.
+  *
+  * Scale design:
+  *   - payloads stay columnar (parquet binary) and are only materialized
+  *     inside the executor batch that decodes them; decoded features are
+  *     a handful of ints, so nothing heavy ever shuffles;
+  *   - decode runs in [[Multimodal.m02DecodedFeatures]] via
+  *     `mapPartitions` with an explicit batch size (the JVM-side
+  *     equivalent of `mapInPandas` batch shape) so a codec that
+  *     amortizes setup per batch — or dispatches to an accelerator —
+  *     plugs straight in;
+  *   - frame sampling (m03) is a pure columnar expression
+  *     (sequence/transform/posexplode), no UDF.
+  */
+object Multimodal {
+
+  /** Decoded-media features; a real decoder returns real ones (size,
+    * channels, duration). The fields here are byte statistics a fake
+    * decoder can produce deterministically.
+    */
+  final case class Decoded(
+      doc_id: Long, n_bytes: Long, n_distinct_bytes: Long,
+      sum_bytes: Long, checksum: Long)
+
+  /** The decode seam. Implementations must be deterministic per payload. */
+  trait MediaDecoder extends Serializable {
+    def decode(docId: Long, payload: Array[Byte]): Decoded
+  }
+
+  /** Deterministic stand-in for an image/audio codec (none exist in this
+    * environment): computes byte statistics. A real impl would parse the
+    * container header and decode frames here.
+    */
+  object FakeDecoder extends MediaDecoder {
+    override def decode(docId: Long, payload: Array[Byte]): Decoded = {
+      var sum = 0L
+      val seen = new java.util.BitSet(256)
+      var i = 0
+      while (i < payload.length) {
+        val b = payload(i) & 0xff
+        sum += b
+        seen.set(b)
+        i += 1
+      }
+      Decoded(docId, payload.length.toLong, seen.cardinality().toLong,
+        sum, sum % 251)
+    }
+  }
+
+  /** Batch size for decode calls (mirrors the reference's embed batch of
+    * 64, `app/main.py:78`).
+    */
+  private val DecodeBatch = 64
+
+  /** The synthetic media table: (doc_id, media_type, payload, meta).
+    * media_type and metadata derive from doc_id; payload is the utf-8
+    * text bytes.
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(
+      $"doc_id",
+      element_at(lit(Array("image", "audio", "video")),
+        ($"doc_id" % 3).cast("int") + 1).as("media_type"),
+      $"text".cast("binary").as("payload"),
+      struct(
+        (lit(64) + ($"doc_id" % 64) * lit(16)).cast("long").as("width"),
+        (lit(64) + ($"doc_id" % 48) * lit(16)).cast("long").as("height"),
+        (($"doc_id" % 300) + 1).cast("long").as("duration_s")).as("meta"))
+  }
+
+  /** m01 — media catalog: per-type byte accounting + payload digests.
+    * Pure columnar; the binary column feeds length/md5 expressions only.
+    */
+  def m01MediaCatalog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select($"doc_id", $"media_type",
+        length($"payload").cast("long").as("n_bytes"),
+        md5($"payload").as("payload_md5"),
+        $"meta.width", $"meta.height", $"meta.duration_s")
+      .orderBy($"doc_id")
+  }
+
+  /** m02 — the decode seam: batched mapPartitions through a
+    * [[MediaDecoder]]. Typed Dataset in, typed Dataset out; only the
+    * decoded feature ints leave the partition.
+    */
+  def decodeFeatures(media: DataFrame, decoder: MediaDecoder): Dataset[Decoded] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select($"doc_id".as[Long], $"payload".as[Array[Byte]])
+      .mapPartitions { it =>
+        it.grouped(DecodeBatch).flatMap { batch =>
+          // a real decoder would set up / tear down codec state per batch
+          batch.map { case (id, payload) => decoder.decode(id, payload) }
+        }
+      }
+  }
+
+  def m02DecodedFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodeFeatures(mediaTable(spark, dir), FakeDecoder)
+      .toDF().orderBy($"doc_id")
+  }
+
+  /** m03 — frame sampling: split the payload into fixed 32-byte frames,
+    * keep every 4th, digest each. sequence/transform/posexplode —
+    * whole-stage-codegen columnar, no UDF.
+    */
+  private val FrameLen = 32
+  private val FrameStep = 4
+
+  def m03FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frames = expr(
+      s"""transform(
+         |  sequence(0, CAST(floor((length(payload) - 1) / $FrameLen) AS BIGINT),
+         |           $FrameStep),
+         |  i -> md5(substring(payload, CAST(i * $FrameLen + 1 AS INT), $FrameLen)))
+         |""".stripMargin)
+    mediaTable(spark, dir)
+      .filter($"media_type" === "video")
+      .select($"doc_id", posexplode(frames))
+      .select($"doc_id", $"pos".cast("long").as("frame_idx"),
+        $"col".as("frame_md5"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  // ---------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_media_catalog" -> m01MediaCatalog _,
+    "m02_decoded_features" -> m02DecodedFeatures _,
+    "m03_frame_sample" -> m03FrameSample _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "m01_media_catalog" ->
+      """SELECT doc_id,
+        | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |   ELSE 'video' END AS media_type,
+        | strlen(text) AS n_bytes, md5(text) AS payload_md5,
+        | 64 + (doc_id % 64) * 16 AS width,
+        | 64 + (doc_id % 48) * 16 AS height,
+        | (doc_id % 300) + 1 AS duration_s
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m02_decoded_features" ->
+      """SELECT doc_id, strlen(text) AS n_bytes,
+        | len(list_distinct(list_transform(string_split(text, ''),
+        |   ch -> ascii(ch)))) AS n_distinct_bytes,
+        | list_sum(list_transform(string_split(text, ''), ch -> ascii(ch)))
+        |   AS sum_bytes,
+        | list_sum(list_transform(string_split(text, ''), ch -> ascii(ch))) % 251
+        |   AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m03_frame_sample" ->
+      s"""SELECT doc_id, u['frame_idx'] AS frame_idx, u['frame_md5'] AS frame_md5
+         |FROM (SELECT doc_id, unnest(
+         |   [{'frame_idx': i // $FrameStep,
+         |     'frame_md5': md5(substr(text, (i * $FrameLen + 1)::BIGINT, $FrameLen))}
+         |    for i in range(0, (strlen(text) - 1) // $FrameLen + 1, $FrameStep)]) AS u
+         |  FROM documents WHERE doc_id % 3 = 2)
+         |ORDER BY doc_id, frame_idx""".stripMargin,
+  )
+}

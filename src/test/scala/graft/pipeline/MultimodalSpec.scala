@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  test("every multimodal query has an oracle and runs non-empty") {
+    assert(Multimodal.oracles.keySet == Multimodal.queries.keySet)
+    Multimodal.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sfDir).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("media table partitions docs across the three modalities") {
+    val types = Multimodal.mediaTable(spark, sfDir)
+      .groupBy("media_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(types.keySet == Set("image", "audio", "video"))
+    assert(types.values.sum == graft.Tables.documents(spark, sfDir).count())
+  }
+
+  test("decode seam: features agree with an independent driver-side decode") {
+    val media = Multimodal.mediaTable(spark, sfDir).limit(20)
+    val decoded = Multimodal.decodeFeatures(media, Multimodal.FakeDecoder)
+      .collect().map(d => d.doc_id -> d).toMap
+    media.select("doc_id", "payload").collect().foreach { r =>
+      val id = r.getLong(0)
+      val payload = r.getAs[Array[Byte]](1)
+      val d = decoded(id)
+      assert(d.n_bytes == payload.length)
+      assert(d.sum_bytes == payload.map(b => (b & 0xff).toLong).sum)
+      assert(d.checksum == d.sum_bytes % 251)
+      // texts are ascii, so bytes == chars — the oracle relies on this
+      assert(payload.forall(b => (b & 0xff) < 128))
+    }
+  }
+
+  test("frame sampling keeps every 4th 32-byte frame") {
+    val media = Multimodal.mediaTable(spark, sfDir)
+    val videoLens = media.filter(org.apache.spark.sql.functions.expr("media_type = 'video'"))
+      .selectExpr("doc_id", "CAST(length(payload) AS BIGINT) AS n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val frames = Multimodal.m03FrameSample(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(frames.keySet == videoLens.keySet)
+    frames.foreach { case (id, fs) =>
+      val expected = ((videoLens(id) - 1) / 32) / 4 + 1
+      assert(fs.length == expected, s"doc $id: ${fs.length} frames, want $expected")
+      assert(fs.map(_.getAs[Long]("frame_idx")).sorted.sameElements(0L until expected))
+    }
+  }
+}
