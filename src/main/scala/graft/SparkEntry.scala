@@ -21,7 +21,8 @@ object SparkEntry {
       pipeline.TextAnalysis.queries ++
       pipeline.Dedup.queries ++
       pipeline.Similarity.queries ++
-      pipeline.Multimodal.queries
+      pipeline.Multimodal.queries ++
+      rass.RassQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -31,5 +32,6 @@ object SparkEntry {
       pipeline.TextAnalysis.oracles ++
       pipeline.Dedup.oracles ++
       pipeline.Similarity.oracles ++
-      pipeline.Multimodal.oracles
+      pipeline.Multimodal.oracles ++
+      rass.RassQueries.oracles
 }

@@ -1,0 +1,179 @@
+package graft.rass
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic BM25-family scoring over document columns.
+  *
+  * Differences from Lucene's BM25, chosen deliberately (SURVEY §7.4):
+  * corpus-GLOBAL statistics (not shard-local, so scores don't depend on
+  * physical layout) and a RATIONAL idf `(N - df + 0.5) / (df + 0.5)`
+  * instead of `ln(1 + ...)`. The log is a monotone per-term transform
+  * whose absence keeps every score inside +,-,*,/ — IEEE-754-exact and
+  * therefore bit-reproducible across engines, cluster re-runs, and the
+  * DuckDB oracle. k1 = 1.2, b = 0.75 (textbook defaults).
+  *
+  * Execution shape (100 TB): per-field stats (N, avgdl, per-term df for
+  * the <=8 query terms) are ONE aggregate row, broadcast back into the
+  * scan as a literal-free cross join — no driver collect, no second
+  * shuffle; per-document tf/dl are computed inline over the token array
+  * in the same scan that evaluates the filter.
+  */
+object Bm25 {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** tf for one term over a token array (exact int). */
+  private def tf(toksCol: Column, term: String): Column =
+    size(filter(toksCol, t => t === term)).cast("double")
+
+  /** ONE stats row for ALL fields in a single scan: for each field,
+    * `s_<f>_n_docs` (docs with the field non-null), `s_<f>_avgdl`, and
+    * `s_<f>_df_<i>` per query term. One aggregate job regardless of how
+    * many fields a search scores — at ingest time this same aggregate
+    * materializes as the corpus-stats table.
+    */
+  def allStats(docs: DataFrame, fields: Seq[String], terms: Seq[String]): DataFrame = {
+    val aggCols = fields.flatMap { f =>
+      val toksCol = Analyzer.tokens(col(f))
+      val nDocs = sum(when(col(f).isNotNull, 1L).otherwise(0L)).cast("double")
+      Seq(
+        nDocs.as(s"s_${f}_n_docs"),
+        (sum(when(col(f).isNotNull, size(toksCol).cast("long")).otherwise(0L))
+          .cast("double") / nDocs).as(s"s_${f}_avgdl")) ++
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(col(f).isNotNull && array_contains(toksCol, t), 1L)
+            .otherwise(0L)).cast("double").as(s"s_${f}_df_$i")
+        }
+    }
+    docs.agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** BM25 score of `field` for the query terms, given the broadcast
+    * stats columns (prefixed). Null field scores 0.
+    */
+  def score(field: String, terms: Seq[String], statsPrefix: String): Column = {
+    val toksCol = Analyzer.tokens(col(field))
+    val dl = size(toksCol).cast("double")
+    val avgdl = col(s"${statsPrefix}avgdl")
+    val n = col(s"${statsPrefix}n_docs")
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      val dfT = col(s"${statsPrefix}df_$i")
+      val idf = (n - dfT + lit(0.5)) / (dfT + lit(0.5))
+      val tfT = tf(toksCol, t)
+      idf * (tfT * (K1 + 1)) / (tfT + lit(K1) * (lit(1.0) - B + lit(B) * dl / avgdl))
+    }
+    val s = perTerm.reduceOption(_ + _).getOrElse(lit(0.0))
+    when(col(field).isNotNull, s).otherwise(lit(0.0))
+  }
+
+  /** Fuzzy variant (`fuzziness: AUTO`): tf counts tokens within the
+    * term's AUTO edit distance (0/1/2 by length; Levenshtein is
+    * integer-exact in both engines). df stays exact-term — a
+    * deliberate simplification kept identical on both sides.
+    */
+  def scoreFuzzy(field: String, terms: Seq[String], statsPrefix: String): Column = {
+    val toksCol = Analyzer.tokens(col(field))
+    val dl = size(toksCol).cast("double")
+    val avgdl = col(s"${statsPrefix}avgdl")
+    val n = col(s"${statsPrefix}n_docs")
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      val dfT = col(s"${statsPrefix}df_$i")
+      val idf = (n - dfT + lit(0.5)) / (dfT + 0.5)
+      val fz = Analyzer.autoFuzz(t)
+      val tfT = (if (fz == 0) size(filter(toksCol, x => x === t))
+        else size(filter(toksCol, x => levenshtein(x, lit(t)) <= fz)))
+        .cast("double")
+      idf * (tfT * (K1 + 1)) / (tfT + lit(K1) * (lit(1.0) - B + lit(B) * dl / avgdl))
+    }
+    val s = perTerm.reduceOption(_ + _).getOrElse(lit(0.0))
+    when(col(field).isNotNull, s).otherwise(lit(0.0))
+  }
+
+  /** `best_fields` multi_match: max over fields of (BM25 x field boost),
+    * then x clause boost. Stats for all fields must be joined with
+    * per-field prefixes `s_<field>_`.
+    */
+  def bestFields(fields: Seq[(String, Double)], terms: Seq[String],
+      clauseBoost: Double = 1.0, fuzzy: Boolean = false): Column = {
+    val scores = fields.map { case (f, boost) =>
+      (if (fuzzy) scoreFuzzy(f, terms, s"s_${f}_")
+       else score(f, terms, s"s_${f}_")) * boost
+    }
+    greatest(scores: _*) * clauseBoost
+  }
+
+  /** Attach the single broadcast stats row (map-side literal join). */
+  def withStats(docs: DataFrame, fields: Seq[String], terms: Seq[String]): DataFrame =
+    docs.crossJoin(broadcast(allStats(docs, fields, terms)))
+
+  /** DuckDB oracle fragments mirroring the Column side bit-for-bit. */
+  object Sql {
+    /** Token-array SQL for a field. */
+    def toks(field: String): String =
+      s"list_filter(string_split_regex(lower($field), '[^a-z0-9]+'), t -> t != '')"
+
+    /** Single stats SELECT over `docsRel` for all fields — same column
+      * names and math as [[Bm25.allStats]].
+      */
+    def allStatsSelect(fields: Seq[String], terms: Seq[String],
+        docsRel: String): String = {
+      val cols = fields.flatMap { f =>
+        val tk = toks(f)
+        val nDocs = s"SUM(CASE WHEN $f IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE"
+        Seq(
+          s"$nDocs AS s_${f}_n_docs",
+          s"SUM(CASE WHEN $f IS NOT NULL THEN len($tk) ELSE 0 END)::DOUBLE" +
+            s" / $nDocs AS s_${f}_avgdl") ++
+          terms.zipWithIndex.map { case (t, i) =>
+            s"SUM(CASE WHEN $f IS NOT NULL AND list_contains($tk, '$t')" +
+              s" THEN 1 ELSE 0 END)::DOUBLE AS s_${f}_df_$i"
+          }
+      }
+      s"SELECT ${cols.mkString(",\n ")} FROM $docsRel"
+    }
+
+    /** Score expression for one field; `sp` is the stats alias. */
+    def score(field: String, terms: Seq[String], sp: String): String = {
+      val tk = toks(field)
+      val perTerm = terms.zipWithIndex.map { case (t, i) =>
+        val tfT = s"len(list_filter($tk, t -> t = '$t'))::DOUBLE"
+        val dfT = s"$sp.s_${field}_df_$i"
+        // NOTE: emit the same arithmetic as the Column side (e.g.
+        // "($K1 + 1)", not a precomputed constant) — 1.2+1 in doubles is
+        // not necessarily the same bits as a parsed "2.2" literal.
+        s"(($sp.s_${field}_n_docs - $dfT + 0.5) / ($dfT + 0.5))" +
+          s" * ($tfT * ($K1 + 1)) / ($tfT + $K1 * (1.0 - $B + $B *" +
+          s" len($tk)::DOUBLE / $sp.s_${field}_avgdl))"
+      }.mkString(" + ")
+      s"CASE WHEN $field IS NOT NULL THEN ($perTerm) ELSE 0.0 END"
+    }
+
+    /** Fuzzy score mirror of [[Bm25.scoreFuzzy]]. */
+    def scoreFuzzy(field: String, terms: Seq[String], sp: String): String = {
+      val tk = toks(field)
+      val perTerm = terms.zipWithIndex.map { case (t, i) =>
+        val fz = Analyzer.autoFuzz(t)
+        val tfT =
+          if (fz == 0) s"len(list_filter($tk, t -> t = '$t'))::DOUBLE"
+          else s"len(list_filter($tk, t -> levenshtein(t, '$t') <= $fz))::DOUBLE"
+        val dfT = s"$sp.s_${field}_df_$i"
+        s"(($sp.s_${field}_n_docs - $dfT + 0.5) / ($dfT + 0.5))" +
+          s" * ($tfT * ($K1 + 1)) / ($tfT + $K1 * (1.0 - $B + $B *" +
+          s" len($tk)::DOUBLE / $sp.s_${field}_avgdl))"
+      }.mkString(" + ")
+      s"CASE WHEN $field IS NOT NULL THEN ($perTerm) ELSE 0.0 END"
+    }
+
+    /** best_fields mirror of [[Bm25.bestFields]]. */
+    def bestFields(fields: Seq[(String, Double)], terms: Seq[String],
+        sp: String, clauseBoost: Double = 1.0, fuzzy: Boolean = false): String = {
+      val scores = fields.map { case (f, boost) =>
+        val s = if (fuzzy) scoreFuzzy(f, terms, sp) else score(f, terms, sp)
+        s"($s) * $boost"
+      }
+      s"greatest(${scores.mkString(", ")}) * $clauseBoost"
+    }
+  }
+}

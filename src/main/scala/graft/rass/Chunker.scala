@@ -1,0 +1,36 @@
+package graft.rass
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fixed-size word chunking (reference `app/main.py:2160-2170`,
+  * CHUNK_SIZE=512, no overlap; the ADAPTIVE_CHUNKING env flag is read
+  * but never used, `main.py:100-102` — chunking is always fixed-size).
+  *
+  * Pure columnar: split -> sequence -> transform -> posexplode. One
+  * narrow stage, no shuffle; at 100 TB chunking rides the ingest scan.
+  */
+object Chunker {
+
+  val DefaultChunkSize = 512
+
+  /** Chunk expressions for a text column: array of chunk strings. */
+  def chunks(text: Column, chunkSize: Int): Column = {
+    val words = split(trim(text), "\\s+")
+    val nChunks = ceil(size(words).cast("double") / chunkSize).cast("int")
+    transform(sequence(lit(0), greatest(nChunks - 1, lit(0))),
+      i => array_join(slice(words, i * chunkSize + 1, lit(chunkSize)), " "))
+  }
+
+  /** Explode a document DataFrame into (…, chunk_index, chunk_text).
+    * Empty/whitespace-only text yields one empty chunk, matching the
+    * reference's behavior of skipping embedding for empty text with a
+    * zero-vector (`main.py:227-228`).
+    */
+  def chunkDf(df: DataFrame, textCol: String,
+      chunkSize: Int = DefaultChunkSize): DataFrame =
+    df.select(col("*"), posexplode(chunks(col(textCol), chunkSize)))
+      .withColumnRenamed("pos", "chunk_index")
+      .withColumnRenamed("col", "chunk_text")
+      .drop(textCol)
+}
