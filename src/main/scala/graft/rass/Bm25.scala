@@ -38,10 +38,15 @@ object Bm25 {
     val aggCols = fields.flatMap { f =>
       val toksCol = Analyzer.tokens(col(f))
       val nDocs = sum(when(col(f).isNotNull, 1L).otherwise(0L)).cast("double")
+      // CASE keeps the division un-evaluated when the (possibly
+      // filtered) corpus has no rows for the field — ANSI mode would
+      // otherwise raise DIVIDE_BY_ZERO; the score is 0 for such fields
+      // anyway (every row is null there).
       Seq(
         nDocs.as(s"s_${f}_n_docs"),
-        (sum(when(col(f).isNotNull, size(toksCol).cast("long")).otherwise(0L))
-          .cast("double") / nDocs).as(s"s_${f}_avgdl")) ++
+        when(nDocs > 0,
+          sum(when(col(f).isNotNull, size(toksCol).cast("long")).otherwise(0L))
+            .cast("double") / nDocs).as(s"s_${f}_avgdl")) ++
         terms.zipWithIndex.map { case (t, i) =>
           sum(when(col(f).isNotNull && array_contains(toksCol, t), 1L)
             .otherwise(0L)).cast("double").as(s"s_${f}_df_$i")
@@ -124,8 +129,9 @@ object Bm25 {
         val nDocs = s"SUM(CASE WHEN $f IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE"
         Seq(
           s"$nDocs AS s_${f}_n_docs",
-          s"SUM(CASE WHEN $f IS NOT NULL THEN len($tk) ELSE 0 END)::DOUBLE" +
-            s" / $nDocs AS s_${f}_avgdl") ++
+          s"CASE WHEN $nDocs > 0 THEN " +
+            s"SUM(CASE WHEN $f IS NOT NULL THEN len($tk) ELSE 0 END)::DOUBLE" +
+            s" / $nDocs END AS s_${f}_avgdl") ++
           terms.zipWithIndex.map { case (t, i) =>
             s"SUM(CASE WHEN $f IS NOT NULL AND list_contains($tk, '$t')" +
               s" THEN 1 ELSE 0 END)::DOUBLE AS s_${f}_df_$i"

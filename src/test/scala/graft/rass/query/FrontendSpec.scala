@@ -1,0 +1,127 @@
+package graft.rass.query
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.rass.{Corpus, DeterministicEmbedder, RassEngine}
+
+class IntentClassifierSpec extends AnyFunSuite {
+
+  /** All 26 few-shot examples from the reference (`app/main.py:2192-2229`). */
+  private val examples: Seq[(String, Intent)] = Seq(
+    "What are the symptoms of diabetes?" -> Intent.Explanatory,
+    "What is the status of the medication request for patient 789?" -> Intent.Explanatory,
+    "Fetch the medical records for patient John Doe." -> Intent.DocumentFetch,
+    "Get the latest lab results for patient 101." -> Intent.DocumentFetch,
+    "Get me the document for Julian140" -> Intent.DocumentFetch,
+    "Fetch records of patient with name Mary Johnson or number 456 or address 123 Main St." -> Intent.DocumentFetch,
+    "How many patients have hypertension?" -> Intent.Aggregate,
+    "How many patients were treated in the last month?" -> Intent.Aggregate,
+    "Compare the outcomes of heart surgery vs. medication." -> Intent.Comparison,
+    "Compare the lab results of patient 202 and patient 303." -> Intent.Comparison,
+    "Show me trends in blood pressure for patient 123 over time." -> Intent.Temporal,
+    "Show me the trends in cholesterol levels for patient 404 over the last year." -> Intent.Temporal,
+    "Find patients with heart disease." -> Intent.Hybrid,
+    "Fetch me the details of patients with heart problems." -> Intent.Hybrid,
+    "Get details for patient Jane Smith." -> Intent.EntitySpecific,
+    "Get me the details of the procedure performed on patient 505." -> Intent.EntitySpecific,
+    "Search for diabetes treatment options." -> Intent.Semantic,
+    "Tell me about asthma and how it's treated." -> Intent.Semantic,
+    "List all procedures with CPT code 99213." -> Intent.Structured,
+    "Give me all patients with ICD-10 code E11." -> Intent.Structured,
+    "Find patients with both asthma and allergies." -> Intent.HybridStructured,
+    "Search for female patients over 50 with diabetes and high blood pressure." -> Intent.HybridStructured,
+    "Explain the procedure for knee replacement and list patients who had it." -> Intent.MultiIntent,
+    "Get me the document for Julian140 and the procedure code 99213" -> Intent.MultiIntent,
+    "Look up ICD-10 code I21." -> Intent.Keyword,
+    "Search for CPT 90792." -> Intent.Keyword,
+  )
+
+  test("all 26 reference few-shot examples classify correctly") {
+    val misses = examples.collect {
+      case (q, want) if RuleIntentClassifier.classify(q) != want =>
+        s"'$q' -> ${RuleIntentClassifier.classify(q).name} (want ${want.name})"
+    }
+    assert(misses.isEmpty, misses.mkString("\n"))
+  }
+}
+
+class NerSpec extends AnyFunSuite {
+  private val ner = new RuleNer()
+
+  test("code, date, contact, and gazetteer entities extract with labels") {
+    val got = ner.extract(
+      "Did dr alan reed prescribe metformin for diabetes mellitus (ICD-10 E11.9) " +
+        "to alice johnson, female, on 2024-03-01? CPT 99213.")
+      .map(e => e.label -> e.text).toSet
+    assert(got.contains("DOCTOR" -> "dr alan reed"))
+    assert(got.contains("MEDICATION" -> "metformin"))
+    assert(got.contains("CONDITION" -> "diabetes mellitus"))
+    assert(got.contains("ICD10_CODE" -> "E11.9"))
+    assert(got.contains("PERSON" -> "alice johnson"))
+    assert(got.contains("GENDER" -> "female"))
+    assert(got.contains("DATE" -> "2024-03-01"))
+    assert(got.contains("CPT_CODE" -> "99213"))
+  }
+
+  test("a doctor hit suppresses the person reading of the same name") {
+    val got = ner.extract("appointment with dr betty cole")
+    assert(got.exists(e => e.label == "DOCTOR"))
+    assert(!got.exists(e => e.label == "PERSON"))
+  }
+}
+
+class EntityFiltersSpec extends SparkSpec {
+
+  test("entities compile to predicates that select the right docs") {
+    val corpus = Corpus.corpus(spark, sfDir)
+    val f = EntityFilters.compile(Seq(Entity("diabetes mellitus", "CONDITION"))).get
+    val rows = corpus.filter(f).select("conditionCodeText").distinct().collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("diabetes mellitus"))
+    // DATE compiles to an OR across the six mapped date fields
+    // (2024-06-03 = onset of doc 154, a Condition row which carries dates)
+    val df = EntityFilters.compile(Seq(Entity("2024-06-03", "DATE"))).get
+    assert(corpus.filter(df).count() > 0)
+    // entities AND-combine: impossible conjunction selects nothing
+    val both = EntityFilters.compile(Seq(
+      Entity("diabetes mellitus", "CONDITION"),
+      Entity("metformin", "MEDICATION"))).get
+    assert(corpus.filter(both).count() == 0)
+  }
+}
+
+class EngineSpec extends SparkSpec {
+
+  private lazy val corpus = Corpus.corpus(spark, sfDir).cache()
+
+  test("patient resolver finds ids for a known name, exact beats fuzzy") {
+    val r = PatientResolver.resolve(corpus, new RuleNer(),
+      "Fetch the records for alice johnson")
+    assert(r.isDefined)
+    val (name, ids) = r.get
+    assert(name == "alice johnson")
+    assert(ids.nonEmpty && ids.size <= 3)
+    val expected = corpus.filter(col("patientName") === "alice johnson")
+      .select("patientId").distinct().collect().map(_.getString(0)).toSet
+    assert(ids.toSet.subsetOf(expected))
+  }
+
+  test("ask(): end-to-end per intent family") {
+    val engine = new RassEngine(corpus,
+      nowMicros = () => 1748736000000000L)
+    val semantic = engine.ask("Search for diabetes treatment options.", "u1", "c1")
+    assert(semantic.intent == Intent.Semantic && semantic.hits.nonEmpty)
+    assert(semantic.answer.contains(semantic.hits.head._1))
+
+    val agg = engine.ask("How many patients have hypertension?", "u1", "c1")
+    assert(agg.intent == Intent.Aggregate && agg.hits.nonEmpty)
+
+    val fetch = engine.ask("Fetch the medical records for alice johnson", "u1", "c1")
+    assert(fetch.intent == Intent.DocumentFetch)
+    assert(fetch.patient.isDefined && fetch.hits.nonEmpty)
+
+    val hybrid = engine.ask("Find patients with asthma.", "u1", "c2")
+    assert(hybrid.intent == Intent.Hybrid && hybrid.hits.nonEmpty)
+  }
+}
