@@ -62,12 +62,15 @@ object Bm25 {
     val toksCol = Analyzer.tokens(col(field))
     val dl = size(toksCol).cast("double")
     val avgdl = col(s"${statsPrefix}avgdl")
+    // empty-string fields make avgdl 0; tf is 0 there too, so the term is
+    // 0 either way — the CASE just keeps ANSI mode from raising /0
+    val lnorm = when(avgdl > 0, dl / avgdl).otherwise(lit(0.0))
     val n = col(s"${statsPrefix}n_docs")
     val perTerm = terms.zipWithIndex.map { case (t, i) =>
       val dfT = col(s"${statsPrefix}df_$i")
       val idf = (n - dfT + lit(0.5)) / (dfT + lit(0.5))
       val tfT = tf(toksCol, t)
-      idf * (tfT * (K1 + 1)) / (tfT + lit(K1) * (lit(1.0) - B + lit(B) * dl / avgdl))
+      idf * (tfT * (K1 + 1)) / (tfT + lit(K1) * (lit(1.0) - B + lit(B) * lnorm))
     }
     val s = perTerm.reduceOption(_ + _).getOrElse(lit(0.0))
     when(col(field).isNotNull, s).otherwise(lit(0.0))
@@ -82,6 +85,9 @@ object Bm25 {
     val toksCol = Analyzer.tokens(col(field))
     val dl = size(toksCol).cast("double")
     val avgdl = col(s"${statsPrefix}avgdl")
+    // empty-string fields make avgdl 0; tf is 0 there too, so the term is
+    // 0 either way — the CASE just keeps ANSI mode from raising /0
+    val lnorm = when(avgdl > 0, dl / avgdl).otherwise(lit(0.0))
     val n = col(s"${statsPrefix}n_docs")
     val perTerm = terms.zipWithIndex.map { case (t, i) =>
       val dfT = col(s"${statsPrefix}df_$i")
@@ -90,7 +96,7 @@ object Bm25 {
       val tfT = (if (fz == 0) size(filter(toksCol, x => x === t))
         else size(filter(toksCol, x => levenshtein(x, lit(t)) <= fz)))
         .cast("double")
-      idf * (tfT * (K1 + 1)) / (tfT + lit(K1) * (lit(1.0) - B + lit(B) * dl / avgdl))
+      idf * (tfT * (K1 + 1)) / (tfT + lit(K1) * (lit(1.0) - B + lit(B) * lnorm))
     }
     val s = perTerm.reduceOption(_ + _).getOrElse(lit(0.0))
     when(col(field).isNotNull, s).otherwise(lit(0.0))
@@ -151,7 +157,8 @@ object Bm25 {
         // not necessarily the same bits as a parsed "2.2" literal.
         s"(($sp.s_${field}_n_docs - $dfT + 0.5) / ($dfT + 0.5))" +
           s" * ($tfT * ($K1 + 1)) / ($tfT + $K1 * (1.0 - $B + $B *" +
-          s" len($tk)::DOUBLE / $sp.s_${field}_avgdl))"
+          s" (CASE WHEN $sp.s_${field}_avgdl > 0 THEN" +
+          s" len($tk)::DOUBLE / $sp.s_${field}_avgdl ELSE 0.0 END)))"
       }.mkString(" + ")
       s"CASE WHEN $field IS NOT NULL THEN ($perTerm) ELSE 0.0 END"
     }
@@ -167,7 +174,8 @@ object Bm25 {
         val dfT = s"$sp.s_${field}_df_$i"
         s"(($sp.s_${field}_n_docs - $dfT + 0.5) / ($dfT + 0.5))" +
           s" * ($tfT * ($K1 + 1)) / ($tfT + $K1 * (1.0 - $B + $B *" +
-          s" len($tk)::DOUBLE / $sp.s_${field}_avgdl))"
+          s" (CASE WHEN $sp.s_${field}_avgdl > 0 THEN" +
+          s" len($tk)::DOUBLE / $sp.s_${field}_avgdl ELSE 0.0 END)))"
       }.mkString(" + ")
       s"CASE WHEN $field IS NOT NULL THEN ($perTerm) ELSE 0.0 END"
     }

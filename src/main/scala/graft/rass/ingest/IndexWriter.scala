@@ -1,0 +1,65 @@
+package graft.rass.ingest
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.rass.{DocSchema, Embedder, VectorOps}
+
+/** S10/S11 — embed, L2-normalize, and upsert into the document table.
+  *
+  * Reference semantics: bulk index with `_id = doc_id` (upsert),
+  * `_routing = patientId` (`app/main.py:1211-1282`), vectors
+  * L2-normalized with epsilon 1e-9 before indexing (`main.py:1249-1251`).
+  *
+  * Spark layout (SURVEY §1.3): partition by `user_id` (the reference's
+  * index-per-user) and repartition by `patientId` inside each write so
+  * a patient's documents co-locate in files (the reference's shard
+  * routing) — patient-filtered scans then prune at both levels.
+  * Upsert = union + keep-newest-per-doc_id, the foreachBatch-friendly
+  * idempotent merge (no Delta in this environment, so the merge is a
+  * partition overwrite).
+  */
+object IndexWriter {
+
+  /** Embed unstructured rows lacking a vector, then L2-normalize. */
+  def withEmbeddings(docs: DataFrame, embedder: Embedder): DataFrame = {
+    val needs = docs.filter(col("doc_type") === "unstructured" &&
+      col("embedding").isNull)
+    val has = docs.filter(!(col("doc_type") === "unstructured" &&
+      col("embedding").isNull))
+    val embedded = Embedder.embedColumn(
+      needs.drop("embedding"), "unstructuredText", embedder)
+      .select(docs.columns.map(col): _*)
+    has.unionByName(embedded)
+      .withColumn("embedding",
+        when(col("embedding").isNotNull,
+          VectorOps.l2Normalize(col("embedding").cast("array<double>"))
+            .cast("array<float>")))
+  }
+
+  /** Idempotent upsert by doc_id: newest batch wins (reference
+    * `_op_type: index` overwrite semantics).
+    */
+  def upsert(existing: Option[DataFrame], incoming: DataFrame): DataFrame = {
+    val tagged = incoming.withColumn("_gen", lit(1L))
+    val all = existing match {
+      case Some(e) => e.withColumn("_gen", lit(0L)).unionByName(tagged)
+      case None => tagged
+    }
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("_gen").desc)
+    all.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_gen", "_rn")
+  }
+
+  /** Write the table: tenant partition column + patient clustering. */
+  def write(docs: DataFrame, path: String): Unit =
+    docs.repartition(col("user_id"), col("patientId"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("user_id")
+      .parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(DocSchema.schema).parquet(path)
+}
