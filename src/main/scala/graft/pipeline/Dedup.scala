@@ -192,16 +192,41 @@ object Dedup {
     */
   def d05EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      .withColumn("nrm",
-        sqrt(aggregate(transform($"v", x => x * x), lit(0.0), (a, x) => a + x)))
-    val cos = aggregate(
-      zip_with($"a.v", $"b.v", (x, y) => x * y), lit(0.0), (a, x) => a + x) /
-      ($"a.nrm" * $"b.nrm")
-    e.as("a").join(broadcast(e.as("b")), $"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"), cos.as("cosine"))
-      .filter($"cosine" > 0.4)
+    // Broadcast the corpus once and run the pair loop in mapPartitions:
+    // higher-order Column lambdas are interpreted per element, which at
+    // n^2 x dim pairs dominates wall-clock ~30x. The while-loops below
+    // perform the IDENTICAL sequential left-fold adds/multiplies, so
+    // scores stay bit-equal to the oracle's list_reduce.
+    val vecs: Array[(Long, Array[Double])] = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding")
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def seqNorm(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val norms = vecs.map { case (_, v) => seqNorm(v) }
+    val bc = spark.sparkContext.broadcast((vecs, norms))
+    val n = vecs.length
+    spark.range(0, n, 1, math.min(n, 64)).as[Long]
+      .mapPartitions { it =>
+        val (vs, ns) = bc.value
+        it.flatMap { ai =>
+          val a = ai.toInt
+          val (aId, av) = vs(a)
+          (a + 1 until vs.length).iterator.flatMap { b =>
+            val (bId, bv) = vs(b)
+            var dot = 0.0; var i = 0
+            while (i < av.length) { dot += av(i) * bv(i); i += 1 }
+            val cos = dot / (ns(a) * ns(b))
+            if (cos > 0.4) Some((aId, bId, cos)) else None
+          }
+        }
+      }
+      .toDF("a_id", "b_id", "cosine")
       .orderBy($"a_id", $"b_id")
   }
 
