@@ -74,7 +74,8 @@ object Searches {
   def q2Semantic(docs: DataFrame, queryVec: Seq[Double], k: Int = DefaultK,
       patientId: Option[String] = None, filter: Option[Column] = None): DataFrame = {
     val qv = array(queryVec.map(lit): _*)
-    val score = VectorOps.cosine(col("embedding").cast("array<double>"), qv)
+    val score = VectorOps.cosineFused(docs.sparkSession,
+      col("embedding").cast("array<double>"), qv)
     topK(applyFilters(docs.filter(col("embedding").isNotNull), patientId, filter)
       .withColumn("score", score), k)
   }
@@ -90,8 +91,8 @@ object Searches {
     val fields = (textFields ++ keywordFields).map(_._1)
     val withStats = Bm25.withStats(applyFilters(docs, patientId, filter), fields, terms)
     val qv = array(queryVec.map(lit): _*)
-    val knn = coalesce(
-      VectorOps.cosine(col("embedding").cast("array<double>"), qv), lit(0.0))
+    val knn = coalesce(VectorOps.cosineFused(docs.sparkSession,
+      col("embedding").cast("array<double>"), qv), lit(0.0))
     val score = Bm25.bestFields(textFields, terms, 1.5, fuzzy = true) +
       Bm25.bestFields(keywordFields, terms, 1.0) + knn * 2.0
     topK(withStats.withColumn("score", score), k)
@@ -124,8 +125,8 @@ object Searches {
       Analyzer.phrasePrefixMatch(col(f), phrase).cast("double") * b
     }: _*)
     val qv = array(queryVec.map(lit): _*)
-    val knn = coalesce(
-      VectorOps.cosine(col("embedding").cast("array<double>"), qv), lit(0.0))
+    val knn = coalesce(VectorOps.cosineFused(docs.sparkSession,
+      col("embedding").cast("array<double>"), qv), lit(0.0))
     val score = prefix * 1.5 + knn * 2.0
     topK(applyFilters(docs.filter(col("doc_type") === "structured"),
       patientId, filter).withColumn("score", score), k)
@@ -212,8 +213,8 @@ object Searches {
     val fields = (textFields ++ keywordFields).map(_._1)
     val withStats = Bm25.withStats(applyFilters(docs, patientId, filter), fields, terms)
     val qv = array(queryVec.map(lit): _*)
-    val knn = coalesce(
-      VectorOps.cosine(col("embedding").cast("array<double>"), qv), lit(0.0))
+    val knn = coalesce(VectorOps.cosineFused(docs.sparkSession,
+      col("embedding").cast("array<double>"), qv), lit(0.0))
     val lo = timestamp_micros(lit(nowMicros - 365L * 86400000000L))
     val hi = timestamp_micros(lit(nowMicros))
     val dateBonus = dateFields.map(f =>
