@@ -245,6 +245,83 @@ object StarQueries {
       .orderBy($"o_custkey")
   }
 
+  /** CUBE over status x priority: all four grouping-set combinations in
+    * one pass (partial aggregation handles the expansion map-side).
+    */
+  def q16StatusCube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    o.cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(money($"o_totalprice")).cast(DoubleType).as("total_price"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  /** As-of join: each order of a low-key customer matched to that
+    * customer's latest event at-or-before the order date. Formulated as
+    * join + per-order window collapse — at scale both sides co-partition
+    * on the key, and the window sorts only within each order's candidate
+    * set (no global sort).
+    */
+  def q17AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // testdata quirk: events span Jan 2024 while order dates are
+    // 1995-2001, so the as-of anchor is a deterministic per-order
+    // timestamp inside the event horizon (the operator shape — equi-key
+    // join + range predicate + per-left-row latest-wins collapse — is
+    // what scales, not the anchor's provenance)
+    val anchor = timestamp_micros(
+      lit(1704067200000000L) + ($"o_orderkey" % 30) * 86400000000L +
+        ($"o_orderkey" % 24) * 3600000000L)
+    val o = Tables.orders(spark, dir).filter($"o_custkey" <= 150)
+      .select($"o_orderkey", $"o_custkey", anchor.as("anchor_ts"))
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+    val w = Window.partitionBy($"o_orderkey")
+      .orderBy($"ts".desc, $"event_id".desc)
+    o.join(ev, $"user_id" === $"o_custkey" && $"ts" <= $"anchor_ts")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_orderkey", $"o_custkey", $"event_id", $"ts", $"event_type")
+      .orderBy($"o_orderkey")
+  }
+
+  /** Distinct-cardinality profile (exact; the approximate HLL variant is
+    * asserted against this in the spec — approx sketches aren't
+    * cross-engine-stable, so only exact counts face the oracle).
+    */
+  def q18DistinctProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.agg(
+      countDistinct($"c_mktsegment").as("n_segments"),
+      countDistinct($"c_nationkey").as("n_nations"),
+      count(lit(1)).as("n_customers"))
+      .crossJoin(o.agg(
+        countDistinct($"o_orderstatus").as("n_statuses"),
+        countDistinct($"o_custkey").as("n_active_custs")))
+  }
+
+  /** Self range-join: pairs of events by the same user within 5 minutes,
+    * counted by type transition. The equi-key (user_id) carries the
+    * shuffle; the range predicate filters inside each key group —
+    * the scalable shape for interval joins (plus AQE skew handling).
+    */
+  def q19EventRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+    val a = ev.as("a")
+    val b = ev.as("b")
+    a.join(b, $"a.user_id" === $"b.user_id" &&
+        $"a.ts" < $"b.ts" &&
+        unix_micros($"b.ts") - unix_micros($"a.ts") <= 300000000L)
+      .groupBy($"a.event_type".as("from_type"), $"b.event_type".as("to_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"from_type", $"to_type")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -263,6 +340,10 @@ object StarQueries {
     "q13_sessionize" -> q13Sessionize _,
     "q14_balance_deciles" -> q14BalanceDeciles _,
     "q15_above_avg_orders" -> q15AboveAvgOrders _,
+    "q16_status_cube" -> q16StatusCube _,
+    "q17_asof_join" -> q17AsofJoin _,
+    "q18_distinct_profile" -> q18DistinctProfile _,
+    "q19_event_range_join" -> q19EventRangeJoin _,
   )
 
   private val DEC = "DECIMAL(18,2)"
@@ -378,5 +459,37 @@ object StarQueries {
          |  FROM orders GROUP BY o_custkey) ON o_custkey = agg_custkey
          |WHERE ${m("o_totalprice")} * n_orders > spent
          |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q16_status_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+         | CAST(SUM(${m("o_totalprice")}) AS DOUBLE) AS total_price
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q17_asof_join" ->
+      """SELECT o_orderkey, o_custkey, event_id, ts, event_type FROM (
+        | SELECT o.o_orderkey, o.o_custkey, e.event_id, e.ts, e.event_type,
+        |  ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+        |    ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        | FROM (SELECT o_orderkey, o_custkey,
+        |        make_timestamp(1704067200000000 + (o_orderkey % 30) * 86400000000
+        |          + (o_orderkey % 24) * 3600000000) AS anchor_ts
+        |       FROM orders WHERE o_custkey <= 150) o
+        | JOIN events e
+        |   ON e.user_id = o.o_custkey AND e.ts <= o.anchor_ts)
+        |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+    "q18_distinct_profile" ->
+      """SELECT * FROM
+        |(SELECT COUNT(DISTINCT c_mktsegment) AS n_segments,
+        |  COUNT(DISTINCT c_nationkey) AS n_nations,
+        |  COUNT(*) AS n_customers FROM customer)
+        |CROSS JOIN
+        |(SELECT COUNT(DISTINCT o_orderstatus) AS n_statuses,
+        |  COUNT(DISTINCT o_custkey) AS n_active_custs FROM orders)""".stripMargin,
+    "q19_event_range_join" ->
+      """SELECT a.event_type AS from_type, b.event_type AS to_type,
+        | COUNT(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.ts < b.ts
+        | AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
   )
 }

@@ -46,6 +46,39 @@ class StarQueriesSpec extends SparkSpec {
     assert(n == graft.Tables.orders(spark, sfDir).count())
   }
 
+  test("q16 cube contains rollup's rows plus the priority-only sets") {
+    val cube = StarQueries.q16StatusCube(spark, sfDir).collect()
+    val rollup = StarQueries.q08StatusRollup(spark, sfDir).collect()
+    def key(r: org.apache.spark.sql.Row) = (Option(r.get(0)), Option(r.get(1)))
+    val cubeKeys = cube.map(key).toSet
+    assert(rollup.map(key).toSet.subsetOf(cubeKeys))
+    // cube adds (null, priority) groupings that rollup lacks
+    assert(cubeKeys.exists { case (s, p) => s.isEmpty && p.isDefined })
+  }
+
+  test("q17 as-of join: one latest-event row per order, ts <= anchor") {
+    val rows = StarQueries.q17AsofJoin(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(_.getAs[Long]("o_orderkey"))
+    assert(keys.distinct.length == keys.length, "collapse must keep one row per order")
+  }
+
+  test("q18: approximate distinct counts track the exact profile") {
+    import org.apache.spark.sql.functions._
+    val exact = StarQueries.q18DistinctProfile(spark, sfDir).head()
+    val approx = graft.Tables.orders(spark, sfDir)
+      .agg(approx_count_distinct(col("o_custkey")).as("a")).head().getLong(0)
+    val exactCusts = exact.getAs[Long]("n_active_custs")
+    assert(math.abs(approx - exactCusts).toDouble / exactCusts < 0.05,
+      s"HLL estimate $approx vs exact $exactCusts")
+  }
+
+  test("q19 range-join pairs are symmetric in volume with the gap bound") {
+    val rows = StarQueries.q19EventRangeJoin(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_pairs") > 0))
+  }
+
   test("q13 sessions never exceed event count") {
     val rows = StarQueries.q13Sessionize(spark, sfDir).collect()
     rows.foreach { r =>
