@@ -144,11 +144,17 @@ object Dedup {
       """aggregate(split(substring(md5(token), 1, 14), ''),
         | CAST(0 AS BIGINT),
         | (h, ch) -> h * 16 + instr('0123456789abcdef', ch) - 1)""".stripMargin)
+    val tokenRows = Tables.documents(spark, dir)
+      .select($"doc_id", explode(array_distinct(toks($"text"))).as("token"))
+    // the md5-hex fold is an interpreted lambda — evaluate it once per
+    // VOCABULARY entry (small) and broadcast-join, not once per
+    // (doc, token) occurrence; hash values (and so signatures) unchanged
+    val vocab = tokenRows.select($"token").distinct()
+      .withColumn("th", tokenHash)
     val bitSums = (0 until SimBits).map(b =>
       sum(shiftright($"th", b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b"))
-    val perBit = Tables.documents(spark, dir)
-      .select($"doc_id", explode(array_distinct(toks($"text"))).as("token"))
-      .withColumn("th", tokenHash)
+    val perBit = tokenRows
+      .join(broadcast(vocab), "token")
       .groupBy($"doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
     val simVal = (0 until SimBits).map(b =>

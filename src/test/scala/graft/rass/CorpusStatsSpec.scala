@@ -1,0 +1,45 @@
+package graft.rass
+
+import graft.SparkSpec
+
+class CorpusStatsSpec extends SparkSpec {
+
+  test("materialized stats reconstruct Bm25.allStats bit-for-bit") {
+    val corpus = Corpus.corpus(spark, sfDir).cache()
+    val fields = DocSchema.noteFields.map(_._1) ++ Seq("unstructuredText", "patientName")
+    val terms = Seq("note", "severity", "zzz_absent_term")
+    val (fieldStats, termStats) = CorpusStats.build(corpus, fields.distinct)
+    val fromTable = CorpusStats.statsRow(spark, fieldStats, termStats,
+      fields.distinct, terms).head()
+    val direct = Bm25.allStats(corpus, fields.distinct, terms).head()
+    assert(fromTable.schema.fieldNames.sameElements(direct.schema.fieldNames))
+    fromTable.schema.fieldNames.foreach { c =>
+      val a = fromTable.getAs[Any](c)
+      val b = direct.getAs[Any](c)
+      assert(a == b, s"$c: table=$a direct=$b")
+    }
+  }
+
+  test("stats merge additively across ingest batches") {
+    import org.apache.spark.sql.functions._
+    val corpus = Corpus.corpus(spark, sfDir)
+    val half1 = corpus.filter(crc32(col("doc_id")) % 2 === 0)
+    val half2 = corpus.filter(crc32(col("doc_id")) % 2 === 1)
+    val fields = Seq("unstructuredText", "conditionCodeText")
+    val (f1, t1) = CorpusStats.build(half1, fields)
+    val (f2, t2) = CorpusStats.build(half2, fields)
+    val (fAll, tAll) = CorpusStats.build(corpus, fields)
+    val mergedField = f1.unionByName(f2).groupBy("field")
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val allField = fAll.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(mergedField == allField)
+    val mergedTerm = t1.unionByName(t2).groupBy("field", "term")
+      .agg(sum("df").as("df"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val allTerm = tAll.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(mergedTerm == allTerm)
+  }
+}
