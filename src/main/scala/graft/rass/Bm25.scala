@@ -28,15 +28,24 @@ object Bm25 {
   private def tf(toksCol: Column, term: String): Column =
     size(filter(toksCol, t => t === term)).cast("double")
 
+  /** Default token provider: tokenize the field inline. Searches pass a
+    * pretokenized-projection provider instead so each field's token
+    * array is computed once per row, not once per term use —
+    * LambdaFunction trees are non-cheap, so CollapseProject keeps the
+    * projection and downstream uses become column references.
+    */
+  val inlineToks: String => Column = f => Analyzer.tokens(col(f))
+
   /** ONE stats row for ALL fields in a single scan: for each field,
     * `s_<f>_n_docs` (docs with the field non-null), `s_<f>_avgdl`, and
     * `s_<f>_df_<i>` per query term. One aggregate job regardless of how
     * many fields a search scores — at ingest time this same aggregate
     * materializes as the corpus-stats table.
     */
-  def allStats(docs: DataFrame, fields: Seq[String], terms: Seq[String]): DataFrame = {
+  def allStats(docs: DataFrame, fields: Seq[String], terms: Seq[String],
+      tok: String => Column = inlineToks): DataFrame = {
     val aggCols = fields.flatMap { f =>
-      val toksCol = Analyzer.tokens(col(f))
+      val toksCol = tok(f)
       val nDocs = sum(when(col(f).isNotNull, 1L).otherwise(0L)).cast("double")
       // CASE keeps the division un-evaluated when the (possibly
       // filtered) corpus has no rows for the field — ANSI mode would
@@ -58,8 +67,9 @@ object Bm25 {
   /** BM25 score of `field` for the query terms, given the broadcast
     * stats columns (prefixed). Null field scores 0.
     */
-  def score(field: String, terms: Seq[String], statsPrefix: String): Column = {
-    val toksCol = Analyzer.tokens(col(field))
+  def score(field: String, terms: Seq[String], statsPrefix: String,
+      tok: String => Column = inlineToks): Column = {
+    val toksCol = tok(field)
     val dl = size(toksCol).cast("double")
     val avgdl = col(s"${statsPrefix}avgdl")
     // empty-string fields make avgdl 0; tf is 0 there too, so the term is
@@ -81,8 +91,9 @@ object Bm25 {
     * integer-exact in both engines). df stays exact-term — a
     * deliberate simplification kept identical on both sides.
     */
-  def scoreFuzzy(field: String, terms: Seq[String], statsPrefix: String): Column = {
-    val toksCol = Analyzer.tokens(col(field))
+  def scoreFuzzy(field: String, terms: Seq[String], statsPrefix: String,
+      tok: String => Column = inlineToks): Column = {
+    val toksCol = tok(field)
     val dl = size(toksCol).cast("double")
     val avgdl = col(s"${statsPrefix}avgdl")
     // empty-string fields make avgdl 0; tf is 0 there too, so the term is
@@ -107,17 +118,19 @@ object Bm25 {
     * per-field prefixes `s_<field>_`.
     */
   def bestFields(fields: Seq[(String, Double)], terms: Seq[String],
-      clauseBoost: Double = 1.0, fuzzy: Boolean = false): Column = {
+      clauseBoost: Double = 1.0, fuzzy: Boolean = false,
+      tok: String => Column = inlineToks): Column = {
     val scores = fields.map { case (f, boost) =>
-      (if (fuzzy) scoreFuzzy(f, terms, s"s_${f}_")
-       else score(f, terms, s"s_${f}_")) * boost
+      (if (fuzzy) scoreFuzzy(f, terms, s"s_${f}_", tok)
+       else score(f, terms, s"s_${f}_", tok)) * boost
     }
     greatest(scores: _*) * clauseBoost
   }
 
   /** Attach the single broadcast stats row (map-side literal join). */
-  def withStats(docs: DataFrame, fields: Seq[String], terms: Seq[String]): DataFrame =
-    docs.crossJoin(broadcast(allStats(docs, fields, terms)))
+  def withStats(docs: DataFrame, fields: Seq[String], terms: Seq[String],
+      tok: String => Column = inlineToks): DataFrame =
+    docs.crossJoin(broadcast(allStats(docs, fields, terms, tok)))
 
   /** DuckDB oracle fragments mirroring the Column side bit-for-bit. */
   object Sql {

@@ -51,6 +51,17 @@ object Searches {
     f2.map(docs.filter).getOrElse(docs)
   }
 
+  /** Project each scored field's token array once (`__tok_<f>`), so the
+    * BM25 stats aggregate and every per-term tf read a column reference
+    * instead of re-tokenizing — the dominant cost in multi-field scans.
+    */
+  private def withTokenCols(docs: DataFrame,
+      fields: Seq[String]): (DataFrame, String => Column) = {
+    val projected = fields.foldLeft(docs)((acc, f) =>
+      acc.withColumn(s"__tok_$f", Analyzer.tokens(col(f))))
+    (projected, f => col(s"__tok_$f"))
+  }
+
   /** Q1 — exact_match_search (`main.py:1480-1525`): phrase multi_match
     * over text fields (clause boost 2.0) + phrase multi_match over
     * keyword fields (1.0); phrase score = occurrence count x boost.
@@ -89,12 +100,13 @@ object Searches {
       filter: Option[Column] = None): DataFrame = {
     val terms = Analyzer.normalizeQuery(query)
     val fields = (textFields ++ keywordFields).map(_._1)
-    val withStats = Bm25.withStats(applyFilters(docs, patientId, filter), fields, terms)
+    val (docsTok, tok) = withTokenCols(applyFilters(docs, patientId, filter), fields)
+    val withStats = Bm25.withStats(docsTok, fields, terms, tok)
     val qv = array(queryVec.map(lit): _*)
     val knn = coalesce(VectorOps.cosineFused(docs.sparkSession,
       col("embedding").cast("array<double>"), qv), lit(0.0))
-    val score = Bm25.bestFields(textFields, terms, 1.5, fuzzy = true) +
-      Bm25.bestFields(keywordFields, terms, 1.0) + knn * 2.0
+    val score = Bm25.bestFields(textFields, terms, 1.5, fuzzy = true, tok = tok) +
+      Bm25.bestFields(keywordFields, terms, 1.0, tok = tok) + knn * 2.0
     topK(withStats.withColumn("score", score), k)
   }
 
@@ -161,10 +173,11 @@ object Searches {
   def q7Comparison(docs: DataFrame, query: String, k: Int = DefaultK,
       patientId: Option[String] = None, filter: Option[Column] = None): DataFrame = {
     val terms = Analyzer.normalizeQuery(query)
-    val withStats = Bm25.withStats(applyFilters(docs, patientId, filter),
-      compareFields.map(_._1), terms)
+    val (docsTok, tok) = withTokenCols(applyFilters(docs, patientId, filter),
+      compareFields.map(_._1))
+    val withStats = Bm25.withStats(docsTok, compareFields.map(_._1), terms, tok)
     topK(withStats.withColumn("score",
-      Bm25.bestFields(compareFields, terms, fuzzy = true)), k)
+      Bm25.bestFields(compareFields, terms, fuzzy = true, tok = tok)), k)
   }
 
   /** Q8 — temporal_search (`main.py:1866-1918`): any-term text match
@@ -196,10 +209,11 @@ object Searches {
   def q9Explanatory(docs: DataFrame, query: String, k: Int = DefaultK,
       patientId: Option[String] = None, filter: Option[Column] = None): DataFrame = {
     val terms = Analyzer.normalizeQuery(query)
-    val withStats = Bm25.withStats(applyFilters(docs, patientId, filter),
-      noteFields.map(_._1), terms)
+    val (docsTok, tok) = withTokenCols(applyFilters(docs, patientId, filter),
+      noteFields.map(_._1))
+    val withStats = Bm25.withStats(docsTok, noteFields.map(_._1), terms, tok)
     topK(withStats.withColumn("score",
-      Bm25.bestFields(noteFields, terms, fuzzy = true)), k)
+      Bm25.bestFields(noteFields, terms, fuzzy = true, tok = tok)), k)
   }
 
   /** Q10 — multi_intent_search, INTENDED semantics (`main.py:1969-2027`
@@ -211,7 +225,8 @@ object Searches {
       filter: Option[Column] = None): DataFrame = {
     val terms = Analyzer.normalizeQuery(query)
     val fields = (textFields ++ keywordFields).map(_._1)
-    val withStats = Bm25.withStats(applyFilters(docs, patientId, filter), fields, terms)
+    val (docsTok, tok) = withTokenCols(applyFilters(docs, patientId, filter), fields)
+    val withStats = Bm25.withStats(docsTok, fields, terms, tok)
     val qv = array(queryVec.map(lit): _*)
     val knn = coalesce(VectorOps.cosineFused(docs.sparkSession,
       col("embedding").cast("array<double>"), qv), lit(0.0))
@@ -219,8 +234,8 @@ object Searches {
     val hi = timestamp_micros(lit(nowMicros))
     val dateBonus = dateFields.map(f =>
       when(col(f).between(lo, hi), lit(0.5)).otherwise(lit(0.0))).reduce(_ + _)
-    val score = Bm25.bestFields(textFields, terms, 1.0, fuzzy = true) +
-      Bm25.bestFields(keywordFields, terms, 0.5) + knn * 1.5 + dateBonus
+    val score = Bm25.bestFields(textFields, terms, 1.0, fuzzy = true, tok = tok) +
+      Bm25.bestFields(keywordFields, terms, 0.5, tok = tok) + knn * 1.5 + dateBonus
     topK(withStats.withColumn("score", score), k)
   }
 
