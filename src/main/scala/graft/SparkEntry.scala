@@ -11,9 +11,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The hybrid search exercises the engine end-to-end: corpus derivation,
+    * BM25 stats broadcast, fuzzy multi-field scoring, fused-codegen KNN,
+    * and top-k.
+    */
   def entry(spark: SparkSession): DataFrame =
-    relational.StarQueries.q04RegionRevenue(spark, "/root/testdata/sf0.001")
+    rass.RassQueries.queries("r03_hybrid")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -41,6 +41,26 @@ object Streams {
         col("event_type"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Watermarked stream-stream inner join: each left event matched to
+    * same-user right events within the following 30 minutes. Both sides
+    * carry watermarks, so the join state (buffered unmatched rows) is
+    * evicted once event time passes the window — bounded state at any
+    * scale; the shuffle keys on user_id.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    val a = left.withWatermark("ts", "30 minutes")
+      .select(col("event_id").as("a_id"), col("user_id").as("a_user"),
+        col("ts").as("a_ts"), col("event_type").as("a_type"))
+    val b = right.withWatermark("ts", "30 minutes")
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("ts").as("b_ts"), col("event_type").as("b_type"))
+    a.join(b, expr(
+      """a_user = b_user AND b_ts > a_ts AND
+        |b_ts <= a_ts + interval 30 minutes""".stripMargin))
+      .select(col("a_id"), col("b_id"), col("a_user").as("user_id"),
+        col("a_type"), col("b_type"))
+  }
+
   /** Stateful sessionization: 30-minute inactivity gap splits sessions.
     * One GroupState per user holding (last event time, counters);
     * event-time timeout evicts idle users' state.

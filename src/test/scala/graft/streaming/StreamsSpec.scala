@@ -62,6 +62,30 @@ class StreamsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("watermarked stream-stream join matches the batch range join") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val events = graft.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq
+    val inA = MemoryStream[Event]
+    val inB = MemoryStream[Event]
+    val query = streamStreamJoin(inA.toDF(), inB.toDF())
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    inA.addData(events)
+    inB.addData(events)
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.table("ssjoin").count()
+    val ev = graft.Tables.events(spark, sfDir)
+    val want = ev.as("a").join(ev.as("b"),
+      org.apache.spark.sql.functions.expr(
+        """a.user_id = b.user_id AND b.ts > a.ts AND
+          |b.ts <= a.ts + interval 30 minutes""".stripMargin)).count()
+    assert(got == want)
+  }
+
   test("auto-ingest picks up bundle files and upserts idempotently") {
     val watch = java.nio.file.Files.createTempDirectory("rasswatch")
     val table = watch.resolve("table").toString
