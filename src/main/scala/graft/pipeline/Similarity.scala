@@ -41,7 +41,10 @@ object Similarity {
         sqrt(aggregate(transform($"v", x => x * x), lit(0.0), (a, x) => a + x)))
   }
 
-  /** Sequential-fold cosine between two (v, nrm) pairs. */
+  /** Sequential-fold cosine between two (v, nrm) pairs. Kept for the
+    * precomputed-norm formulation; [[s03KnnJoin]] uses the fused codegen
+    * expression (bit-identical — see graft.rass.expressions).
+    */
   private def cosineCol(av: Column, an: Column, bv: Column, bn: Column): Column =
     aggregate(zip_with(av, bv, (x, y) => x * y), lit(0.0), (a, x) => a + x) /
       (an * bn)
@@ -72,7 +75,19 @@ object Similarity {
     * broadcast both times, so assignment and probing are map-side; the
     * candidate join co-partitions on the cell id.
     */
-  def s02IvfKnn(spark: SparkSession, dir: String): DataFrame = {
+  def s02IvfKnn(spark: SparkSession, dir: String): DataFrame =
+    ivfKnn(spark, dir, Some(NumQueries), TopK)
+
+  /** s03 — KNN self-join: top-3 IVF neighbors for EVERY vector (the
+    * batch "knn join" a similarity-dedup or retrieval-index build runs
+    * corpus-wide). Same machinery as s02 with the query side unfiltered;
+    * candidate volume stays (nprobe/ncells) x n^2 instead of n^2.
+    */
+  def s03KnnJoin(spark: SparkSession, dir: String): DataFrame =
+    ivfKnn(spark, dir, None, 3)
+
+  private def ivfKnn(spark: SparkSession, dir: String,
+      queryLimit: Option[Int], k: Int): DataFrame = {
     import spark.implicits._
     val e = vectors(spark, dir)
     val cents = e.filter($"vec_id" < NumCentroids)
@@ -85,7 +100,7 @@ object Similarity {
       .withColumn("rn", row_number().over(wAssign))
       .filter($"rn" === 1)
       .select($"vec_id", $"cid".as("cell"))
-    val q = e.filter($"vec_id" < NumQueries)
+    val q = queryLimit.map(n => e.filter($"vec_id" < n)).getOrElse(e)
     val probes = q.as("q").join(broadcast(cents))
       .select($"q.vec_id".as("query_id"), $"cid",
         cosineCol($"q.v", $"q.nrm", $"cv", $"cnrm").as("ccos"))
@@ -106,7 +121,7 @@ object Similarity {
     scored.withColumn("rank", row_number().over(
         Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id"))
         .cast("long"))
-      .filter($"rank" <= TopK)
+      .filter($"rank" <= k)
       .orderBy($"query_id", $"rank")
   }
 
@@ -115,6 +130,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_bruteforce" -> s01KnnBruteForce _,
     "s02_ivf_knn" -> s02IvfKnn _,
+    "s03_knn_join" -> s03KnnJoin _,
   )
 
   /** cos(a, b) as oracle SQL, given (v, nrm) column prefixes. */
@@ -141,28 +157,31 @@ object Similarity {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
-    "s02_ivf_knn" ->
-      s"""WITH $VecCte,
-         |cents AS (SELECT vec_id cid, v, nrm FROM n WHERE vec_id < $NumCentroids),
-         |assign AS (SELECT vec_id, cell FROM (
-         |  SELECT x.vec_id, c.cid AS cell, row_number() OVER (
-         |    PARTITION BY x.vec_id ORDER BY ${cosSql("x", "c")} DESC, c.cid) rn
-         |  FROM n x CROSS JOIN cents c) WHERE rn = 1),
-         |q AS (SELECT * FROM n WHERE vec_id < $NumQueries),
-         |probes AS (SELECT query_id, cell FROM (
-         |  SELECT q.vec_id query_id, c.cid AS cell, row_number() OVER (
-         |    PARTITION BY q.vec_id ORDER BY ${cosSql("q", "c")} DESC, c.cid) rn
-         |  FROM q CROSS JOIN cents c) WHERE rn <= $NProbe),
-         |cand AS (SELECT p.query_id, a.vec_id neighbor_id
-         |  FROM probes p JOIN assign a ON a.cell = p.cell
-         |  WHERE a.vec_id != p.query_id),
-         |scored AS (SELECT d.query_id, d.neighbor_id,
-         |    ${cosSql("q", "c")} AS cosine
-         |  FROM cand d JOIN q ON q.vec_id = d.query_id
-         |              JOIN n c ON c.vec_id = d.neighbor_id)
-         |SELECT query_id, neighbor_id, cosine, rank FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
-         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    "s02_ivf_knn" -> ivfSql(s"WHERE vec_id < $NumQueries", TopK),
+    "s03_knn_join" -> ivfSql("", 3),
   )
+
+  private def ivfSql(queryWhere: String, k: Int): String =
+    s"""WITH $VecCte,
+       |cents AS (SELECT vec_id cid, v, nrm FROM n WHERE vec_id < $NumCentroids),
+       |assign AS (SELECT vec_id, cell FROM (
+       |  SELECT x.vec_id, c.cid AS cell, row_number() OVER (
+       |    PARTITION BY x.vec_id ORDER BY ${cosSql("x", "c")} DESC, c.cid) rn
+       |  FROM n x CROSS JOIN cents c) WHERE rn = 1),
+       |q AS (SELECT * FROM n $queryWhere),
+       |probes AS (SELECT query_id, cell FROM (
+       |  SELECT q.vec_id query_id, c.cid AS cell, row_number() OVER (
+       |    PARTITION BY q.vec_id ORDER BY ${cosSql("q", "c")} DESC, c.cid) rn
+       |  FROM q CROSS JOIN cents c) WHERE rn <= $NProbe),
+       |cand AS (SELECT p.query_id, a.vec_id neighbor_id
+       |  FROM probes p JOIN assign a ON a.cell = p.cell
+       |  WHERE a.vec_id != p.query_id),
+       |scored AS (SELECT d.query_id, d.neighbor_id,
+       |    ${cosSql("q", "c")} AS cosine
+       |  FROM cand d JOIN q ON q.vec_id = d.query_id
+       |              JOIN n c ON c.vec_id = d.neighbor_id)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 }

@@ -127,6 +127,23 @@ object TextAnalysis {
       .orderBy($"fingerprint")
   }
 
+  /** Corpus vocabulary profile: top-25 terms by total frequency with
+    * document frequency — the table TF-IDF weighting, stopword
+    * discovery, and tokenizer-vocab induction all start from. Explode
+    * happens after the text column is reduced to tokens, and the
+    * aggregate is partial/final, so only (term, count) pairs shuffle.
+    */
+  def p06VocabTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(toks($"text")).as("term"))
+      .groupBy($"term")
+      .agg(count(lit(1)).as("term_freq"),
+        countDistinct($"doc_id").as("doc_freq"))
+      .orderBy($"term_freq".desc, $"term")
+      .limit(25)
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -135,6 +152,7 @@ object TextAnalysis {
     "p03_lang_profile" -> p03LangProfile _,
     "p04_langid_confusion" -> p04LangIdConfusion _,
     "p05_fingerprint" -> p05Fingerprint _,
+    "p06_vocab_top_terms" -> p06VocabTopTerms _,
   )
 
   private val TOKS = raw"regexp_split_to_array(trim(text), '\s+')"
@@ -181,5 +199,10 @@ object TextAnalysis {
          |  md5(array_to_string(list_sort(list_distinct($TOKS)), ' '))
          |    AS fingerprint FROM documents)
          |GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,
+    "p06_vocab_top_terms" ->
+      s"""SELECT term, COUNT(*) AS term_freq,
+         | COUNT(DISTINCT doc_id) AS doc_freq
+         |FROM (SELECT doc_id, unnest($TOKS) AS term FROM documents)
+         |GROUP BY term ORDER BY term_freq DESC, term LIMIT 25""".stripMargin,
   )
 }
