@@ -53,20 +53,26 @@ object RuleIntentClassifier extends IntentClassifier {
     val hasDoc = has("record") || has("document") || has("lab results")
     val hasExplain = has("explain") || has("what is") || has("what are")
     val hasList = has("list")
-    val cueCount = Seq(hasDoc, hasCode, hasExplain, hasList).count(identity)
+    val hasTrend = has("trend") || has("track ")
+    val cueCount = Seq(hasDoc, hasCode, hasExplain, hasList, hasTrend)
+      .count(identity)
 
-    if (has("how many") || has("count of")) Intent.Aggregate
+    if (has("how many") || has("count of") || has("count ")) Intent.Aggregate
     else if (has("compare") || has(" vs ") || has(" vs. ")) Intent.Comparison
-    else if (has("trend") || has("over time") || has("over the last") ||
-      has("history of")) Intent.Temporal
     else if (has(" and ") && cueCount >= 2) Intent.MultiIntent
+    else if (has(" in records")) Intent.Keyword // "find X in records"
+    else if (hasTrend || has("over time") || has("over the last") ||
+      has("history of")) Intent.Temporal
     else if (hasDoc) Intent.DocumentFetch
-    else if (hasCode && has("all ")) Intent.Structured
+    else if (hasCode && (has("all ") || has("list ") || has("with code")))
+      Intent.Structured
+    else if (hasCode && has(" and ")) Intent.HybridStructured
     else if (hasCode) Intent.Keyword
     else if ((has("both") && has(" and ")) ||
       has("male patients") || has("female patients") ||
       "over \\d+".r.findFirstIn(q).isDefined) Intent.HybridStructured
-    else if (has("details") && has("patient ") && !has("patients ")) Intent.EntitySpecific
+    else if ((has("details") && has("patient ") && !has("patients ")) ||
+      has("info about")) Intent.EntitySpecific
     else if (has("tell me about") || has("search for") ||
       has("treatment options")) Intent.Semantic
     else if (hasExplain || has("why ") || has("symptom")) Intent.Explanatory

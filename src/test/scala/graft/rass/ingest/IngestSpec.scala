@@ -105,6 +105,32 @@ class FhirBundleParserSpec extends SparkSpec {
   }
 }
 
+class DocumentFetchSpec extends SparkSpec {
+
+  test("fetch re-reads ingested files, validated and capped per patient") {
+    val dir = java.nio.file.Files.createTempDirectory("rassfetch")
+    (1 to 7).foreach { i =>
+      java.nio.file.Files.writeString(dir.resolve(s"patient_9_note$i.txt"),
+        s"note body $i for patient nine")
+    }
+    java.nio.file.Files.writeString(dir.resolve("patient_9_evil.exe"), "nope")
+    java.nio.file.Files.writeString(dir.resolve("patient_9_empty.txt"), "   ")
+    val docs = TextIngest.ingestDirectory(spark, dir.toString + "/*.txt", "u9")
+    val hits = graft.rass.Searches.q12DocumentFetch(docs, "9", 5)
+    // q12 collapses to one row; fetch over the full per-patient doc set
+    val fetched = DocumentFetch.fetch(
+      docs.filter(org.apache.spark.sql.functions.col("patientId") === "9"))
+    assert(fetched.nonEmpty)
+    assert(fetched.size <= DocumentFetch.MaxFilesPerPatient)
+    assert(fetched.forall(_.content.contains("note body")))
+    assert(fetched.forall(_.filePath.endsWith(".txt")))
+    // traversal / extension / emptiness rejections
+    assert(DocumentFetch.validatePath(dir.toString + "/patient_9_evil.exe", None).isEmpty)
+    assert(DocumentFetch.validatePath("../../etc/passwd", Some(dir.toString)).isEmpty)
+    assert(hits.count() == 1)
+  }
+}
+
 class TextIngestSpec extends SparkSpec {
 
   test("text files chunk with patientId inferred from filename") {

@@ -45,6 +45,48 @@ class IntentClassifierSpec extends AnyFunSuite {
     }
     assert(misses.isEmpty, misses.mkString("\n"))
   }
+
+  /** Instances of the reference's training templates
+    * (`train_intent.py:46-72`). A few templates contradict the few-shot
+    * prompt corpus outright ("Records for X." is ENTITY_SPECIFIC there
+    * but "Fetch the medical records..." is DOCUMENT_FETCH; "What are
+    * the causes of X?" is SEMANTIC there but "What are the symptoms..."
+    * is EXPLANATORY) — the few-shot corpus wins since it is what the
+    * live classifier prompt contains; the non-conflicting templates
+    * must classify correctly.
+    */
+  private val templateInstances: Seq[(String, Intent)] = Seq(
+    "Search for migraine treatment options." -> Intent.Semantic,
+    "Look up code I21." -> Intent.Keyword,
+    "Find migraine in records." -> Intent.Keyword,
+    "Find patients with sinusitis." -> Intent.Hybrid,
+    "List patients with migraine and sinusitis." -> Intent.Hybrid,
+    "List procedures with code 99213 for Emma513." -> Intent.Structured,
+    "Find conditions with code I21." -> Intent.Structured,
+    "Find patients with migraine and code I21." -> Intent.HybridStructured,
+    "How many patients have hypertension?" -> Intent.Aggregate,
+    "Count patients with diabetes." -> Intent.Aggregate,
+    "Compare migraine vs sinusitis outcomes." -> Intent.Comparison,
+    "Show migraine vs I21 for Liam202." -> Intent.Comparison,
+    "Show trends for Emma513's blood pressure." -> Intent.Temporal,
+    "Track weight for patient Liam202." -> Intent.Temporal,
+    "Explain sinusitis." -> Intent.Explanatory,
+    "What is hypertension in medical terms?" -> Intent.Explanatory,
+    "Explain migraine and list patients with it." -> Intent.MultiIntent,
+    "Fetch diabetes records and trends." -> Intent.MultiIntent,
+    "Get details for patient Emma513." -> Intent.EntitySpecific,
+    "Show info about Liam202." -> Intent.EntitySpecific,
+    "Fetch document for Emma513." -> Intent.DocumentFetch,
+    "Get record for patient Liam202." -> Intent.DocumentFetch,
+  )
+
+  test("reference training-template instances classify correctly") {
+    val misses = templateInstances.collect {
+      case (q, want) if RuleIntentClassifier.classify(q) != want =>
+        s"'$q' -> ${RuleIntentClassifier.classify(q).name} (want ${want.name})"
+    }
+    assert(misses.isEmpty, misses.mkString("\n"))
+  }
 }
 
 class NerSpec extends AnyFunSuite {
