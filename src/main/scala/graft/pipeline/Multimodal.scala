@@ -135,7 +135,9 @@ object Multimodal {
          |  i -> md5(substring(payload, CAST(i * $FrameLen + 1 AS INT), $FrameLen)))
          |""".stripMargin)
     mediaTable(spark, dir)
-      .filter($"media_type" === "video")
+      // empty payloads: Spark's sequence(0,-1) throws where the oracle's
+      // range() is empty — excluding them keeps both sides aligned
+      .filter($"media_type" === "video" && length($"payload") > 0)
       .select($"doc_id", posexplode(frames))
       .select($"doc_id", $"pos".cast("long").as("frame_idx"),
         $"col".as("frame_md5"))
@@ -150,6 +152,9 @@ object Multimodal {
     "m03_frame_sample" -> m03FrameSample _,
   )
 
+  // NOTE: the m02/m03 oracles equate UTF-8 bytes with characters
+  // (ascii()/substr() on text vs byte ops on the payload) — valid only
+  // because this corpus is pure ASCII, which MultimodalSpec asserts.
   val oracles: Map[String, String] = Map(
     "m01_media_catalog" ->
       """SELECT doc_id,
@@ -175,7 +180,7 @@ object Multimodal {
          |   [{'frame_idx': i // $FrameStep,
          |     'frame_md5': md5(substr(text, (i * $FrameLen + 1)::BIGINT, $FrameLen))}
          |    for i in range(0, (strlen(text) - 1) // $FrameLen + 1, $FrameStep)]) AS u
-         |  FROM documents WHERE doc_id % 3 = 2)
+         |  FROM documents WHERE doc_id % 3 = 2 AND strlen(text) > 0)
          |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

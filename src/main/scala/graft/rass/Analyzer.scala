@@ -38,6 +38,7 @@ object Analyzer {
     * engines evaluate it identically.
     */
   def phraseCount(field: Column, phrase: Seq[String]): Column = {
+    if (phrase.isEmpty) return lit(0L) // all-punctuation query
     val needle = " " + phrase.mkString(" ") + " "
     val hay = tokenString(field)
     // overlapping boundary spaces: " a b a b " contains " a b " twice but
@@ -53,6 +54,7 @@ object Analyzer {
     * (OpenSearch `phrase_prefix`.) Boolean, null-safe.
     */
   def phrasePrefixMatch(field: Column, phrase: Seq[String]): Column = {
+    if (phrase.isEmpty) return lit(false) // all-punctuation query
     val needle =
       if (phrase.size == 1) " " + phrase.head
       else " " + phrase.init.mkString(" ") + " " + phrase.last

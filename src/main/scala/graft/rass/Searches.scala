@@ -192,7 +192,8 @@ object Searches {
     val allText = (textFields ++ keywordFields).map(_._1)
     val textMatch = allText.map(f =>
       terms.map(t => coalesce(instr(Analyzer.tokenString(col(f)), s" $t ") > 0,
-        lit(false))).reduce(_ || _)).reduce(_ || _)
+        lit(false))).reduceOption(_ || _).getOrElse(lit(false)))
+      .reduce(_ || _)
     val lo = timestamp_micros(lit(nowMicros - 365L * 86400000000L))
     val hi = timestamp_micros(lit(nowMicros))
     val dateOk = dateFields.map(f => col(f).between(lo, hi)).reduce(_ || _)

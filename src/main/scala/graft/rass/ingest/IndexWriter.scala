@@ -47,7 +47,12 @@ object IndexWriter {
       case Some(e) => e.withColumn("_gen", lit(0L)).unionByName(tagged)
       case None => tagged
     }
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("_gen").desc)
+    // xxhash64 tie-break: duplicate doc_ids WITHIN one batch (e.g. the
+    // same resource exported in two bundle files) would otherwise pick a
+    // shuffle-order-dependent winner, breaking run-to-run reproducibility
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("_gen").desc,
+        xxhash64(all.columns.filter(_ != "_gen").map(c => col(c).cast("string")): _*))
     all.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_gen", "_rn")

@@ -31,8 +31,11 @@ object TextIngest {
           regexp_extract($"file_path", "patient_(\\d+)", 1)))
       .withColumn("stem", regexp_extract($"file_path", "([^/]+)\\.[^.]+$", 1))
     val chunked = Chunker.chunkDf(raw, "text", chunkSize)
+    // a path digest keeps same-named files in different directories from
+    // colliding on doc_id (which would make upsert drop one silently)
     val withIds = chunked.select(
-      concat($"stem", lit("-unstructured-"), $"chunk_index").as("doc_id"),
+      concat($"stem", lit("-"), substring(md5($"file_path"), 1, 8),
+        lit("-unstructured-"), $"chunk_index").as("doc_id"),
       lit("unstructured").as("doc_type"),
       $"file_path", $"file_type", $"patientId",
       $"chunk_text".as("unstructuredText"),

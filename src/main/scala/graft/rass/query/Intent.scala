@@ -57,7 +57,9 @@ object RuleIntentClassifier extends IntentClassifier {
     val cueCount = Seq(hasDoc, hasCode, hasExplain, hasList, hasTrend)
       .count(identity)
 
-    if (has("how many") || has("count of") || has("count ")) Intent.Aggregate
+    // \bcount\b, not contains("count") — "account" must not match
+    if (has("how many") || "\\bcount\\b".r.findFirstIn(q).isDefined)
+      Intent.Aggregate
     else if (has("compare") || has(" vs ") || has(" vs. ")) Intent.Comparison
     else if (has(" and ") && cueCount >= 2) Intent.MultiIntent
     else if (has(" in records")) Intent.Keyword // "find X in records"

@@ -97,11 +97,29 @@ object EntityFilters {
     "observationIssued", "encounterStart", "medRequestAuthoredOn",
     "procedurePerformedDateTime", "allergyOnsetDateTime")
 
+  /** Driver-side parse of the textual date forms RuleNer extracts —
+    * to_date(lit(text)) would throw under ANSI mode for "12 march 2024"
+    * style strings; an unparsable date drops the predicate instead.
+    */
+  private[query] def parseDate(text: String): Option[java.sql.Date] = {
+    import java.time.LocalDate
+    import java.time.format.DateTimeFormatter
+    import java.util.Locale
+    val t = text.trim.toLowerCase(Locale.ROOT)
+    val fmts = Seq("yyyy-MM-dd", "d MMMM yyyy", "d MMM yyyy",
+      "MMMM d yyyy", "MMMM d, yyyy")
+    fmts.view.flatMap { f =>
+      try Some(java.sql.Date.valueOf(LocalDate.parse(t,
+        DateTimeFormatter.ofPattern(f, Locale.ENGLISH))))
+      catch { case _: Exception => None }
+    }.headOption
+  }
+
   def compile(entities: Seq[Entity]): Option[Column] = {
     val preds = entities.flatMap {
       case Entity(text, "DATE") =>
-        Some(dateFields.map(f =>
-          to_date(col(f)) === to_date(lit(text))).reduce(_ || _))
+        parseDate(text).map(d => dateFields.map(f =>
+          to_date(col(f)) === lit(d)).reduce(_ || _))
       case Entity(text, label) =>
         fieldMap.get(label).map(f =>
           lower(col(f)).contains(text.toLowerCase))

@@ -20,7 +20,7 @@ import graft.rass.ingest.{FhirBundleParser, IndexWriter}
   *
   * Scale notes: the windowed count is a streaming hash aggregate whose
   * state is bounded by the watermark horizon; sessionization state is
-  * one small struct per active user, dropped on event-time timeout —
+  * one small struct per active user, dropped on idle timeout —
   * both shapes run unchanged on a 1000-executor cluster with
   * state-store sharding on the grouping key.
   */
@@ -62,26 +62,38 @@ object Streams {
   }
 
   /** Stateful sessionization: 30-minute inactivity gap splits sessions.
-    * One GroupState per user holding (last event time, counters);
-    * event-time timeout evicts idle users' state.
+    * One GroupState per user holding (last event time, counters). With
+    * `idleTimeout` set (the production default), a processing-time
+    * timeout evicts users idle that long, bounding state by the ACTIVE
+    * user population; pass None for deterministic single-batch tests
+    * (a pending timeout keeps `processAllAvailable` from ever settling).
     */
-  def sessionize(events: Dataset[Event]): Dataset[SessionSummary] = {
+  def sessionize(events: Dataset[Event],
+      idleTimeout: Option[String] = Some("1 hour")): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
     val GapMs = 30L * 60 * 1000
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[(Long, Long, Long), SessionSummary](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeoutConf) {
         case (uid, it, state: GroupState[(Long, Long, Long)]) =>
-          var (lastTs, sessions, count) =
-            state.getOption.getOrElse((Long.MinValue, 0L, 0L))
-          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val t = e.ts.getTime
-            if (lastTs == Long.MinValue || t - lastTs > GapMs) sessions += 1
-            lastTs = t
-            count += 1
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var (lastTs, sessions, count) =
+              state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val t = e.ts.getTime
+              if (lastTs == Long.MinValue || t - lastTs > GapMs) sessions += 1
+              lastTs = t
+              count += 1
+            }
+            state.update((lastTs, sessions, count))
+            idleTimeout.foreach(state.setTimeoutDuration)
+            Iterator(SessionSummary(uid, sessions, count))
           }
-          state.update((lastTs, sessions, count))
-          Iterator(SessionSummary(uid, sessions, count))
       }
   }
 }
@@ -111,16 +123,22 @@ object AutoIngest {
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
         val target = new org.apache.hadoop.fs.Path(tablePath)
+        val retired = new org.apache.hadoop.fs.Path(tablePath + "_old")
+        // crash recovery: a kill between the two renames below leaves the
+        // previous table at _old — restore it before reading
+        if (!fs.exists(target) && fs.exists(retired)) fs.rename(retired, target)
         val existing =
           if (fs.exists(target)) Some(spark.read.parquet(tablePath)) else None
         val merged = IndexWriter.upsert(existing, docs)
         // stage-and-swap: Spark refuses to overwrite a path it is
-        // reading in the same plan, and a crash mid-write must not
-        // destroy the table
+        // reading in the same plan, and the table must survive a crash at
+        // any point (worst case: it sits at _old until the next batch)
         val staging = new org.apache.hadoop.fs.Path(tablePath + "_staging")
         merged.write.mode("overwrite").parquet(staging.toString)
-        fs.delete(target, true)
+        fs.delete(retired, true)
+        if (fs.exists(target)) fs.rename(target, retired)
         fs.rename(staging, target)
+        fs.delete(retired, true)
         ()
       }
       .trigger(Trigger.AvailableNow())

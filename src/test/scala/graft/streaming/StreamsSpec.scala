@@ -45,7 +45,7 @@ class StreamsSpec extends SparkSpec {
       .as[Event].collect().toSeq
 
     val input = MemoryStream[Event]
-    val query = sessionize(input.toDS())
+    val query = sessionize(input.toDS(), idleTimeout = None)
       .writeStream.format("memory").queryName("sessions")
       .outputMode("update").start()
     input.addData(events)
