@@ -109,9 +109,12 @@ object EntityFilters {
     val fmts = Seq("yyyy-MM-dd", "d MMMM yyyy", "d MMM yyyy",
       "MMMM d yyyy", "MMMM d, yyyy")
     fmts.view.flatMap { f =>
-      try Some(java.sql.Date.valueOf(LocalDate.parse(t,
-        DateTimeFormatter.ofPattern(f, Locale.ENGLISH))))
-      catch { case _: Exception => None }
+      try {
+        val fmt = new java.time.format.DateTimeFormatterBuilder()
+          .parseCaseInsensitive().appendPattern(f)
+          .toFormatter(Locale.ENGLISH)
+        Some(java.sql.Date.valueOf(LocalDate.parse(t, fmt)))
+      } catch { case _: Exception => None }
     }.headOption
   }
 
