@@ -1,0 +1,21 @@
+package graft.rass.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Spark-native extension point: install the engine's custom
+  * expressions into any session via
+  * `spark.sql.extensions=graft.rass.expressions.GraftExtensions`
+  * (or `withExtensions` on the builder). This makes `cosine_sim`
+  * available to plain SQL users, not just the Scala API's
+  * `call_function` path.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      { exprs: Seq[Expression] => CosineSimilarity(exprs.head, exprs(1)) }))
+  }
+}
