@@ -24,9 +24,12 @@ object Bm25 {
   val K1 = 1.2
   val B = 0.75
 
-  /** tf for one term over a token array (exact int). */
-  private def tf(toksCol: Column, term: String): Column =
-    size(filter(toksCol, t => t === term)).cast("double")
+  /** tf for one term over a token array (exact int) — the native
+    * codegen term_freq expression; count semantics identical to
+    * size(filter(toks, t -> t === term)).
+    */
+  private def tf(toksCol: Column, term: String, fuzz: Int = 0): Column =
+    call_function("term_freq", toksCol, lit(term), lit(fuzz)).cast("double")
 
   /** Default token provider: tokenize the field inline. Searches pass a
     * pretokenized-projection provider instead so each field's token
@@ -104,9 +107,7 @@ object Bm25 {
       val dfT = col(s"${statsPrefix}df_$i")
       val idf = (n - dfT + lit(0.5)) / (dfT + 0.5)
       val fz = Analyzer.autoFuzz(t)
-      val tfT = (if (fz == 0) size(filter(toksCol, x => x === t))
-        else size(filter(toksCol, x => levenshtein(x, lit(t)) <= fz)))
-        .cast("double")
+      val tfT = tf(toksCol, t, fz)
       idf * (tfT * (K1 + 1)) / (tfT + lit(K1) * (lit(1.0) - B + lit(B) * lnorm))
     }
     val s = perTerm.reduceOption(_ + _).getOrElse(lit(0.0))
@@ -129,8 +130,10 @@ object Bm25 {
 
   /** Attach the single broadcast stats row (map-side literal join). */
   def withStats(docs: DataFrame, fields: Seq[String], terms: Seq[String],
-      tok: String => Column = inlineToks): DataFrame =
+      tok: String => Column = inlineToks): DataFrame = {
+    graft.rass.expressions.TermFrequency.register(docs.sparkSession)
     docs.crossJoin(broadcast(allStats(docs, fields, terms, tok)))
+  }
 
   /** DuckDB oracle fragments mirroring the Column side bit-for-bit. */
   object Sql {

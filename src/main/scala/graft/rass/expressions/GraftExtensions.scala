@@ -17,5 +17,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       { exprs: Seq[Expression] => CosineSimilarity(exprs.head, exprs(1)) }))
+    ext.injectFunction((
+      new FunctionIdentifier("term_freq"),
+      new ExpressionInfo(classOf[TermFrequency].getName, "term_freq"),
+      { exprs: Seq[Expression] => TermFrequency(exprs.head, exprs(1), exprs(2)) }))
   }
 }

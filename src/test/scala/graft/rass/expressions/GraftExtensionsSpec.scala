@@ -30,4 +30,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.toLowerCase.contains("cosine_sim"))
   }
+
+  test("term_freq counts exact and fuzzy matches like the lambda form") {
+    TermFrequency.register(spark)
+    def tf(arr: String, term: String, d: Int): Long =
+      spark.sql(s"SELECT term_freq($arr, '$term', $d) AS c").head().getLong(0)
+    assert(tf("array('a','b','a')", "a", 0) == 2L)
+    assert(tf("array('diabetes','diabetez')", "diabetes", 0) == 1L)
+    assert(tf("array('diabetes','diabetez')", "diabetes", 2) == 2L)
+    assert(tf("array('', 'x')", "x", 0) == 1L)
+    assert(tf("array(cast(null as string), 'x')", "x", 1) == 1L)
+  }
 }
