@@ -26,6 +26,7 @@ object SparkEntry {
       pipeline.Dedup.queries ++
       pipeline.Similarity.queries ++
       pipeline.Multimodal.queries ++
+      pipeline.EmbeddingStats.queries ++
       rass.RassQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -37,5 +38,6 @@ object SparkEntry {
       pipeline.Dedup.oracles ++
       pipeline.Similarity.oracles ++
       pipeline.Multimodal.oracles ++
+      pipeline.EmbeddingStats.oracles ++
       rass.RassQueries.oracles
 }

@@ -184,10 +184,22 @@ object Corpus {
       .withColumnRenamed("doc_id_str", "doc_id")
   }
 
-  /** The full sparse wide-row corpus (structured UNION unstructured). */
+  /** The full sparse wide-row corpus (structured UNION unstructured).
+    * Memoized and cached per (session, dir): the driver's Verify/Bench
+    * run every registered search against the same derivation, and each
+    * search reads it twice (stats aggregate + scoring scan) — in a real
+    * deployment this is simply the written document table.
+    */
   def corpus(spark: SparkSession, dir: String): DataFrame =
-    structured(spark, dir).unionByName(unstructured(spark, dir),
-      allowMissingColumns = true)
+    cache.getOrElseUpdate((spark, dir), {
+      val c = structured(spark, dir).unionByName(unstructured(spark, dir),
+        allowMissingColumns = true)
+      c.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c
+    })
+
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   // ------------------------------------------------------------- sql side
 

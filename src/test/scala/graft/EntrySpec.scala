@@ -13,6 +13,7 @@ class EntrySpec extends SparkSpec {
     val expectedSize = relational.StarQueries.queries.size +
       pipeline.TextAnalysis.queries.size + pipeline.Dedup.queries.size +
       pipeline.Similarity.queries.size + pipeline.Multimodal.queries.size +
+      pipeline.EmbeddingStats.queries.size +
       rass.RassQueries.queries.size
     assert(q.size == expectedSize, "registry key collision")
   }
