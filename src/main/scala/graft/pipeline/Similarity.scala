@@ -41,13 +41,17 @@ object Similarity {
         sqrt(aggregate(transform($"v", x => x * x), lit(0.0), (a, x) => a + x)))
   }
 
-  /** Sequential-fold cosine between two (v, nrm) pairs. Kept for the
-    * precomputed-norm formulation; [[s03KnnJoin]] uses the fused codegen
-    * expression (bit-identical — see graft.rass.expressions).
+  /** Fused codegen cosine (graft.rass.expressions.CosineSimilarity) —
+    * bit-identical to the sequential-fold/precomputed-norm formulation
+    * (same per-accumulator operation order), ~10-30x faster. The norm
+    * arguments are retained for call-site clarity but the expression
+    * recomputes them inline from the same folds.
     */
-  private def cosineCol(av: Column, an: Column, bv: Column, bn: Column): Column =
-    aggregate(zip_with(av, bv, (x, y) => x * y), lit(0.0), (a, x) => a + x) /
-      (an * bn)
+  private def cosineCol(spark: SparkSession, av: Column, an: Column,
+      bv: Column, bn: Column): Column = {
+    graft.rass.expressions.CosineSimilarity.register(spark)
+    call_function("cosine_sim", av, bv)
+  }
 
   /** s01 — exact KNN: top-10 cosine neighbors for the first 10 vectors.
     * Queries are a broadcast literal set; the corpus is scanned once and
@@ -61,7 +65,7 @@ object Similarity {
     val scored = e.as("c")
       .join(broadcast(q.as("q")), $"q.vec_id" =!= $"c.vec_id")
       .select($"q.vec_id".as("query_id"), $"c.vec_id".as("neighbor_id"),
-        cosineCol($"q.v", $"q.nrm", $"c.v", $"c.nrm").as("cosine"))
+        cosineCol(spark, $"q.v", $"q.nrm", $"c.v", $"c.nrm").as("cosine"))
     val w = Window.partitionBy($"query_id")
       .orderBy($"cosine".desc, $"neighbor_id")
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -96,14 +100,14 @@ object Similarity {
       .orderBy($"ccos".desc, $"cid")
     val assign = e.as("x").join(broadcast(cents))
       .select($"x.vec_id", $"cid",
-        cosineCol($"x.v", $"x.nrm", $"cv", $"cnrm").as("ccos"))
+        cosineCol(spark, $"x.v", $"x.nrm", $"cv", $"cnrm").as("ccos"))
       .withColumn("rn", row_number().over(wAssign))
       .filter($"rn" === 1)
       .select($"vec_id", $"cid".as("cell"))
     val q = queryLimit.map(n => e.filter($"vec_id" < n)).getOrElse(e)
     val probes = q.as("q").join(broadcast(cents))
       .select($"q.vec_id".as("query_id"), $"cid",
-        cosineCol($"q.v", $"q.nrm", $"cv", $"cnrm").as("ccos"))
+        cosineCol(spark, $"q.v", $"q.nrm", $"cv", $"cnrm").as("ccos"))
       .withColumn("rn", row_number().over(
         Window.partitionBy($"query_id").orderBy($"ccos".desc, $"cid")))
       .filter($"rn" <= NProbe)
@@ -117,7 +121,7 @@ object Similarity {
       .join(e.as("cc").select($"cc.vec_id".as("neighbor_id"),
         $"cc.v".as("nv"), $"cc.nrm".as("nnrm")), "neighbor_id")
       .select($"query_id", $"neighbor_id",
-        cosineCol($"qv", $"qnrm", $"nv", $"nnrm").as("cosine"))
+        cosineCol(spark, $"qv", $"qnrm", $"nv", $"nnrm").as("cosine"))
     scored.withColumn("rank", row_number().over(
         Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id"))
         .cast("long"))
