@@ -28,6 +28,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // warm the session (JIT, codegen pipeline, FS metadata) so the
+    // alphabetically-first query isn't charged for JVM startup
+    Tables.starTables.foreach(t => Tables.load(spark, sfDir, t).count())
+    Tables.documents(spark, sfDir).write.mode("overwrite").format("noop").save()
+
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
