@@ -45,8 +45,9 @@ object EmbeddingStats {
         | COUNT(DISTINCT len(embedding)) AS n_dims,
         | MIN(norm_micro) AS min_norm_micro,
         | MAX(norm_micro) AS max_norm_micro,
-        | SUM(norm_micro) AS sum_norm_micro,
-        | SUM(CASE WHEN norm_micro = 0 THEN 1 ELSE 0 END) AS n_zero_vecs
+        | CAST(SUM(norm_micro) AS BIGINT) AS sum_norm_micro,
+        | CAST(SUM(CASE WHEN norm_micro = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_zero_vecs
         |FROM (SELECT label, embedding,
         |  CAST(floor(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
         |    list_transform(embedding::DOUBLE[], x -> x * x)),

@@ -169,10 +169,10 @@ object Multimodal {
       """SELECT doc_id, strlen(text) AS n_bytes,
         | len(list_distinct(list_transform(string_split(text, ''),
         |   ch -> ascii(ch)))) AS n_distinct_bytes,
-        | list_sum(list_transform(string_split(text, ''), ch -> ascii(ch)))
-        |   AS sum_bytes,
-        | list_sum(list_transform(string_split(text, ''), ch -> ascii(ch))) % 251
-        |   AS checksum
+        | CAST(list_sum(list_transform(string_split(text, ''), ch -> ascii(ch)))
+        |   AS BIGINT) AS sum_bytes,
+        | CAST(list_sum(list_transform(string_split(text, ''), ch -> ascii(ch))) % 251
+        |   AS BIGINT) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
     "m03_frame_sample" ->
       s"""SELECT doc_id, u['frame_idx'] AS frame_idx, u['frame_md5'] AS frame_md5

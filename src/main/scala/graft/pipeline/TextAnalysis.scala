@@ -170,7 +170,8 @@ object TextAnalysis {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "p02_quality_buckets" ->
       s"""SELECT quality_bucket, COUNT(*) AS n_docs,
-         | SUM(n_tokens) AS sum_tokens, SUM(n_stop) AS sum_stop
+         | CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         | CAST(SUM(n_stop) AS BIGINT) AS sum_stop
          |FROM (SELECT
          |   CASE WHEN n_tokens < 30 THEN 'short'
          |        WHEN n_stop * 5 >= n_tokens THEN 'stop_heavy'
@@ -178,9 +179,10 @@ object TextAnalysis {
          |  FROM (SELECT $NTOK AS n_tokens, $NSTOP AS n_stop FROM documents))
          |GROUP BY quality_bucket ORDER BY quality_bucket""".stripMargin,
     "p03_lang_profile" ->
-      s"""SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
          | MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
-         | SUM($NTOK) AS sum_tokens
+         | CAST(SUM($NTOK) AS BIGINT) AS sum_tokens
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "p04_langid_confusion" ->
       s"""SELECT lang, pred_lang, COUNT(*) AS n_docs FROM (

@@ -432,11 +432,12 @@ object StarQueries {
          |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "q12_event_props" ->
       """SELECT event_type, COUNT(*) AS n_events,
-        | SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+        | CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         | MAX(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q13_sessionize" ->
-      """SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events FROM (
+      """SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+        | COUNT(*) AS n_events FROM (
         | SELECT user_id,
         |  CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
         |       THEN 1 ELSE 0 END AS new_sess
