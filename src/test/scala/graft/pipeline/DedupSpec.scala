@@ -52,4 +52,24 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
     }
   }
+
+  test("d05 sign-LSH pairs are a subset of brute-force cosine pairs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.rass.expressions.CosineSimilarity.register(spark)
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val brute = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"),
+        call_function("cosine_sim", $"a.v", $"b.v").as("cosine"))
+      .filter($"cosine" > 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.d05EmbeddingNearDup(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(lsh.subsetOf(brute))
+    // weak pairs (cosine 0.40-0.48) at 6 bands x 4 sign bits: measured
+    // recall ~0.73 on this corpus; guard against silent banding breakage
+    assert(lsh.size * 2 >= brute.size,
+      s"sign-LSH recall too low: ${lsh.size}/${brute.size}")
+  }
 }
