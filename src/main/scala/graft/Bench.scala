@@ -44,7 +44,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // optional args: bench only the named queries (dev iteration);
+    // the driver invokes with no args and gets the full suite
+    val names =
+      if (args.nonEmpty) args.toSeq.sorted else SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map { name =>
       val t =
         if (Headline(name)) { once(name); math.min(once(name), once(name)) }
         else once(name)

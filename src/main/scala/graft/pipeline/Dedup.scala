@@ -151,16 +151,34 @@ object Dedup {
     // (doc, token) occurrence; hash values (and so signatures) unchanged
     val vocab = tokenRows.select($"token").distinct()
       .withColumn("th", tokenHash)
-    val bitSums = (0 until SimBits).map(b =>
-      sum(shiftright($"th", b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b"))
-    val perBit = tokenRows
+    // Pack the 56 per-bit one-counts into 14 shifted-long accumulators
+    // (4 x 16-bit fields per long) instead of 56 separate sum columns:
+    // the aggregate buffer narrows 4x and the hash aggregate stays one
+    // codegen'd sum per group. Counting ones c_b (not ±1 sums) keeps
+    // every field non-negative; the majority vote becomes
+    // 2*c_b >= n_tokens, algebraically identical to sum(bit*2-1) >= 0,
+    // so signatures (and the oracle) are unchanged. 16-bit fields hold
+    // docs of up to 65,535 distinct tokens without overflow.
+    val FieldBits = 16
+    val FieldsPerLong = 4
+    val packedSums = (0 until SimBits).grouped(FieldsPerLong).toSeq
+      .zipWithIndex.map { case (bits, g) =>
+        sum(bits.zipWithIndex.map { case (b, j) =>
+          shiftright($"th", b).bitwiseAND(lit(1L)) * lit(1L << (j * FieldBits))
+        }.reduce(_ + _)).as(s"a$g")
+      }
+    val perDoc = tokenRows
       .join(broadcast(vocab), "token")
       .groupBy($"doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-    val simVal = (0 until SimBits).map(b =>
-      when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    perBit.select($"doc_id", simVal.as("sim"))
+      .agg(count(lit(1)).as("ntok"), packedSums: _*)
+    val simVal = (0 until SimBits).map { b =>
+      val g = b / FieldsPerLong
+      val j = b % FieldsPerLong
+      val ones = shiftright(col(s"a$g"), j * FieldBits)
+        .bitwiseAND(lit((1L << FieldBits) - 1))
+      when(ones * 2 >= $"ntok", lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    perDoc.select($"doc_id", simVal.as("sim"))
   }
 
   /** d04 — SimHash near-dup pairs at Hamming distance <= 3. Candidate
@@ -171,19 +189,24 @@ object Dedup {
   def d04SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sim = simhashDf(spark, dir)
-    val bands = (0 until SimBands).map { b =>
-      sim.select($"doc_id", $"sim", lit(b).as("band"),
-        shiftright($"sim", b * SimBandBits)
-          .bitwiseAND(lit((1L << SimBandBits) - 1)).as("bv"))
-    }.reduce(_.unionAll(_))
+    // One posexplode pass emits all 4 band rows per doc (the old
+    // unionAll-of-4-selects recomputed the whole simhash pipeline per
+    // band per join side); the hamming filter runs BEFORE distinct() so
+    // only true near-dup pairs — not every same-bucket candidate —
+    // reach the dedup shuffle.
+    val bandVals = array((0 until SimBands).map(b =>
+      shiftright($"sim", b * SimBandBits)
+        .bitwiseAND(lit((1L << SimBandBits) - 1))): _*)
+    val bands = sim.select($"doc_id", $"sim",
+      posexplode(bandVals).as(Seq("band", "bv")))
     bands.as("x")
       .join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.bv" === $"y.bv" &&
           $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"),
         bit_count($"x.sim".bitwiseXOR($"y.sim")).cast("long").as("hamming"))
-      .distinct()
       .filter($"hamming" <= 3)
+      .distinct()
       .orderBy($"a_id", $"b_id")
   }
 
