@@ -135,6 +135,22 @@ object Bm25 {
     docs.crossJoin(broadcast(allStats(docs, fields, terms, tok)))
   }
 
+  /** Attach the stats row reconstructed from the MATERIALIZED corpus
+    * statistics ([[CorpusStats]]) instead of re-aggregating the corpus:
+    * the lookup touches |fields| + |fields|x|terms| rows of the (cached
+    * / ingest-maintained) stats tables — no second corpus scan per
+    * query. Stats are corpus-global, matching the reference's
+    * index-global OpenSearch statistics (filters never change scoring
+    * stats there either).
+    */
+  def withMaterializedStats(docs: DataFrame, fieldStats: DataFrame,
+      termStats: DataFrame, fields: Seq[String],
+      terms: Seq[String]): DataFrame = {
+    graft.rass.expressions.TermFrequency.register(docs.sparkSession)
+    docs.crossJoin(broadcast(CorpusStats.statsRow(docs.sparkSession,
+      fieldStats, termStats, fields, terms)))
+  }
+
   /** DuckDB oracle fragments mirroring the Column side bit-for-bit. */
   object Sql {
     /** Token-array SQL for a field. */

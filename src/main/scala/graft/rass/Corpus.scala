@@ -201,6 +201,25 @@ object Corpus {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Materialized BM25 corpus statistics over every BM25-scored field
+    * (the ingest-time path, [[CorpusStats]]): built ONCE per (session,
+    * dir) and cached, so searches look up their stats row from these
+    * tables instead of re-aggregating the corpus per query. In a real
+    * deployment these are parquet tables the ingest job maintains
+    * additively (CorpusStatsSpec proves batch merge = rebuild).
+    */
+  def stats(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    statsCache.getOrElseUpdate((spark, dir), {
+      val fields = (DocSchema.textFields ++ DocSchema.keywordFields ++
+        DocSchema.compareFields ++ DocSchema.noteFields).map(_._1).distinct
+      val (f, t) = CorpusStats.build(corpus(spark, dir), fields)
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      (f.persist(lvl), t.persist(lvl))
+    })
+
+  private val statsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
   // ------------------------------------------------------------- sql side
 
   /** DuckDB mirror of the derivation, as WITH-clause entries

@@ -51,6 +51,19 @@ object Searches {
     f2.map(docs.filter).getOrElse(docs)
   }
 
+  /** Attach BM25 stats: from the MATERIALIZED corpus-stats tables when
+    * provided (the 100 TB path — no per-query corpus re-aggregate;
+    * bit-equal to the direct aggregate, CorpusStatsSpec), else from one
+    * inline aggregate over the (filtered) docs.
+    */
+  private def attachStats(docsTok: DataFrame, fields: Seq[String],
+      terms: Seq[String], tok: String => Column,
+      stats: Option[(DataFrame, DataFrame)]): DataFrame = stats match {
+    case Some((fs, ts)) =>
+      Bm25.withMaterializedStats(docsTok, fs, ts, fields, terms)
+    case None => Bm25.withStats(docsTok, fields, terms, tok)
+  }
+
   /** Project each scored field's token array once (`__tok_<f>`), so the
     * BM25 stats aggregate and every per-term tf read a column reference
     * instead of re-tokenizing — the dominant cost in multi-field scans.
@@ -97,11 +110,12 @@ object Searches {
     */
   def q3Hybrid(docs: DataFrame, query: String, queryVec: Seq[Double],
       k: Int = DefaultK, patientId: Option[String] = None,
-      filter: Option[Column] = None): DataFrame = {
+      filter: Option[Column] = None,
+      stats: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val terms = Analyzer.normalizeQuery(query)
     val fields = (textFields ++ keywordFields).map(_._1)
     val (docsTok, tok) = withTokenCols(applyFilters(docs, patientId, filter), fields)
-    val withStats = Bm25.withStats(docsTok, fields, terms, tok)
+    val withStats = attachStats(docsTok, fields, terms, tok, stats)
     val qv = array(queryVec.map(lit): _*)
     val knn = coalesce(VectorOps.cosineFused(docs.sparkSession,
       col("embedding").cast("array<double>"), qv), lit(0.0))
@@ -171,11 +185,12 @@ object Searches {
     * terms agg it then discards — unobservable, skipped.)
     */
   def q7Comparison(docs: DataFrame, query: String, k: Int = DefaultK,
-      patientId: Option[String] = None, filter: Option[Column] = None): DataFrame = {
+      patientId: Option[String] = None, filter: Option[Column] = None,
+      stats: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val terms = Analyzer.normalizeQuery(query)
     val (docsTok, tok) = withTokenCols(applyFilters(docs, patientId, filter),
       compareFields.map(_._1))
-    val withStats = Bm25.withStats(docsTok, compareFields.map(_._1), terms, tok)
+    val withStats = attachStats(docsTok, compareFields.map(_._1), terms, tok, stats)
     topK(withStats.withColumn("score",
       Bm25.bestFields(compareFields, terms, fuzzy = true, tok = tok)), k)
   }
@@ -208,11 +223,12 @@ object Searches {
     * over the 7 note fields.
     */
   def q9Explanatory(docs: DataFrame, query: String, k: Int = DefaultK,
-      patientId: Option[String] = None, filter: Option[Column] = None): DataFrame = {
+      patientId: Option[String] = None, filter: Option[Column] = None,
+      stats: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val terms = Analyzer.normalizeQuery(query)
     val (docsTok, tok) = withTokenCols(applyFilters(docs, patientId, filter),
       noteFields.map(_._1))
-    val withStats = Bm25.withStats(docsTok, noteFields.map(_._1), terms, tok)
+    val withStats = attachStats(docsTok, noteFields.map(_._1), terms, tok, stats)
     topK(withStats.withColumn("score",
       Bm25.bestFields(noteFields, terms, fuzzy = true, tok = tok)), k)
   }
@@ -223,11 +239,12 @@ object Searches {
     */
   def q10MultiIntent(docs: DataFrame, query: String, queryVec: Seq[Double],
       nowMicros: Long, k: Int = DefaultK, patientId: Option[String] = None,
-      filter: Option[Column] = None): DataFrame = {
+      filter: Option[Column] = None,
+      stats: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val terms = Analyzer.normalizeQuery(query)
     val fields = (textFields ++ keywordFields).map(_._1)
     val (docsTok, tok) = withTokenCols(applyFilters(docs, patientId, filter), fields)
-    val withStats = Bm25.withStats(docsTok, fields, terms, tok)
+    val withStats = attachStats(docsTok, fields, terms, tok, stats)
     val qv = array(queryVec.map(lit): _*)
     val knn = coalesce(VectorOps.cosineFused(docs.sparkSession,
       col("embedding").cast("array<double>"), qv), lit(0.0))
