@@ -1,9 +1,10 @@
 package graft.rass
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import query._
+import ingest.DocumentFetch
 
 /** P8 — answer generation seam (reference: BlueHive / OpenAI with a
   * citation-enforcing system prompt, `app/main.py:283-331,2924-2942`).
@@ -27,19 +28,65 @@ object StubGenerator extends Generator {
 final case class ChatMessage(chatId: String, role: String, content: String,
     createdAt: java.sql.Timestamp)
 
-final class ChatStore extends Serializable {
+trait ChatStore extends Serializable {
+  def append(m: ChatMessage): Unit
+  def history(chatId: String, n: Int = 10): Seq[ChatMessage]
+}
+
+/** Ephemeral store for tests / throwaway sessions. */
+final class InMemoryChatStore extends ChatStore {
   private val messages = scala.collection.mutable.ArrayBuffer[ChatMessage]()
-  def append(m: ChatMessage): Unit = synchronized { messages += m }
-  def history(chatId: String, n: Int = 10): Seq[ChatMessage] = synchronized {
+  override def append(m: ChatMessage): Unit = synchronized { messages += m }
+  override def history(chatId: String, n: Int = 10): Seq[ChatMessage] = synchronized {
     messages.filter(_.chatId == chatId).sortBy(_.createdAt.getTime).takeRight(n).toSeq
+  }
+}
+
+/** Durable messages table as parquet (the Spark-native stand-in for the
+  * reference's Postgres `Message` table): appends are small atomic
+  * parquet writes, history is a chatId-filtered read of the last n
+  * messages — both survive process restarts, so a new engine on the
+  * same path continues the conversation (SURVEY §7.1 P6).
+  */
+final class ParquetChatStore(spark: SparkSession, path: String) extends ChatStore {
+  override def append(m: ChatMessage): Unit = {
+    import spark.implicits._
+    Seq(m).toDF().write.mode("append").parquet(path)
+  }
+  override def history(chatId: String, n: Int = 10): Seq[ChatMessage] = {
+    import spark.implicits._
+    try {
+      spark.read.parquet(path).as[ChatMessage]
+        .filter(col("chatId") === chatId)
+        .collect().sortBy(_.createdAt.getTime).takeRight(n).toSeq
+    } catch {
+      // first message of the first chat: the table doesn't exist yet
+      case e: org.apache.spark.sql.AnalysisException
+        if e.getMessage.contains("PATH_NOT_FOUND") || e.getMessage.contains("Path does not exist") =>
+        Seq.empty
+    }
   }
 }
 
 /** The ask() orchestration (reference `app/main.py:2750-2964`):
   * NER -> intent -> entity filters -> patient resolution -> query
-  * embedding -> 12-way dispatch -> context assembly -> generation ->
+  * embedding -> 12-way dispatch -> answer assembly -> generation ->
   * history append. Driver-side control flow; every data-touching step
   * is a DataFrame pipeline on executors.
+  *
+  * Answer shapes follow the reference exactly:
+  *   - DOCUMENT_FETCH returns JSON `{queried_name, matched_patientIds,
+  *     patient_records[]}` of re-read raw files (`main.py:2804-2856`)
+  *     — or the reference's three fallback strings — and skips the
+  *     history append (the reference returns before it);
+  *   - AGGREGATE returns the buckets as JSON
+  *     `{field: [{key, doc_count}]}` verbatim (`main.py:2872-2876`),
+  *     also before the history append;
+  *   - everything else assembles per-hit snippet blocks
+  *     (`main.py:2894-2921`): `[Unstructured Text]: ...` for
+  *     unstructured hits, `[Structured Resource] k=v | k=v` over
+  *     non-null fields for structured ones, deduped by doc id under
+  *     `--- Document ID: x ---` headers, then generates.
   */
 final class RassEngine(
     docs: DataFrame,
@@ -47,7 +94,9 @@ final class RassEngine(
     intentClassifier: IntentClassifier = RuleIntentClassifier,
     ner: Ner = new RuleNer(),
     generator: Generator = StubGenerator,
-    chatStore: ChatStore = new ChatStore,
+    chatStore: ChatStore = new InMemoryChatStore,
+    stats: Option[(DataFrame, DataFrame)] = None,
+    fetchBaseDir: Option[String] = None,
     nowMicros: () => Long = () => System.currentTimeMillis() * 1000L) {
 
   final case class Answer(query: String, intent: Intent, answer: String,
@@ -55,6 +104,91 @@ final class RassEngine(
 
   private val CitationPrompt =
     "You are a medical assistant. Cite every claim with its Document ID."
+
+  /** Fields the reference excludes from structured snippets
+    * (`main.py:2904-2908`).
+    */
+  private val SnippetExcluded = Set("doc_id", "doc_type", "resourceType", "embedding")
+
+  /** One snippet per hit row (`main.py:2898-2910`). */
+  private def snippet(r: Row): String =
+    if (Option(r.getAs[String]("doc_type")).contains("unstructured"))
+      s"[Unstructured Text]: ${Option(r.getAs[String]("unstructuredText")).getOrElse("")}"
+    else {
+      val pieces = r.schema.fieldNames.toSeq
+        .filterNot(SnippetExcluded)
+        .flatMap(f => Option(r.getAs[Any](f)).map(v => s"$f=$v"))
+      "[Structured Resource] " + pieces.mkString(" | ")
+    }
+
+  /** Context text: snippets deduped by doc id in hit order, each block
+    * under its Document ID header (`main.py:2912-2921`).
+    */
+  private def assembleContext(hitIds: Seq[String]): String = {
+    if (hitIds.isEmpty) return ""
+    val byId = docs.filter(col("doc_id").isInCollection(hitIds.distinct))
+      .collect().map(r => r.getAs[String]("doc_id") -> r).toMap
+    val contextMap = scala.collection.mutable.LinkedHashMap[String, String]()
+    hitIds.foreach { id =>
+      byId.get(id).foreach { r =>
+        val s = snippet(r)
+        contextMap.updateWith(id) {
+          case Some(prev) => Some(prev + "\n" + s)
+          case None => Some(s)
+        }
+      }
+    }
+    contextMap.map { case (id, content) =>
+      s"--- Document ID: $id ---\n$content\n\n"
+    }.mkString
+  }
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def jstr(s: String): String = "\"" + jsonEscape(s) + "\""
+
+  /** DOCUMENT_FETCH answer (`main.py:2804-2856`): re-read the matched
+    * patients' raw files and return them as JSON, with the reference's
+    * three fallback messages.
+    */
+  private def documentFetchAnswer(collapsed: DataFrame,
+      patient: Option[(String, Seq[String])]): String = {
+    val results = collapsed.collect()
+    if (results.isEmpty) return "No matching documents found."
+    if (!results.exists(r => r.getAs[String]("patientId") != null &&
+        r.getAs[String]("file_path") != null))
+      return "No documents with valid patient ID or file path found."
+    val fetched = DocumentFetch.fetch(collapsed, fetchBaseDir)
+    if (fetched.isEmpty) return "No accessible documents found for the patient."
+    val records = fetched.map(d =>
+      s"""{"patientId": ${jstr(d.patientId)}, "file_path": ${jstr(d.filePath)}, """ +
+        s""""file_type": ${jstr(d.fileType)}, "content": ${jstr(d.content)}}""")
+      .mkString("[", ", ", "]")
+    val ids = patient.map(_._2).getOrElse(Seq.empty)
+      .map(jstr).mkString("[", ", ", "]")
+    s"""{"queried_name": ${patient.map(p => jstr(p._1)).getOrElse("null")}, """ +
+      s""""matched_patientIds": $ids, "patient_records": $records}"""
+  }
+
+  /** AGGREGATE answer (`main.py:2872-2876`): the buckets dict as JSON. */
+  private def aggregateAnswer(rows: Seq[Row]): String =
+    rows.groupBy(_.getString(0)).toSeq
+      .sortBy { case (f, _) => rows.indexWhere(_.getString(0) == f) }
+      .map { case (field, bucket) =>
+        val items = bucket.map(r =>
+          s"""{"key": ${jstr(String.valueOf(r.get(1)))}, "doc_count": ${r.getLong(2)}}""")
+          .mkString("[", ", ", "]")
+        s"${jstr(field)}: $items"
+      }.mkString("{", ", ", "}")
 
   def ask(queryText: String, userId: String, chatId: String,
       topK: Int = Searches.DefaultK): Answer = {
@@ -70,14 +204,14 @@ final class RassEngine(
     val hitsDf: DataFrame = intent match {
       case Intent.Keyword => Searches.q1ExactMatch(docs, queryText, topK, patientId, entityFilter)
       case Intent.Semantic => Searches.q2Semantic(docs, qv, topK, patientId, entityFilter)
-      case Intent.Hybrid => Searches.q3Hybrid(docs, queryText, qv, topK, patientId, entityFilter)
+      case Intent.Hybrid => Searches.q3Hybrid(docs, queryText, qv, topK, patientId, entityFilter, stats)
       case Intent.Structured => Searches.q4Structured(docs, queryText, topK, patientId, entityFilter)
       case Intent.HybridStructured => Searches.q5HybridStructured(docs, queryText, qv, topK, patientId, entityFilter)
       case Intent.Aggregate => Searches.q6Aggregate(docs, patientId, entityFilter)
-      case Intent.Comparison => Searches.q7Comparison(docs, queryText, topK, patientId, entityFilter)
+      case Intent.Comparison => Searches.q7Comparison(docs, queryText, topK, patientId, entityFilter, stats)
       case Intent.Temporal => Searches.q8Temporal(docs, queryText, now, topK, patientId, entityFilter)
-      case Intent.Explanatory => Searches.q9Explanatory(docs, queryText, topK, patientId, entityFilter)
-      case Intent.MultiIntent => Searches.q10MultiIntent(docs, queryText, qv, now, topK, patientId, entityFilter)
+      case Intent.Explanatory => Searches.q9Explanatory(docs, queryText, topK, patientId, entityFilter, stats)
+      case Intent.MultiIntent => Searches.q10MultiIntent(docs, queryText, qv, now, topK, patientId, entityFilter, stats)
       case Intent.EntitySpecific => Searches.q11EntitySpecific(docs, queryText, topK, patientId, entityFilter)
       case Intent.DocumentFetch => patientId match {
         case Some(p) => Searches.q12DocumentFetch(docs, p, topK, entityFilter)
@@ -97,13 +231,28 @@ final class RassEngine(
       case _ => collected.map(r => (r.getString(0), r.getDouble(1))).toSeq
     }
 
-    // P7 context assembly (dedupe by doc id, snippet blocks, `main.py:2894-2921`)
-    val context = hits.map(_._1).distinct
-      .map(id => s"--- Document ID: $id ---").mkString("\n")
+    // DOCUMENT_FETCH and AGGREGATE return their JSON before the history
+    // append, exactly like the reference (`main.py:2846-2876`)
+    intent match {
+      case Intent.DocumentFetch =>
+        return Answer(queryText, intent,
+          documentFetchAnswer(hitsDf, patient), hits, patient)
+      case Intent.Aggregate =>
+        return Answer(queryText, intent,
+          aggregateAnswer(collected.toSeq), hits, patient)
+      case _ => ()
+    }
+
+    // P7 context assembly (`main.py:2894-2921`) + final prompt
+    // (`main.py:2936-2942`)
+    val contextText = assembleContext(hits.map(_._1))
     val historyText = chatStore.history(chatId)
-      .map(m => s"${if (m.role == "user") "User" else "AI"}: ${m.content}").mkString("\n")
-    val answer = generator.generate(CitationPrompt,
-      s"$historyText\n$context", queryText)
+      .map(m => s"${if (m.role == "user") "User" else "AI"}: ${m.content}\n").mkString
+    val finalPrompt =
+      s"Chat History:\n$historyText\n\nUser Query:\n$queryText\n\n" +
+        s"Context:\n$contextText\n--- End of context ---\n\n" +
+        "Provide your concise answer now."
+    val answer = generator.generate(CitationPrompt, finalPrompt, queryText)
 
     val ts = new java.sql.Timestamp(now / 1000)
     chatStore.append(ChatMessage(chatId, "user", queryText, ts))

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.rass.{Corpus, DeterministicEmbedder, RassEngine}
+import graft.rass.{ChatMessage, Corpus, DeterministicEmbedder, ParquetChatStore, RassEngine}
 
 class IntentClassifierSpec extends AnyFunSuite {
 
@@ -165,5 +165,102 @@ class EngineSpec extends SparkSpec {
 
     val hybrid = engine.ask("Find patients with asthma.", "u1", "c2")
     assert(hybrid.intent == Intent.Hybrid && hybrid.hits.nonEmpty)
+  }
+
+  private def fixedIntent(i: Intent): IntentClassifier =
+    new IntentClassifier { override def classify(query: String): Intent = i }
+
+  private final class CapturingGenerator extends graft.rass.Generator {
+    @volatile var lastContext: String = ""
+    override def generate(sys: String, context: String, query: String): String = {
+      lastContext = context
+      graft.rass.StubGenerator.generate(sys, context, query)
+    }
+  }
+
+  test("ask(): context renders the reference's snippet bodies (P7)") {
+    val gen = new CapturingGenerator
+    // semantic hits are unstructured (only those carry embeddings)
+    new RassEngine(corpus, generator = gen,
+      intentClassifier = fixedIntent(Intent.Semantic),
+      nowMicros = () => 1748736000000000L)
+      .ask("diabetes treatment", "u1", "cp7a")
+    assert(gen.lastContext.contains("--- Document ID: "))
+    assert(gen.lastContext.contains("[Unstructured Text]: "))
+    // structured search with a phrase that matches observation rows
+    new RassEngine(corpus, generator = gen,
+      intentClassifier = fixedIntent(Intent.Structured),
+      nowMicros = () => 1748736000000000L)
+      .ask("blood pressure", "u1", "cp7b")
+    assert(gen.lastContext.contains("[Structured Resource] "))
+    // k=v pieces over non-null fields, exclusions applied
+    assert(gen.lastContext.contains("observationCodeText=blood pressure"))
+    assert(!gen.lastContext.contains("doc_type="))
+    assert(!gen.lastContext.contains("resourceType="))
+  }
+
+  test("ask(): DOCUMENT_FETCH returns fetched file JSON (Q12 wiring)") {
+    import java.nio.file.Files
+    val engineNoFiles = new RassEngine(corpus,
+      nowMicros = () => 1748736000000000L)
+    val miss = engineNoFiles.ask("Fetch the medical records for alice johnson", "u1", "cf1")
+    // corpus file_paths don't exist on disk -> the reference's fallback
+    assert(miss.answer == "No accessible documents found for the patient.")
+
+    // materialize one matched patient's files under a base dir -> JSON
+    val pid = PatientResolver.resolve(corpus, new RuleNer(),
+      "Fetch the medical records for alice johnson").get._2.head
+    val base = Files.createTempDirectory("fetch").toString
+    val paths = corpus.filter(col("patientId") === pid)
+      .select("file_path").distinct().collect().map(_.getString(0))
+    paths.foreach { p =>
+      val f = java.nio.file.Paths.get(base, p.stripPrefix("/"))
+      Files.createDirectories(f.getParent)
+      Files.writeString(f, s"""{"note": "ehr body for $p"}""")
+    }
+    val engine = new RassEngine(corpus, fetchBaseDir = Some(base),
+      nowMicros = () => 1748736000000000L)
+    val hit = engine.ask("Fetch the medical records for alice johnson", "u1", "cf2")
+    assert(hit.answer.contains("\"queried_name\": \"alice johnson\""))
+    assert(hit.answer.contains("\"patient_records\": ["))
+    assert(hit.answer.contains("ehr body for"))
+  }
+
+  test("ask(): AGGREGATE answers with the buckets JSON verbatim") {
+    val engine = new RassEngine(corpus, nowMicros = () => 1748736000000000L)
+    val agg = engine.ask("How many patients have hypertension?", "u1", "ca1")
+    assert(agg.answer.startsWith("{\"conditionCodeText\": [{\"key\": "))
+    assert(agg.answer.contains("\"doc_count\": "))
+    assert(agg.answer.contains("\"resourceType\": ["))
+    assert(agg.answer.contains("\"patientId\": ["))
+  }
+
+  test("parquet chat store persists across store instances") {
+    import java.nio.file.Files
+    val path = Files.createTempDirectory("chat").resolve("messages").toString
+    val ts = new java.sql.Timestamp(1748736000000L)
+    val s1 = new ParquetChatStore(spark, path)
+    assert(s1.history("c1").isEmpty) // table not created yet
+    s1.append(ChatMessage("c1", "user", "hello", ts))
+    s1.append(ChatMessage("c1", "assistant", "hi there", new java.sql.Timestamp(1748736001000L)))
+    s1.append(ChatMessage("other", "user", "unrelated", ts))
+    val s2 = new ParquetChatStore(spark, path) // fresh instance = new session
+    assert(s2.history("c1").map(_.content) == Seq("hello", "hi there"))
+    assert(s2.history("other").map(_.content) == Seq("unrelated"))
+  }
+
+  test("ask(): chat history from the parquet store reaches the prompt") {
+    import java.nio.file.Files
+    val path = Files.createTempDirectory("chat2").resolve("messages").toString
+    val gen = new CapturingGenerator
+    var t = 1748736000000000L
+    def engine() = new RassEngine(corpus, generator = gen,
+      chatStore = new ParquetChatStore(spark, path),
+      nowMicros = () => { t += 1000000L; t })
+    engine().ask("Search for diabetes treatment options.", "u1", "ch1")
+    // a NEW engine over the same path sees the first exchange
+    engine().ask("Tell me about asthma and how it's treated.", "u1", "ch1")
+    assert(gen.lastContext.contains("User: Search for diabetes treatment options."))
+    assert(gen.lastContext.contains("AI: [stub] answer"))
   }
 }
