@@ -50,6 +50,27 @@ object Analyzer {
     coalesce(cnt.cast("long"), lit(0L))
   }
 
+  /** [[phraseCount]] over an already-projected token array — the native
+    * codegen [[graft.rass.expressions.PhraseCount]] expression (greedy
+    * non-overlapping count, bit-identical to the replace-trick).
+    * Callers must have registered the function
+    * (`PhraseCount.register(spark)`).
+    */
+  def phraseCountTok(toks: Column, phrase: Seq[String]): Column = {
+    if (phrase.isEmpty) return lit(0L)
+    coalesce(call_function("phrase_count", toks,
+      array(phrase.map(lit): _*), lit(false)), lit(0L))
+  }
+
+  /** [[phrasePrefixMatch]] over a projected token array (native
+    * expression; existence of a prefix-last phrase occurrence).
+    */
+  def phrasePrefixMatchTok(toks: Column, phrase: Seq[String]): Column = {
+    if (phrase.isEmpty) return lit(false)
+    coalesce(call_function("phrase_count", toks,
+      array(phrase.map(lit): _*), lit(true)) > 0, lit(false))
+  }
+
   /** Does the field contain the phrase with the last token as a prefix?
     * (OpenSearch `phrase_prefix`.) Boolean, null-safe.
     */

@@ -34,11 +34,18 @@ object Searches {
 
   val DefaultK = 3 // reference TOP_K (`main.py:88`)
 
+  /** Top-k by (score desc, doc_id), keeping only positive scores.
+    * The `score > 0` filter runs AFTER the limit: every positive row
+    * outranks every non-positive one, so top-k-then-filter returns the
+    * same set as filter-then-top-k — but the pre-sort filter would be
+    * pushed beneath the scoring projection and make codegen compile
+    * (and evaluate) the whole multi-field score expression twice.
+    */
   private def topK(scored: DataFrame, k: Int): DataFrame =
-    scored.filter(col("score") > 0)
-      .orderBy(col("score").desc, col("doc_id"))
+    scored.orderBy(col("score").desc, col("doc_id"))
       .select(col("doc_id"), col("score"))
       .limit(k)
+      .filter(col("score") > 0)
 
   /** Optional non-scoring filters (patient term + compiled entity
     * predicates), AND-combined — reference appends these to every
@@ -70,8 +77,10 @@ object Searches {
     */
   private def withTokenCols(docs: DataFrame,
       fields: Seq[String]): (DataFrame, String => Column) = {
-    val projected = fields.foldLeft(docs)((acc, f) =>
-      acc.withColumn(s"__tok_$f", Analyzer.tokens(col(f))))
+    // one Select for all token columns (not a withColumn fold — 50
+    // stacked Projects make the analyzer quadratic in field count)
+    val projected = docs.select(
+      col("*") +: fields.map(f => Analyzer.tokens(col(f)).as(s"__tok_$f")): _*)
     (projected, f => col(s"__tok_$f"))
   }
 
@@ -81,13 +90,16 @@ object Searches {
     */
   def q1ExactMatch(docs: DataFrame, query: String, k: Int = DefaultK,
       patientId: Option[String] = None, filter: Option[Column] = None): DataFrame = {
+    graft.rass.expressions.PhraseCount.register(docs.sparkSession)
     val phrase = Analyzer.normalizeQuery(query)
+    val (docsTok, tok) = withTokenCols(applyFilters(docs, patientId, filter),
+      (textFields ++ keywordFields).map(_._1))
     def clause(fields: Seq[(String, Double)]): Column =
       greatest(fields.map { case (f, b) =>
-        Analyzer.phraseCount(col(f), phrase).cast("double") * b
+        Analyzer.phraseCountTok(tok(f), phrase).cast("double") * b
       }: _*)
     val score = clause(textFields) * 2.0 + clause(keywordFields) * 1.0
-    topK(applyFilters(docs, patientId, filter).withColumn("score", score), k)
+    topK(docsTok.withColumn("score", score), k)
   }
 
   /** Q2 — semantic_search (`main.py:1527-1560`): cosine knn over the
@@ -130,12 +142,15 @@ object Searches {
     */
   def q4Structured(docs: DataFrame, query: String, k: Int = DefaultK,
       patientId: Option[String] = None, filter: Option[Column] = None): DataFrame = {
+    graft.rass.expressions.PhraseCount.register(docs.sparkSession)
     val phrase = Analyzer.normalizeQuery(query)
+    val (docsTok, tok) = withTokenCols(
+      applyFilters(docs.filter(col("doc_type") === "structured"), patientId, filter),
+      structuredFields.map(_._1))
     val score = greatest(structuredFields.map { case (f, b) =>
-      Analyzer.phrasePrefixMatch(col(f), phrase).cast("double") * b
+      Analyzer.phrasePrefixMatchTok(tok(f), phrase).cast("double") * b
     }: _*)
-    topK(applyFilters(docs.filter(col("doc_type") === "structured"),
-      patientId, filter).withColumn("score", score), k)
+    topK(docsTok.withColumn("score", score), k)
   }
 
   /** Q5 — hybrid_structured_search (`main.py:1710-1775`): phrase_prefix
@@ -146,16 +161,19 @@ object Searches {
   def q5HybridStructured(docs: DataFrame, query: String, queryVec: Seq[Double],
       k: Int = DefaultK, patientId: Option[String] = None,
       filter: Option[Column] = None): DataFrame = {
+    graft.rass.expressions.PhraseCount.register(docs.sparkSession)
     val phrase = Analyzer.normalizeQuery(query)
+    val (docsTok, tok) = withTokenCols(
+      applyFilters(docs.filter(col("doc_type") === "structured"), patientId, filter),
+      structuredFields.map(_._1))
     val prefix = greatest(structuredFields.map { case (f, b) =>
-      Analyzer.phrasePrefixMatch(col(f), phrase).cast("double") * b
+      Analyzer.phrasePrefixMatchTok(tok(f), phrase).cast("double") * b
     }: _*)
     val qv = array(queryVec.map(lit): _*)
     val knn = coalesce(VectorOps.cosineFused(docs.sparkSession,
       col("embedding").cast("array<double>"), qv), lit(0.0))
     val score = prefix * 1.5 + knn * 2.0
-    topK(applyFilters(docs.filter(col("doc_type") === "structured"),
-      patientId, filter).withColumn("score", score), k)
+    topK(docsTok.withColumn("score", score), k)
   }
 
   /** Q6 — aggregate_search (`main.py:1777-1808`): top-5 terms
@@ -203,16 +221,19 @@ object Searches {
   def q8Temporal(docs: DataFrame, query: String, nowMicros: Long,
       k: Int = DefaultK, patientId: Option[String] = None,
       filter: Option[Column] = None): DataFrame = {
+    graft.rass.expressions.TermFrequency.register(docs.sparkSession)
     val terms = Analyzer.normalizeQuery(query)
     val allText = (textFields ++ keywordFields).map(_._1)
+    val (docsTok, tok) = withTokenCols(applyFilters(docs, patientId, filter), allText)
     val textMatch = allText.map(f =>
-      terms.map(t => coalesce(instr(Analyzer.tokenString(col(f)), s" $t ") > 0,
+      terms.map(t => coalesce(
+        call_function("term_freq", tok(f), lit(t), lit(0)) > 0,
         lit(false))).reduceOption(_ || _).getOrElse(lit(false)))
       .reduce(_ || _)
     val lo = timestamp_micros(lit(nowMicros - 365L * 86400000000L))
     val hi = timestamp_micros(lit(nowMicros))
     val dateOk = dateFields.map(f => col(f).between(lo, hi)).reduce(_ || _)
-    applyFilters(docs, patientId, filter)
+    docsTok
       .filter(textMatch && dateOk)
       .orderBy(col("conditionOnsetDateTime").desc_nulls_last, col("doc_id"))
       .select(col("doc_id"), col("conditionOnsetDateTime"))
@@ -263,11 +284,14 @@ object Searches {
     */
   def q11EntitySpecific(docs: DataFrame, query: String, k: Int = DefaultK,
       patientId: Option[String] = None, filter: Option[Column] = None): DataFrame = {
+    graft.rass.expressions.PhraseCount.register(docs.sparkSession)
     val phrase = Analyzer.normalizeQuery(query)
+    val (docsTok, tok) = withTokenCols(applyFilters(docs, patientId, filter),
+      entityFields.map(_._1))
     val score = greatest(entityFields.map { case (f, b) =>
-      Analyzer.phraseCount(col(f), phrase).cast("double") * b
+      Analyzer.phraseCountTok(tok(f), phrase).cast("double") * b
     }: _*)
-    topK(applyFilters(docs, patientId, filter).withColumn("score", score), k)
+    topK(docsTok.withColumn("score", score), k)
   }
 
   /** Q12 — document_fetch_search (`main.py:2120-2150` + caller

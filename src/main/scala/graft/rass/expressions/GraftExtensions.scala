@@ -21,5 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("term_freq"),
       new ExpressionInfo(classOf[TermFrequency].getName, "term_freq"),
       { exprs: Seq[Expression] => TermFrequency(exprs.head, exprs(1), exprs(2)) }))
+    ext.injectFunction((
+      new FunctionIdentifier("phrase_count"),
+      new ExpressionInfo(classOf[PhraseCount].getName, "phrase_count"),
+      { exprs: Seq[Expression] => PhraseCount(exprs.head, exprs(1), exprs(2)) }))
   }
 }

@@ -31,6 +31,42 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(err.getMessage.toLowerCase.contains("cosine_sim"))
   }
 
+  test("phrase_count matches the replace-trick formula on adversarial inputs") {
+    import org.apache.spark.sql.functions._
+    import graft.rass.Analyzer
+    PhraseCount.register(spark)
+    // overlapping repeats, adjacent matches, punctuation, prefix cases
+    val docs = Seq(
+      "a b a b", "a a a", "aa a a", "b a b a b", "diabetes mellitus type 2",
+      "Diabetes, mellitus! diabetes mellitus", "x", "", "a", "a b",
+      "mell mellitus", "diabetes diabetes mellitus mellitus", null
+    )
+    val phrases = Seq(Seq("a", "b"), Seq("a", "a"), Seq("a"),
+      Seq("diabetes", "mellitus"), Seq("mell"), Seq("zzz"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(docs.map(org.apache.spark.sql.Row(_))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.StringType))))
+    for (p <- phrases) {
+      val cmp = df.select(
+        Analyzer.phraseCount(col("t"), p).as("old"),
+        Analyzer.phraseCountTok(Analyzer.tokens(col("t")), p).as("nat"),
+        Analyzer.phrasePrefixMatch(col("t"), p).as("oldp"),
+        Analyzer.phrasePrefixMatchTok(Analyzer.tokens(col("t")), p).as("natp")
+      ).collect()
+      for (r <- cmp) {
+        assert(r.getLong(0) == r.getLong(1), s"count mismatch for phrase $p: $r")
+        assert(r.getBoolean(2) == r.getBoolean(3), s"prefix mismatch for phrase $p: $r")
+      }
+    }
+    // greedy non-overlap pinned explicitly: [a,a,a] contains [a,a] once
+    val g = spark.sql(
+      "SELECT phrase_count(array('a','a','a'), array('a','a'), false) AS c")
+      .head().getLong(0)
+    assert(g == 1L)
+  }
+
   test("term_freq counts exact and fuzzy matches like the lambda form") {
     TermFrequency.register(spark)
     def tf(arr: String, term: String, d: Int): Long =
