@@ -59,15 +59,28 @@ object Dedup {
       .orderBy($"source")
   }
 
-  /** d02 — near-duplicate pairs by word-3-gram Jaccard >= 0.8.
-    * Inverted-index self-join on the shingle (the classic formulation):
-    * at scale, shingles with document frequency above a cap would be
-    * dropped first (they generate quadratic candidates and carry no
-    * dedup signal); unnecessary at this corpus size.
+  /** Document-frequency cap for d02: a shingle occurring in more than
+    * this many documents is dropped before the inverted-index self-join
+    * — it contributes C(df, 2) candidate pairs (quadratic in df, the
+    * 100 TB blow-up) and, stop-phrase-like, carries no dedup signal.
+    * The Jaccard is computed over the CAPPED shingle sets on both
+    * engines (the oracle filters identically), which is the standard
+    * production semantics; on the test corpus (max df = 25) the capped
+    * and uncapped results are identical, proven in DedupSpec.
+    */
+  val ShingleDfCap = 50
+
+  /** d02 — near-duplicate pairs by word-3-gram Jaccard >= 0.8 over the
+    * df-capped shingle sets ([[ShingleDfCap]]): inverted-index
+    * self-join on the shingle, candidate volume bounded by
+    * cap x df per shingle.
     */
   def d02NgramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingleRows(spark, dir)
+    val all = shingleRows(spark, dir)
+    val dfCounts = all.groupBy($"shingle").agg(count(lit(1)).as("df_"))
+    val sh = all.join(dfCounts.filter($"df_" <= ShingleDfCap), "shingle")
+      .select($"doc_id", $"shingle")
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -369,13 +382,18 @@ object Dedup {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "d02_ngram_jaccard_pairs" ->
       s"""WITH $ShingleCte,
+         |capped AS (SELECT doc_id, shingle FROM sh
+         |  WHERE shingle IN (SELECT shingle FROM sh
+         |                    GROUP BY shingle HAVING count(*) <= $ShingleDfCap)),
+         |csizes AS (SELECT doc_id, count(*) n FROM capped GROUP BY doc_id),
          |pairs AS (
          |  SELECT a.doc_id a_id, b.doc_id b_id, count(*) inter
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM capped a JOIN capped b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT a_id, b_id, inter, sa.n AS na, sb.n AS nb
-         |FROM pairs JOIN sizes sa ON a_id = sa.doc_id
-         |           JOIN sizes sb ON b_id = sb.doc_id
+         |FROM pairs JOIN csizes sa ON a_id = sa.doc_id
+         |           JOIN csizes sb ON b_id = sb.doc_id
          |WHERE inter * 5 >= (sa.n + sb.n - inter) * 4
          |ORDER BY a_id, b_id""".stripMargin,
     "d03_minhash_lsh_pairs" ->

@@ -27,6 +27,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d02 df-capped candidates lose nothing vs the uncapped self-join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // uncapped reference formulation (the pre-cap d02): direct
+    // inverted-index self-join, no candidate stage
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", split(trim($"text"), "\\s+").as("t"))
+      .filter(size($"t") >= 3)
+      .select($"doc_id", explode(array_distinct(
+        transform(sequence(lit(1), size($"t") - 2),
+          i => array_join(slice($"t", i, lit(3)), " ")))).as("shingle"))
+    val sizes = docs.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val uncapped = docs.as("a")
+      .join(docs.as("b"), $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes).as("sa"), $"a_id" === $"sa.doc_id")
+      .join(broadcast(sizes).as("sb"), $"b_id" === $"sb.doc_id")
+      .filter($"inter" * 5 >= ($"sa.n" + $"sb.n" - $"inter") * 4)
+      .select($"a_id", $"b_id", $"inter")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val capped = Dedup.d02NgramJaccardPairs(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("inter"))).toSet
+    assert(capped == uncapped,
+      s"df cap changed results: ${capped.size} vs ${uncapped.size}")
+  }
+
   test("d03 MinHash/LSH pairs are a subset of brute-force Jaccard pairs") {
     def keys(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
