@@ -259,9 +259,12 @@ object StarQueries {
 
   /** As-of join: each order of a low-key customer matched to that
     * customer's latest event at-or-before the order date. Formulated as
-    * join + per-order window collapse — at scale both sides co-partition
-    * on the key, and the window sorts only within each order's candidate
-    * set (no global sort).
+    * equi-key join + `max_by` aggregation: latest-wins is a partial
+    * aggregate, so each map partition collapses to ONE candidate per
+    * order before the shuffle — candidate volume never crosses the
+    * wire, unlike a window collapse, which shuffles every candidate row
+    * and sorts per order. Tie-break (ts, event_id) matches the oracle's
+    * `ROW_NUMBER() ... ORDER BY ts DESC, event_id DESC` exactly.
     */
   def q17AsofJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -277,12 +280,12 @@ object StarQueries {
       .select($"o_orderkey", $"o_custkey", anchor.as("anchor_ts"))
     val ev = Tables.events(spark, dir)
       .select($"event_id", $"user_id", $"ts", $"event_type")
-    val w = Window.partitionBy($"o_orderkey")
-      .orderBy($"ts".desc, $"event_id".desc)
     o.join(ev, $"user_id" === $"o_custkey" && $"ts" <= $"anchor_ts")
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"o_orderkey", $"o_custkey", $"event_id", $"ts", $"event_type")
+      .groupBy($"o_orderkey", $"o_custkey")
+      .agg(max_by(struct($"event_id", $"ts", $"event_type"),
+        struct($"ts", $"event_id")).as("latest"))
+      .select($"o_orderkey", $"o_custkey", $"latest.event_id", $"latest.ts",
+        $"latest.event_type")
       .orderBy($"o_orderkey")
   }
 
