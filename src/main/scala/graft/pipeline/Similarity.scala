@@ -9,21 +9,30 @@ import graft.Tables
 /** Similarity search over the `embeddings` table (vec_id, embedding
   * FLOAT[64], label).
   *
-  * Two operators: exact brute-force top-k (the correctness baseline;
+  * Operators: exact brute-force top-k (the correctness baseline;
   * embarrassingly parallel — query vectors broadcast, one scan of the
-  * corpus) and an IVF-partitioned approximate variant (the 100 TB path:
+  * corpus), an IVF-partitioned approximate variant (the 100 TB path:
   * corpus clustered into cells, queries probe only the nearest cells, so
-  * the scan shrinks by nprobe/ncells).
+  * the scan shrinks by nprobe/ncells), a corpus-wide KNN join, and the
+  * IVF variant trained with deterministic Lloyd k-means (the real
+  * centroid path; s02's first-k init is the degenerate seed of the same
+  * machinery).
   *
   * All cosine math is a sequential left-fold in double precision,
   * mirrored exactly by the oracle SQL — IEEE-754 determinism then makes
-  * scores, and therefore ranks, bit-identical across engines.
+  * scores, and therefore ranks, bit-identical across engines. K-means
+  * dimension sums are integer-quantized (2^20 micro-units), so centroid
+  * means are independent of partition/reduction order — the one
+  * aggregation k-means needs that floating-point addition would make
+  * non-reproducible on a cluster.
   *
   * Reference: RASS semantic search is knn over an HNSW index
   * (`app/main.py:1527-1560`, index mapping `main.py:563-572`); exact KNN
   * here is deterministic and strictly more correct, and IVF replaces
   * HNSW as the scale story (HNSW graphs don't shard naturally; IVF
-  * cells map 1:1 onto Spark partitions).
+  * cells map 1:1 onto Spark partitions). At 100 TB, k-means runs on a
+  * sample with k ~ sqrt(n) cells; the seam below takes any (cid, cv)
+  * DataFrame.
   */
 object Similarity {
 
@@ -31,24 +40,28 @@ object Similarity {
   private val TopK = 10
   private val NumCentroids = 16
   private val NProbe = 4
+  private val KmeansIters = 2
 
-  /** (vec_id, v: array<double>, nrm) with exact float->double widening. */
+  /** Quantization factor for k-means dimension sums: 2^20 micro-units
+    * keeps |x| <= ~1000 exactly representable to ~1e-6 and sums of
+    * billions of rows far from Long overflow.
+    */
+  private val Quant = 1048576.0
+
+  /** (vec_id, v: array<double>) with exact float->double widening. */
   private def vectors(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      .withColumn("nrm",
-        sqrt(aggregate(transform($"v", x => x * x), lit(0.0), (a, x) => a + x)))
   }
 
   /** Fused codegen cosine (graft.rass.expressions.CosineSimilarity) —
-    * bit-identical to the sequential-fold/precomputed-norm formulation
-    * (same per-accumulator operation order), ~10-30x faster. The norm
-    * arguments are retained for call-site clarity but the expression
-    * recomputes them inline from the same folds.
+    * bit-identical to the sequential-fold formulation (same
+    * per-accumulator operation order), ~10-30x faster; norms are
+    * recomputed inline by the expression, so no norm column ever
+    * travels through a join.
     */
-  private def cosineCol(spark: SparkSession, av: Column, an: Column,
-      bv: Column, bn: Column): Column = {
+  private def cosineCol(spark: SparkSession, av: Column, bv: Column): Column = {
     graft.rass.expressions.CosineSimilarity.register(spark)
     call_function("cosine_sim", av, bv)
   }
@@ -65,7 +78,7 @@ object Similarity {
     val scored = e.as("c")
       .join(broadcast(q.as("q")), $"q.vec_id" =!= $"c.vec_id")
       .select($"q.vec_id".as("query_id"), $"c.vec_id".as("neighbor_id"),
-        cosineCol(spark, $"q.v", $"q.nrm", $"c.v", $"c.nrm").as("cosine"))
+        cosineCol(spark, $"q.v", $"c.v").as("cosine"))
     val w = Window.partitionBy($"query_id")
       .orderBy($"cosine".desc, $"neighbor_id")
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -90,24 +103,75 @@ object Similarity {
   def s03KnnJoin(spark: SparkSession, dir: String): DataFrame =
     ivfKnn(spark, dir, None, 3)
 
+  /** s04 — IVF KNN with k-means-trained centroids: the production IVF
+    * path (s02 with [[kmeansCentroids]] instead of the raw seed).
+    */
+  def s04IvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    ivfKnn(spark, dir, Some(NumQueries), TopK,
+      Some(kmeansCentroids(spark, e, NumCentroids, KmeansIters)))
+  }
+
+  /** Deterministic Lloyd k-means over (vec_id, v) rows — the IVF
+    * centroid trainer. Init = first k vectors; each iteration assigns
+    * every vector to its max-cosine centroid (broadcast, map-side) and
+    * recomputes centroids as the per-cell elementwise mean. The mean's
+    * dimension sums run on 2^20-quantized integers, so they commute:
+    * partial aggregation over any partitioning yields bit-identical
+    * centroids (doubles would make the result depend on reduction
+    * order). Empty cells keep their previous centroid. At scale:
+    * assignment is one scan per iteration over broadcast centroids, the
+    * update shuffles (cell, dim) pairs — k x 64 longs — and the trainer
+    * would run on a sample, so iterations cost sample-size scans.
+    */
+  def kmeansCentroids(spark: SparkSession, e: DataFrame, k: Int,
+      iters: Int): DataFrame = {
+    import spark.implicits._
+    var cents = e.filter($"vec_id" < k).select($"vec_id".as("cid"), $"v".as("cv"))
+    for (_ <- 1 to iters) {
+      val assign = e.as("x").join(broadcast(cents.as("c")))
+        .select($"vec_id", $"cid",
+          cosineCol(spark, $"x.v", $"c.cv").as("cc"))
+        .groupBy($"vec_id")
+        // max cosine, ties to the smallest cid (same order as the
+        // row_number assignment in ivfKnn and the oracle)
+        .agg(max_by($"cid", struct($"cc", -$"cid")).as("cell"))
+      val sums = e.join(assign, "vec_id")
+        .select($"cell", posexplode($"v").as(Seq("pos", "x")))
+        .withColumn("xq", round($"x" * Quant).cast("long"))
+        .groupBy($"cell", $"pos")
+        .agg(sum($"xq").as("sx"), count(lit(1)).as("cn"))
+        .withColumn("m", $"sx".cast("double") / Quant / $"cn".cast("double"))
+      val newCents = sums.groupBy($"cell")
+        .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+        .select($"cell".as("cid"),
+          transform($"pm", r => r.getField("m")).as("cv"))
+      cents = cents.as("old")
+        .join(newCents.as("nw"), $"old.cid" === $"nw.cid", "left")
+        .select($"old.cid", coalesce($"nw.cv", $"old.cv").as("cv"))
+    }
+    cents
+  }
+
   private def ivfKnn(spark: SparkSession, dir: String,
-      queryLimit: Option[Int], k: Int): DataFrame = {
+      queryLimit: Option[Int], k: Int,
+      centroids: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val e = vectors(spark, dir)
-    val cents = e.filter($"vec_id" < NumCentroids)
-      .select($"vec_id".as("cid"), $"v".as("cv"), $"nrm".as("cnrm"))
+    val cents = centroids.getOrElse(
+      e.filter($"vec_id" < NumCentroids).select($"vec_id".as("cid"), $"v".as("cv")))
     val wAssign = Window.partitionBy($"vec_id")
       .orderBy($"ccos".desc, $"cid")
     val assign = e.as("x").join(broadcast(cents))
       .select($"x.vec_id", $"cid",
-        cosineCol(spark, $"x.v", $"x.nrm", $"cv", $"cnrm").as("ccos"))
+        cosineCol(spark, $"x.v", $"cv").as("ccos"))
       .withColumn("rn", row_number().over(wAssign))
       .filter($"rn" === 1)
       .select($"vec_id", $"cid".as("cell"))
     val q = queryLimit.map(n => e.filter($"vec_id" < n)).getOrElse(e)
     val probes = q.as("q").join(broadcast(cents))
       .select($"q.vec_id".as("query_id"), $"cid",
-        cosineCol(spark, $"q.v", $"q.nrm", $"cv", $"cnrm").as("ccos"))
+        cosineCol(spark, $"q.v", $"cv").as("ccos"))
       .withColumn("rn", row_number().over(
         Window.partitionBy($"query_id").orderBy($"ccos".desc, $"cid")))
       .filter($"rn" <= NProbe)
@@ -116,12 +180,12 @@ object Similarity {
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"))
     val scored = cand
-      .join(q.as("qq").select($"qq.vec_id".as("query_id"),
-        $"qq.v".as("qv"), $"qq.nrm".as("qnrm")), "query_id")
-      .join(e.as("cc").select($"cc.vec_id".as("neighbor_id"),
-        $"cc.v".as("nv"), $"cc.nrm".as("nnrm")), "neighbor_id")
+      .join(q.as("qq").select($"qq.vec_id".as("query_id"), $"qq.v".as("qv")),
+        "query_id")
+      .join(e.as("cc").select($"cc.vec_id".as("neighbor_id"), $"cc.v".as("nv")),
+        "neighbor_id")
       .select($"query_id", $"neighbor_id",
-        cosineCol(spark, $"qv", $"qnrm", $"nv", $"nnrm").as("cosine"))
+        cosineCol(spark, $"qv", $"nv").as("cosine"))
     scored.withColumn("rank", row_number().over(
         Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id"))
         .cast("long"))
@@ -135,57 +199,98 @@ object Similarity {
     "s01_knn_bruteforce" -> s01KnnBruteForce _,
     "s02_ivf_knn" -> s02IvfKnn _,
     "s03_knn_join" -> s03KnnJoin _,
+    "s04_ivf_kmeans" -> s04IvfKmeans _,
   )
 
-  /** cos(a, b) as oracle SQL, given (v, nrm) column prefixes. */
-  private def cosSql(a: String, b: String): String =
+  /** Inline sequential-fold cosine over two vector SQL expressions
+    * (norms recomputed inline — the same op order as `cosine_sim`).
+    */
+  private def cosVSql(a: String, b: String): String = {
+    def ss(x: String) =
+      s"sqrt(list_reduce(list_prepend(0.0::DOUBLE, " +
+        s"list_transform($x, t -> t * t)), (s, t) -> s + t))"
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
-      s"list_zip($a.v, $b.v), p -> p[1] * p[2])), (s, x) -> s + x)" +
-      s" / ($a.nrm * $b.nrm)"
+      s"list_zip($a, $b), p -> p[1] * p[2])), (s, x) -> s + x)" +
+      s" / (${ss(a)} * ${ss(b)})"
+  }
 
   private val VecCte =
-    """n AS (SELECT vec_id, embedding::DOUBLE[] v,
-      |  sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-      |    list_transform(embedding::DOUBLE[], x -> x * x)),
-      |    (s, x) -> s + x)) AS nrm
-      |  FROM embeddings)""".stripMargin
+    "n AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)"
 
   val oracles: Map[String, String] = Map(
     "s01_knn_bruteforce" ->
       s"""WITH $VecCte,
          |q AS (SELECT * FROM n WHERE vec_id < $NumQueries),
          |scored AS (SELECT q.vec_id query_id, c.vec_id neighbor_id,
-         |    ${cosSql("q", "c")} AS cosine
+         |    ${cosVSql("q.v", "c.v")} AS cosine
          |  FROM q JOIN n c ON c.vec_id != q.vec_id)
          |SELECT query_id, neighbor_id, cosine, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
-    "s02_ivf_knn" -> ivfSql(s"WHERE vec_id < $NumQueries", TopK),
-    "s03_knn_join" -> ivfSql("", 3),
+    "s02_ivf_knn" -> ivfSql(s"WHERE vec_id < $NumQueries", TopK,
+      s"SELECT vec_id cid, v AS cv FROM n WHERE vec_id < $NumCentroids"),
+    "s03_knn_join" -> ivfSql("", 3,
+      s"SELECT vec_id cid, v AS cv FROM n WHERE vec_id < $NumCentroids"),
+    "s04_ivf_kmeans" -> ivfSql(s"WHERE vec_id < $NumQueries", TopK,
+      s"SELECT cid, cv FROM cents$KmeansIters", kmeansCtes(KmeansIters)),
   )
 
-  private def ivfSql(queryWhere: String, k: Int): String =
+  /** The k-means iterations as chained CTEs — the same quantized
+    * integer dimension sums as [[kmeansCentroids]], so `cents<i>`
+    * reproduces the Spark centroids bit-for-bit.
+    */
+  private def kmeansCtes(iters: Int): String = {
+    val sb = new StringBuilder(
+      s"cents0 AS (SELECT vec_id cid, v AS cv FROM n WHERE vec_id < $NumCentroids)")
+    for (i <- 1 to iters) {
+      val prev = s"cents${i - 1}"
+      sb.append(s""",
+        |assign$i AS (SELECT vec_id, cell FROM (
+        |  SELECT x.vec_id, c.cid AS cell, row_number() OVER (
+        |    PARTITION BY x.vec_id
+        |    ORDER BY ${cosVSql("x.v", "c.cv")} DESC, c.cid) rn
+        |  FROM n x CROSS JOIN $prev c) WHERE rn = 1),
+        |sums$i AS (SELECT cell, u.pos AS pos,
+        |    SUM(CAST(round(u.x * $Quant) AS BIGINT)) sx, COUNT(*) cn
+        |  FROM (SELECT a.cell, unnest(list_transform(range(len(nn.v)),
+        |          j -> {'pos': j, 'x': nn.v[j+1]})) u
+        |        FROM n nn JOIN assign$i a USING (vec_id))
+        |  GROUP BY cell, u.pos),
+        |newc$i AS (SELECT cell AS cid,
+        |    list(CAST(sx AS DOUBLE) / $Quant / CAST(cn AS DOUBLE)
+        |         ORDER BY pos) cv
+        |  FROM sums$i GROUP BY cell),
+        |cents$i AS (SELECT o.cid, coalesce(nw.cv, o.cv) cv
+        |  FROM $prev o LEFT JOIN newc$i nw ON nw.cid = o.cid)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  private def ivfSql(queryWhere: String, k: Int, centsSelect: String,
+      extraCtes: String = ""): String = {
+    val extra = if (extraCtes.isEmpty) "" else s"$extraCtes,\n"
     s"""WITH $VecCte,
-       |cents AS (SELECT vec_id cid, v, nrm FROM n WHERE vec_id < $NumCentroids),
+       |${extra}cents AS ($centsSelect),
        |assign AS (SELECT vec_id, cell FROM (
        |  SELECT x.vec_id, c.cid AS cell, row_number() OVER (
-       |    PARTITION BY x.vec_id ORDER BY ${cosSql("x", "c")} DESC, c.cid) rn
+       |    PARTITION BY x.vec_id ORDER BY ${cosVSql("x.v", "c.cv")} DESC, c.cid) rn
        |  FROM n x CROSS JOIN cents c) WHERE rn = 1),
        |q AS (SELECT * FROM n $queryWhere),
        |probes AS (SELECT query_id, cell FROM (
        |  SELECT q.vec_id query_id, c.cid AS cell, row_number() OVER (
-       |    PARTITION BY q.vec_id ORDER BY ${cosSql("q", "c")} DESC, c.cid) rn
+       |    PARTITION BY q.vec_id ORDER BY ${cosVSql("q.v", "c.cv")} DESC, c.cid) rn
        |  FROM q CROSS JOIN cents c) WHERE rn <= $NProbe),
        |cand AS (SELECT p.query_id, a.vec_id neighbor_id
        |  FROM probes p JOIN assign a ON a.cell = p.cell
        |  WHERE a.vec_id != p.query_id),
        |scored AS (SELECT d.query_id, d.neighbor_id,
-       |    ${cosSql("q", "c")} AS cosine
+       |    ${cosVSql("q.v", "c.v")} AS cosine
        |  FROM cand d JOIN q ON q.vec_id = d.query_id
        |              JOIN n c ON c.vec_id = d.neighbor_id)
        |SELECT query_id, neighbor_id, cosine, rank FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
 }

@@ -29,17 +29,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("s02 IVF achieves useful recall against exact KNN") {
-    val exact = neighborSets(Similarity.s01KnnBruteForce(spark, sfDir))
-    val approx = neighborSets(Similarity.s02IvfKnn(spark, sfDir))
+  private def meanRecall(approx: Map[Long, Set[Long]],
+      exact: Map[Long, Set[Long]]): Double = {
     val recalls = exact.map { case (q, truth) =>
       approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
     }
-    val mean = recalls.sum / recalls.size
+    recalls.sum / recalls.size
+  }
+
+  test("s02 IVF achieves useful recall against exact KNN") {
+    val exact = neighborSets(Similarity.s01KnnBruteForce(spark, sfDir))
+    val approx = neighborSets(Similarity.s02IvfKnn(spark, sfDir))
+    val mean = meanRecall(approx, exact)
     // nprobe=4 of 16 cells scans ~25% of the corpus; on isotropic random
     // vectors (worst case for IVF — no cluster structure) probing the
     // nearest cells still concentrates true neighbors well above the
     // scan fraction.
     assert(mean >= 0.3, f"mean IVF recall $mean%.2f below floor")
+  }
+
+  test("s04 k-means IVF recall holds up and centroids are bit-deterministic") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val exact = neighborSets(Similarity.s01KnnBruteForce(spark, sfDir))
+    val km = neighborSets(Similarity.s04IvfKmeans(spark, sfDir))
+    val mean = meanRecall(km, exact)
+    assert(mean >= 0.3, f"mean k-means IVF recall $mean%.2f below floor")
+    // quantized-integer dimension sums make centroid training
+    // reproducible bit-for-bit across plans/partitionings
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    def centsOf(df: org.apache.spark.sql.DataFrame) =
+      Similarity.kmeansCentroids(spark, df, 16, 2)
+        .collect().map(r => (r.getAs[Long]("cid"),
+          r.getAs[Seq[Double]]("cv").toList)).toMap
+    val a = centsOf(e)
+    val b = centsOf(e.repartition(7))
+    assert(a == b, "centroids differ across partitionings")
+    // k-means moved the centroids off their seeds
+    val seed = e.filter($"vec_id" < 16).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Seq[Double]]("v").toList)).toMap
+    assert(a.exists { case (cid, cv) => seed(cid) != cv })
   }
 }
