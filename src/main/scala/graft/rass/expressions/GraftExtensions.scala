@@ -25,5 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("phrase_count"),
       new ExpressionInfo(classOf[PhraseCount].getName, "phrase_count"),
       { exprs: Seq[Expression] => PhraseCount(exprs.head, exprs(1), exprs(2)) }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      { exprs: Seq[Expression] => DotProduct(exprs.head, exprs(1)) }))
   }
 }

@@ -67,6 +67,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(g == 1L)
   }
 
+  test("dot_product is callable from plain SQL once registered") {
+    DotProduct.register(spark)
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .head().getDouble(0)
+    assert(r == 32.0)
+  }
+
   test("term_freq counts exact and fuzzy matches like the lambda form") {
     TermFrequency.register(spark)
     def tf(arr: String, term: String, d: Int): Long =
