@@ -210,9 +210,7 @@ object Corpus {
     */
   def stats(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     statsCache.getOrElseUpdate((spark, dir), {
-      val fields = (DocSchema.textFields ++ DocSchema.keywordFields ++
-        DocSchema.compareFields ++ DocSchema.noteFields).map(_._1).distinct
-      val (f, t) = CorpusStats.build(corpus(spark, dir), fields)
+      val (f, t) = CorpusStats.build(corpus(spark, dir), DocSchema.scoredFields)
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       (f.persist(lvl), t.persist(lvl))
     })

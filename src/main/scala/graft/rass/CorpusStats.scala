@@ -45,6 +45,41 @@ object CorpusStats {
     (fieldStats, termStats)
   }
 
+  /** Signed incremental merge: stats of (corpus − removed + added)
+    * without rescanning the corpus — the maintenance step an ingest
+    * batch runs instead of [[build]] over all of history.
+    *
+    * `removed` are the OLD rows leaving the corpus (the previous
+    * versions of upserted doc_ids, or deletions); `added` the rows
+    * entering it. All three statistics are plain long counts, so the
+    * merge is exact integer arithmetic — bit-identical to a full
+    * rebuild (CorpusStatsSpec asserts equality, replacement included).
+    * Terms whose df reaches 0 are dropped so the vocabulary table stays
+    * identical to a from-scratch build. The merge shuffles only
+    * |vocabulary| rows, never documents.
+    */
+  def merge(base: (DataFrame, DataFrame), added: DataFrame,
+      removed: DataFrame, fields: Seq[String]): (DataFrame, DataFrame) = {
+    val (baseField, baseTerm) = base
+    val (addField, addTerm) = build(added, fields)
+    val (remField, remTerm) = build(removed, fields)
+    def negate(df: DataFrame, counts: Seq[String]): DataFrame =
+      df.select(df.columns.map(c =>
+        if (counts.contains(c)) (-col(c)).as(c) else col(c)): _*)
+    val fieldStats = baseField
+      .unionByName(addField)
+      .unionByName(negate(remField, Seq("n_docs", "sum_dl")))
+      .groupBy(col("field"))
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+    val termStats = baseTerm
+      .unionByName(addTerm)
+      .unionByName(negate(remTerm, Seq("df")))
+      .groupBy(col("field"), col("term"))
+      .agg(sum("df").as("df"))
+      .filter(col("df") > 0)
+    (fieldStats, termStats)
+  }
+
   /** Reconstruct the one-row broadcast stats frame (column names
     * `s_<field>_{n_docs,avgdl,df_<i>}`) for a query's fields+terms from
     * the materialized tables. The lookup touches only |fields| +

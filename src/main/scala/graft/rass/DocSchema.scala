@@ -136,4 +136,11 @@ object DocSchema {
   val entityFields: Seq[(String, Double)] = Seq(
     "patientName" -> 4d, "patientId" -> 4d, "patientGender" -> 3d,
     "patientTelecom" -> 3d, "practitionerName" -> 3d, "organizationName" -> 3d)
+
+  /** Every BM25-scorable field — union of the per-intent boost maps.
+    * This is the field set [[CorpusStats]] materializes at ingest.
+    */
+  val scoredFields: Seq[String] =
+    (textFields ++ keywordFields ++ compareFields ++ noteFields)
+      .map(_._1).distinct
 }

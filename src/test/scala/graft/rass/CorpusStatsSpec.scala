@@ -42,4 +42,27 @@ class CorpusStatsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(mergedTerm == allTerm)
   }
+
+  test("signed incremental merge equals a full rebuild, replacement included") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val corpus = Corpus.corpus(spark, sfDir).cache()
+    val fields = DocSchema.scoredFields
+    val hot = crc32(col("doc_id")) % 5 === 0   // re-ingested with new text
+    val dead = crc32(col("doc_id")) % 7 === 3  // deleted outright
+    val replacedOld = corpus.filter(hot && !dead)
+    val replacedNew = replacedOld.withColumn("unstructuredText",
+      concat_ws(" ", col("unstructuredText"), lit("revised")))
+    val removed = corpus.filter(dead).unionByName(replacedOld)
+    val finalCorpus = corpus.filter(!hot && !dead).unionByName(replacedNew)
+    val (mf, mt) = CorpusStats.merge(
+      CorpusStats.build(corpus, fields), replacedNew, removed, fields)
+    val (ff, ft) = CorpusStats.build(finalCorpus, fields)
+    def fmap(df: DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def tmap(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(fmap(mf) == fmap(ff))
+    assert(tmap(mt) == tmap(ft))
+  }
 }

@@ -110,4 +110,44 @@ class StreamsSpec extends SparkSpec {
     assert(after.count() == n1, "doc_id upsert must deduplicate")
     assert(after.select("doc_id").distinct().count() == n1)
   }
+
+  test("auto-ingest maintains materialized BM25 stats incrementally") {
+    import graft.rass.{CorpusStats, DocSchema}
+    val watch = java.nio.file.Files.createTempDirectory("rassstats")
+    val table = watch.resolve("table").toString
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/fixtures/bundle.json"))
+    val bundleJson = try src.mkString finally src.close()
+    java.nio.file.Files.writeString(watch.resolve("b1.json"), bundleJson)
+
+    AutoIngest.start(spark, watch.toString, table,
+      watch.resolve("ckpt1").toString, "u1",
+      new DeterministicEmbedder(8)).awaitTermination()
+
+    def statsMatchRebuild(): Unit = {
+      val docs = spark.read.parquet(table)
+      val (wantF, wantT) = CorpusStats.build(docs, DocSchema.scoredFields)
+      val gotF = spark.read.parquet(AutoIngest.statsFieldsPath(table))
+      val gotT = spark.read.parquet(AutoIngest.statsTermsPath(table))
+      def fm(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getAs[String]("field") ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_dl")))).toMap
+      def tm(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[String]("field"), r.getAs[String]("term")) ->
+          r.getAs[Long]("df")).toMap
+      assert(fm(gotF) == fm(wantF))
+      assert(tm(gotT) == tm(wantT))
+    }
+    statsMatchRebuild()
+
+    // second batch re-ingests every doc with mutated text: the signed
+    // merge (subtract replaced versions, add winners) must land on the
+    // same stats a from-scratch build over the new table computes
+    java.nio.file.Files.writeString(watch.resolve("b2.json"),
+      bundleJson.replace("thirst", "hunger"))
+    AutoIngest.start(spark, watch.toString, table,
+      watch.resolve("ckpt2").toString, "u1",
+      new DeterministicEmbedder(8)).awaitTermination()
+    statsMatchRebuild()
+  }
 }
