@@ -67,4 +67,19 @@ object IndexWriter {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(DocSchema.schema).parquet(path)
+
+  /** S14 — index existence (`ensure_index_exists`,
+    * `app/main.py:350-579`; table-exists is the Spark analogue of the
+    * index-mapping check since parquet carries its schema).
+    */
+  def indexExists(spark: SparkSession, path: String): Boolean =
+    org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(path))
+
+  /** S14 — `has_any_data` (`app/main.py:1470-1478`): count>0 via a
+    * limit-1 probe, not a full count.
+    */
+  def hasAnyData(spark: SparkSession, path: String): Boolean =
+    indexExists(spark, path) && read(spark, path).limit(1).count() > 0
 }

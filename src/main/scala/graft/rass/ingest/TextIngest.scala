@@ -26,6 +26,27 @@ object TextIngest {
       .select(input_file_name().as("file_path"), $"value".as("text"))
       .withColumn("file_type",
         when($"file_path".endsWith(".md"), "markdown").otherwise("text"))
+    fromRaw(raw, userId, chunkSize)
+  }
+
+  /** Already-read file contents (the upload path, [[Upload]]): same
+    * chunk/id pipeline as the directory scan, with the file_type the
+    * caller determined from the original extension.
+    */
+  def fromContents(spark: SparkSession,
+      files: Seq[(String, String, String)], // (file_path, text, file_type)
+      userId: String = "default",
+      chunkSize: Int = Chunker.DefaultChunkSize): DataFrame = {
+    import spark.implicits._
+    val raw = files.toDF("file_path", "text", "file_type")
+    fromRaw(raw, userId, chunkSize)
+  }
+
+  /** (file_path, text, file_type) rows -> doc-schema chunk rows. */
+  private def fromRaw(rawIn: DataFrame, userId: String,
+      chunkSize: Int): DataFrame = {
+    import rawIn.sparkSession.implicits._
+    val raw = rawIn
       .withColumn("patientId",
         when(regexp_extract($"file_path", "patient_(\\d+)", 1) =!= "",
           regexp_extract($"file_path", "patient_(\\d+)", 1)))

@@ -1,0 +1,96 @@
+package graft.rass.ingest
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.rass.{CorpusStats, DeterministicEmbedder, DocSchema}
+
+class UploadSpec extends SparkSpec {
+
+  private lazy val bundleJson: String = {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/fixtures/bundle.json"))
+    try src.mkString finally src.close()
+  }
+
+  test("user id validation matches the reference pattern") {
+    assert(Upload.validateUserId("user-1"))
+    assert(Upload.validateUserId("a" * 36))
+    assert(Upload.validateUserId("123e4567-e89b-12d3-a456-426614174000"))
+    assert(!Upload.validateUserId("a" * 37))
+    assert(!Upload.validateUserId("bad user!"))
+    assert(!Upload.validateUserId(""))
+  }
+
+  test("request-level validation returns the reference error strings") {
+    val t = Files.createTempDirectory("upl")
+    val (up, tab) = (t.resolve("uploads").toString, t.resolve("tab").toString)
+    assert(Upload.ingestFiles(spark, "bad user!", Seq("x.txt"), up, tab) ==
+      Left("Invalid user ID format"))
+    assert(Upload.ingestFiles(spark, "u1", Seq.empty, up, tab) ==
+      Left("No files uploaded"))
+    val six = (1 to 6).map(i => t.resolve(s"f$i.txt").toString)
+    assert(Upload.ingestFiles(spark, "u1", six, up, tab) ==
+      Left("Too many files uploaded (max 5)"))
+    // an oversize-only request processes nothing
+    val big = t.resolve("big.txt")
+    Files.writeString(big, "x" * 100)
+    assert(Upload.ingestFiles(spark, "u1", Seq(big.toString), up, tab,
+      maxFileSize = 10L) == Left("No valid files were processed"))
+  }
+
+  test("upload ingests FHIR + text, skips invalid files, maintains stats") {
+    val t = Files.createTempDirectory("upl2")
+    val (up, tab) = (t.resolve("uploads").toString, t.resolve("tab").toString)
+    val b = t.resolve("bundle.json"); Files.writeString(b, bundleJson)
+    val note = t.resolve("patient_7_note.txt")
+    Files.writeString(note, "Patient reports stable vitals and mild cough.")
+    val xml = t.resolve("report.xml"); Files.writeString(xml, "<r/>")
+    val badJson = t.resolve("broken.json"); Files.writeString(badJson, "{oops")
+    val noEntry = t.resolve("plain.json"); Files.writeString(noEntry, "{\"a\":1}")
+
+    val res = Upload.ingestFiles(spark, "u1",
+      Seq(b, note, xml, badJson, noEntry).map(_.toString), up, tab,
+      new DeterministicEmbedder(8))
+    val r = res.toOption.get
+    assert(r.processedFiles == 2, "bundle + note accepted; 3 files skipped")
+
+    val docs = spark.read.parquet(tab)
+    assert(docs.count() == r.docsIndexed && r.docsIndexed > 0)
+    // both sources landed, and the text chunk carries the filename patient id
+    assert(docs.filter(org.apache.spark.sql.functions.col("resourceType") === "Patient" &&
+      org.apache.spark.sql.functions.col("doc_type") === "structured").count() == 1)
+    val chunk = docs.filter(org.apache.spark.sql.functions.col("file_type") === "text").collect()
+    assert(chunk.length == 1 && chunk.head.getAs[String]("patientId") == "7")
+    // staged copies live under the user folder and are fetchable
+    assert(chunk.head.getAs[String]("file_path").startsWith(up))
+    assert(Files.exists(java.nio.file.Paths.get(chunk.head.getAs[String]("file_path"))))
+
+    // stats tables were committed and equal a from-scratch build
+    def statsMatch(): Unit = {
+      val (wantF, wantT) = CorpusStats.build(spark.read.parquet(tab), DocSchema.scoredFields)
+      def fm(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(x => x.getAs[String]("field") ->
+          ((x.getAs[Long]("n_docs"), x.getAs[Long]("sum_dl")))).toMap
+      def tm(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(x => (x.getAs[String]("field"), x.getAs[String]("term")) ->
+          x.getAs[Long]("df")).toMap
+      assert(fm(spark.read.parquet(IngestCommit.statsFieldsPath(tab))) == fm(wantF))
+      assert(tm(spark.read.parquet(IngestCommit.statsTermsPath(tab))) == tm(wantT))
+    }
+    statsMatch()
+
+    // S14 probes
+    assert(IndexWriter.indexExists(spark, tab))
+    assert(IndexWriter.hasAnyData(spark, tab))
+    assert(!IndexWriter.indexExists(spark, t.resolve("nope").toString))
+
+    // re-uploading the same files is idempotent: content-digest staging
+    // names keep doc_ids stable, the upsert replaces rather than adds
+    val res2 = Upload.ingestFiles(spark, "u1", Seq(b, note).map(_.toString),
+      up, tab, new DeterministicEmbedder(8))
+    assert(res2.toOption.get.processedFiles == 2)
+    assert(spark.read.parquet(tab).count() == r.docsIndexed)
+    statsMatch()
+  }
+}
