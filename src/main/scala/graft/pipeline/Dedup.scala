@@ -318,6 +318,64 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Iteration cap for [[d06NeardupClusters]]: min-label propagation
+    * converges in O(component diameter) rounds, and near-dup clusters
+    * are short chains in practice; the cap only guards a pathological
+    * corpus-long path. (At extreme scale the O(log n) alternating
+    * star-contraction variant replaces this loop; the per-round
+    * dataflow — join, min-aggregate, compare — is the same.)
+    */
+  val MaxCcIterations = 50
+
+  /** d06 — near-duplicate CLUSTERS from the d03 pair set: connected
+    * components by distributed min-label propagation, then survivor
+    * selection (the lexicographically-smallest member is canonical,
+    * `keep = 1`; every other member is the dedup drop list). This is
+    * the step a training pipeline actually acts on — pairs alone don't
+    * say which copy to keep when dups chain a-b-c.
+    *
+    * Scale shape: edges (two directed rows per dup pair) are
+    * pre-partitioned on `dst` once, so every iteration's
+    * propagate-join reuses that exchange and shuffles only the label
+    * table (2 small columns); each round is one join + one
+    * min-aggregate, all distributed — the driver sees only the
+    * converged/changed counter. Candidate volume is the true-dup
+    * volume (inherited from d03's banding), not corpus².
+    */
+  def d06NeardupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = d03MinhashLshPairs(spark, dir).select($"a_id", $"b_id")
+    val edges = pairs.union(pairs.select($"b_id", $"a_id"))
+      .toDF("src", "dst")
+      .repartition($"dst")
+      .persist(lvl)
+    var labels = edges.select($"src".as("id")).distinct()
+      .withColumn("label", $"id")
+      .persist(lvl)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < MaxCcIterations) {
+      val prop = edges.join(labels, $"dst" === $"id")
+        .groupBy($"src").agg(min($"label").as("nlabel"))
+      val next = labels.select($"id".as("nid"), $"label".as("old"))
+        .join(prop, $"nid" === $"src", "left")
+        .select($"nid".as("id"), $"old",
+          least($"old", coalesce($"nlabel", $"old")).as("label"))
+        .persist(lvl)
+      changed = next.filter($"label" =!= $"old").count()
+      labels.unpersist()
+      labels = next.drop("old")
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+      .select($"label".as("cluster_id"), $"id".as("doc_id"))
+      .withColumn("keep",
+        when($"doc_id" === $"cluster_id", 1L).otherwise(0L))
+      .orderBy($"cluster_id", $"doc_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -326,6 +384,7 @@ object Dedup {
     "d03_minhash_lsh_pairs" -> d03MinhashLshPairs _,
     "d04_simhash_pairs" -> d04SimhashPairs _,
     "d05_embedding_neardup" -> d05EmbeddingNearDup _,
+    "d06_neardup_clusters" -> d06NeardupClusters _,
   )
 
   // Shared oracle CTEs (DuckDB SQL mirroring the Spark expressions).
@@ -441,6 +500,30 @@ object Dedup {
          |FROM simhash a JOIN simhash b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sim, b.sim)) <= 3
          |ORDER BY a_id, b_id""".stripMargin,
+    "d06_neardup_clusters" ->
+      s"""WITH RECURSIVE $ShingleCte,
+         |sig AS ($minhashSigSql),
+         |bands AS ($minhashBandsSql),
+         |cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |pairs AS (SELECT c.a_id, c.b_id, count(*) inter
+         |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+         |              JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2),
+         |dup AS (SELECT a_id, b_id FROM pairs
+         |  JOIN sizes za ON a_id = za.doc_id
+         |  JOIN sizes zb ON b_id = zb.doc_id
+         |  WHERE inter * 5 >= (za.n + zb.n - inter) * 4),
+         |edges AS (SELECT a_id s, b_id d FROM dup
+         |          UNION ALL SELECT b_id, a_id FROM dup),
+         |reach(id, lab) AS (
+         |  SELECT DISTINCT s, s FROM edges
+         |  UNION
+         |  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id)
+         |SELECT min(lab) AS cluster_id, id AS doc_id,
+         |  (CASE WHEN min(lab) = id THEN 1 ELSE 0 END)::BIGINT AS keep
+         |FROM reach GROUP BY id ORDER BY cluster_id, doc_id""".stripMargin,
     "d05_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
          |n AS (SELECT vec_id, v,

@@ -144,6 +144,33 @@ object TextAnalysis {
       .limit(25)
   }
 
+  /** p07 — deterministic train/val/test assignment (90/5/5) by content
+    * hash: bucket = first 16 bits of md5(doc_id). The property a
+    * training pipeline needs is STABILITY — a document keeps its split
+    * forever, across re-runs, engines, and corpus growth (no global
+    * sort or count to drift when new data lands), so eval sets never
+    * silently contaminate. Pure per-row projection + tiny aggregate;
+    * the md5-hex fold is the same engine-portable pattern the SimHash
+    * op uses.
+    */
+  def p07SplitProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = expr(
+      """aggregate(split(substring(md5(cast(doc_id as string)), 1, 4), ''),
+        | CAST(0 AS BIGINT),
+        | (h, ch) -> h * 16 + instr('0123456789abcdef', ch) - 1)""".stripMargin)
+    Tables.documents(spark, dir)
+      .select($"source", bucket.as("b"),
+        size(toks($"text")).cast("long").as("n_tokens"))
+      .withColumn("split",
+        when($"b" < 58982, "train")        // 0.90 * 65536
+          .when($"b" < 62259, "val")       // 0.95 * 65536
+          .otherwise("test"))
+      .groupBy($"source", $"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"))
+      .orderBy($"source", $"split")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -153,6 +180,7 @@ object TextAnalysis {
     "p04_langid_confusion" -> p04LangIdConfusion _,
     "p05_fingerprint" -> p05Fingerprint _,
     "p06_vocab_top_terms" -> p06VocabTopTerms _,
+    "p07_split_profile" -> p07SplitProfile _,
   )
 
   private val TOKS = raw"regexp_split_to_array(trim(text), '\s+')"
@@ -206,5 +234,16 @@ object TextAnalysis {
          | COUNT(DISTINCT doc_id) AS doc_freq
          |FROM (SELECT doc_id, unnest($TOKS) AS term FROM documents)
          |GROUP BY term ORDER BY term_freq DESC, term LIMIT 25""".stripMargin,
+    "p07_split_profile" ->
+      s"""SELECT source, split, COUNT(*) AS n_docs,
+         | CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM (SELECT source, $NTOK AS n_tokens,
+         |  CASE WHEN b < 58982 THEN 'train'
+         |       WHEN b < 62259 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT source, text, list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(string_split(substr(md5(doc_id::VARCHAR), 1, 4), ''),
+         |      ch -> (instr('0123456789abcdef', ch) - 1)::BIGINT)),
+         |    (h, c) -> h * 16 + c) AS b FROM documents))
+         |GROUP BY source, split ORDER BY source, split""".stripMargin,
   )
 }

@@ -100,4 +100,24 @@ class DedupSpec extends SparkSpec {
     assert(lsh.size * 2 >= brute.size,
       s"sign-LSH recall too low: ${lsh.size}/${brute.size}")
   }
+
+  test("d06 clusters are consistent connected components of the d03 pairs") {
+    val pairs = Dedup.d03MinhashLshPairs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    val rows = Dedup.d06NeardupClusters(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Long]("keep")))).toMap
+    // every paired doc is clustered, and both ends share a cluster
+    pairs.foreach { case (a, b) =>
+      assert(rows(a)._1 == rows(b)._1, s"$a and $b split across clusters")
+    }
+    // cluster id is the min member; exactly one survivor per cluster
+    val byCluster = rows.toSeq.groupBy(_._2._1)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid)
+      assert(members.count(_._2._2 == 1L) == 1)
+      assert(members.find(_._2._2 == 1L).get._1 == cid)
+      assert(members.size >= 2, "singletons are excluded from the dup list")
+    }
+  }
 }

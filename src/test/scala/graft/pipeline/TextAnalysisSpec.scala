@@ -55,4 +55,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
     assert(rows.map(_.getAs[String]("fingerprint")).distinct.length == rows.length)
   }
+
+  test("p07 split covers every doc, skews ~90/5/5, and is deterministic") {
+    val total = graft.Tables.documents(spark, sfDir).count()
+    def profile() = TextAnalysis.p07SplitProfile(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("split")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens")))).toMap
+    val p = profile()
+    assert(p.values.map(_._1).sum == total)
+    val bySplit = p.toSeq.groupBy(_._1._2).view
+      .mapValues(_.map(_._2._1).sum).toMap
+    // hash split: train share must dominate (loose bound for a small corpus)
+    assert(bySplit("train") * 10 >= total * 8)
+    assert(bySplit.getOrElse("val", 0L) + bySplit.getOrElse("test", 0L) < total / 4)
+    // same assignment on a second run — the split is a pure hash of doc_id
+    assert(profile() == p)
+  }
 }
