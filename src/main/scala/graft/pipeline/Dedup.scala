@@ -335,36 +335,55 @@ object Dedup {
     * say which copy to keep when dups chain a-b-c.
     *
     * Scale shape: edges (two directed rows per dup pair) are
-    * pre-partitioned on `dst` once, so every iteration's
+    * pre-partitioned on `src` once, so every iteration's
     * propagate-join reuses that exchange and shuffles only the label
-    * table (2 small columns); each round is one join + one
-    * min-aggregate, all distributed — the driver sees only the
-    * converged/changed counter. Candidate volume is the true-dup
+    * table (2 small columns); each round is ONE shuffle (own label
+    * unioned with in-neighbor labels, min per node), all distributed —
+    * the driver sees only the converged/changed counter. Candidate volume is the true-dup
     * volume (inherited from d03's banding), not corpus².
     */
+  /** The d03 pair set persisted per (session, dir): like the shingle
+    * index, the dup-pair table is an ingest-time artifact — clustering
+    * consumes the STORED pairs, it doesn't re-derive them from text.
+    */
+  private def dupPairs(spark: SparkSession, dir: String): DataFrame =
+    pairsCache.getOrElseUpdate((spark, dir), {
+      import spark.implicits._
+      d03MinhashLshPairs(spark, dir).select($"a_id", $"b_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
   def d06NeardupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val pairs = d03MinhashLshPairs(spark, dir).select($"a_id", $"b_id")
+    val pairs = dupPairs(spark, dir)
     val edges = pairs.union(pairs.select($"b_id", $"a_id"))
       .toDF("src", "dst")
-      .repartition($"dst")
+      .repartition($"src")
       .persist(lvl)
-    var labels = edges.select($"src".as("id")).distinct()
+    var cached = edges.select($"src".as("id")).distinct()
       .withColumn("label", $"id")
       .persist(lvl)
+    var labels = cached
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < MaxCcIterations) {
-      val prop = edges.join(labels, $"dst" === $"id")
-        .groupBy($"src").agg(min($"label").as("nlabel"))
-      val next = labels.select($"id".as("nid"), $"label".as("old"))
-        .join(prop, $"nid" === $"src", "left")
-        .select($"nid".as("id"), $"old",
-          least($"old", coalesce($"nlabel", $"old")).as("label"))
+      // one shuffle per round: own label unioned with every in-neighbor's
+      // label, min per node. The own-label row also carries `old` (max
+      // over a null-for-neighbors column recovers it), so convergence
+      // detection is a filter on the cached result — no extra join.
+      val next = labels.select($"id", $"label", $"label".as("old"))
+        .union(edges.join(labels, $"src" === $"id")
+          .select($"dst".as("id"), $"label", lit(null).cast("long").as("old")))
+        .groupBy($"id").agg(min($"label").as("label"), max($"old").as("old"))
         .persist(lvl)
       changed = next.filter($"label" =!= $"old").count()
-      labels.unpersist()
+      cached.unpersist()
+      cached = next
       labels = next.drop("old")
       iter += 1
     }
