@@ -61,6 +61,20 @@ object Streams {
         col("a_type"), col("b_type"))
   }
 
+  /** Watermarked streaming exact-dedup (the streaming twin of the
+    * batch d01 operator): the first occurrence of each event_id passes,
+    * replays and duplicates are dropped. `dropDuplicatesWithinWatermark`
+    * evicts a key's state once the watermark passes it, so the state
+    * store is bounded by the watermark horizon's key volume — the plain
+    * `dropDuplicates` would grow a key entry forever, which at 100 TB of
+    * stream history is unbounded state. Upstream at-least-once delivery
+    * (file redelivery, producer retries) is exactly the duplication this
+    * absorbs.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stateful sessionization: 30-minute inactivity gap splits sessions.
     * One GroupState per user holding (last event time, counters). With
     * `idleTimeout` set (the production default), a processing-time

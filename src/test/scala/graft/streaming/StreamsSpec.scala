@@ -86,6 +86,28 @@ class StreamsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming dedup drops replayed events, keeping each id once") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val events = graft.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq
+
+    val input = MemoryStream[Event]
+    val query = dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    input.addData(events)
+    input.addData(events.take(events.size / 2)) // at-least-once replay
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("dedup").select("event_id").collect()
+      .map(_.getLong(0))
+    assert(got.length == events.size, "each event exactly once")
+    assert(got.toSet == events.map(_.event_id).toSet)
+  }
+
   test("auto-ingest picks up bundle files and upserts idempotently") {
     val watch = java.nio.file.Files.createTempDirectory("rasswatch")
     val table = watch.resolve("table").toString
