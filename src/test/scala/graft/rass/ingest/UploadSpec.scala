@@ -93,4 +93,27 @@ class UploadSpec extends SparkSpec {
     assert(spark.read.parquet(tab).count() == r.docsIndexed)
     statsMatch()
   }
+
+  test("uploaded docs flow through ask(): DOCUMENT_FETCH reads them back") {
+    import graft.rass.RassEngine
+    import graft.rass.query.{Intent, RuleNer}
+    val t = Files.createTempDirectory("upl3")
+    val (up, tab) = (t.resolve("uploads").toString, t.resolve("tab").toString)
+    val b = t.resolve("ehr.json"); Files.writeString(b, bundleJson)
+    assert(Upload.ingestFiles(spark, "u1", Seq(b.toString), up, tab,
+      new DeterministicEmbedder(8)).isRight)
+
+    val engine = new RassEngine(spark.read.parquet(tab),
+      new DeterministicEmbedder(8),
+      ner = new RuleNer(persons = Seq("alice m johnson")),
+      nowMicros = () => 1748736000000000L)
+    val ans = engine.ask(
+      "Fetch the medical records for Alice M Johnson", "u1", "c1")
+    assert(ans.intent == Intent.DocumentFetch)
+    // the staged upload copy is the file_path on record, so the fetch
+    // re-reads the actual uploaded bundle from disk
+    assert(ans.answer.contains("\"queried_name\": \"alice m johnson\""))
+    assert(ans.answer.contains("\"file_type\": \"json\""))
+    assert(ans.answer.contains("long-standing diabetic"))
+  }
 }
