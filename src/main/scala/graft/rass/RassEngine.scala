@@ -56,9 +56,15 @@ final class ParquetChatStore(spark: SparkSession, path: String) extends ChatStor
   override def history(chatId: String, n: Int = 10): Seq[ChatMessage] = {
     import spark.implicits._
     try {
+      // last-n pushed into the scan (TakeOrderedAndProject after the
+      // chatId filter) — only n rows reach the driver however long the
+      // chat history grows, mirroring the reference's `take: 10` desc
+      // query (`main.py:2786-2791`)
       spark.read.parquet(path).as[ChatMessage]
         .filter(col("chatId") === chatId)
-        .collect().sortBy(_.createdAt.getTime).takeRight(n).toSeq
+        .orderBy(col("createdAt").desc)
+        .limit(n)
+        .collect().sortBy(_.createdAt.getTime).toSeq
     } catch {
       // first message of the first chat: the table doesn't exist yet
       case e: org.apache.spark.sql.AnalysisException
