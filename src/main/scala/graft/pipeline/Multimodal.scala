@@ -144,12 +144,38 @@ object Multimodal {
       .orderBy($"doc_id", $"frame_idx")
   }
 
+  /** m04 — resize planning: aspect-preserving fit of every image into
+    * [[ResizeTarget]]² plus letterbox padding, from metadata alone. The
+    * geometry is the columnar, exact-integer part of a resize pipeline
+    * — the pixel resample itself belongs behind the [[MediaDecoder]]
+    * seam (m02), which receives (payload, out_w, out_h) per batch. At
+    * scale this plan prunes to the two metadata ints per row; payloads
+    * are untouched until the decode stage consumes the plan.
+    */
+  private val ResizeTarget = 224L
+
+  def m04ResizePlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = lit(ResizeTarget)
+    mediaTable(spark, dir)
+      .filter($"media_type" === "image")
+      .select($"doc_id", $"meta.width".as("width"), $"meta.height".as("height"))
+      .withColumn("out_w", when($"width" >= $"height", t)
+        .otherwise(floor($"width" * t / $"height").cast("long")))
+      .withColumn("out_h", when($"width" >= $"height",
+        floor($"height" * t / $"width").cast("long")).otherwise(t))
+      .withColumn("pad_x", t - $"out_w")
+      .withColumn("pad_y", t - $"out_h")
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_catalog" -> m01MediaCatalog _,
     "m02_decoded_features" -> m02DecodedFeatures _,
     "m03_frame_sample" -> m03FrameSample _,
+    "m04_resize_plan" -> m04ResizePlan _,
   )
 
   // NOTE: the m02/m03 oracles equate UTF-8 bytes with characters
@@ -182,5 +208,18 @@ object Multimodal {
          |    for i in range(0, (strlen(text) - 1) // $FrameLen + 1, $FrameStep)]) AS u
          |  FROM documents WHERE doc_id % 3 = 2 AND strlen(text) > 0)
          |ORDER BY doc_id, frame_idx""".stripMargin,
+    "m04_resize_plan" ->
+      """SELECT doc_id, width, height, out_w, out_h,
+        | 224 - out_w AS pad_x, 224 - out_h AS pad_y
+        |FROM (
+        | SELECT doc_id, width, height,
+        |  CASE WHEN width >= height THEN 224
+        |       ELSE CAST(floor(width * 224 / height) AS BIGINT) END AS out_w,
+        |  CASE WHEN width >= height THEN CAST(floor(height * 224 / width) AS BIGINT)
+        |       ELSE 224 END AS out_h
+        | FROM (SELECT doc_id, 64 + (doc_id % 64) * 16 AS width,
+        |              64 + (doc_id % 48) * 16 AS height
+        |       FROM documents WHERE doc_id % 3 = 0))
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -49,4 +49,17 @@ class MultimodalSpec extends SparkSpec {
       assert(fs.map(_.getAs[Long]("frame_idx")).sorted.sameElements(0L until expected))
     }
   }
+
+  test("resize plan fits 224, preserves aspect, letterboxes the rest") {
+    Multimodal.m04ResizePlan(spark, sfDir).collect().foreach { r =>
+      val (w, h) = (r.getAs[Long]("width"), r.getAs[Long]("height"))
+      val (ow, oh) = (r.getAs[Long]("out_w"), r.getAs[Long]("out_h"))
+      assert(ow <= 224 && oh <= 224 && (ow == 224 || oh == 224))
+      // the long side is exact; the short side is floor-scaled
+      if (w >= h) assert(ow == 224 && oh == h * 224 / w)
+      else assert(oh == 224 && ow == w * 224 / h)
+      assert(r.getAs[Long]("pad_x") == 224 - ow)
+      assert(r.getAs[Long]("pad_y") == 224 - oh)
+    }
+  }
 }
