@@ -111,6 +111,19 @@ final class RassEngine(
   private val CitationPrompt =
     "You are a medical assistant. Cite every claim with its Document ID."
 
+  /** BM25 statistics for the scoring searches: the caller's materialized
+    * tables when given (ingest maintains them incrementally,
+    * [[graft.rass.ingest.IngestCommit]]); otherwise built ONCE from
+    * `docs` and kept persisted — an engine must never re-aggregate the
+    * corpus per ask() (at 100 TB that is a second full scan per query).
+    */
+  private lazy val effectiveStats: Option[(DataFrame, DataFrame)] =
+    stats.orElse {
+      val (f, t) = CorpusStats.build(docs, DocSchema.scoredFields)
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      Some((f.persist(lvl), t.persist(lvl)))
+    }
+
   /** Fields the reference excludes from structured snippets
     * (`main.py:2904-2908`).
     */
@@ -210,14 +223,14 @@ final class RassEngine(
     val hitsDf: DataFrame = intent match {
       case Intent.Keyword => Searches.q1ExactMatch(docs, queryText, topK, patientId, entityFilter)
       case Intent.Semantic => Searches.q2Semantic(docs, qv, topK, patientId, entityFilter)
-      case Intent.Hybrid => Searches.q3Hybrid(docs, queryText, qv, topK, patientId, entityFilter, stats)
+      case Intent.Hybrid => Searches.q3Hybrid(docs, queryText, qv, topK, patientId, entityFilter, effectiveStats)
       case Intent.Structured => Searches.q4Structured(docs, queryText, topK, patientId, entityFilter)
       case Intent.HybridStructured => Searches.q5HybridStructured(docs, queryText, qv, topK, patientId, entityFilter)
       case Intent.Aggregate => Searches.q6Aggregate(docs, patientId, entityFilter)
-      case Intent.Comparison => Searches.q7Comparison(docs, queryText, topK, patientId, entityFilter, stats)
+      case Intent.Comparison => Searches.q7Comparison(docs, queryText, topK, patientId, entityFilter, effectiveStats)
       case Intent.Temporal => Searches.q8Temporal(docs, queryText, now, topK, patientId, entityFilter)
-      case Intent.Explanatory => Searches.q9Explanatory(docs, queryText, topK, patientId, entityFilter, stats)
-      case Intent.MultiIntent => Searches.q10MultiIntent(docs, queryText, qv, now, topK, patientId, entityFilter, stats)
+      case Intent.Explanatory => Searches.q9Explanatory(docs, queryText, topK, patientId, entityFilter, effectiveStats)
+      case Intent.MultiIntent => Searches.q10MultiIntent(docs, queryText, qv, now, topK, patientId, entityFilter, effectiveStats)
       case Intent.EntitySpecific => Searches.q11EntitySpecific(docs, queryText, topK, patientId, entityFilter)
       case Intent.DocumentFetch => patientId match {
         case Some(p) => Searches.q12DocumentFetch(docs, p, topK, entityFilter)
