@@ -35,8 +35,41 @@ object EmbeddingStats {
       .orderBy($"label")
   }
 
+  /** v02 — int8 quantization profile: per vector, symmetric max-abs
+    * scaling to [-127, 127] (`q_i = floor(x_i * 127 / maxabs)`), the
+    * compression step that shrinks a 100 TB float32 embedding store 4x
+    * before ANN serving. Outputs are pure integers (quantized sums and
+    * the micro-quantized scale), so the profile hash-matches across
+    * engines; the division is the same IEEE double op on both sides.
+    * Aggregated per label to keep the result a small profile table.
+    */
+  def v02QuantizeProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = $"embedding".cast("array<double>")
+    val maxabs = aggregate(transform(v, x => abs(x)), lit(0.0),
+      (a, x) => greatest(a, x))
+    val qsum = aggregate(transform(v, x =>
+      floor(x * 127.0 / $"maxabs").cast("long")), lit(0L), (a, x) => a + x)
+    val qabssum = aggregate(transform(v, x =>
+      abs(floor(x * 127.0 / $"maxabs").cast("long"))), lit(0L), (a, x) => a + x)
+    Tables.embeddings(spark, dir)
+      .select($"label", $"vec_id", v.as("embedding"), maxabs.as("maxabs"))
+      .filter($"maxabs" > 0) // all-zero vectors carry no quantizable signal
+      .select($"label",
+        floor($"maxabs" * 1000000L).cast("long").as("scale_micro"),
+        qsum.as("q_sum"), qabssum.as("q_abs_sum"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min($"scale_micro").as("min_scale_micro"),
+        max($"scale_micro").as("max_scale_micro"),
+        sum($"q_sum").as("sum_q"),
+        sum($"q_abs_sum").as("sum_abs_q"))
+      .orderBy($"label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_norm_profile" -> v01NormProfile _,
+    "v02_quantize_profile" -> v02QuantizeProfile _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -53,6 +86,25 @@ object EmbeddingStats {
         |    list_transform(embedding::DOUBLE[], x -> x * x)),
         |    (s, x) -> s + x)) * 1000000) AS BIGINT) AS norm_micro
         |  FROM embeddings)
+        |GROUP BY label ORDER BY label""".stripMargin,
+    "v02_quantize_profile" ->
+      """SELECT label, COUNT(*) AS n_vecs,
+        | MIN(scale_micro) AS min_scale_micro,
+        | MAX(scale_micro) AS max_scale_micro,
+        | CAST(SUM(q_sum) AS BIGINT) AS sum_q,
+        | CAST(SUM(q_abs_sum) AS BIGINT) AS sum_abs_q
+        |FROM (SELECT label,
+        |  CAST(floor(maxabs * 1000000) AS BIGINT) AS scale_micro,
+        |  CAST(list_sum(list_transform(v, x ->
+        |    CAST(floor(x * 127 / maxabs) AS BIGINT))) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(v, x ->
+        |    abs(CAST(floor(x * 127 / maxabs) AS BIGINT)))) AS BIGINT) AS q_abs_sum
+        | FROM (SELECT label, embedding::DOUBLE[] v,
+        |   list_reduce(list_prepend(0.0::DOUBLE,
+        |     list_transform(embedding::DOUBLE[], x -> abs(x))),
+        |     (a, x) -> greatest(a, x)) AS maxabs
+        |  FROM embeddings)
+        | WHERE maxabs > 0)
         |GROUP BY label ORDER BY label""".stripMargin,
   )
 }
