@@ -193,6 +193,25 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** s05 — IVF recall profile: per query, how many of the exact top-10
+    * the IVF index recovered — the evaluation an ANN deployment runs
+    * before trading exactness for speed, as a first-class query.
+    * Integer overlap counts only, so the profile hash-matches the
+    * oracle (which recomputes both sides in SQL and intersects).
+    */
+  def s05RecallProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = s01KnnBruteForce(spark, dir).select($"query_id", $"neighbor_id")
+    val approx = s02IvfKnn(spark, dir).select($"query_id", $"neighbor_id")
+    val ov = exact.intersect(approx)
+      .groupBy($"query_id").agg(count(lit(1)).as("n_overlap"))
+    exact.groupBy($"query_id").agg(count(lit(1)).as("n_exact"))
+      .join(ov, Seq("query_id"), "left")
+      .select($"query_id", $"n_exact",
+        coalesce($"n_overlap", lit(0L)).as("n_overlap"))
+      .orderBy($"query_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -200,6 +219,7 @@ object Similarity {
     "s02_ivf_knn" -> s02IvfKnn _,
     "s03_knn_join" -> s03KnnJoin _,
     "s04_ivf_kmeans" -> s04IvfKmeans _,
+    "s05_recall_profile" -> s05RecallProfile _,
   )
 
   /** Inline sequential-fold cosine over two vector SQL expressions
@@ -217,19 +237,33 @@ object Similarity {
   private val VecCte =
     "n AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)"
 
+  private lazy val s01Sql =
+    s"""WITH $VecCte,
+       |q AS (SELECT * FROM n WHERE vec_id < $NumQueries),
+       |scored AS (SELECT q.vec_id query_id, c.vec_id neighbor_id,
+       |    ${cosVSql("q.v", "c.v")} AS cosine
+       |  FROM q JOIN n c ON c.vec_id != q.vec_id)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  private lazy val s02Sql = ivfSql(s"WHERE vec_id < $NumQueries", TopK,
+    s"SELECT vec_id cid, v AS cv FROM n WHERE vec_id < $NumCentroids")
+
   val oracles: Map[String, String] = Map(
-    "s01_knn_bruteforce" ->
-      s"""WITH $VecCte,
-         |q AS (SELECT * FROM n WHERE vec_id < $NumQueries),
-         |scored AS (SELECT q.vec_id query_id, c.vec_id neighbor_id,
-         |    ${cosVSql("q.v", "c.v")} AS cosine
-         |  FROM q JOIN n c ON c.vec_id != q.vec_id)
-         |SELECT query_id, neighbor_id, cosine, rank FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
-         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
-    "s02_ivf_knn" -> ivfSql(s"WHERE vec_id < $NumQueries", TopK,
-      s"SELECT vec_id cid, v AS cv FROM n WHERE vec_id < $NumCentroids"),
+    "s01_knn_bruteforce" -> s01Sql,
+    "s02_ivf_knn" -> s02Sql,
+    "s05_recall_profile" ->
+      s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($s01Sql)),
+         |approx AS (SELECT query_id, neighbor_id FROM ($s02Sql)),
+         |ov AS (SELECT query_id, count(*) n_overlap FROM
+         |  (SELECT * FROM exact INTERSECT SELECT * FROM approx)
+         |  GROUP BY query_id)
+         |SELECT e.query_id, count(*) AS n_exact,
+         |  coalesce(min(ov.n_overlap), 0) AS n_overlap
+         |FROM exact e LEFT JOIN ov ON ov.query_id = e.query_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
     "s03_knn_join" -> ivfSql("", 3,
       s"SELECT vec_id cid, v AS cv FROM n WHERE vec_id < $NumCentroids"),
     "s04_ivf_kmeans" -> ivfSql(s"WHERE vec_id < $NumQueries", TopK,
