@@ -186,16 +186,18 @@ object Dedup {
     // (doc, token) occurrence; hash values (and so signatures) unchanged
     val vocab = tokenRows.select($"token").distinct()
       .withColumn("th", tokenHash)
-    // Pack the 56 per-bit one-counts into 14 shifted-long accumulators
-    // (4 x 16-bit fields per long) instead of 56 separate sum columns:
-    // the aggregate buffer narrows 4x and the hash aggregate stays one
+    // Pack the 56 per-bit one-counts into 28 shifted-long accumulators
+    // (2 x 32-bit fields per long) instead of 56 separate sum columns:
+    // the aggregate buffer narrows 2x and the hash aggregate stays one
     // codegen'd sum per group. Counting ones c_b (not ±1 sums) keeps
     // every field non-negative; the majority vote becomes
     // 2*c_b >= n_tokens, algebraically identical to sum(bit*2-1) >= 0,
-    // so signatures (and the oracle) are unchanged. 16-bit fields hold
-    // docs of up to 65,535 distinct tokens without overflow.
-    val FieldBits = 16
-    val FieldsPerLong = 4
+    // so signatures (and the oracle) are unchanged. 32-bit fields hold
+    // docs of up to 2^31 distinct tokens before the top field could
+    // touch the sign bit — no real document gets near that, where the
+    // earlier 16-bit packing silently wrapped at 65,536.
+    val FieldBits = 32
+    val FieldsPerLong = 2
     val packedSums = (0 until SimBits).grouped(FieldsPerLong).toSeq
       .zipWithIndex.map { case (bits, g) =>
         sum(bits.zipWithIndex.map { case (b, j) =>

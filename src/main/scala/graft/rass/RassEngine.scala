@@ -59,12 +59,19 @@ final class ParquetChatStore(spark: SparkSession, path: String) extends ChatStor
       // last-n pushed into the scan (TakeOrderedAndProject after the
       // chatId filter) — only n rows reach the driver however long the
       // chat history grows, mirroring the reference's `take: 10` desc
-      // query (`main.py:2786-2791`)
+      // query (`main.py:2786-2791`). An exchange's user+assistant rows
+      // share a timestamp (ask() stamps both with one clock read), so
+      // the role breaks the tie on BOTH the cutoff (assistant first in
+      // desc order keeps an exchange's halves together) and the final
+      // ascending render (user line before its answer).
+      val roleRank = when(col("role") === "user", 0).otherwise(1)
       spark.read.parquet(path).as[ChatMessage]
         .filter(col("chatId") === chatId)
-        .orderBy(col("createdAt").desc)
+        .orderBy(col("createdAt").desc, roleRank.desc)
         .limit(n)
-        .collect().sortBy(_.createdAt.getTime).toSeq
+        .collect()
+        .sortBy(m => (m.createdAt.getTime, if (m.role == "user") 0 else 1))
+        .toSeq
     } catch {
       // first message of the first chat: the table doesn't exist yet
       case e: org.apache.spark.sql.AnalysisException
@@ -116,12 +123,18 @@ final class RassEngine(
     * [[graft.rass.ingest.IngestCommit]]); otherwise built ONCE from
     * `docs` and kept persisted — an engine must never re-aggregate the
     * corpus per ask() (at 100 TB that is a second full scan per query).
+    * The build is cached per (session, corpus plan), so many engine
+    * instances over the same corpus share one persisted pair instead of
+    * each stranding its own copy in executor storage.
     */
   private lazy val effectiveStats: Option[(DataFrame, DataFrame)] =
     stats.orElse {
-      val (f, t) = CorpusStats.build(docs, DocSchema.scoredFields)
-      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      Some((f.persist(lvl), t.persist(lvl)))
+      val key = (docs.sparkSession, docs.queryExecution.analyzed.semanticHash())
+      Some(RassEngine.builtStatsCache.getOrElseUpdate(key, {
+        val (f, t) = CorpusStats.build(docs, DocSchema.scoredFields)
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        (f.persist(lvl), t.persist(lvl))
+      }))
     }
 
   /** Fields the reference excludes from structured snippets
@@ -240,6 +253,10 @@ final class RassEngine(
       }
     }
 
+    // DOCUMENT_FETCH consumes the collapse result three ways (hit list,
+    // fallback checks, file-identity projection) — cache it so those are
+    // reads of one execution, not three runs of the scan+window plan
+    if (intent == Intent.DocumentFetch) hitsDf.persist()
     val collected = hitsDf.collect()
     val hits: Seq[(String, Double)] = intent match {
       case Intent.Aggregate =>
@@ -254,8 +271,10 @@ final class RassEngine(
     // append, exactly like the reference (`main.py:2846-2876`)
     intent match {
       case Intent.DocumentFetch =>
-        return Answer(queryText, intent,
-          documentFetchAnswer(hitsDf, patient), hits, patient)
+        val answer =
+          try documentFetchAnswer(hitsDf, patient)
+          finally hitsDf.unpersist()
+        return Answer(queryText, intent, answer, hits, patient)
       case Intent.Aggregate =>
         return Answer(queryText, intent,
           aggregateAnswer(collected.toSeq), hits, patient)
@@ -278,4 +297,13 @@ final class RassEngine(
     chatStore.append(ChatMessage(chatId, "assistant", answer, ts))
     Answer(queryText, intent, answer, hits, patient)
   }
+}
+
+object RassEngine {
+  /** Built-stats sharing across engine instances: keyed by the corpus
+    * plan's semantic hash within a session (see `effectiveStats`).
+    */
+  private[rass] val builtStatsCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, Int), (DataFrame, DataFrame)]
 }

@@ -72,10 +72,12 @@ object IndexWriter {
     * `app/main.py:350-579`; table-exists is the Spark analogue of the
     * index-mapping check since parquet carries its schema).
     */
-  def indexExists(spark: SparkSession, path: String): Boolean =
-    org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(path))
+  def indexExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    // the path's own filesystem — `path` may carry a scheme (s3a://)
+    // different from fs.defaultFS
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** S14 — `has_any_data` (`app/main.py:1470-1478`): count>0 via a
     * limit-1 probe, not a full count.

@@ -29,9 +29,27 @@ object IngestCommit {
   def statsFieldsPath(tablePath: String): String = tablePath + "_stats_fields"
   def statsTermsPath(tablePath: String): String = tablePath + "_stats_terms"
 
+  /** One monitor per table path: commits to the SAME table serialize
+    * within this driver (the staging/_old paths are fixed per table, so
+    * two interleaved commits would delete each other's stagings).
+    * Cross-driver exclusion is the deployment's job — exactly one
+    * writer owns a table, the same contract Structured Streaming's
+    * checkpoint directory already imposes on the auto-ingest path.
+    */
+  private val commitLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
   def commit(spark: SparkSession, tablePath: String, parsed: DataFrame,
-      embedder: Embedder): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
+      embedder: Embedder): Unit =
+    commitLocks.getOrElseUpdate(tablePath, new Object).synchronized {
+      commitLocked(spark, tablePath, parsed, embedder)
+    }
+
+  private def commitLocked(spark: SparkSession, tablePath: String,
+      parsed: DataFrame, embedder: Embedder): Unit = {
+    // the path's OWN filesystem, not the default one — tablePath may
+    // live on a different scheme (s3a://, hdfs://) than fs.defaultFS
+    val fs = new HPath(tablePath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     // crash recovery 1: a kill between the two renames of a swap
     // leaves the previous table at _old — restore before reading

@@ -124,7 +124,9 @@ object Upload {
         texts.map(s => (s.finalPath, s.content,
           if (s.ext == ".md") "markdown" else "text")), userId))
     val parsed = (fhirDocs.toSeq ++ textDocs.toSeq).reduce(_ unionByName _)
-    val nDocs = parsed.count()
+    // distinct doc_ids: the upsert collapses same-id rows (two bundles
+    // exporting one resource), so a raw row count would overreport
+    val nDocs = parsed.select("doc_id").distinct().count()
 
     IngestCommit.commit(spark, tablePath, parsed, embedder)
     Right(UploadResult(staged.size, nDocs,
