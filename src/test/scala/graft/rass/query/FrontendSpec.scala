@@ -249,6 +249,26 @@ class EngineSpec extends SparkSpec {
     assert(s2.history("other").map(_.content) == Seq("unrelated"))
   }
 
+  test("parquet chat history keeps tied exchanges whole and ordered") {
+    import java.nio.file.Files
+    val path = Files.createTempDirectory("chat3").resolve("messages").toString
+    val store = new ParquetChatStore(spark, path)
+    // ask() stamps both halves of an exchange with ONE timestamp
+    for (i <- 1 to 7) {
+      val t = new java.sql.Timestamp(1748736000000L + i * 1000)
+      store.append(ChatMessage("c", "user", s"q$i", t))
+      store.append(ChatMessage("c", "assistant", s"a$i", t))
+    }
+    val h = store.history("c", 10)
+    assert(h.size == 10)
+    assert(h.head.content == "q3", "cutoff keeps whole exchanges")
+    h.grouped(2).foreach { pair =>
+      assert(pair.head.role == "user" && pair(1).role == "assistant")
+      assert(pair.head.content.tail == pair(1).content.tail,
+        s"exchange split: ${pair.map(_.content)}")
+    }
+  }
+
   test("ask(): chat history from the parquet store reaches the prompt") {
     import java.nio.file.Files
     val path = Files.createTempDirectory("chat2").resolve("messages").toString
