@@ -94,6 +94,20 @@ class UploadSpec extends SparkSpec {
     statsMatch()
   }
 
+  test("two bundles exporting the same resources count each doc once") {
+    val t = Files.createTempDirectory("upl4")
+    val (up, tab) = (t.resolve("uploads").toString, t.resolve("tab").toString)
+    val b1 = t.resolve("exportA.json"); Files.writeString(b1, bundleJson)
+    val b2 = t.resolve("exportB.json"); Files.writeString(b2, bundleJson)
+    val r = Upload.ingestFiles(spark, "u1", Seq(b1, b2).map(_.toString),
+      up, tab, new DeterministicEmbedder(8)).toOption.get
+    assert(r.processedFiles == 2)
+    // same resource ids in both files -> the upsert collapses them, and
+    // docsIndexed reports the collapsed count
+    assert(r.docsIndexed == spark.read.parquet(tab).count())
+    assert(spark.read.parquet(tab).select("doc_id").distinct().count() == r.docsIndexed)
+  }
+
   test("uploaded docs flow through ask(): DOCUMENT_FETCH reads them back") {
     import graft.rass.RassEngine
     import graft.rass.query.{Intent, RuleNer}
