@@ -122,6 +122,27 @@ object Dedup {
   private val Bands = 4
   private val RowsPerBand = NumHashes / Bands
 
+  /** The MinHash signature table, memoized and persisted per
+    * (session, dir): like the shingle index it is an ingest-time
+    * artifact, and WITHOUT the persist the band SELF-join evaluates the
+    * whole signature aggregate once per join side (the self-join's
+    * aliased subplans don't canonical-match, so ReuseExchange never
+    * fires — verified in the physical plan).
+    */
+  private def minhashSig(spark: SparkSession, dir: String): DataFrame =
+    sigCache.getOrElseUpdate((spark, dir), {
+      import spark.implicits._
+      val sh = shingleRows(spark, dir)
+      val minCols = (0 until NumHashes).map(i =>
+        min(md5(concat(lit(s"$i|"), $"shingle"))).as(s"h$i"))
+      sh.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  private val sigCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
   /** d03 — MinHash + LSH banding near-dup pairs, verified by true
     * Jaccard (integer threshold, same as d02). The band-bucket join is
     * the scale path: candidate volume is proportional to true-duplicate
@@ -130,9 +151,7 @@ object Dedup {
   def d03MinhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = shingleRows(spark, dir)
-    val minCols = (0 until NumHashes).map(i =>
-      min(md5(concat(lit(s"$i|"), $"shingle"))).as(s"h$i"))
-    val sig = sh.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+    val sig = minhashSig(spark, dir)
     // one-pass banding: all 4 buckets in a single posexplode pass (the
     // union-of-4-selects form recomputed the whole signature aggregate
     // per band per join side)
@@ -172,8 +191,21 @@ object Dedup {
   private val SimBands = 4
   private val SimBandBits = SimBits / SimBands
 
-  /** (doc_id, sim) — the per-document SimHash signature. */
-  private def simhashDf(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, sim) — the per-document SimHash signature. Memoized and
+    * persisted per (session, dir) for the same reason as [[minhashSig]]:
+    * the band self-join otherwise computes the signature aggregate once
+    * per side.
+    */
+  private def simhashDf(spark: SparkSession, dir: String): DataFrame =
+    simhashCache.getOrElseUpdate((spark, dir),
+      buildSimhash(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private val simhashCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
+  private def buildSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tokenHash = expr(
       """aggregate(split(substring(md5(token), 1, 14), ''),
@@ -290,20 +322,36 @@ object Dedup {
     * volume per band is Σ_bucket C(occupancy, 2), bounded by widening
     * bands as n grows.
     */
+  /** The sign-LSH signature table, memoized+persisted like
+    * [[minhashSig]] (the band self-join reads it twice).
+    */
+  private def signSig(spark: SparkSession, dir: String): DataFrame =
+    signSigCache.getOrElseUpdate((spark, dir), {
+      import spark.implicits._
+      graft.rass.expressions.DotProduct.register(spark)
+      val e = Tables.embeddings(spark, dir)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val sigCol = (0 until NumPlanes).map { h =>
+        when(call_function("dot_product", $"v", typedLit(planeSigns(h))) >= 0,
+          lit(1L << h)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      e.select($"vec_id", sigCol.as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  private val signSigCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
   def d05EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.rass.expressions.CosineSimilarity.register(spark)
-    graft.rass.expressions.DotProduct.register(spark)
     val e = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-    val sigCol = (0 until NumPlanes).map { h =>
-      when(call_function("dot_product", $"v", typedLit(planeSigns(h))) >= 0,
-        lit(1L << h)).otherwise(lit(0L))
-    }.reduce(_ + _)
     val bandVals = array((0 until SignBands).map(b =>
       shiftright($"sig", b * PlaneBits)
         .bitwiseAND(lit((1L << PlaneBits) - 1))): _*)
-    val bands = e.select($"vec_id", sigCol.as("sig"))
+    val bands = signSig(spark, dir)
       .select($"vec_id", posexplode(bandVals).as(Seq("band", "bv")))
     val cand = bands.as("x")
       .join(bands.as("y"),
