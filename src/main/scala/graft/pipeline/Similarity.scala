@@ -48,7 +48,12 @@ object Similarity {
     */
   private val Quant = 1048576.0
 
-  /** (vec_id, v: array<double>) with exact float->double widening. */
+  /** (vec_id, v: array<double>) with exact float->double widening.
+    * Deliberately NOT persisted: caching was measured no faster (and
+    * often slower) for the KNN variants — the InMemoryTableScan breaks
+    * codegen fusion with the downstream joins, while the parquet scan
+    * of the embeddings table is already cheap and column-pruned.
+    */
   private def vectors(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.embeddings(spark, dir)
