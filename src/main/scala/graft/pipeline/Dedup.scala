@@ -407,9 +407,23 @@ object Dedup {
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), DataFrame]
 
+  /** The converged label table of the previous call, per (session,
+    * dir): the RESULT reads from it lazily so it must stay persisted,
+    * but a repeat call would otherwise strand one label table per
+    * invocation — the new run retires the old table first, bounding
+    * storage at one per corpus. (The result itself is deliberately not
+    * memoized: unlike the signature/pair ingest artifacts, the
+    * propagation loop IS the operator, and caching its output would
+    * make repeat timings measure a cache read.)
+    */
+  private val lastLabels =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
   def d06NeardupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    lastLabels.remove((spark, dir)).foreach(_.unpersist())
     val pairs = dupPairs(spark, dir)
     val edges = pairs.union(pairs.select($"b_id", $"a_id"))
       .toDF("src", "dst")
@@ -438,6 +452,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    lastLabels.put((spark, dir), cached)
     labels
       .select($"label".as("cluster_id"), $"id".as("doc_id"))
       .withColumn("keep",
