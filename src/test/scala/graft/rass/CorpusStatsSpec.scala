@@ -65,4 +65,29 @@ class CorpusStatsSpec extends SparkSpec {
     assert(fmap(mf) == fmap(ff))
     assert(tmap(mt) == tmap(ft))
   }
+
+  test("merge equals rebuild across random corpus partitions (seeded)") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val corpus = Corpus.corpus(spark, sfDir).cache()
+    val fields = Seq("unstructuredText", "conditionCodeText", "observationNote")
+    def fmap(df: DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def tmap(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (seed <- 1 to 3) {
+      // random tri-partition: ~60% untouched, ~20% replaced, ~20% deleted
+      val bucket = pmod(crc32(concat(col("doc_id"), lit(seed.toString))), lit(10))
+      val replacedOld = corpus.filter(bucket.isin(6, 7))
+      val replacedNew = replacedOld.withColumn("unstructuredText",
+        concat_ws(" ", col("unstructuredText"), lit(s"rev$seed")))
+      val removed = corpus.filter(bucket >= 6)
+      val finalCorpus = corpus.filter(bucket <= 5).unionByName(replacedNew)
+      val (mf, mt) = CorpusStats.merge(
+        CorpusStats.build(corpus, fields), replacedNew, removed, fields)
+      val (ff, ft) = CorpusStats.build(finalCorpus, fields)
+      assert(fmap(mf) == fmap(ff), s"field stats diverged at seed $seed")
+      assert(tmap(mt) == tmap(ft), s"term stats diverged at seed $seed")
+    }
+  }
 }

@@ -108,6 +108,34 @@ class UploadSpec extends SparkSpec {
     assert(spark.read.parquet(tab).select("doc_id").distinct().count() == r.docsIndexed)
   }
 
+  test("streaming auto-ingest and upload compose on one table") {
+    import graft.rass.{CorpusStats, DocSchema}
+    import graft.streaming.AutoIngest
+    val t = Files.createTempDirectory("upl5")
+    val (up, tab) = (t.resolve("uploads").toString, t.resolve("tab").toString)
+    val watch = Files.createDirectory(t.resolve("watch"))
+    // surface 1: the stream delivers a bundle
+    Files.writeString(watch.resolve("b1.json"), bundleJson)
+    AutoIngest.start(spark, watch.toString, tab,
+      t.resolve("ckpt").toString, "u1",
+      new DeterministicEmbedder(8)).awaitTermination()
+    val n1 = spark.read.parquet(tab).count()
+    // surface 2: the API uploads a text note into the SAME table
+    val note = t.resolve("patient_9_followup.txt")
+    Files.writeString(note, "Follow-up visit went well.")
+    val r = Upload.ingestFiles(spark, "u1", Seq(note.toString), up, tab,
+      new DeterministicEmbedder(8)).toOption.get
+    assert(spark.read.parquet(tab).count() == n1 + r.docsIndexed)
+    // the shared commit kept the incremental stats exact across surfaces
+    val (wantF, _) = CorpusStats.build(
+      spark.read.parquet(tab), DocSchema.scoredFields)
+    val gotF = spark.read.parquet(IngestCommit.statsFieldsPath(tab))
+    def fm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => x.getAs[String]("field") ->
+        ((x.getAs[Long]("n_docs"), x.getAs[Long]("sum_dl")))).toMap
+    assert(fm(gotF) == fm(wantF))
+  }
+
   test("uploaded docs flow through ask(): DOCUMENT_FETCH reads them back") {
     import graft.rass.RassEngine
     import graft.rass.query.{Intent, RuleNer}
