@@ -46,11 +46,25 @@ object Bench {
     // the driver invokes with no args and gets the full suite
     val names =
       if (args.nonEmpty) args.toSeq.sorted else SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map { name =>
-      val t1 = once(name)
-      val t2 = once(name)
-      name -> (if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
-    }
+    // Queries run grouped by suite prefix (d=dedup, r=rass, ...), and the
+    // memoized ingest artifacts (dedup signatures, corpus, BM25 stats)
+    // are released after each group: within a group the artifacts are
+    // legitimately shared (and each query's best-of-2 runs warm), but
+    // left persisted across the WHOLE suite they squeeze execution
+    // memory and GC for every later group — round 2 measured q01 at
+    // 10.9 s under the accumulated caches vs 1.5 s in isolation.
+    val results = names.groupBy(_.takeWhile(_ != '_').takeWhile(!_.isDigit))
+      .toSeq.sortBy(_._1).flatMap { case (_, group) =>
+        val rs = group.sorted.map { name =>
+          val t1 = once(name)
+          val t2 = once(name)
+          name -> (if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
+        }
+        graft.pipeline.Dedup.invalidateCaches()
+        graft.rass.Corpus.invalidateCaches()
+        graft.rass.RassEngine.invalidateStatsCache()
+        rs
+      }.sortBy(_._1)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -30,6 +30,23 @@ object Dedup {
 
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Release every memoized ingest artifact (shingle index, MinHash /
+    * SimHash / sign-LSH signatures, dup-pair table, last label table).
+    *
+    * The caches are keyed by (session, dir) and otherwise live for the
+    * session: call this when the data under a dir changes (the cache
+    * has no snapshot id to detect staleness itself) or to return
+    * executor storage between unrelated workloads — Bench releases
+    * between query groups so one group's artifacts don't squeeze the
+    * next group's execution memory.
+    */
+  def invalidateCaches(): Unit = {
+    Seq(shingleCache, sigCache, simhashCache, signSigCache, pairsCache,
+      lastLabels).foreach { c =>
+      c.keys.foreach(k => c.remove(k).foreach(_.unpersist()))
+    }
+  }
+
   /** Distinct word-3-gram shingles: (doc_id, shingle) rows.
     *
     * Memoized and persisted per (session, dir) — the shingle inverted
@@ -450,6 +467,17 @@ object Dedup {
       cached = next
       labels = next.drop("old")
       iter += 1
+    }
+    // a truncated propagation would SILENTLY return split clusters (and
+    // diverge from the oracle's transitive closure) — fail loudly; a
+    // component with diameter > MaxCcIterations needs the O(log n)
+    // star-contraction variant, not a higher cap
+    if (changed > 0) {
+      edges.unpersist()
+      cached.unpersist()
+      throw new IllegalStateException(
+        s"d06 label propagation did not converge in $MaxCcIterations rounds " +
+          s"($changed labels still changing): component diameter exceeds the cap")
     }
     edges.unpersist()
     lastLabels.put((spark, dir), cached)

@@ -218,6 +218,19 @@ object Corpus {
   private val statsCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, DataFrame)]
 
+  /** Release the memoized corpus and stats tables (see
+    * [[graft.pipeline.Dedup.invalidateCaches]] for the policy: the
+    * caches are session-lived with no staleness detection, so callers
+    * invalidate explicitly when source data changes or between
+    * unrelated workloads).
+    */
+  def invalidateCaches(): Unit = {
+    cache.keys.foreach(k => cache.remove(k).foreach(_.unpersist()))
+    statsCache.keys.foreach(k => statsCache.remove(k).foreach { case (f, t) =>
+      f.unpersist(); t.unpersist()
+    })
+  }
+
   // ------------------------------------------------------------- sql side
 
   /** DuckDB mirror of the derivation, as WITH-clause entries

@@ -125,11 +125,14 @@ final class RassEngine(
     * corpus per ask() (at 100 TB that is a second full scan per query).
     * The build is cached per (session, corpus plan), so many engine
     * instances over the same corpus share one persisted pair instead of
-    * each stranding its own copy in executor storage.
+    * each stranding its own copy in executor storage. The key is the
+    * CANONICALIZED plan object, not its 32-bit semanticHash: canonical
+    * plans compare structurally (= semanticEquals), so two different
+    * corpora in one session can never collide into sharing stats.
     */
   private lazy val effectiveStats: Option[(DataFrame, DataFrame)] =
     stats.orElse {
-      val key = (docs.sparkSession, docs.queryExecution.analyzed.semanticHash())
+      val key = (docs.sparkSession, docs.queryExecution.analyzed.canonicalized)
       Some(RassEngine.builtStatsCache.getOrElseUpdate(key, {
         val (f, t) = CorpusStats.build(docs, DocSchema.scoredFields)
         val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -301,9 +304,21 @@ final class RassEngine(
 
 object RassEngine {
   /** Built-stats sharing across engine instances: keyed by the corpus
-    * plan's semantic hash within a session (see `effectiveStats`).
+    * plan's canonicalized form within a session (see `effectiveStats`).
     */
   private[rass] val builtStatsCache =
     scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, Int), (DataFrame, DataFrame)]
+      .empty[(SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+        (DataFrame, DataFrame)]
+
+  /** Release the shared built-stats tables (the policy of
+    * [[graft.pipeline.Dedup.invalidateCaches]]: session-lived caches
+    * are invalidated explicitly when corpora change or between
+    * unrelated workloads).
+    */
+  def invalidateStatsCache(): Unit =
+    builtStatsCache.keys.foreach(k =>
+      builtStatsCache.remove(k).foreach { case (f, t) =>
+        f.unpersist(); t.unpersist()
+      })
 }
