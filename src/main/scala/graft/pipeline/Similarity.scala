@@ -165,22 +165,29 @@ object Similarity {
     val e = vectors(spark, dir)
     val cents = centroids.getOrElse(
       e.filter($"vec_id" < NumCentroids).select($"vec_id".as("cid"), $"v".as("cv")))
-    val wAssign = Window.partitionBy($"vec_id")
-      .orderBy($"ccos".desc, $"cid")
+    // cell assignment is a map-side argmax (the k-means trainer's
+    // max_by shape), NOT a row_number window: the broadcast-join output
+    // partial-aggregates 16 scored rows down to 1 per vector before the
+    // shuffle, where the window shuffled and sorted all n x 16 rows.
+    // max cosine, ties to the smallest cid — same order as the oracle's
+    // row_number formulation.
     val assign = e.as("x").join(broadcast(cents))
       .select($"x.vec_id", $"cid",
         cosineCol(spark, $"x.v", $"cv").as("ccos"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"cid".as("cell"))
+      .groupBy($"vec_id")
+      .agg(max_by($"cid", struct($"ccos", -$"cid")).as("cell"))
     val q = queryLimit.map(n => e.filter($"vec_id" < n)).getOrElse(e)
+    // top-NProbe cells per query as a sorted-slice aggregate over the
+    // (bounded, = ncells) per-query score list: again one hash
+    // aggregate instead of a shuffle+sort window; ascending struct
+    // (-ccos, cid) = the window's (ccos desc, cid asc)
     val probes = q.as("q").join(broadcast(cents))
       .select($"q.vec_id".as("query_id"), $"cid",
         cosineCol(spark, $"q.v", $"cv").as("ccos"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"query_id").orderBy($"ccos".desc, $"cid")))
-      .filter($"rn" <= NProbe)
-      .select($"query_id", $"cid".as("cell"))
+      .groupBy($"query_id")
+      .agg(slice(array_sort(collect_list(
+        struct((-$"ccos").as("nc"), $"cid"))), 1, NProbe).as("top"))
+      .select($"query_id", explode($"top.cid").as("cell"))
     val cand = probes.join(assign, "cell")
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"))

@@ -32,6 +32,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("IVF centroid assignment aggregates map-side — no extra Window") {
+    // the one Window left in an IVF plan is the final per-query top-k
+    // (sort-based = spill-safe over unbounded candidate sets); cell
+    // assignment and probe selection must stay hash aggregates
+    Seq("s02_ivf_knn", "s03_knn_join", "s04_ivf_kmeans").foreach { name =>
+      val n = "\\bWindow\\b".r.findAllIn(plan(name)).size
+      assert(n == 1, s"$name plans $n Window nodes, expected exactly 1")
+    }
+  }
+
   test("star-schema dimension joins stay broadcast") {
     val p = plan("q04_region_revenue")
     assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")
