@@ -156,15 +156,33 @@ final class RassEngine(
       "[Structured Resource] " + pieces.mkString(" | ")
     }
 
+  /** The snippet lookup DataFrame: doc_id-keyed, with the hits'
+    * patientIds ALSO pushed into the scan — on the
+    * [[ingest.IndexWriter]] layout (user partition + patient
+    * clustering) the patient predicate prunes files via parquet
+    * min-max stats, so an ask() fetches its <=k snippet rows without
+    * scanning the corpus. doc_id is the unique upsert key, so the
+    * added predicate can never drop a hit's row; it is skipped only if
+    * some hit carries no patientId (a null would). Package-private for
+    * the plan-pruning regression test.
+    */
+  private[rass] def snippetFetch(hits: Seq[(String, String)]): DataFrame = {
+    val base = docs.filter(col("doc_id").isInCollection(hits.map(_._1).distinct))
+    val pids = hits.map(_._2)
+    if (pids.nonEmpty && !pids.contains(null))
+      base.filter(col("patientId").isInCollection(pids.distinct))
+    else base
+  }
+
   /** Context text: snippets deduped by doc id in hit order, each block
     * under its Document ID header (`main.py:2912-2921`).
     */
-  private def assembleContext(hitIds: Seq[String]): String = {
-    if (hitIds.isEmpty) return ""
-    val byId = docs.filter(col("doc_id").isInCollection(hitIds.distinct))
+  private def assembleContext(hitPairs: Seq[(String, String)]): String = {
+    if (hitPairs.isEmpty) return ""
+    val byId = snippetFetch(hitPairs)
       .collect().map(r => r.getAs[String]("doc_id") -> r).toMap
     val contextMap = scala.collection.mutable.LinkedHashMap[String, String]()
-    hitIds.foreach { id =>
+    hitPairs.map(_._1).foreach { id =>
       byId.get(id).foreach { r =>
         val s = snippet(r)
         contextMap.updateWith(id) {
@@ -225,8 +243,14 @@ final class RassEngine(
         s"${jstr(field)}: $items"
       }.mkString("{", ", ", "}")
 
+  /** @param persistJson the reference's REST and WebSocket paths
+    *   diverge on DOCUMENT_FETCH/AGGREGATE: REST returns the JSON
+    *   answer BEFORE the history append (`main.py:2846-2876`), the WS
+    *   path persists it (`main.py:3199-3215,3241-3257`). Default false
+    *   = REST behavior; true models the WS asymmetry (SURVEY §3.2).
+    */
   def ask(queryText: String, userId: String, chatId: String,
-      topK: Int = Searches.DefaultK): Answer = {
+      topK: Int = Searches.DefaultK, persistJson: Boolean = false): Answer = {
     require(queryText.nonEmpty, "empty query")
     val entities = ner.extract(queryText)
     val intent = intentClassifier.classify(queryText)
@@ -270,23 +294,34 @@ final class RassEngine(
       case _ => collected.map(r => (r.getString(0), r.getDouble(1))).toSeq
     }
 
-    // DOCUMENT_FETCH and AGGREGATE return their JSON before the history
-    // append, exactly like the reference (`main.py:2846-2876`)
+    // DOCUMENT_FETCH and AGGREGATE return their JSON before the REST
+    // path's history append (`main.py:2846-2876`); with persistJson the
+    // WS path's append happens first (`main.py:3199-3215,3241-3257`)
+    def jsonAnswer(answer: String): Answer = {
+      if (persistJson) {
+        val ts = new java.sql.Timestamp(now / 1000)
+        chatStore.append(ChatMessage(chatId, "user", queryText, ts))
+        chatStore.append(ChatMessage(chatId, "assistant", answer, ts))
+      }
+      Answer(queryText, intent, answer, hits, patient)
+    }
     intent match {
       case Intent.DocumentFetch =>
         val answer =
           try documentFetchAnswer(hitsDf, patient)
           finally hitsDf.unpersist()
-        return Answer(queryText, intent, answer, hits, patient)
+        return jsonAnswer(answer)
       case Intent.Aggregate =>
-        return Answer(queryText, intent,
-          aggregateAnswer(collected.toSeq), hits, patient)
+        return jsonAnswer(aggregateAnswer(collected.toSeq))
       case _ => ()
     }
 
     // P7 context assembly (`main.py:2894-2921`) + final prompt
-    // (`main.py:2936-2942`)
-    val contextText = assembleContext(hits.map(_._1))
+    // (`main.py:2936-2942`); hit rows carry patientId so the snippet
+    // fetch prunes on the patient-clustered layout
+    val hitPairs = collected.flatMap(r =>
+      Option(r.getString(0)).map(_ -> r.getAs[String]("patientId"))).toSeq
+    val contextText = assembleContext(hitPairs)
     val historyText = chatStore.history(chatId)
       .map(m => s"${if (m.role == "user") "User" else "AI"}: ${m.content}\n").mkString
     val finalPrompt =

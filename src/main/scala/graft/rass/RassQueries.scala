@@ -88,8 +88,8 @@ object RassQueries {
 
   private def topKSql(scoreExpr: String, from: String, k: Int,
       where: String = "true"): String =
-    s"""SELECT doc_id, score FROM (
-       |  SELECT doc_id, $scoreExpr AS score FROM $from WHERE $where)
+    s"""SELECT doc_id, score, patientId FROM (
+       |  SELECT doc_id, patientId, $scoreExpr AS score FROM $from WHERE $where)
        |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
 
   private def withCorpus(rest: String): String =
@@ -118,15 +118,15 @@ object RassQueries {
       "r00_corpus_unstructured" ->
         s"WITH ${Corpus.Sql.cte} SELECT * EXCLUDE (embedding) FROM corpus_unstructured ORDER BY doc_id",
       "r01_exact_match" -> withCorpus(
-        s"""scored AS (SELECT doc_id,
+        s"""scored AS (SELECT doc_id, patientId,
            |  ${phraseClause(textFields, diab)} * 2.0 +
            |  ${phraseClause(keywordFields, diab)} * 1.0 AS score FROM corpus)
-           |SELECT doc_id, score FROM scored
+           |SELECT doc_id, score, patientId FROM scored
            |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT $K""".stripMargin),
       "r02_semantic_knn" -> withCorpus(
         s"""$QvCte
-           |SELECT doc_id, score FROM (
-           |  SELECT doc_id, ${cosSql("embedding::DOUBLE[]", "q.qv")} AS score
+           |SELECT doc_id, score, patientId FROM (
+           |  SELECT doc_id, patientId, ${cosSql("embedding::DOUBLE[]", "q.qv")} AS score
            |  FROM corpus CROSS JOIN q WHERE embedding IS NOT NULL)
            |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT $K""".stripMargin),
       "r03_hybrid" -> withCorpus(
@@ -155,7 +155,7 @@ object RassQueries {
           "corpus CROSS JOIN st", K)}""".stripMargin),
       "r08_temporal" -> withCorpus(
         s"""sel AS (SELECT 1)
-           |SELECT doc_id, conditionOnsetDateTime FROM corpus
+           |SELECT doc_id, conditionOnsetDateTime, patientId FROM corpus
            |WHERE (${allTK.map(f => Analyzer.Sql.anyTermMatch(f._1, checkup)).mkString(" OR ")})
            |  AND (${dateFields.map(f => s"$f BETWEEN $lo AND $hi").mkString(" OR ")})
            |ORDER BY conditionOnsetDateTime DESC NULLS LAST, doc_id LIMIT $K""".stripMargin),

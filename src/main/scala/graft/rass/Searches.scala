@@ -40,10 +40,15 @@ object Searches {
     * same set as filter-then-top-k — but the pre-sort filter would be
     * pushed beneath the scoring projection and make codegen compile
     * (and evaluate) the whole multi-field score expression twice.
+    *
+    * Hits carry `patientId` (the reference returns whole `_source`
+    * docs, `main.py:1520-1525`): downstream snippet fetches route
+    * through the patient-clustered layout instead of scanning the
+    * corpus by doc_id alone.
     */
   private def topK(scored: DataFrame, k: Int): DataFrame =
     scored.orderBy(col("score").desc, col("doc_id"))
-      .select(col("doc_id"), col("score"))
+      .select(col("doc_id"), col("score"), col("patientId"))
       .limit(k)
       .filter(col("score") > 0)
 
@@ -236,7 +241,7 @@ object Searches {
     docsTok
       .filter(textMatch && dateOk)
       .orderBy(col("conditionOnsetDateTime").desc_nulls_last, col("doc_id"))
-      .select(col("doc_id"), col("conditionOnsetDateTime"))
+      .select(col("doc_id"), col("conditionOnsetDateTime"), col("patientId"))
       .limit(k)
   }
 

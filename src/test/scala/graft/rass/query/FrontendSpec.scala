@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.rass.{ChatMessage, Corpus, DeterministicEmbedder, ParquetChatStore, RassEngine}
+import graft.rass.{ChatMessage, Corpus, DeterministicEmbedder, InMemoryChatStore, ParquetChatStore, RassEngine}
 
 class IntentClassifierSpec extends AnyFunSuite {
 
@@ -233,6 +233,40 @@ class EngineSpec extends SparkSpec {
     assert(agg.answer.contains("\"doc_count\": "))
     assert(agg.answer.contains("\"resourceType\": ["))
     assert(agg.answer.contains("\"patientId\": ["))
+  }
+
+  test("ask(): DOCUMENT_FETCH/AGGREGATE JSON persists only on the WS path") {
+    // the reference's REST path returns the JSON answers BEFORE the
+    // history append (`main.py:2846-2876`); its WebSocket path persists
+    // them (`main.py:3199-3215,3241-3257`) — persistJson models the
+    // asymmetry (SURVEY §3.2)
+    val store = new InMemoryChatStore
+    val engine = new RassEngine(corpus, chatStore = store,
+      nowMicros = () => 1748736000000000L)
+    engine.ask("How many patients have hypertension?", "u1", "ws1")
+    assert(store.history("ws1").isEmpty, "REST path must not persist JSON answers")
+    val a = engine.ask("How many patients have hypertension?", "u1", "ws1",
+      persistJson = true)
+    assert(store.history("ws1").map(m => (m.role, m.content)) ==
+      Seq("user" -> "How many patients have hypertension?", "assistant" -> a.answer))
+    val f = engine.ask("Fetch the medical records for alice johnson", "u1", "ws2",
+      persistJson = true)
+    assert(store.history("ws2").map(m => (m.role, m.content)) ==
+      Seq("user" -> "Fetch the medical records for alice johnson", "assistant" -> f.answer))
+  }
+
+  test("snippet fetch routes through the hits' patientIds (pruned lookup)") {
+    val engine = new RassEngine(corpus, nowMicros = () => 1748736000000000L)
+    val df = engine.snippetFetch(Seq("s7" -> "p7", "d7_c0" -> "p7"))
+    val conds = df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition.sql
+    }.mkString(" ")
+    assert(conds.contains("patientId"),
+      s"patient predicate missing from the fetch plan: $conds")
+    assert(df.collect().map(_.getAs[String]("doc_id")).toSet == Set("s7", "d7_c0"))
+    // a hit without a patientId disables the pruning predicate, never the fetch
+    val noPid = engine.snippetFetch(Seq("s7" -> null))
+    assert(noPid.collect().map(_.getAs[String]("doc_id")).toSet == Set("s7"))
   }
 
   test("parquet chat store persists across store instances") {
