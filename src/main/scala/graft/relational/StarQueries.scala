@@ -32,26 +32,58 @@ object StarQueries {
   /** Exact money type: inputs in the test data carry <=2 decimals. */
   private def money(c: Column): Column = c.cast(DecimalType(18, 2))
 
-  private def revenueExpr(ep: Column, disc: Column): Column =
-    money(ep) * (lit(1) - money(disc))
+  /** Money in integer cents: inputs carry <=2 decimals so cent
+    * rounding is exact. The revenue queries (q01-q04) do their per-row
+    * arithmetic in LONG multiplies — the DECIMAL(18,2) formulation
+    * burned a BigDecimal multiply per row, the dominant q01 cost — and
+    * aggregate the products via [[sumExact]]. Rounding is
+    * `floor(x*100 + 0.5)` rather than `round()`: identical for the
+    * non-negative money columns it is applied to, and pure double
+    * arithmetic where Spark's `round` routes every double through
+    * BigDecimal.setScale (measured ~2x the whole aggregate's cost).
+    */
+  private def cents(c: Column): Column = floor(c * 100 + 0.5).cast(LongType)
+
+  /** Overflow-safe exact sum of non-negative long cent-products in
+    * pure long arithmetic: the value splits into hi = c >> 20 and
+    * lo = c & 0xFFFFF, each summed as a plain long — the aggregate
+    * buffer stays two codegen'd long adds per row (a DECIMAL(38,0)
+    * buffer measured 2x slower) — and recombines exactly in
+    * DECIMAL(38,0) on the <=|groups| final rows. Headroom: group sums
+    * stay exact to ~10^13 rows of 10^11-unit products (2^63 / 2^-20 of
+    * the product bound), ~10^5 x beyond SF100k group sizes; DuckDB
+    * mirrors with its native exact HUGEINT sums.
+    */
+  private def sumExact(c: Column): Column =
+    sum(shiftright(c, 20)).cast(DecimalType(38, 0)) * lit(1048576L) +
+      sum(c.bitwiseAND(lit(1048575L))).cast(DecimalType(38, 0))
+
+  /** Revenue per row in 10^-4 dollars: price_cents x (100 - disc_cents). */
+  private def revenueCents(ep: Column, disc: Column): Column =
+    cents(ep) * (lit(100L) - cents(disc))
 
   // ---------------------------------------------------------------- queries
 
-  /** TPC-H Q1 — scan + filter + hash aggregate (partial/final for free). */
+  /** TPC-H Q1 — scan + filter + hash aggregate (partial/final for free).
+    * All money terms are integer cent units per row (disc_price in
+    * 10^-4 dollars, charge in 10^-6), divided back to dollars only
+    * after the exact sum — the oracle mirrors every step.
+    */
   def q01PricingSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)
+    val discPrice = revenueCents($"l_extendedprice", $"l_discount")
+    val charge = discPrice * (lit(100L) + cents($"l_tax"))
     li.filter($"l_shipdate" <= lit("1998-09-01").cast(TimestampType))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        sum(money($"l_quantity")).cast(DoubleType).as("sum_qty"),
-        sum(money($"l_extendedprice")).cast(DoubleType).as("sum_base_price"),
-        sum(revenueExpr($"l_extendedprice", $"l_discount")).cast(DoubleType).as("sum_disc_price"),
-        sum(revenueExpr($"l_extendedprice", $"l_discount") * (lit(1) + money($"l_tax")))
-          .cast(DoubleType).as("sum_charge"),
-        round(sum(money($"l_quantity")).cast(DoubleType) / count(lit(1)), 4).as("avg_qty"),
-        round(sum(money($"l_extendedprice")).cast(DoubleType) / count(lit(1)), 4).as("avg_price"),
-        round(sum(money($"l_discount")).cast(DoubleType) / count(lit(1)), 4).as("avg_disc"),
+        (sumExact(cents($"l_quantity")).cast(DoubleType) / 100.0).as("sum_qty"),
+        (sumExact(cents($"l_extendedprice")).cast(DoubleType) / 100.0).as("sum_base_price"),
+        (sumExact(discPrice).cast(DoubleType) / 10000.0).as("sum_disc_price"),
+        (sumExact(charge).cast(DoubleType) / 1000000.0).as("sum_charge"),
+        round(sumExact(cents($"l_quantity")).cast(DoubleType) / 100.0 / count(lit(1)), 4).as("avg_qty"),
+        round(sumExact(cents($"l_extendedprice")).cast(DoubleType) / 100.0 / count(lit(1)), 4).as("avg_price"),
+        round(sumExact(cents($"l_discount")).cast(DoubleType) / 100.0 / count(lit(1)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -62,11 +94,11 @@ object StarQueries {
     val li = Tables.lineitem(spark, dir)
     val p = Tables.part(spark, dir)
     li.groupBy($"l_partkey")
-      .agg(sum(revenueExpr($"l_extendedprice", $"l_discount")).as("rev"),
+      .agg(sumExact(revenueCents($"l_extendedprice", $"l_discount")).as("rev"),
         count(lit(1)).as("n_items"))
       .join(broadcast(p), $"l_partkey" === $"p_partkey")
       .select($"p_partkey", $"p_name", $"p_brand",
-        $"rev".cast(DoubleType).as("revenue"), $"n_items")
+        ($"rev".cast(DoubleType) / 10000.0).as("revenue"), $"n_items")
       .orderBy($"revenue".desc, $"p_partkey")
       .limit(10)
   }
@@ -81,8 +113,8 @@ object StarQueries {
     li.join(o, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(c), $"o_custkey" === $"c_custkey", "left_semi")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
-      .agg(sum(revenueExpr($"l_extendedprice", $"l_discount"))
-        .cast(DoubleType).as("revenue"))
+      .agg((sumExact(revenueCents($"l_extendedprice", $"l_discount"))
+        .cast(DoubleType) / 10000.0).as("revenue"))
       .orderBy($"revenue".desc, $"l_orderkey")
       .limit(10)
   }
@@ -100,8 +132,8 @@ object StarQueries {
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
-      .agg(sum(revenueExpr($"l_extendedprice", $"l_discount"))
-        .cast(DoubleType).as("revenue"),
+      .agg((sumExact(revenueCents($"l_extendedprice", $"l_discount"))
+        .cast(DoubleType) / 10000.0).as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy($"r_name", $"n_name")
   }
@@ -266,6 +298,13 @@ object StarQueries {
     * and sorts per order. Tie-break (ts, event_id) matches the oracle's
     * `ROW_NUMBER() ... ORDER BY ts DESC, event_id DESC` exactly.
     */
+  /** q17's bounded as-of lookback, in days. Both the Spark plan and the
+    * oracle apply it, so the parity gate cannot see a horizon that is
+    * too narrow for the data — StarQueriesSpec asserts the dataset's
+    * whole (anchor - event) span fits inside it.
+    */
+  val AsofLookbackDays = 90
+
   def q17AsofJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // testdata quirk: events span Jan 2024 while order dates are
@@ -280,14 +319,16 @@ object StarQueries {
       .select($"o_orderkey", $"o_custkey", anchor.as("anchor_ts"))
     val ev = Tables.events(spark, dir)
       .select($"event_id", $"user_id", $"ts", $"event_type")
-    // bounded lookback: the as-of match must fall within 90 days of the
-    // anchor, so per-order candidate volume is capped by a key's event
-    // rate x horizon instead of its full history — the knob that keeps
-    // this join linear at 100 TB (an unbounded as-of accumulates every
-    // earlier event per probe). 90 days covers the whole event horizon
-    // of this dataset, so results are unchanged here.
+    // bounded lookback: the as-of match must fall within
+    // AsofLookbackDays of the anchor, so per-order candidate volume is
+    // capped by a key's event rate x horizon instead of its full
+    // history — the knob that keeps this join linear at 100 TB (an
+    // unbounded as-of accumulates every earlier event per probe). The
+    // horizon covers this dataset's whole anchor-to-event span
+    // (asserted in StarQueriesSpec), so results equal the unbounded
+    // formulation here.
     o.join(ev, $"user_id" === $"o_custkey" && $"ts" <= $"anchor_ts" &&
-        $"ts" > $"anchor_ts" - expr("interval 90 days"))
+        $"ts" > $"anchor_ts" - expr(s"interval $AsofLookbackDays days"))
       .groupBy($"o_orderkey", $"o_custkey")
       .agg(max_by(struct($"event_id", $"ts", $"event_type"),
         struct($"ts", $"event_id")).as("latest"))
@@ -358,31 +399,34 @@ object StarQueries {
 
   private val DEC = "DECIMAL(18,2)"
   private def m(c: String) = s"CAST($c AS $DEC)"
-  private val REV = s"${m("l_extendedprice")} * (1 - ${m("l_discount")})"
+  // integer-cents mirrors of `cents` / `revenueCents` (DuckDB SUM over
+  // integers is exact HUGEINT, matching the Spark DECIMAL(38,0) sums)
+  private def cts(c: String) = s"CAST(floor($c * 100 + 0.5) AS BIGINT)"
+  private val REVC = s"${cts("l_extendedprice")} * (100 - ${cts("l_discount")})"
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
-         | CAST(SUM(${m("l_quantity")}) AS DOUBLE) AS sum_qty,
-         | CAST(SUM(${m("l_extendedprice")}) AS DOUBLE) AS sum_base_price,
-         | CAST(SUM($REV) AS DOUBLE) AS sum_disc_price,
-         | CAST(SUM($REV * (1 + ${m("l_tax")})) AS DOUBLE) AS sum_charge,
-         | ROUND(CAST(SUM(${m("l_quantity")}) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
-         | ROUND(CAST(SUM(${m("l_extendedprice")}) AS DOUBLE) / COUNT(*), 4) AS avg_price,
-         | ROUND(CAST(SUM(${m("l_discount")}) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+         | CAST(SUM(${cts("l_quantity")}) AS DOUBLE) / 100.0 AS sum_qty,
+         | CAST(SUM(${cts("l_extendedprice")}) AS DOUBLE) / 100.0 AS sum_base_price,
+         | CAST(SUM($REVC) AS DOUBLE) / 10000.0 AS sum_disc_price,
+         | CAST(SUM($REVC * (100 + ${cts("l_tax")})) AS DOUBLE) / 1000000.0 AS sum_charge,
+         | ROUND(CAST(SUM(${cts("l_quantity")}) AS DOUBLE) / 100.0 / COUNT(*), 4) AS avg_qty,
+         | ROUND(CAST(SUM(${cts("l_extendedprice")}) AS DOUBLE) / 100.0 / COUNT(*), 4) AS avg_price,
+         | ROUND(CAST(SUM(${cts("l_discount")}) AS DOUBLE) / 100.0 / COUNT(*), 4) AS avg_disc,
          | COUNT(*) AS count_order
          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q02_top_parts" ->
       s"""SELECT p_partkey, p_name, p_brand,
-         | CAST(SUM($REV) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+         | CAST(SUM($REVC) AS DOUBLE) / 10000.0 AS revenue, COUNT(*) AS n_items
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY p_partkey, p_name, p_brand
          |ORDER BY revenue DESC, p_partkey LIMIT 10""".stripMargin,
     "q03_shipping_priority" ->
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
-         | CAST(SUM($REV) AS DOUBLE) AS revenue
+         | CAST(SUM($REVC) AS DOUBLE) / 10000.0 AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
          |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
@@ -391,7 +435,7 @@ object StarQueries {
          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q04_region_revenue" ->
       s"""SELECT r_name, n_name,
-         | CAST(SUM($REV) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+         | CAST(SUM($REVC) AS DOUBLE) / 10000.0 AS revenue, COUNT(*) AS n_lines
          |FROM lineitem
          | JOIN orders ON l_orderkey = o_orderkey
          | JOIN customer ON o_custkey = c_custkey
@@ -476,7 +520,7 @@ object StarQueries {
          |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q17_asof_join" ->
-      """SELECT o_orderkey, o_custkey, event_id, ts, event_type FROM (
+      ("""SELECT o_orderkey, o_custkey, event_id, ts, event_type FROM (
         | SELECT o.o_orderkey, o.o_custkey, e.event_id, e.ts, e.event_type,
         |  ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
         |    ORDER BY e.ts DESC, e.event_id DESC) AS rn
@@ -486,8 +530,9 @@ object StarQueries {
         |       FROM orders WHERE o_custkey <= 150) o
         | JOIN events e
         |   ON e.user_id = o.o_custkey AND e.ts <= o.anchor_ts
-        |      AND e.ts > o.anchor_ts - INTERVAL 90 DAY)
-        |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+        |      AND e.ts > o.anchor_ts - INTERVAL """.stripMargin +
+      s"""$AsofLookbackDays DAY)
+        |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin),
     "q18_distinct_profile" ->
       """SELECT * FROM
         |(SELECT COUNT(DISTINCT c_mktsegment) AS n_segments,

@@ -63,6 +63,24 @@ class StarQueriesSpec extends SparkSpec {
     assert(keys.distinct.length == keys.length, "collapse must keep one row per order")
   }
 
+  test("q17 lookback horizon covers the dataset's anchor-to-event span") {
+    // the horizon is applied to the Spark side AND the oracle in
+    // lockstep, so the parity gate can't detect a too-narrow horizon
+    // silently dropping old events — this asserts the data actually
+    // fits: even the LATEST possible anchor minus the EARLIEST event
+    // stays inside the lookback window
+    import org.apache.spark.sql.functions._
+    val minEvUs = graft.Tables.events(spark, sfDir)
+      .agg(min(unix_micros(col("ts")))).head().getLong(0)
+    // anchor = 2024-01-01 + (k%30) days + (k%24) hours; max at 29d23h
+    val maxAnchorUs = 1704067200000000L + 29L * 86400000000L + 23L * 3600000000L
+    val horizonUs = StarQueries.AsofLookbackDays.toLong * 86400000000L
+    assert(maxAnchorUs - minEvUs <= horizonUs,
+      s"event span ${(maxAnchorUs - minEvUs) / 86400000000L}d exceeds the " +
+        s"${StarQueries.AsofLookbackDays}d as-of horizon: bounded and " +
+        "unbounded q17 would diverge")
+  }
+
   test("q18: approximate distinct counts track the exact profile") {
     import org.apache.spark.sql.functions._
     val exact = StarQueries.q18DistinctProfile(spark, sfDir).head()
