@@ -58,9 +58,21 @@ object IndexWriter {
       .drop("_gen", "_rn")
   }
 
-  /** Write the table: tenant partition column + patient clustering. */
+  /** Write the table: tenant partition column + patient clustering.
+    *
+    * RANGE-partitioned and sorted on (user_id, patientId) — not hash
+    * `repartition`: hash gives every output file a near-full-range
+    * patientId min/max (many interleaved patients per file), so parquet
+    * stats can never skip a file. Range+sort makes file and row-group
+    * patientId ranges narrow and DISJOINT, so a patient-filtered scan
+    * prunes to one file via plain min-max stats — the layout-level
+    * analogue of the reference's `_routing = patientId` shard pruning
+    * (`app/main.py:1230,1263`), with no metastore/bucketing metadata
+    * needed. IngestSpec asserts the disjoint-ranges property on disk.
+    */
   def write(docs: DataFrame, path: String): Unit =
-    docs.repartition(col("user_id"), col("patientId"))
+    docs.repartitionByRange(col("user_id"), col("patientId"))
+      .sortWithinPartitions(col("user_id"), col("patientId"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("user_id")
       .parquet(path)

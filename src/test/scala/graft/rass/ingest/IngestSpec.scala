@@ -87,6 +87,45 @@ class FhirBundleParserSpec extends SparkSpec {
     assert(FhirBundleParser.parseTs("not a date").isEmpty)
   }
 
+  test("range layout: per-file patientId ranges are disjoint, so a patient filter prunes") {
+    import spark.implicits._
+    val docs = (1 to 400).map { i => (s"d$i", "u1", s"pat${i % 8}", s"body $i " * 20) }
+      .toDF("doc_id", "user_id", "patientId", "unstructuredText")
+    val tmp = java.nio.file.Files.createTempDirectory("rasslayout").toString
+    // AQE sizes range partitions by volume (at scale: ~advisory-size files);
+    // shrink its floors so this small corpus still spreads over several files
+    val keys = Seq("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "1kb"))
+    try IndexWriter.write(docs, tmp)
+    finally prev.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    val files = new java.io.File(s"$tmp/user_id=u1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+    // several files, each holding a contiguous patientId range
+    assert(files.size > 1)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("patientId"), max("patientId")).head()
+      (r.getString(0), r.getString(1))
+    }.sortBy(_._1)
+    // pairwise DISJOINT: every file's max < the next file's min, so parquet
+    // min-max stats alone let a patientId-filtered scan skip all other files
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, s"overlapping file ranges: $ranges")
+      case _ =>
+    }
+    // one patient never straddles files (range partitioner keeps equal keys together)
+    val patFiles = files.count { f =>
+      spark.read.parquet(f).filter($"patientId" === "pat3").limit(1).count() > 0
+    }
+    assert(patFiles == 1)
+    // and the filter actually reaches the scan, so the stats get consulted
+    val scan = spark.read.parquet(tmp).filter($"patientId" === "pat3")
+      .queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("patientId"))
+  }
+
   test("distributed parse + embed + upsert + layout write round-trips") {
     import spark.implicits._
     val ds = Seq(("/f/bundle.json", bundleJson)).toDS()
