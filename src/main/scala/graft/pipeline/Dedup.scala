@@ -362,27 +362,92 @@ object Dedup {
 
   def d05EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.rass.expressions.CosineSimilarity.register(spark)
     val e = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-    val bandVals = array((0 until SignBands).map(b =>
-      shiftright($"sig", b * PlaneBits)
-        .bitwiseAND(lit((1L << PlaneBits) - 1))): _*)
-    val bands = signSig(spark, dir)
-      .select($"vec_id", posexplode(bandVals).as(Seq("band", "bv")))
-    val cand = bands.as("x")
+    cosineVerify(
+      bandCandidates(signSig(spark, dir), SignBands, PlaneBits), e, 0.4)
+  }
+
+  /** Same-band candidate pairs from a packed sign-signature table:
+    * posexplode into (band, value) keys, equi-self-join, `<` dedup.
+    * Shuffles only (band, bv, vec_id) triples.
+    */
+  private def bandCandidates(sig: DataFrame, nBands: Int,
+      planeBits: Int): DataFrame = {
+    val spark = sig.sparkSession
+    import spark.implicits._
+    val bandVals = array((0 until nBands).map(b =>
+      shiftright($"sig", b * planeBits)
+        .bitwiseAND(lit((1L << planeBits) - 1))): _*)
+    val bands = sig.select($"vec_id",
+      posexplode(bandVals).as(Seq("band", "bv")))
+    bands.as("x")
       .join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.bv" === $"y.bv" &&
           $"x.vec_id" < $"y.vec_id")
       .select($"x.vec_id".as("a_id"), $"y.vec_id".as("b_id"))
       .distinct()
+  }
+
+  /** Exact-cosine verification of candidate pairs against the vector
+    * table (fused codegen cosine; only survivors leave the join).
+    */
+  private def cosineVerify(cand: DataFrame, e: DataFrame,
+      threshold: Double): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
+    graft.rass.expressions.CosineSimilarity.register(spark)
     cand
       .join(e.select($"vec_id".as("a_id"), $"v".as("av")), "a_id")
       .join(e.select($"vec_id".as("b_id"), $"v".as("bv2")), "b_id")
       .select($"a_id", $"b_id",
         call_function("cosine_sim", $"av", $"bv2").as("cosine"))
-      .filter($"cosine" > 0.4)
+      .filter($"cosine" > threshold)
       .orderBy($"a_id", $"b_id")
+  }
+
+  /** The parameterized sign-LSH near-dup core over an arbitrary
+    * `(vec_id: long, v: array<double>)` frame — the production
+    * configuration surface for the band-width knob documented at
+    * [[NumPlanes]]: at a real near-dup threshold (cosine >= 0.9) use
+    * 12-bit bands (e.g. 60 planes = 5 x 12) for a sub-1% candidate
+    * fraction at high recall; DedupSpec pins that setting on synthetic
+    * near-dup vectors. Signatures pack into one long, so at most 63
+    * planes; beyond that, widen to a multi-word signature (same
+    * banding dataflow).
+    */
+  def signLshNearDup(vecs: DataFrame, numPlanes: Int, planeBits: Int,
+      threshold: Double, dim: Int = 64): DataFrame = {
+    require(numPlanes % planeBits == 0, "bands must tile the planes")
+    val e = vecs.toDF("vec_id", "v")
+    cosineVerify(
+      bandCandidates(packedSig(e, numPlanes, dim),
+        numPlanes / planeBits, planeBits), e, threshold)
+  }
+
+  /** Candidate stage of [[signLshNearDup]] alone, for candidate-volume
+    * assertions in DedupSpec (the sub-1% claim needs a measurable
+    * surface, not a comment).
+    */
+  private[pipeline] def signLshCandidates(vecs: DataFrame, numPlanes: Int,
+      planeBits: Int, dim: Int = 64): DataFrame =
+    bandCandidates(packedSig(vecs.toDF("vec_id", "v"), numPlanes, dim),
+      numPlanes / planeBits, planeBits)
+
+  /** One packed long of sign bits per vector (bit h = sign of the
+    * fused dot with hyperplane h).
+    */
+  private def packedSig(e: DataFrame, numPlanes: Int, dim: Int): DataFrame = {
+    require(numPlanes > 0 && numPlanes <= 63,
+      "signature packs into one 64-bit word")
+    val spark = e.sparkSession
+    import spark.implicits._
+    graft.rass.expressions.DotProduct.register(spark)
+    val sigCol = (0 until numPlanes).map { h =>
+      when(call_function("dot_product", $"v", typedLit(planeSigns(h, dim))) >= 0,
+        lit(1L << h)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    e.select($"vec_id", sigCol.as("sig"))
   }
 
   /** Iteration cap for [[d06NeardupClusters]]: min-label propagation

@@ -96,9 +96,49 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
     assert(lsh.subsetOf(brute))
     // weak pairs (cosine 0.40-0.48) at 6 bands x 4 sign bits: measured
-    // recall ~0.73 on this corpus; guard against silent banding breakage
-    assert(lsh.size * 2 >= brute.size,
+    // recall ~0.73 on this deterministic corpus; floor at 0.7
+    assert(lsh.size * 10 >= brute.size * 7,
       s"sign-LSH recall too low: ${lsh.size}/${brute.size}")
+  }
+
+  test("d05 production threshold: 12-bit bands at cosine>0.9 — high recall, sparse candidates") {
+    import spark.implicits._
+    // 60 base unit vectors, each with a perturbed twin at cosine ~0.97;
+    // unrelated pairs sit near cosine 0 +- 1/sqrt(64). Deterministic seed.
+    val rnd = new scala.util.Random(42)
+    def gaussianUnit(): Array[Double] = {
+      val a = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(a.map(x => x * x).sum)
+      a.map(_ / n)
+    }
+    val vecs: Seq[(Long, Array[Double])] = (0 until 60).flatMap { i =>
+      val v = gaussianUnit()
+      val noise = gaussianUnit()
+      val t = v.zip(noise).map { case (x, e) => x + 0.25 * e }
+      val tn = math.sqrt(t.map(x => x * x).sum)
+      Seq((i.toLong * 2, v), (i.toLong * 2 + 1, t.map(_ / tn)))
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val brute = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.size
+      if cos(vecs(i)._2, vecs(j)._2) > 0.9
+    } yield (vecs(i)._1, vecs(j)._1)).toSet
+    assert(brute.size >= 55, s"twin construction too loose: ${brute.size}")
+    val df = vecs.toDF("vec_id", "v")
+    // the documented production setting: 60 planes = 5 bands x 12 bits
+    val found = Dedup.signLshNearDup(df, numPlanes = 60, planeBits = 12,
+      threshold = 0.9).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(found.subsetOf(brute), "exact verify admitted a false positive")
+    assert(found.size * 4 >= brute.size * 3,
+      s"production-band recall too low: ${found.size}/${brute.size}")
+    // sub-1% candidate fraction claim (floor at 5% for slack): 12-bit
+    // bands collide random pairs at ~0.5^12 per band
+    val nCand = Dedup.signLshCandidates(df, 60, 12).count()
+    val allPairs = vecs.size.toLong * (vecs.size - 1) / 2
+    assert(nCand * 20 <= allPairs,
+      s"candidate fraction too high: $nCand/$allPairs")
   }
 
   test("d06 clusters are consistent connected components of the d03 pairs") {
