@@ -47,14 +47,56 @@ final class InMemoryChatStore extends ChatStore {
   * parquet writes, history is a chatId-filtered read of the last n
   * messages — both survive process restarts, so a new engine on the
   * same path continues the conversation (SURVEY §7.1 P6).
+  *
+  * Appends are one small file per message, so a busy deployment would
+  * accumulate files without bound and history() would pay an
+  * ever-growing listing; once the file count passes
+  * `compactAfterFiles`, the table is rewritten into a few
+  * chatId-clustered, createdAt-sorted files and promoted with the same
+  * staged double-rename as [[ingest.IngestCommit]] (a crash at any
+  * point leaves the old or the new table recoverable). Single writer
+  * per path, the same contract as the ingest commit path.
   */
-final class ParquetChatStore(spark: SparkSession, path: String) extends ChatStore {
-  override def append(m: ChatMessage): Unit = {
+final class ParquetChatStore(spark: SparkSession, path: String,
+    compactAfterFiles: Int = 64) extends ChatStore {
+
+  private type HPath = org.apache.hadoop.fs.Path
+  private def fs = new HPath(path).getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  override def append(m: ChatMessage): Unit = synchronized {
     import spark.implicits._
+    recover()
     Seq(m).toDF().write.mode("append").parquet(path)
+    maybeCompact()
   }
-  override def history(chatId: String, n: Int = 10): Seq[ChatMessage] = {
+
+  /** Crash recovery, same contract as IngestCommit: a kill between a
+    * compaction's two renames leaves the table at `_old` — restore it;
+    * a leftover staging is an unpromoted rewrite of data still fully
+    * present in the live table — discard it.
+    */
+  private def recover(): Unit = {
+    val (target, retired) = (new HPath(path), new HPath(path + "_old"))
+    if (!fs.exists(target) && fs.exists(retired)) fs.rename(retired, target)
+    val staging = new HPath(path + "_staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+  }
+
+  private def maybeCompact(): Unit = {
+    val nFiles = fs.listStatus(new HPath(path))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    if (nFiles > compactAfterFiles) {
+      spark.read.parquet(path)
+        .repartitionByRange(col("chatId"), col("createdAt"))
+        .sortWithinPartitions(col("chatId"), col("createdAt"))
+        .write.mode("overwrite").parquet(path + "_staging")
+      ingest.IngestCommit.swapIn(fs, path)
+    }
+  }
+  override def history(chatId: String, n: Int = 10): Seq[ChatMessage] = synchronized {
     import spark.implicits._
+    recover()
     try {
       // last-n pushed into the scan (TakeOrderedAndProject after the
       // chatId filter) — only n rows reach the driver however long the

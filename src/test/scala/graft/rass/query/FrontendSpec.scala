@@ -283,6 +283,25 @@ class EngineSpec extends SparkSpec {
     assert(s2.history("other").map(_.content) == Seq("unrelated"))
   }
 
+  test("parquet chat store compacts past the file threshold and survives a mid-swap crash") {
+    import java.nio.file.Files
+    val path = Files.createTempDirectory("chat4").resolve("messages").toString
+    val store = new ParquetChatStore(spark, path, compactAfterFiles = 5)
+    def nParquet = new java.io.File(path).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    for (i <- 1 to 20)
+      store.append(ChatMessage("c", if (i % 2 == 1) "user" else "assistant",
+        s"m$i", new java.sql.Timestamp(1748736000000L + i * 1000)))
+    // one file per append would be 20; compaction keeps the count bounded
+    assert(nParquet <= 6, s"file count unbounded: $nParquet")
+    assert(store.history("c", 10).map(_.content) == (11 to 20).map(i => s"m$i"))
+    // crash between the two renames of a compaction swap leaves the
+    // table retired at _old; a fresh store must restore it
+    assert(new java.io.File(path).renameTo(new java.io.File(path + "_old")))
+    val recovered = new ParquetChatStore(spark, path, compactAfterFiles = 5)
+    assert(recovered.history("c", 10).map(_.content) == (11 to 20).map(i => s"m$i"))
+  }
+
   test("parquet chat history keeps tied exchanges whole and ordered") {
     import java.nio.file.Files
     val path = Files.createTempDirectory("chat3").resolve("messages").toString
