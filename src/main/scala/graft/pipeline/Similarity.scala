@@ -158,6 +158,23 @@ object Similarity {
     cents
   }
 
+  /** Nearest-centroid cell per vector as a map-side argmax (the k-means
+    * trainer's max_by shape), NOT a row_number window: the
+    * broadcast-join output partial-aggregates ncells scored rows down
+    * to 1 per vector before the shuffle, where a window would shuffle
+    * and sort all n x ncells rows. Max cosine, ties to the smallest
+    * cid — same order as the oracle's row_number formulation.
+    */
+  private def cellAssign(spark: SparkSession, e: DataFrame,
+      cents: DataFrame): DataFrame = {
+    import spark.implicits._
+    e.as("x").join(broadcast(cents))
+      .select($"x.vec_id", $"cid",
+        cosineCol(spark, $"x.v", $"cv").as("ccos"))
+      .groupBy($"vec_id")
+      .agg(max_by($"cid", struct($"ccos", -$"cid")).as("cell"))
+  }
+
   private def ivfKnn(spark: SparkSession, dir: String,
       queryLimit: Option[Int], k: Int,
       centroids: Option[DataFrame] = None): DataFrame = {
@@ -165,17 +182,7 @@ object Similarity {
     val e = vectors(spark, dir)
     val cents = centroids.getOrElse(
       e.filter($"vec_id" < NumCentroids).select($"vec_id".as("cid"), $"v".as("cv")))
-    // cell assignment is a map-side argmax (the k-means trainer's
-    // max_by shape), NOT a row_number window: the broadcast-join output
-    // partial-aggregates 16 scored rows down to 1 per vector before the
-    // shuffle, where the window shuffled and sorted all n x 16 rows.
-    // max cosine, ties to the smallest cid — same order as the oracle's
-    // row_number formulation.
-    val assign = e.as("x").join(broadcast(cents))
-      .select($"x.vec_id", $"cid",
-        cosineCol(spark, $"x.v", $"cv").as("ccos"))
-      .groupBy($"vec_id")
-      .agg(max_by($"cid", struct($"ccos", -$"cid")).as("cell"))
+    val assign = cellAssign(spark, e, cents)
     val q = queryLimit.map(n => e.filter($"vec_id" < n)).getOrElse(e)
     // top-NProbe cells per query as a sorted-slice aggregate over the
     // (bounded, = ncells) per-query score list: again one hash
@@ -224,6 +231,26 @@ object Similarity {
       .orderBy($"query_id")
   }
 
+  /** s06 — IVF cell-occupancy profile over the trained (s04) index:
+    * vectors and candidate-pair volume per cell. This is the monitor
+    * for s03's residual hotspot — a corpus-wide IVF knn-join pays
+    * C(occupancy, 2) comparisons per cell, so one runaway cell
+    * dominates the whole join; a deployment watches this profile and
+    * re-trains with more cells (k ~ sqrt(n)) or splits hot cells when
+    * the max share drifts. Integer outputs only, hash-matched against
+    * the oracle's identical k-means + assignment CTEs.
+    */
+  def s06CellProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    val cents = kmeansCentroids(spark, e, NumCentroids, KmeansIters)
+    cellAssign(spark, e, cents)
+      .groupBy($"cell").agg(count(lit(1)).as("n_vectors"))
+      .select($"cell", $"n_vectors",
+        expr("n_vectors * (n_vectors - 1) div 2").as("self_join_pairs"))
+      .orderBy($"cell")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -232,6 +259,7 @@ object Similarity {
     "s03_knn_join" -> s03KnnJoin _,
     "s04_ivf_kmeans" -> s04IvfKmeans _,
     "s05_recall_profile" -> s05RecallProfile _,
+    "s06_cell_profile" -> s06CellProfile _,
   )
 
   /** Inline sequential-fold cosine over two vector SQL expressions
@@ -280,6 +308,18 @@ object Similarity {
       s"SELECT vec_id cid, v AS cv FROM n WHERE vec_id < $NumCentroids"),
     "s04_ivf_kmeans" -> ivfSql(s"WHERE vec_id < $NumQueries", TopK,
       s"SELECT cid, cv FROM cents$KmeansIters", kmeansCtes(KmeansIters)),
+    "s06_cell_profile" ->
+      s"""WITH $VecCte,
+         |${kmeansCtes(KmeansIters)},
+         |cents AS (SELECT cid, cv FROM cents$KmeansIters),
+         |assign AS (SELECT vec_id, cell FROM (
+         |  SELECT x.vec_id, c.cid AS cell, row_number() OVER (
+         |    PARTITION BY x.vec_id
+         |    ORDER BY ${cosVSql("x.v", "c.cv")} DESC, c.cid) rn
+         |  FROM n x CROSS JOIN cents c) WHERE rn = 1)
+         |SELECT cell, count(*) AS n_vectors,
+         |  (count(*) * (count(*) - 1)) // 2 AS self_join_pairs
+         |FROM assign GROUP BY cell ORDER BY cell""".stripMargin,
   )
 
   /** The k-means iterations as chained CTEs — the same quantized

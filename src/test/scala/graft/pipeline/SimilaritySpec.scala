@@ -48,6 +48,17 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.3, f"mean IVF recall $mean%.2f below floor")
   }
 
+  test("s06 occupancy profile partitions the corpus and prices the self-join") {
+    val rows = Similarity.s06CellProfile(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("n_vectors")).sum
+    assert(total == graft.Tables.embeddings(spark, sfDir).count(),
+      "cells must partition the corpus exactly")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_vectors")
+      assert(r.getAs[Long]("self_join_pairs") == n * (n - 1) / 2)
+    }
+  }
+
   test("s04 k-means IVF recall holds up and centroids are bit-deterministic") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
