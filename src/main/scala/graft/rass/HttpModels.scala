@@ -1,0 +1,118 @@
+package graft.rass
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** HTTP implementations of the model seams — the production
+  * counterparts of [[DeterministicEmbedder]] / [[StubGenerator]]
+  * (SURVEY §7.3; the hermetic impls stay the default so tests and the
+  * correctness gate never depend on a network).
+  *
+  * Both are Serializable with `@transient lazy` clients, so a closure
+  * carrying one ships to executors and each executor builds its own
+  * connection pool on first use. Per-partition calls run sequentially;
+  * cluster-wide concurrency is the number of partitions — the Spark
+  * analogue of the reference's asyncio semaphore of 5
+  * (`app/main.py:243-254`).
+  */
+private[rass] object HttpJson {
+  // one mapper per JVM: ObjectMapper is thread-safe after config
+  lazy val mapper = new ObjectMapper()
+
+  def post(client: HttpClient, url: String, body: String,
+      maxRetries: Int): String = {
+    var attempt = 0
+    var lastErr: Exception = null
+    while (attempt <= maxRetries) {
+      if (attempt > 0) Thread.sleep(200L << (attempt - 1)) // 200/400/800ms
+      try {
+        val req = HttpRequest.newBuilder(URI.create(url))
+          .timeout(Duration.ofSeconds(60))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body))
+          .build()
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() / 100 == 2) return resp.body()
+        // 4xx is a caller bug — retrying can't fix the request
+        if (resp.statusCode() / 100 == 4)
+          throw new IllegalArgumentException(
+            s"$url rejected request (${resp.statusCode()}): ${resp.body()}")
+        lastErr = new RuntimeException(
+          s"$url returned ${resp.statusCode()}")
+      } catch {
+        case e: IllegalArgumentException => throw e
+        case e: Exception => lastErr = e
+      }
+      attempt += 1
+    }
+    throw new RuntimeException(
+      s"$url failed after ${maxRetries + 1} attempts", lastErr)
+  }
+}
+
+/** Ollama-style embedding endpoint (reference `app/main.py:225-263`):
+  * one POST per text — `{"model": m, "prompt": text}` to
+  * `/api/embeddings`, response `{"embedding": [..]}` — with the
+  * reference's semantics preserved: empty/blank text short-circuits to
+  * a zero vector without a network call (`main.py:227-228`), and the
+  * batch shape comes from [[Embedder.embedColumn]]'s
+  * mapPartitions-of-64 exactly like the deterministic impl.
+  */
+final class HttpEmbedder(endpoint: String, model: String,
+    val dim: Int = DocSchema.EmbedDim,
+    maxRetries: Int = 3) extends Embedder {
+
+  @transient private lazy val client = HttpClient.newHttpClient()
+
+  override def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
+    texts.map { t =>
+      if (t == null || t.trim.isEmpty) new Array[Float](dim) else embedOne(t)
+    }
+
+  private def embedOne(text: String): Array[Float] = {
+    val m = HttpJson.mapper
+    val body = m.createObjectNode()
+    body.put("model", model)
+    body.put("prompt", text)
+    val resp = m.readTree(HttpJson.post(client, endpoint,
+      m.writeValueAsString(body), maxRetries))
+    val emb = resp.get("embedding")
+    require(emb != null && emb.isArray && emb.size() == dim,
+      s"embedding endpoint returned ${if (emb == null) "no" else emb.size().toString} dims, expected $dim")
+    Array.tabulate(dim)(i => emb.get(i).floatValue())
+  }
+}
+
+/** OpenAI-style chat-completions generator (reference
+  * `app/main.py:283-331`: BlueHive completion with a citation-enforcing
+  * system prompt): POST `{"model", "messages": [system, user]}`,
+  * answer at `choices[0].message.content`. The user turn carries the
+  * assembled context block then the question, mirroring the
+  * reference's prompt layout (`main.py:2924-2942`).
+  */
+final class HttpGenerator(endpoint: String, model: String,
+    maxRetries: Int = 3) extends Generator {
+
+  @transient private lazy val client = HttpClient.newHttpClient()
+
+  override def generate(systemPrompt: String, context: String,
+      query: String): String = {
+    val m = HttpJson.mapper
+    val body = m.createObjectNode()
+    body.put("model", model)
+    val msgs = body.putArray("messages")
+    val sys = msgs.addObject()
+    sys.put("role", "system"); sys.put("content", systemPrompt)
+    val usr = msgs.addObject()
+    usr.put("role", "user")
+    usr.put("content", s"Context:\n$context\n\nQuestion: $query")
+    val resp = m.readTree(HttpJson.post(client, endpoint,
+      m.writeValueAsString(body), maxRetries))
+    val content = resp.path("choices").path(0).path("message").path("content")
+    require(!content.isMissingNode, "completion response had no choices[0].message.content")
+    content.asText()
+  }
+}

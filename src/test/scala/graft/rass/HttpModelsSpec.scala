@@ -1,0 +1,109 @@
+package graft.rass
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HTTP model impls against an in-process JDK HttpServer — hermetic:
+  * nothing leaves localhost, no external service is assumed.
+  */
+class HttpModelsSpec extends AnyFunSuite {
+
+  private def withServer(handler: (String, HttpExchange) => (Int, String))
+      (f: String => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { ex =>
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val (code, resp) = handler(body, ex)
+      val bytes = resp.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  test("HttpEmbedder posts per text, parses dims, zero-vectors blanks without a call") {
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    withServer({ (body, _) =>
+      seen.synchronized { seen += body }
+      val m = HttpJson.mapper
+      val prompt = m.readTree(body).get("prompt").asText()
+      // embedding encodes the prompt length so parsing is observable
+      val emb = (0 until 4).map(i => s"${prompt.length}.$i").mkString(",")
+      (200, s"""{"embedding":[$emb]}""")
+    }) { url =>
+      val e = new HttpEmbedder(s"$url/api/embeddings", "m", dim = 4)
+      val out = e.embedBatch(Seq("hello", "   ", "hi"))
+      assert(out.size == 3)
+      assert(out(0)(0) == 5.0f && out(2)(0) == 2.0f)
+      assert(out(1).forall(_ == 0.0f), "blank text must zero-vector")
+      assert(seen.size == 2, "blank text must not reach the network")
+      assert(seen.forall(_.contains("\"model\":\"m\"")))
+    }
+  }
+
+  test("HttpEmbedder retries 5xx then succeeds; rejects a wrong dim") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    withServer({ (_, _) =>
+      if (calls.incrementAndGet() == 1) (500, "transient")
+      else (200, """{"embedding":[1.0,2.0]}""")
+    }) { url =>
+      val e = new HttpEmbedder(url, "m", dim = 2)
+      assert(e.embedBatch(Seq("x")).head.toSeq == Seq(1.0f, 2.0f))
+      assert(calls.get() == 2, "one retry expected")
+      val bad = new HttpEmbedder(url, "m", dim = 7)
+      assertThrows[IllegalArgumentException](bad.embedBatch(Seq("y")))
+    }
+  }
+
+  test("HttpEmbedder does not retry a 4xx rejection") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    withServer({ (_, _) => calls.incrementAndGet(); (400, "bad request") }) { url =>
+      val e = new HttpEmbedder(url, "m", dim = 2)
+      assertThrows[IllegalArgumentException](e.embedBatch(Seq("x")))
+      assert(calls.get() == 1, "4xx must not be retried")
+    }
+  }
+
+  test("HttpGenerator sends system+user messages and extracts the completion") {
+    var captured: String = null
+    withServer({ (body, _) =>
+      captured = body
+      (200, """{"choices":[{"message":{"role":"assistant","content":"the answer"}}]}""")
+    }) { url =>
+      val g = new HttpGenerator(url, "gpt-x")
+      val out = g.generate("cite your sources", "Document ID: d1", "what is it?")
+      assert(out == "the answer")
+      val m = HttpJson.mapper.readTree(captured)
+      assert(m.get("model").asText() == "gpt-x")
+      val msgs = m.get("messages")
+      assert(msgs.get(0).get("role").asText() == "system")
+      assert(msgs.get(0).get("content").asText() == "cite your sources")
+      assert(msgs.get(1).get("content").asText().contains("Document ID: d1"))
+      assert(msgs.get(1).get("content").asText().contains("what is it?"))
+    }
+  }
+
+  test("embedColumn runs the HTTP embedder inside partitions (serializable closure)") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val served = new java.util.concurrent.atomic.AtomicInteger(0)
+    withServer({ (body, _) =>
+      served.incrementAndGet()
+      val n = HttpJson.mapper.readTree(body).get("prompt").asText().length
+      (200, s"""{"embedding":[$n.0,0.0]}""")
+    }) { url =>
+      val df = Seq(("a", "xy"), ("b", "xyz"), ("c", "")).toDF("id", "txt")
+      val out = Embedder.embedColumn(df, "txt", new HttpEmbedder(url, "m", dim = 2))
+        .collect().map(r => r.getString(0) -> r.getSeq[Float](2)).toMap
+      assert(out("a").head == 2.0f && out("b").head == 3.0f)
+      assert(out("c") == Seq(0.0f, 0.0f))
+      assert(served.get() == 2)
+    }
+  }
+}
