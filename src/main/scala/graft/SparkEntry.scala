@@ -27,6 +27,7 @@ object SparkEntry {
       pipeline.Similarity.queries ++
       pipeline.Multimodal.queries ++
       pipeline.EmbeddingStats.queries ++
+      pipeline.Export.queries ++
       rass.RassQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -39,5 +40,6 @@ object SparkEntry {
       pipeline.Similarity.oracles ++
       pipeline.Multimodal.oracles ++
       pipeline.EmbeddingStats.oracles ++
+      pipeline.Export.oracles ++
       rass.RassQueries.oracles
 }

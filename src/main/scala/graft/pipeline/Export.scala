@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The capstone composition a training-data pipeline actually ships:
+  * the cleaned, deduplicated, split-assigned corpus manifest. Everything
+  * upstream (quality scoring p02, near-dup clustering d06, stable
+  * splits p07) exists so THIS table can be materialized.
+  *
+  * x01 keeps a document iff:
+  *   - quality: >= 30 tokens and stopword ratio < 0.2 (p02's "clean"
+  *     bucket, the same integer cross-multiplied thresholds);
+  *   - dedup: not a dropped near-dup — d06's cluster survivors only
+  *     (`keep = 1` rows stay, i.e. the lexicographically-smallest
+  *     member of each MinHash/LSH cluster);
+  *   - and assigns p07's content-hash split (stable across re-runs and
+  *     corpus growth, so eval sets never silently contaminate).
+  *
+  * Scale shape: the quality stats reduce each document to two longs
+  * map-side; the drop list arrives as a left-anti join on doc_id (at
+  * 100 TB the drop list is the small side — dup fraction of the
+  * corpus — and broadcasts); the split is a per-row projection. No
+  * shuffle touches the text column.
+  */
+object Export {
+
+  def x01CorpusExport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = TextAnalysis.toks($"text")
+    val stats = Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(t).cast("long").as("n_tokens"),
+        size(filter(t, tok => tok.isInCollection(TextAnalysis.Stopwords)))
+          .cast("long").as("n_stop"))
+    val clean = stats
+      .filter($"n_tokens" >= 30 && $"n_stop" * 5 < $"n_tokens")
+    val drops = Dedup.d06NeardupClusters(spark, dir)
+      .filter($"keep" === 0).select($"doc_id")
+    clean.join(drops, Seq("doc_id"), "left_anti")
+      .select($"doc_id", TextAnalysis.SplitBucket.as("b"), $"n_tokens")
+      .withColumn("split",
+        when($"b" < TextAnalysis.TrainMax, "train")
+          .when($"b" < TextAnalysis.ValMax, "val")
+          .otherwise("test"))
+      .select($"doc_id", $"split", $"n_tokens")
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x01_corpus_export" -> x01CorpusExport _,
+  )
+
+  /** The oracle composes the published d06 clustering SQL as a
+    * subquery (DuckDB allows WITH RECURSIVE inside a derived table),
+    * so the drop list is BY CONSTRUCTION the same transitive closure
+    * the d06 gate verifies.
+    */
+  val oracles: Map[String, String] = Map(
+    "x01_corpus_export" -> {
+      val toks = raw"regexp_split_to_array(trim(text), '\s+')"
+      val stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH stats AS (SELECT doc_id, len($toks) AS n_tokens,
+         |    len(list_filter($toks, t -> t IN ($stop))) AS n_stop
+         |  FROM documents),
+         |drops AS (SELECT doc_id FROM
+         |  (${Dedup.oracles("d06_neardup_clusters")}) WHERE keep = 0),
+         |b AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(string_split(substr(md5(doc_id::VARCHAR), 1, 4), ''),
+         |      ch -> (instr('0123456789abcdef', ch) - 1)::BIGINT)),
+         |    (h, c) -> h * 16 + c) AS b FROM documents)
+         |SELECT s.doc_id,
+         |  CASE WHEN b.b < ${TextAnalysis.TrainMax} THEN 'train'
+         |       WHEN b.b < ${TextAnalysis.ValMax} THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  s.n_tokens
+         |FROM stats s JOIN b USING (doc_id)
+         |WHERE s.n_tokens >= 30 AND s.n_stop * 5 < s.n_tokens
+         |  AND s.doc_id NOT IN (SELECT doc_id FROM drops)
+         |ORDER BY s.doc_id""".stripMargin
+    },
+  )
+}

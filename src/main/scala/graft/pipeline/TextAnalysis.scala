@@ -28,7 +28,19 @@ object TextAnalysis {
   /** Whitespace tokens of `text` (reference tokenization is lower+split,
     * `app/main.py:2160-2170`).
     */
-  private def toks(c: Column): Column = split(trim(c), "\\s+")
+  private[pipeline] def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  /** p07's stable split bucket: first 16 bits of md5(doc_id) as a long —
+    * shared with the corpus-export composition ([[Export]]).
+    */
+  private[pipeline] val SplitBucket = expr(
+    """aggregate(split(substring(md5(cast(doc_id as string)), 1, 4), ''),
+      | CAST(0 AS BIGINT),
+      | (h, ch) -> h * 16 + instr('0123456789abcdef', ch) - 1)""".stripMargin)
+
+  /** Split thresholds: 0.90 * 65536 and 0.95 * 65536. */
+  private[pipeline] val TrainMax = 58982
+  private[pipeline] val ValMax = 62259
 
   /** BPE-ish subword count: runs of <=4 letters, digit runs, or single
     * punctuation — a deterministic stand-in for a real BPE vocab that
@@ -51,7 +63,7 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  private val Stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+  private[pipeline] val Stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
 
   /** Quality-bucket profile: integer cross-multiplied ratio thresholds
     * (n_stop*5 >= n_tokens <=> stopword ratio >= 0.2) keep the bucketing
@@ -155,16 +167,12 @@ object TextAnalysis {
     */
   def p07SplitProfile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bucket = expr(
-      """aggregate(split(substring(md5(cast(doc_id as string)), 1, 4), ''),
-        | CAST(0 AS BIGINT),
-        | (h, ch) -> h * 16 + instr('0123456789abcdef', ch) - 1)""".stripMargin)
     Tables.documents(spark, dir)
-      .select($"source", bucket.as("b"),
+      .select($"source", SplitBucket.as("b"),
         size(toks($"text")).cast("long").as("n_tokens"))
       .withColumn("split",
-        when($"b" < 58982, "train")        // 0.90 * 65536
-          .when($"b" < 62259, "val")       // 0.95 * 65536
+        when($"b" < TrainMax, "train")
+          .when($"b" < ValMax, "val")
           .otherwise("test"))
       .groupBy($"source", $"split")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"))

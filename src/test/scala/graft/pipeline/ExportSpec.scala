@@ -1,0 +1,36 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+class ExportSpec extends SparkSpec {
+
+  test("x01 is consistent with its upstream operators") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Export.x01CorpusExport(spark, sfDir).collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.length == byId.size, "one row per surviving document")
+
+    // every exported doc survives d06 (keep=1 or unclustered)
+    val dropped = Dedup.d06NeardupClusters(spark, sfDir)
+      .filter($"keep" === 0).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(byId.keySet.intersect(dropped).isEmpty, "a dropped near-dup leaked through")
+
+    // quality gate matches p02's clean-bucket thresholds
+    rows.foreach(r => assert(r.getAs[Long]("n_tokens") >= 30))
+
+    // split assignment agrees with p07's buckets in aggregate:
+    // grouping x01 by split must never invent a split p07 doesn't have
+    val p07Splits = TextAnalysis.p07SplitProfile(spark, sfDir)
+      .select($"split").distinct().collect().map(_.getString(0)).toSet
+    val x01Splits = rows.map(_.getAs[String]("split")).toSet
+    assert(x01Splits.subsetOf(p07Splits))
+    // and the train share lands near 90%
+    val train = rows.count(_.getAs[String]("split") == "train")
+    assert(train * 10 >= rows.length * 8, s"train share off: $train/${rows.length}")
+
+    // something was actually filtered (the corpus has shorts and dups)
+    val total = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.length < total)
+  }
+}
