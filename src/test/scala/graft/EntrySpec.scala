@@ -14,6 +14,7 @@ class EntrySpec extends SparkSpec {
       pipeline.TextAnalysis.queries.size + pipeline.Dedup.queries.size +
       pipeline.Similarity.queries.size + pipeline.Multimodal.queries.size +
       pipeline.EmbeddingStats.queries.size +
+      pipeline.Export.queries.size +
       rass.RassQueries.queries.size
     assert(q.size == expectedSize, "registry key collision")
   }
