@@ -61,6 +61,7 @@ object Bench {
           name -> (if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
         }
         graft.pipeline.Dedup.invalidateCaches()
+        graft.pipeline.Similarity.invalidateCaches()
         graft.rass.Corpus.invalidateCaches()
         graft.rass.RassEngine.invalidateStatsCache()
         rs

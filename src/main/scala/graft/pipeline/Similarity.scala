@@ -111,11 +111,45 @@ object Similarity {
   /** s04 — IVF KNN with k-means-trained centroids: the production IVF
     * path (s02 with [[kmeansCentroids]] instead of the raw seed).
     */
-  def s04IvfKmeans(spark: SparkSession, dir: String): DataFrame = {
-    val e = vectors(spark, dir)
-    ivfKnn(spark, dir, Some(NumQueries), TopK,
-      Some(kmeansCentroids(spark, e, NumCentroids, KmeansIters)))
-  }
+  def s04IvfKmeans(spark: SparkSession, dir: String): DataFrame =
+    ivfKnn(spark, dir, Some(NumQueries), TopK, TrainedVariant)
+
+  /** The IVF INDEX — centroids and the corpus cell assignment — is an
+    * ingest-time artifact, not per-query work: a production deployment
+    * trains centroids once and stores every vector's cell alongside it
+    * (the d03/d05 signature tables follow the same policy). Memoized
+    * per (session, dir, variant) and persisted; queries only pay the
+    * assignment of their own query vectors. Released via
+    * [[invalidateCaches]] (same explicit-invalidation contract as
+    * [[Dedup.invalidateCaches]]).
+    */
+  private val SeedVariant = "seed"
+  private val TrainedVariant = "kmeans"
+
+  private val indexCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, String), (DataFrame, DataFrame)]
+
+  private def ivfIndex(spark: SparkSession, dir: String,
+      variant: String): (DataFrame, DataFrame) =
+    indexCache.getOrElseUpdate((spark, dir, variant), {
+      import spark.implicits._
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val e = vectors(spark, dir)
+      val cents = (variant match {
+        case TrainedVariant => kmeansCentroids(spark, e, NumCentroids, KmeansIters)
+        case _ => e.filter($"vec_id" < NumCentroids)
+          .select($"vec_id".as("cid"), $"v".as("cv"))
+      }).persist(lvl)
+      cents.count() // materialize: consumers read the artifact, not the Lloyd lineage
+      (cents, cellAssign(spark, e, cents).persist(lvl))
+    })
+
+  def invalidateCaches(): Unit =
+    indexCache.keys.foreach(k =>
+      indexCache.remove(k).foreach { case (c, a) =>
+        c.unpersist(); a.unpersist()
+      })
 
   /** Deterministic Lloyd k-means over (vec_id, v) rows — the IVF
     * centroid trainer. Init = first k vectors; each iteration assigns
@@ -177,12 +211,10 @@ object Similarity {
 
   private def ivfKnn(spark: SparkSession, dir: String,
       queryLimit: Option[Int], k: Int,
-      centroids: Option[DataFrame] = None): DataFrame = {
+      variant: String = SeedVariant): DataFrame = {
     import spark.implicits._
     val e = vectors(spark, dir)
-    val cents = centroids.getOrElse(
-      e.filter($"vec_id" < NumCentroids).select($"vec_id".as("cid"), $"v".as("cv")))
-    val assign = cellAssign(spark, e, cents)
+    val (cents, assign) = ivfIndex(spark, dir, variant)
     val q = queryLimit.map(n => e.filter($"vec_id" < n)).getOrElse(e)
     // top-NProbe cells per query as a sorted-slice aggregate over the
     // (bounded, = ncells) per-query score list: again one hash
@@ -242,9 +274,8 @@ object Similarity {
     */
   def s06CellProfile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = vectors(spark, dir)
-    val cents = kmeansCentroids(spark, e, NumCentroids, KmeansIters)
-    cellAssign(spark, e, cents)
+    val (_, assign) = ivfIndex(spark, dir, TrainedVariant)
+    assign
       .groupBy($"cell").agg(count(lit(1)).as("n_vectors"))
       .select($"cell", $"n_vectors",
         expr("n_vectors * (n_vectors - 1) div 2").as("self_join_pairs"))
