@@ -15,13 +15,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // same between-group cache hygiene as Bench: memoized ingest
+    // artifacts are shared within a suite-prefix group, released after,
+    // so 59 queries' persisted tables never stack up in one session
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .groupBy(_._1.takeWhile(_ != '_').takeWhile(!_.isDigit))
+      .toSeq.sortBy(_._1).foreach { case (_, group) =>
+        group.foreach { case (name, fn) =>
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+        }
+        graft.pipeline.Dedup.invalidateCaches()
+        graft.pipeline.Similarity.invalidateCaches()
+        graft.rass.Corpus.invalidateCaches()
+        graft.rass.RassEngine.invalidateStatsCache()
       }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
