@@ -35,13 +35,22 @@ private[rass] object HttpJson {
           .POST(HttpRequest.BodyPublishers.ofString(body))
           .build()
         val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-        if (resp.statusCode() / 100 == 2) return resp.body()
-        // 4xx is a caller bug — retrying can't fix the request
-        if (resp.statusCode() / 100 == 4)
+        val code = resp.statusCode()
+        if (code / 100 == 2) return resp.body()
+        // 429 (rate limit) and 408 (request timeout) are transient and
+        // retry like 5xx — honoring Retry-After when the server sends
+        // one; any other 4xx is a caller bug retrying can't fix, and
+        // hard-failing it fast keeps a misconfigured ingest from
+        // burning the whole retry budget per row.
+        if (code / 100 == 4 && code != 429 && code != 408)
           throw new IllegalArgumentException(
-            s"$url rejected request (${resp.statusCode()}): ${resp.body()}")
-        lastErr = new RuntimeException(
-          s"$url returned ${resp.statusCode()}")
+            s"$url rejected request ($code): ${resp.body()}")
+        if (code == 429)
+          resp.headers().firstValue("Retry-After").ifPresent { v =>
+            v.toLongOption.filter(s => s >= 0 && s <= 30)
+              .foreach(s => Thread.sleep(s * 1000L))
+          }
+        lastErr = new RuntimeException(s"$url returned $code")
       } catch {
         case e: IllegalArgumentException => throw e
         case e: Exception => lastErr = e

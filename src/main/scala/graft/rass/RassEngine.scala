@@ -75,6 +75,13 @@ final class ParquetChatStore(spark: SparkSession, path: String,
     * compaction's two renames leaves the table at `_old` — restore it;
     * a leftover staging is an unpromoted rewrite of data still fully
     * present in the live table — discard it.
+    *
+    * Destructive (deletes staging, renames), so it runs ONLY on the
+    * append path, which the single-WRITER-per-path contract already
+    * serializes. history() must never call it: a second store instance
+    * on the same path (the documented restart/continuation pattern)
+    * reading while the writer compacts would otherwise delete the
+    * writer's in-progress `_staging` mid-rewrite.
     */
   private def recover(): Unit = {
     val (target, retired) = (new HPath(path), new HPath(path + "_old"))
@@ -96,7 +103,14 @@ final class ParquetChatStore(spark: SparkSession, path: String,
   }
   override def history(chatId: String, n: Int = 10): Seq[ChatMessage] = synchronized {
     import spark.implicits._
-    recover()
+    // read-only recovery: after a crash between the compaction renames
+    // the data lives at `_old` — read it from there, but leave the
+    // repair (rename/delete) to the writer so a reader instance can
+    // never destroy a concurrent compaction's staging directory
+    val readPath =
+      if (!fs.exists(new HPath(path)) && fs.exists(new HPath(path + "_old")))
+        path + "_old"
+      else path
     try {
       // last-n pushed into the scan (TakeOrderedAndProject after the
       // chatId filter) — only n rows reach the driver however long the
@@ -107,7 +121,7 @@ final class ParquetChatStore(spark: SparkSession, path: String,
       // desc order keeps an exchange's halves together) and the final
       // ascending render (user line before its answer).
       val roleRank = when(col("role") === "user", 0).otherwise(1)
-      spark.read.parquet(path).as[ChatMessage]
+      spark.read.parquet(readPath).as[ChatMessage]
         .filter(col("chatId") === chatId)
         .orderBy(col("createdAt").desc, roleRank.desc)
         .limit(n)

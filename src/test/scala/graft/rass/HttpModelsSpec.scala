@@ -70,6 +70,20 @@ class HttpModelsSpec extends AnyFunSuite {
     }
   }
 
+  test("HttpEmbedder retries 429 rate limits (honoring Retry-After) instead of failing") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    withServer({ (_, ex) =>
+      if (calls.incrementAndGet() == 1) {
+        ex.getResponseHeaders.set("Retry-After", "0")
+        (429, "slow down")
+      } else (200, """{"embedding":[4.0,5.0]}""")
+    }) { url =>
+      val e = new HttpEmbedder(url, "m", dim = 2)
+      assert(e.embedBatch(Seq("x")).head.toSeq == Seq(4.0f, 5.0f))
+      assert(calls.get() == 2, "429 must be retried like a transient failure")
+    }
+  }
+
   test("HttpGenerator sends system+user messages and extracts the completion") {
     var captured: String = null
     withServer({ (body, _) =>

@@ -300,6 +300,21 @@ class EngineSpec extends SparkSpec {
     assert(new java.io.File(path).renameTo(new java.io.File(path + "_old")))
     val recovered = new ParquetChatStore(spark, path, compactAfterFiles = 5)
     assert(recovered.history("c", 10).map(_.content) == (11 to 20).map(i => s"m$i"))
+    // history() is read-only: it serves from _old but repairs nothing
+    assert(new java.io.File(path + "_old").exists, "reader must not rename")
+    // ... and must never delete a concurrent compaction's staging dir
+    // (a second instance reading while the writer compacts is the
+    // documented restart/continuation pattern)
+    val staging = new java.io.File(path + "_staging")
+    assert(staging.mkdirs())
+    recovered.history("c", 10)
+    assert(staging.exists, "reader must not delete an in-progress staging")
+    // the writer's append path is what repairs crash state
+    recovered.append(ChatMessage("c", "user", "m21",
+      new java.sql.Timestamp(1748736000000L + 21000)))
+    assert(new java.io.File(path).exists && !staging.exists && !new java.io.File(path + "_old").exists,
+      "append must run full recovery before writing")
+    assert(recovered.history("c", 3).map(_.content) == Seq("m19", "m20", "m21"))
   }
 
   test("parquet chat history keeps tied exchanges whole and ordered") {
