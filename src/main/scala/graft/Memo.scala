@@ -8,8 +8,9 @@ import scala.collection.concurrent.TrieMap
   * internal CAS: two threads missing the same key both run the build,
   * and with builds that `persist()` a DataFrame the losing copy stays
   * pinned in executor storage until session end. Every artifact cache
-  * (dedup signatures, corpus, BM25 stats, IVF index) routes its miss
-  * path through here instead: the fast path is a lock-free read, the
+  * (dedup signatures + pairs + cluster labels, corpus, BM25 stats, IVF
+  * index, exact top-k) routes its miss path through here instead: the
+  * fast path is a lock-free read, the
   * miss path double-checks under the cache's monitor so exactly one
   * build runs per key and nothing is ever built-and-dropped.
   *

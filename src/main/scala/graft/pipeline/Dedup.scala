@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{Memo, Tables}
 
 /** Deduplication operators for training-data pipelines, over the
   * `documents` (and `embeddings`) tables.
@@ -42,7 +42,7 @@ object Dedup {
     */
   def invalidateCaches(): Unit = {
     Seq(shingleCache, sigCache, simhashCache, signSigCache, pairsCache,
-      lastLabels).foreach { c =>
+      clusterCache).foreach { c =>
       c.keys.foreach(k => c.remove(k).foreach(_.unpersist()))
     }
   }
@@ -56,7 +56,7 @@ object Dedup {
     * ingest, not re-derived from raw text per query.
     */
   private def shingleRows(spark: SparkSession, dir: String): DataFrame =
-    shingleCache.getOrElseUpdate((spark, dir), {
+    Memo.getOrBuild(shingleCache, (spark, dir)) {
       import spark.implicits._
       Tables.documents(spark, dir)
         .select($"doc_id", toks($"text").as("t"))
@@ -65,7 +65,7 @@ object Dedup {
           transform(sequence(lit(1), size($"t") - 2),
             i => array_join(slice($"t", i, lit(3)), " ")))).as("shingle"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   private val shingleCache =
     scala.collection.concurrent.TrieMap
@@ -147,14 +147,14 @@ object Dedup {
     * fires — verified in the physical plan).
     */
   private def minhashSig(spark: SparkSession, dir: String): DataFrame =
-    sigCache.getOrElseUpdate((spark, dir), {
+    Memo.getOrBuild(sigCache, (spark, dir)) {
       import spark.implicits._
       val sh = shingleRows(spark, dir)
       val minCols = (0 until NumHashes).map(i =>
         min(md5(concat(lit(s"$i|"), $"shingle"))).as(s"h$i"))
       sh.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   private val sigCache =
     scala.collection.concurrent.TrieMap
@@ -214,9 +214,10 @@ object Dedup {
     * per side.
     */
   private def simhashDf(spark: SparkSession, dir: String): DataFrame =
-    simhashCache.getOrElseUpdate((spark, dir),
+    Memo.getOrBuild(simhashCache, (spark, dir)) {
       buildSimhash(spark, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   private val simhashCache =
     scala.collection.concurrent.TrieMap
@@ -343,7 +344,7 @@ object Dedup {
     * [[minhashSig]] (the band self-join reads it twice).
     */
   private def signSig(spark: SparkSession, dir: String): DataFrame =
-    signSigCache.getOrElseUpdate((spark, dir), {
+    Memo.getOrBuild(signSigCache, (spark, dir)) {
       import spark.implicits._
       graft.rass.expressions.DotProduct.register(spark)
       val e = Tables.embeddings(spark, dir)
@@ -354,7 +355,7 @@ object Dedup {
       }.reduce(_ + _)
       e.select($"vec_id", sigCol.as("sig"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   private val signSigCache =
     scala.collection.concurrent.TrieMap
@@ -479,33 +480,49 @@ object Dedup {
     * consumes the STORED pairs, it doesn't re-derive them from text.
     */
   private def dupPairs(spark: SparkSession, dir: String): DataFrame =
-    pairsCache.getOrElseUpdate((spark, dir), {
+    Memo.getOrBuild(pairsCache, (spark, dir)) {
       import spark.implicits._
       d03MinhashLshPairs(spark, dir).select($"a_id", $"b_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   private val pairsCache =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), DataFrame]
 
-  /** The converged label table of the previous call, per (session,
-    * dir): the RESULT reads from it lazily so it must stay persisted,
-    * but a repeat call would otherwise strand one label table per
-    * invocation — the new run retires the old table first, bounding
-    * storage at one per corpus. (The result itself is deliberately not
-    * memoized: unlike the signature/pair ingest artifacts, the
-    * propagation loop IS the operator, and caching its output would
-    * make repeat timings measure a cache read.)
+  /** The converged cluster-label table (id, label), a memoized ingest
+    * artifact per (session, dir) like the d03 signature table and the
+    * IVF index: a production pipeline clusters ONCE at ingest and
+    * every consumer (the x01 export's drop list, re-runs of the d06
+    * report) reads the stored table — at 100 TB an export run must not
+    * re-propagate labels over the whole corpus. Persisted AND
+    * materialized inside the build, so consumers read the artifact,
+    * not the propagation lineage.
     */
-  private val lastLabels =
+  private val clusterCache =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), DataFrame]
 
-  def d06NeardupClusters(spark: SparkSession, dir: String): DataFrame = {
+  private def clusterLabels(spark: SparkSession, dir: String): DataFrame =
+    Memo.getOrBuild(clusterCache, (spark, dir))(buildClusterLabels(spark, dir))
+
+  /** The drop list d06 implies — every non-canonical cluster member —
+    * read from the stored artifact (building it first if cold). This is
+    * the surface consumers join against; at 100 TB it is the dup
+    * fraction of the corpus and broadcasts.
+    */
+  def clusterDropList(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    clusterLabels(spark, dir)
+      .filter($"id" =!= $"label").select($"id".as("doc_id"))
+  }
+
+  /** Distributed min-label propagation over the stored d03 pairs;
+    * returns the converged, persisted (id, label) table.
+    */
+  private def buildClusterLabels(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    lastLabels.remove((spark, dir)).foreach(_.unpersist())
     val pairs = dupPairs(spark, dir)
     val edges = pairs.union(pairs.select($"b_id", $"a_id"))
       .toDF("src", "dst")
@@ -545,8 +562,30 @@ object Dedup {
           s"($changed labels still changing): component diameter exceeds the cap")
     }
     edges.unpersist()
-    lastLabels.put((spark, dir), cached)
-    labels
+    // re-persist the converged labels WITHOUT the convergence column as
+    // the stored artifact: the returned frame must be the persisted
+    // plan itself (not a projection over it) so a later unpersist()
+    // frees the actual cache block; the extra materialization is one
+    // pass over a (dup-volume)-sized two-column table
+    val art = cached.select($"id", $"label").persist(lvl)
+    art.count()
+    cached.unpersist()
+    art
+  }
+
+  /** d06-the-query REBUILDS the artifact: the propagation loop is what
+    * the query benchmarks (a cache read would measure nothing), and the
+    * fresh table atomically replaces the stored one that consumers
+    * read. The retired table is unpersisted after the rebuild so the
+    * cache never holds a dropped copy.
+    */
+  def d06NeardupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fresh = buildClusterLabels(spark, dir)
+    clusterCache.synchronized {
+      clusterCache.put((spark, dir), fresh).foreach(_.unpersist())
+    }
+    fresh
       .select($"label".as("cluster_id"), $"id".as("doc_id"))
       .withColumn("keep",
         when($"doc_id" === $"cluster_id", 1L).otherwise(0L))

@@ -37,8 +37,11 @@ object Export {
           .cast("long").as("n_stop"))
     val clean = stats
       .filter($"n_tokens" >= 30 && $"n_stop" * 5 < $"n_tokens")
-    val drops = Dedup.d06NeardupClusters(spark, dir)
-      .filter($"keep" === 0).select($"doc_id")
+    // the drop list is READ from the stored d06 cluster artifact (built
+    // on first use, memoized per session+dir like the d03 signatures
+    // and the IVF index): a production export must not re-run label
+    // propagation over the corpus per run
+    val drops = Dedup.clusterDropList(spark, dir)
     clean.join(drops, Seq("doc_id"), "left_anti")
       .select($"doc_id", TextAnalysis.SplitBucket.as("b"), $"n_tokens")
       .withColumn("split",

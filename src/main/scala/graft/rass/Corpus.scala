@@ -3,7 +3,7 @@ package graft.rass
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{Memo, Tables}
 
 /** Deterministic RASS corpus derived from the driver's test tables:
   * `documents` becomes the unstructured chunk rows (with real vectors
@@ -191,12 +191,12 @@ object Corpus {
     * deployment this is simply the written document table.
     */
   def corpus(spark: SparkSession, dir: String): DataFrame =
-    cache.getOrElseUpdate((spark, dir), {
+    Memo.getOrBuild(cache, (spark, dir)) {
       val c = structured(spark, dir).unionByName(unstructured(spark, dir),
         allowMissingColumns = true)
       c.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       c
-    })
+    }
 
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
@@ -209,11 +209,11 @@ object Corpus {
     * additively (CorpusStatsSpec proves batch merge = rebuild).
     */
   def stats(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    statsCache.getOrElseUpdate((spark, dir), {
+    Memo.getOrBuild(statsCache, (spark, dir)) {
       val (f, t) = CorpusStats.build(corpus(spark, dir), DocSchema.scoredFields)
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       (f.persist(lvl), t.persist(lvl))
-    })
+    }
 
   private val statsCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, DataFrame)]

@@ -189,11 +189,11 @@ final class RassEngine(
   private lazy val effectiveStats: Option[(DataFrame, DataFrame)] =
     stats.orElse {
       val key = (docs.sparkSession, docs.queryExecution.analyzed.canonicalized)
-      Some(RassEngine.builtStatsCache.getOrElseUpdate(key, {
+      Some(graft.Memo.getOrBuild(RassEngine.builtStatsCache, key) {
         val (f, t) = CorpusStats.build(docs, DocSchema.scoredFields)
         val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         (f.persist(lvl), t.persist(lvl))
-      }))
+      })
     }
 
   /** Fields the reference excludes from structured snippets
