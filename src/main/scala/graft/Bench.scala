@@ -54,9 +54,13 @@ object Bench {
     // memory and GC for every later group — round 2 measured q01 at
     // 10.9 s under the accumulated caches vs 1.5 s in isolation.
     // x01 (export) consumes the d-suite's stored dedup artifacts, so it
-    // benches inside the d group — timed after d06, sharing the same
-    // warm signatures a real export run would, instead of re-paying the
-    // whole signature build + label propagation inside its own timing.
+    // benches inside the d group — timed after d06, reading the same
+    // stored cluster table a production export run would, instead of
+    // re-paying the signature build + label propagation inside its own
+    // timing. This is a deliberate warm-artifact measurement (since
+    // round 4) and the JSON output carries it as `warm_queries` so
+    // cross-round comparisons aren't silently skewed: a standalone cold
+    // export additionally pays the d03+d06 artifact build.
     def groupKey(name: String): String = {
       val k = name.takeWhile(_ != '_').takeWhile(!_.isDigit)
       if (k == "x") "d" else k
@@ -83,7 +87,12 @@ object Bench {
     // total is emitted at BOTH ends of the line: harnesses that keep a
     // bounded tail of the output would otherwise lose the leading total
     // once the per-query map grows long enough
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","total_sec":$total}""")
+    // warm_queries: measured against ingest artifacts another query in
+    // their group already built (the production shape for consumers of
+    // stored artifacts); their cold cost includes that build
+    val warm = Seq("x01_corpus_export", "s05_recall_profile")
+      .filter(names.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm_queries":$warm,"sf":"$sfDir","total_sec":$total}""")
     spark.stop()
   }
 }

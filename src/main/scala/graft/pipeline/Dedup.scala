@@ -519,19 +519,29 @@ object Dedup {
 
   /** Distributed min-label propagation over the stored d03 pairs;
     * returns the converged, persisted (id, label) table.
+    *
+    * Each round's label table is pinned behind a [[LogicalRDD]] leaf
+    * ([[pin]]) before the previous round is released. Without the
+    * lineage break, round i+1's plan DEPENDS on round i's cached plan,
+    * and Spark's non-cascading `unpersist` (SPARK-24596) responds by
+    * clearing and lazily re-registering every dependent cache entry —
+    * so releasing round i silently dropped round i+1's just-built
+    * blocks and every subsequent action recomputed the ENTIRE
+    * propagation chain from the pair table (quadratic total work, and
+    * the reason repeat reads of the converged table were costing a full
+    * re-propagation). With leaf plans, rounds have no plan-level
+    * dependency and each release frees exactly one table.
     */
   private def buildClusterLabels(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pairs = dupPairs(spark, dir)
     val edges = pairs.union(pairs.select($"b_id", $"a_id"))
       .toDF("src", "dst")
       .repartition($"src")
-      .persist(lvl)
-    var cached = edges.select($"src".as("id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cached = pin(edges.select($"src".as("id")).distinct()
       .withColumn("label", $"id")
-      .persist(lvl)
-    var labels = cached
+      .withColumn("old", $"id"))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < MaxCcIterations) {
@@ -539,15 +549,14 @@ object Dedup {
       // label, min per node. The own-label row also carries `old` (max
       // over a null-for-neighbors column recovers it), so convergence
       // detection is a filter on the cached result — no extra join.
-      val next = labels.select($"id", $"label", $"label".as("old"))
+      val labels = cached.select($"id", $"label")
+      val next = pin(labels.select($"id", $"label", $"label".as("old"))
         .union(edges.join(labels, $"src" === $"id")
           .select($"dst".as("id"), $"label", lit(null).cast("long").as("old")))
-        .groupBy($"id").agg(min($"label").as("label"), max($"old").as("old"))
-        .persist(lvl)
+        .groupBy($"id").agg(min($"label").as("label"), max($"old").as("old")))
       changed = next.filter($"label" =!= $"old").count()
       cached.unpersist()
       cached = next
-      labels = next.drop("old")
       iter += 1
     }
     // a truncated propagation would SILENTLY return split clusters (and
@@ -562,15 +571,22 @@ object Dedup {
           s"($changed labels still changing): component diameter exceeds the cap")
     }
     edges.unpersist()
-    // re-persist the converged labels WITHOUT the convergence column as
-    // the stored artifact: the returned frame must be the persisted
-    // plan itself (not a projection over it) so a later unpersist()
-    // frees the actual cache block; the extra materialization is one
-    // pass over a (dup-volume)-sized two-column table
-    val art = cached.select($"id", $"label").persist(lvl)
-    art.count()
-    cached.unpersist()
-    art
+    cached
+  }
+
+  /** Persist a small iteration table behind a lineage-breaking
+    * [[org.apache.spark.sql.execution.LogicalRDD]] leaf: the returned
+    * frame's logical plan references no upstream cache entry, so
+    * releasing earlier iterations can never clear it (see
+    * [[buildClusterLabels]]), and it IS the persisted plan, so
+    * `unpersist()` frees its actual blocks. The Row round-trip costs
+    * one deserialization pass over a dup-volume-sized table.
+    */
+  private def pin(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val pinned = spark.createDataFrame(df.rdd, df.schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pinned
   }
 
   /** d06-the-query REBUILDS the artifact: the propagation loop is what
