@@ -490,21 +490,115 @@ object Dedup {
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), DataFrame]
 
-  /** The converged cluster-label table (id, label), a memoized ingest
-    * artifact per (session, dir) like the d03 signature table and the
-    * IVF index: a production pipeline clusters ONCE at ingest and
-    * every consumer (the x01 export's drop list, re-runs of the d06
-    * report) reads the stored table — at 100 TB an export run must not
-    * re-propagate labels over the whole corpus. Persisted AND
-    * materialized inside the build, so consumers read the artifact,
-    * not the propagation lineage.
+  /** The converged cluster-label table (id, label) is a DURABLE ingest
+    * artifact: a production pipeline clusters ONCE at ingest, publishes
+    * the table as parquet, and every consumer (the x01 export's drop
+    * list, re-runs of the d06 report) reads the stored table — at
+    * 100 TB an export run must not re-propagate labels over the whole
+    * corpus, and it must not depend on an in-memory cache surviving
+    * either (round 6 measured the export at 0.58 s with the session
+    * memo warm and 5.06 s after eviction — a durability bug, not
+    * noise). The TrieMap below is only the session's hot handle to the
+    * on-disk table; a miss falls back to the parquet artifact before it
+    * ever falls back to a rebuild.
     */
   private val clusterCache =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), DataFrame]
 
   private def clusterLabels(spark: SparkSession, dir: String): DataFrame =
-    Memo.getOrBuild(clusterCache, (spark, dir))(buildClusterLabels(spark, dir))
+    Memo.getOrBuild(clusterCache, (spark, dir)) {
+      readClusterArtifact(spark, dir).getOrElse {
+        val fresh = buildClusterLabels(spark, dir)
+        writeClusterArtifact(spark, dir, fresh)
+        fresh
+      }
+    }
+
+  private type HPath = org.apache.hadoop.fs.Path
+
+  /** Durable home for artifacts derived from a (possibly read-only)
+    * source dir — the cluster table cannot live beside the inputs the
+    * way the BM25 stats tables live beside their document table
+    * ([[graft.rass.ingest.IngestCommit.statsFieldsPath]]), because the
+    * benchmark corpora are mounted read-only. One fixed root, one
+    * subdirectory per source dir (keyed by the dir's md5 so unrelated
+    * corpora never collide), overridable for deployments that want the
+    * artifacts on the same filesystem as the warehouse.
+    */
+  private[graft] def artifactRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS",
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-artifacts")
+
+  /** Bump when the clustering semantics change: a stale artifact from
+    * an older build must never satisfy a newer reader.
+    */
+  private val ClusterArtifactVersion = 1
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private[graft] def clusterArtifactPath(dir: String): String =
+    s"$artifactRoot/${md5Hex(dir)}_d06_clusters"
+
+  /** Staleness guard: the artifact is valid only for the exact source
+    * files it was built from. The fingerprint hashes the documents
+    * table's file listing (name, length, mtime — a driver-side
+    * metadata call, no data scan) plus the algorithm parameters; it is
+    * stored inside the artifact directory and checked on every read, so
+    * regenerated test data or changed LSH parameters invalidate the
+    * artifact instead of silently serving wrong clusters.
+    */
+  private def sourceFingerprint(spark: SparkSession, dir: String): String = {
+    val src = new HPath(dir + "/documents.parquet")
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listing =
+      if (!fs.exists(src)) "absent"
+      else fs.listStatus(src).filterNot(_.getPath.getName.startsWith("_"))
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .sorted.mkString("\n")
+    md5Hex(s"v$ClusterArtifactVersion|minhash=${NumHashes}x$Bands|$listing")
+  }
+
+  /** Read the published cluster table if one exists for exactly this
+    * source data. Checks `_old` too (read-only crash recovery: a kill
+    * between [[graft.rass.ingest.IngestCommit.swapIn]]'s renames leaves
+    * the previous table there; repair is the writer's job). Returns the
+    * table persisted, as the session's hot handle.
+    */
+  private def readClusterArtifact(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val path = clusterArtifactPath(dir)
+    val fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(path, path + "_old")
+      .find(p => fs.exists(new HPath(p + "/_fingerprint")))
+      .flatMap { p =>
+        val in = fs.open(new HPath(p + "/_fingerprint"))
+        val stored =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        if (stored != sourceFingerprint(spark, dir)) None
+        else Some(spark.read.parquet(p)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      }
+  }
+
+  /** Publish the converged label table: stage fully (parquet +
+    * fingerprint), then promote atomically via the shared staging/_old
+    * swap — a reader sees the old table or the new one, never a
+    * half-written directory. Single-writer-per-artifact is the same
+    * deployment contract IngestCommit documents for the document table.
+    */
+  private def writeClusterArtifact(spark: SparkSession, dir: String,
+      labels: DataFrame): Unit = {
+    val path = clusterArtifactPath(dir)
+    val fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    labels.write.mode("overwrite").parquet(path + "_staging")
+    val out = fs.create(new HPath(path + "_staging/_fingerprint"), true)
+    try out.write(sourceFingerprint(spark, dir).getBytes("UTF-8"))
+    finally out.close()
+    graft.rass.ingest.IngestCommit.swapIn(fs, path)
+  }
 
   /** The drop list d06 implies — every non-canonical cluster member —
     * read from the stored artifact (building it first if cold). This is
@@ -532,29 +626,54 @@ object Dedup {
     * re-propagation). With leaf plans, rounds have no plan-level
     * dependency and each release frees exactly one table.
     */
+  /** Rows per loop-shuffle partition. Label/edge rows are a couple of
+    * longs, so a million rows is a few tens of MB — comfortably
+    * in-memory per task — while keeping the loop's task count
+    * proportional to DUP volume rather than to
+    * `spark.sql.shuffle.partitions`: the rounds-5/6 driver benches
+    * showed the flat 32-partition loop spending most of d06's wall
+    * clock scheduling ~100 near-empty tasks per round over a table of
+    * a few hundred rows. At 10⁹ documents the same formula sizes the
+    * loop up to the session's shuffle-partition ceiling.
+    */
+  private val LoopRowsPerPartition = 1000000L
+
   private def buildClusterLabels(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pairs = dupPairs(spark, dir)
+    val maxParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopParts = math.max(2, math.min(maxParts,
+      (2 * pairs.count() / LoopRowsPerPartition + 1).toInt))
     val edges = pairs.union(pairs.select($"b_id", $"a_id"))
       .toDF("src", "dst")
-      .repartition($"src")
+      .repartition(loopParts, $"src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val changedAcc = spark.sparkContext.longAccumulator("d06_changed_labels")
     var cached = pin(edges.select($"src".as("id")).distinct()
       .withColumn("label", $"id")
       .withColumn("old", $"id"))
-    var changed = 1L
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < MaxCcIterations) {
+    while (!converged && iter < MaxCcIterations) {
       // one shuffle per round: own label unioned with every in-neighbor's
       // label, min per node. The own-label row also carries `old` (max
-      // over a null-for-neighbors column recovers it), so convergence
-      // detection is a filter on the cached result — no extra join.
+      // over a null-for-neighbors column recovers it), and the changed
+      // count rides the materializing job as an accumulator side-effect
+      // of pin()'s Row pass — ONE job per round, no separate
+      // convergence scan. The explicit loopParts repartition satisfies
+      // the groupBy's clustering requirement, so the aggregation runs
+      // at dup-volume-sized parallelism instead of the session-wide
+      // shuffle-partition count.
       val labels = cached.select($"id", $"label")
+      changedAcc.reset()
       val next = pin(labels.select($"id", $"label", $"label".as("old"))
         .union(edges.join(labels, $"src" === $"id")
           .select($"dst".as("id"), $"label", lit(null).cast("long").as("old")))
-        .groupBy($"id").agg(min($"label").as("label"), max($"old").as("old")))
-      changed = next.filter($"label" =!= $"old").count()
+        .repartition(loopParts, $"id")
+        .groupBy($"id").agg(min($"label").as("label"), max($"old").as("old")),
+        Some(changedAcc))
+      next.count()
+      converged = changedAcc.value == 0L
       cached.unpersist()
       cached = next
       iter += 1
@@ -563,12 +682,12 @@ object Dedup {
     // diverge from the oracle's transitive closure) — fail loudly; a
     // component with diameter > MaxCcIterations needs the O(log n)
     // star-contraction variant, not a higher cap
-    if (changed > 0) {
+    if (!converged) {
       edges.unpersist()
       cached.unpersist()
       throw new IllegalStateException(
         s"d06 label propagation did not converge in $MaxCcIterations rounds " +
-          s"($changed labels still changing): component diameter exceeds the cap")
+          s"(${changedAcc.value} labels still changing): component diameter exceeds the cap")
     }
     edges.unpersist()
     cached
@@ -580,24 +699,43 @@ object Dedup {
     * releasing earlier iterations can never clear it (see
     * [[buildClusterLabels]]), and it IS the persisted plan, so
     * `unpersist()` frees its actual blocks. The Row round-trip costs
-    * one deserialization pass over a dup-volume-sized table.
+    * one deserialization pass over a dup-volume-sized table — and with
+    * `changed` set, that same pass counts the not-yet-converged rows
+    * into the accumulator, folding convergence detection into the
+    * materializing job. (Accumulator counts from re-run tasks can only
+    * OVER-count, which at worst buys one extra propagation round —
+    * never a premature exit.)
     */
-  private def pin(df: DataFrame): DataFrame = {
+  private def pin(df: DataFrame,
+      changed: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = df.sparkSession
-    val pinned = spark.createDataFrame(df.rdd, df.schema)
+    val schema = df.schema
+    val rdd = changed match {
+      case None => df.rdd
+      case Some(acc) =>
+        val li = schema.fieldIndex("label")
+        val oi = schema.fieldIndex("old")
+        df.rdd.map { row =>
+          if (row.getLong(li) != row.getLong(oi)) acc.add(1L)
+          row
+        }
+    }
+    spark.createDataFrame(rdd, schema)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pinned
   }
 
   /** d06-the-query REBUILDS the artifact: the propagation loop is what
     * the query benchmarks (a cache read would measure nothing), and the
-    * fresh table atomically replaces the stored one that consumers
-    * read. The retired table is unpersisted after the rebuild so the
-    * cache never holds a dropped copy.
+    * fresh table atomically replaces the stored one — on DISK (the
+    * parquet publish consumers in any later session read) and in the
+    * session memo (the hot handle). The retired in-memory table is
+    * unpersisted after the swap so the cache never holds a dropped
+    * copy.
     */
   def d06NeardupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val fresh = buildClusterLabels(spark, dir)
+    writeClusterArtifact(spark, dir, fresh)
     clusterCache.synchronized {
       clusterCache.put((spark, dir), fresh).foreach(_.unpersist())
     }

@@ -116,9 +116,10 @@ object IngestCommit {
   /** Promote `<p>_staging` to `p`, retiring the old table via `_old` so
     * a crash at any point leaves either the old or the new table
     * recoverable (worst case it sits at _old until the next batch).
-    * Shared with [[graft.rass.ParquetChatStore]]'s compaction.
+    * Shared with [[graft.rass.ParquetChatStore]]'s compaction and the
+    * d06 cluster artifact ([[graft.pipeline.Dedup]]).
     */
-  private[rass] def swapIn(fs: org.apache.hadoop.fs.FileSystem, p: String): Unit = {
+  private[graft] def swapIn(fs: org.apache.hadoop.fs.FileSystem, p: String): Unit = {
     val (staging, target, retired) =
       (new HPath(p + "_staging"), new HPath(p), new HPath(p + "_old"))
     fs.delete(retired, true)
