@@ -86,6 +86,7 @@ object Bench {
         graft.pipeline.Similarity.invalidateCaches()
         graft.rass.Corpus.invalidateCaches()
         graft.rass.RassEngine.invalidateStatsCache()
+        graft.relational.StarQueries.invalidateCaches()
         // settle before the next group so one group's GC debt (freed
         // cache blocks) isn't billed to the next group's first query
         System.gc()

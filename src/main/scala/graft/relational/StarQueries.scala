@@ -248,12 +248,75 @@ object StarQueries {
       .orderBy($"user_id")
   }
 
-  /** NTILE deciles of customers by account balance. */
+  /** The range-partitioned (c_custkey, c_acctbal, pid) projection q14
+    * ranks over, memoized and persisted per (session, dir). The persist
+    * is what makes the two jobs that read it — the per-partition count
+    * and the ranked aggregation — see the SAME range boundaries
+    * (RangePartitioner re-samples per execution, so an unpersisted
+    * exchange could assign rows differently between the jobs; which
+    * boundaries it picks is irrelevant to correctness, but both jobs
+    * must agree). Two columns + an int, so the cached footprint is a
+    * fraction of the customer table. Released by [[invalidateCaches]].
+    */
+  private def rankedBalances(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.getOrBuild(ntileCache, (spark, dir)) {
+      import spark.implicits._
+      Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_acctbal")
+        .repartitionByRange($"c_acctbal", $"c_custkey")
+        .withColumn("pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private val ntileCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
+  /** Release the memoized q14 range-partitioned projection. */
+  def invalidateCaches(): Unit =
+    ntileCache.keys.foreach(k => ntileCache.remove(k).foreach(_.unpersist()))
+
+  /** NTILE deciles of customers by account balance — exact, with no
+    * global single-partition window. `Window.orderBy(...)` with an
+    * empty partitionBy funnels the whole table through ONE task (fine
+    * at sf0.1, a single-executor sort of every customer row at 100 TB),
+    * so the global rank is computed scale-safely instead:
+    * range-partition by the sort key, row_number WITHIN each partition
+    * (a partitioned window), and add per-partition cumulative offsets —
+    * driver traffic is one count per partition, not per row. The NTILE
+    * bucket then follows from the global rank in closed form (first
+    * `n % 10` buckets get the extra row), which is the SQL-standard
+    * semantics DuckDB's NTILE implements, so hash-parity holds.
+    * PlanAuditSpec enforces the no-unpartitioned-Window rule for every
+    * registered query.
+    */
   def q14BalanceDeciles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val c = Tables.customer(spark, dir)
-    val w = Window.orderBy($"c_acctbal", $"c_custkey")
-    c.withColumn("decile", ntile(10).over(w))
+    val parted = rankedBalances(spark, dir)
+    val counts = parted.groupBy($"pid").agg(count(lit(1)).as("cnt"))
+      .orderBy($"pid").collect()
+    val n = counts.map(_.getLong(1)).sum
+    var acc = 0L
+    val offsets = counts.map { r =>
+      val o = (r.getInt(0), acc); acc += r.getLong(1); o
+    }.toSeq
+    val offsetsDf = offsets.toDF("pid", "offset")
+    val w = Window.partitionBy($"pid").orderBy($"c_acctbal", $"c_custkey")
+    val base = n / 10
+    val rem = n % 10
+    val cut = (base + 1) * rem
+    val ranked = parted
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(offsetsDf), Seq("pid"))
+      .withColumn("rank", $"offset" + $"rn")
+    // Column `/` is double division; floor makes the integer quotient
+    // explicit (exact: quotients are <= 10, denominators << 2^53)
+    val decile =
+      if (base == 0) $"rank" // n < 10: every row its own bucket
+      else when($"rank" <= cut, floor(($"rank" - 1) / (base + 1)) + 1)
+        .otherwise(floor(($"rank" - 1 - cut) / base) + (rem + 1))
+    ranked
+      .withColumn("decile", decile.cast(IntegerType))
       .groupBy($"decile")
       .agg(count(lit(1)).as("n_customers"),
         sum(money($"c_acctbal")).cast(DoubleType).as("total_acctbal"),

@@ -42,6 +42,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("no registered query plans an unpartitioned Window") {
+    // Window with an empty partitionSpec funnels every row through ONE
+    // task — a single-executor sort at 100 TB. q14 (the one historical
+    // offender) now computes its global rank via range partitioning +
+    // per-partition offsets; any future global window must be rewritten
+    // the same way or explicitly allowlisted here with a justification.
+    val allowlist = Set.empty[String]
+    SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allowlist).foreach { name =>
+        val global = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.optimizedPlan.collect {
+            case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+          }
+        assert(global.isEmpty,
+          s"$name plans ${global.size} unpartitioned Window node(s) — " +
+            "single-partition funnel at scale")
+      }
+  }
+
   test("star-schema dimension joins stay broadcast") {
     val p = plan("q04_region_revenue")
     assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")
