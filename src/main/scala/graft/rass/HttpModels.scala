@@ -27,8 +27,8 @@ private[rass] object HttpJson {
     var attempt = 0
     var lastErr: Exception = null
     while (attempt <= maxRetries) {
-      if (attempt > 0) Thread.sleep(200L << (attempt - 1)) // 200/400/800ms
       try {
+        if (attempt > 0) Thread.sleep(200L << (attempt - 1)) // 200/400/800ms
         val req = HttpRequest.newBuilder(URI.create(url))
           .timeout(Duration.ofSeconds(60))
           .header("Content-Type", "application/json")
@@ -45,7 +45,10 @@ private[rass] object HttpJson {
         if (code / 100 == 4 && code != 429 && code != 408)
           throw new IllegalArgumentException(
             s"$url rejected request ($code): ${resp.body()}")
-        if (code == 429)
+        // Retry-After is honored only when another attempt will follow:
+        // sleeping up to 30 s on the FINAL attempt would only delay the
+        // failure it can no longer avert
+        if ((code == 429 || code == 408) && attempt < maxRetries)
           resp.headers().firstValue("Retry-After").ifPresent { v =>
             v.toLongOption.filter(s => s >= 0 && s <= 30)
               .foreach(s => Thread.sleep(s * 1000L))
@@ -53,6 +56,12 @@ private[rass] object HttpJson {
         lastErr = new RuntimeException(s"$url returned $code")
       } catch {
         case e: IllegalArgumentException => throw e
+        case e: InterruptedException =>
+          // cancellation, not a transient fault: restore the interrupt
+          // flag (sleep/send cleared it) and abort the retry loop so a
+          // task kill doesn't burn the remaining backoff budget
+          Thread.currentThread().interrupt()
+          throw new RuntimeException(s"$url interrupted during retry", e)
         case e: Exception => lastErr = e
       }
       attempt += 1

@@ -84,6 +84,70 @@ class HttpModelsSpec extends AnyFunSuite {
     }
   }
 
+  test("429 on the final attempt fails fast — Retry-After is not slept on") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    withServer({ (_, ex) =>
+      calls.incrementAndGet()
+      ex.getResponseHeaders.set("Retry-After", "30")
+      (429, "slow down")
+    }) { url =>
+      val t0 = System.nanoTime()
+      val e = intercept[RuntimeException] {
+        HttpJson.post(java.net.http.HttpClient.newHttpClient(), url, "{}",
+          maxRetries = 0)
+      }
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(calls.get() == 1)
+      assert(e.getMessage.contains("failed after 1 attempts"))
+      assert(elapsedMs < 5000,
+        s"final-attempt 429 slept ${elapsedMs}ms on a Retry-After it cannot use")
+    }
+  }
+
+  test("408 honors Retry-After like 429, then retries") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    withServer({ (_, ex) =>
+      if (calls.incrementAndGet() == 1) {
+        ex.getResponseHeaders.set("Retry-After", "1")
+        (408, "request timeout")
+      } else (200, """{"embedding":[7.0,8.0]}""")
+    }) { url =>
+      val t0 = System.nanoTime()
+      val e = new HttpEmbedder(url, "m", dim = 2)
+      assert(e.embedBatch(Seq("x")).head.toSeq == Seq(7.0f, 8.0f))
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(calls.get() == 2, "408 must be retried like a transient failure")
+      assert(elapsedMs >= 900,
+        s"Retry-After: 1 on a 408 must be honored, call returned in ${elapsedMs}ms")
+    }
+  }
+
+  test("interrupt during the retry loop aborts and restores the flag") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    withServer({ (_, _) => calls.incrementAndGet(); (500, "always down") }) { url =>
+      @volatile var thrown: Throwable = null
+      @volatile var flagRestored = false
+      val worker = new Thread(() => {
+        try HttpJson.post(java.net.http.HttpClient.newHttpClient(), url, "{}",
+          maxRetries = 8) // backoff up to 200ms<<7 — plenty to interrupt into
+        catch { case t: Throwable =>
+          thrown = t
+          flagRestored = Thread.currentThread().isInterrupted
+        }
+      })
+      worker.start()
+      Thread.sleep(150) // let it reach a backoff sleep
+      worker.interrupt()
+      worker.join(10000)
+      assert(!worker.isAlive, "worker must abort the retry loop promptly")
+      assert(thrown.isInstanceOf[RuntimeException] &&
+        thrown.getCause.isInstanceOf[InterruptedException],
+        s"expected wrapped InterruptedException, got $thrown")
+      assert(flagRestored, "interrupt flag must be restored, not swallowed")
+      assert(calls.get() < 9, "the remaining retry budget must not be burned")
+    }
+  }
+
   test("HttpGenerator sends system+user messages and extracts the completion") {
     var captured: String = null
     withServer({ (body, _) =>
