@@ -107,11 +107,11 @@ final class ParquetChatStore(spark: SparkSession, path: String,
     // the data lives at `_old` — read it from there, but leave the
     // repair (rename/delete) to the writer so a reader instance can
     // never destroy a concurrent compaction's staging directory
-    val readPath =
-      if (!fs.exists(new HPath(path)) && fs.exists(new HPath(path + "_old")))
-        path + "_old"
-      else path
-    try {
+    def attempt(): Seq[ChatMessage] = {
+      val readPath =
+        if (!fs.exists(new HPath(path)) && fs.exists(new HPath(path + "_old")))
+          path + "_old"
+        else path
       // last-n pushed into the scan (TakeOrderedAndProject after the
       // chatId filter) — only n rows reach the driver however long the
       // chat history grows, mirroring the reference's `take: 10` desc
@@ -128,13 +128,52 @@ final class ParquetChatStore(spark: SparkSession, path: String,
         .collect()
         .sortBy(m => (m.createdAt.getTime, if (m.role == "user") 0 else 1))
         .toSeq
-    } catch {
-      // first message of the first chat: the table doesn't exist yet
-      case e: org.apache.spark.sql.AnalysisException
-        if e.getMessage.contains("PATH_NOT_FOUND") || e.getMessage.contains("Path does not exist") =>
-        Seq.empty
+    }
+    try attempt()
+    catch {
+      // Two distinct disappearances land here:
+      //   - first message of the first chat: the table doesn't exist
+      //     yet (planning-time PATH_NOT_FOUND) — the retry re-resolves,
+      //     fails the same way, and returns empty;
+      //   - a concurrent writer's recover()/compaction renamed the
+      //     table between our exists-probe and the scan (scan-time
+      //     FileNotFound buried in a SparkException): the data MOVED,
+      //     it didn't vanish — the retry re-resolves the live path and
+      //     serves it. Only if the second attempt ALSO finds nothing is
+      //     the table treated as absent.
+      case t: Throwable if ParquetChatStore.pathGone(t) =>
+        try attempt()
+        catch { case t2: Throwable if ParquetChatStore.pathGone(t2) => Seq.empty }
     }
   }
+}
+
+object ParquetChatStore {
+  /** Does this failure (anywhere in its cause chain) mean the path we
+    * resolved is no longer there — as opposed to corrupt data, a bad
+    * schema, or any other real error that must propagate?
+    */
+  private[rass] def pathGone(t: Throwable): Boolean =
+    if (t == null) false
+    else t match {
+      case _: java.io.FileNotFoundException => true
+      case e: org.apache.spark.sql.AnalysisException
+        if e.getMessage.contains("PATH_NOT_FOUND") ||
+          e.getMessage.contains("Path does not exist") ||
+          // a rename can land between path resolution and file listing:
+          // the dir exists at probe time, lists zero files at plan time
+          // ("was not found. Was it deleted very recently?"), and schema
+          // inference fails. A genuinely empty table degrades to empty
+          // history through the same retry, which is the right answer
+          // for a chat read.
+          e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") => true
+      // scan-time error classes: FAILED_READ_FILE.FILE_NOT_EXIST (the
+      // listed file was renamed away before the task opened it)
+      case e if e.getMessage != null &&
+        (e.getMessage.contains("FILE_NOT_FOUND") ||
+          e.getMessage.contains("FILE_NOT_EXIST")) => true
+      case e => pathGone(e.getCause)
+    }
 }
 
 /** The ask() orchestration (reference `app/main.py:2750-2964`):

@@ -317,6 +317,48 @@ class EngineSpec extends SparkSpec {
     assert(recovered.history("c", 3).map(_.content) == Seq("m19", "m20", "m21"))
   }
 
+  test("history() degrades instead of throwing when a writer renames mid-read") {
+    import java.nio.file.Files
+    val path = Files.createTempDirectory("chat5").resolve("messages").toString
+    val store = new ParquetChatStore(spark, path)
+    store.append(ChatMessage("c", "user", "hello", new java.sql.Timestamp(1748736000000L)))
+    store.append(ChatMessage("c", "assistant", "hi", new java.sql.Timestamp(1748736001000L)))
+    // a concurrent writer's recover()/compaction is a pair of renames;
+    // flip the table between the live and retired paths while a reader
+    // hammers history(): every call must return the conversation or
+    // degrade to empty — never throw a scan-time FileNotFound
+    @volatile var stop = false
+    val live = new java.io.File(path)
+    val retired = new java.io.File(path + "_old")
+    val flipper = new Thread(() => {
+      while (!stop) {
+        live.renameTo(retired); Thread.sleep(1)
+        retired.renameTo(live); Thread.sleep(1)
+      }
+    })
+    flipper.start()
+    try (1 to 40).foreach { _ =>
+      val h = store.history("c", 10).map(_.content)
+      assert(h.isEmpty || h == Seq("hello", "hi"),
+        s"partial or corrupt read under rename race: $h")
+    } finally { stop = true; flipper.join() }
+    retired.renameTo(live) // leave the table live whichever phase stopped
+    assert(store.history("c").map(_.content) == Seq("hello", "hi"))
+  }
+
+  test("pathGone classifies scan-time FileNotFound but not real errors") {
+    // the scan-time shape: SparkException wrapping a FileNotFoundException
+    // (what a rename between exists-probe and scan actually throws) —
+    // the planning-time PATH_NOT_FOUND AnalysisException is covered by
+    // the recovery tests above
+    val scanTime = new RuntimeException("task failed",
+      new java.io.FileNotFoundException(
+        "File file:/tmp/messages/part-0000.parquet does not exist"))
+    assert(ParquetChatStore.pathGone(scanTime))
+    assert(!ParquetChatStore.pathGone(new RuntimeException("parquet footer corrupt")))
+    assert(!ParquetChatStore.pathGone(null))
+  }
+
   test("parquet chat history keeps tied exchanges whole and ordered") {
     import java.nio.file.Files
     val path = Files.createTempDirectory("chat3").resolve("messages").toString
