@@ -122,9 +122,13 @@ object Dedup {
         $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
       .agg(count(lit(1)).as("inter"))
+    // sizes is one row PER DOCUMENT — no broadcast hint: at 10⁹ docs a
+    // forced broadcast is a multi-GB driver materialization, while
+    // Catalyst broadcasts below the threshold on its own and picks a
+    // shuffled join above it (both sides are keyed by doc_id)
     inter
-      .join(broadcast(sizes).as("sa"), $"a_id" === $"sa.doc_id")
-      .join(broadcast(sizes).as("sb"), $"b_id" === $"sb.doc_id")
+      .join(sizes.as("sa"), $"a_id" === $"sa.doc_id")
+      .join(sizes.as("sb"), $"b_id" === $"sb.doc_id")
       .filter(jaccardAtLeast08($"inter", $"sa.n", $"sb.n"))
       .select($"a_id", $"b_id", $"inter", $"sa.n".as("na"), $"sb.n".as("nb"))
       .orderBy($"a_id", $"b_id")
@@ -191,9 +195,11 @@ object Dedup {
       .groupBy($"a_id", $"b_id")
       .agg(count(lit(1)).as("inter"))
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    // per-document table — size-based join choice left to Catalyst,
+    // same reasoning as d02
     inter
-      .join(broadcast(sizes).as("za"), $"a_id" === $"za.doc_id")
-      .join(broadcast(sizes).as("zb"), $"b_id" === $"zb.doc_id")
+      .join(sizes.as("za"), $"a_id" === $"za.doc_id")
+      .join(sizes.as("zb"), $"b_id" === $"zb.doc_id")
       .filter(jaccardAtLeast08($"inter", $"za.n", $"zb.n"))
       .select($"a_id", $"b_id", $"inter", $"za.n".as("na"), $"zb.n".as("nb"))
       .orderBy($"a_id", $"b_id")
