@@ -133,4 +133,61 @@ final class HttpGenerator(endpoint: String, model: String,
     require(!content.isMissingNode, "completion response had no choices[0].message.content")
     content.asText()
   }
+
+  /** True token streaming over SSE (reference `app/main.py:3021-3051`:
+    * `stream=True`, deltas at `choices[0].delta.content`). Each delta
+    * is pushed to onToken as its `data:` line arrives. No retry — the
+    * non-streaming path's retry loop would DUPLICATE tokens already
+    * delivered to the consumer; and mirroring the reference
+    * (`main.py:3048-3051`), a mid-stream failure is yielded INTO the
+    * stream as an `[ERROR] ...` chunk rather than thrown, so the
+    * consumer's socket sees the failure in-band.
+    */
+  override def generateStream(systemPrompt: String, context: String,
+      query: String)(onToken: String => Unit): String = {
+    val m = HttpJson.mapper
+    val body = m.createObjectNode()
+    body.put("model", model)
+    body.put("stream", true)
+    val msgs = body.putArray("messages")
+    val sys = msgs.addObject()
+    sys.put("role", "system"); sys.put("content", systemPrompt)
+    val usr = msgs.addObject()
+    usr.put("role", "user")
+    usr.put("content", s"Context:\n$context\n\nQuestion: $query")
+    val sb = new StringBuilder
+    try {
+      val req = HttpRequest.newBuilder(URI.create(endpoint))
+        .timeout(Duration.ofSeconds(300))
+        .header("Content-Type", "application/json")
+        .header("Accept", "text/event-stream")
+        .POST(HttpRequest.BodyPublishers.ofString(m.writeValueAsString(body)))
+        .build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofLines())
+      if (resp.statusCode() / 100 != 2)
+        throw new RuntimeException(s"$endpoint returned ${resp.statusCode()}")
+      resp.body().forEach { line =>
+        if (line.startsWith("data:")) {
+          val payload = line.drop(5).trim
+          if (payload.nonEmpty && payload != "[DONE]") {
+            val tok = m.readTree(payload)
+              .path("choices").path(0).path("delta").path("content")
+            if (tok.isTextual && tok.asText().nonEmpty) {
+              sb.append(tok.asText())
+              onToken(tok.asText())
+            }
+          }
+        }
+      }
+    } catch {
+      case e: InterruptedException =>
+        Thread.currentThread().interrupt()
+        throw new RuntimeException(s"$endpoint interrupted mid-stream", e)
+      case e: Exception =>
+        val err = s"[ERROR] ${e.getMessage}"
+        sb.append(err)
+        onToken(err)
+    }
+    sb.result().trim
+  }
 }

@@ -13,12 +13,36 @@ import ingest.DocumentFetch
   */
 trait Generator extends Serializable {
   def generate(systemPrompt: String, context: String, query: String): String
+
+  /** Token-streaming variant (reference `app/main.py:3021-3051`): push
+    * each chunk to `onToken` as it is generated and return the full
+    * answer — the reference's `"".join(streamed_chunks).strip()`
+    * (`main.py:3319-3324`). Implementations without a native streaming
+    * transport deliver the whole answer as one chunk.
+    */
+  def generateStream(systemPrompt: String, context: String, query: String)
+      (onToken: String => Unit): String = {
+    val full = generate(systemPrompt, context, query)
+    if (full.nonEmpty) onToken(full)
+    full.trim
+  }
 }
 
 object StubGenerator extends Generator {
   override def generate(systemPrompt: String, context: String, query: String): String = {
     val ids = "Document ID: (\\S+)".r.findAllMatchIn(context).map(_.group(1)).toSeq
     s"[stub] answer for '$query' citing ${ids.mkString(", ")}"
+  }
+
+  /** Streams the stub answer word-by-word (space-preserving split) so
+    * consumers exercise real multi-chunk reassembly, not the one-chunk
+    * degenerate case.
+    */
+  override def generateStream(systemPrompt: String, context: String,
+      query: String)(onToken: String => Unit): String = {
+    val full = generate(systemPrompt, context, query)
+    full.split("(?<= )").foreach(onToken)
+    full.trim
   }
 }
 
@@ -345,7 +369,26 @@ final class RassEngine(
     *   = REST behavior; true models the WS asymmetry (SURVEY §3.2).
     */
   def ask(queryText: String, userId: String, chatId: String,
-      topK: Int = Searches.DefaultK, persistJson: Boolean = false): Answer = {
+      topK: Int = Searches.DefaultK, persistJson: Boolean = false): Answer =
+    askImpl(queryText, userId, chatId, topK, persistJson, stream = None)
+
+  /** Token-streaming ask — the reference's WebSocket path
+    * (`main.py:3319-3324`): each generated chunk is pushed to `onToken`
+    * as it arrives (the `websocket.send_text` seam), and the exchange
+    * persists only when the final joined answer is non-empty
+    * (`main.py:3324-3340` guards `if final_answer:`), unlike the REST
+    * path's unconditional append. DOCUMENT_FETCH / AGGREGATE stream
+    * their JSON answer as one chunk and persist it — the WS asymmetry
+    * `ask(persistJson = true)` already models.
+    */
+  def askStream(queryText: String, userId: String, chatId: String,
+      topK: Int = Searches.DefaultK)(onToken: String => Unit): Answer =
+    askImpl(queryText, userId, chatId, topK, persistJson = true,
+      stream = Some(onToken))
+
+  private def askImpl(queryText: String, userId: String, chatId: String,
+      topK: Int, persistJson: Boolean,
+      stream: Option[String => Unit]): Answer = {
     require(queryText.nonEmpty, "empty query")
     val entities = ner.extract(queryText)
     val intent = intentClassifier.classify(queryText)
@@ -393,6 +436,7 @@ final class RassEngine(
     // path's history append (`main.py:2846-2876`); with persistJson the
     // WS path's append happens first (`main.py:3199-3215,3241-3257`)
     def jsonAnswer(answer: String): Answer = {
+      stream.foreach(cb => cb(answer)) // WS sends the JSON as one frame
       if (persistJson) {
         val ts = new java.sql.Timestamp(now / 1000)
         chatStore.append(ChatMessage(chatId, "user", queryText, ts))
@@ -423,11 +467,19 @@ final class RassEngine(
       s"Chat History:\n$historyText\n\nUser Query:\n$queryText\n\n" +
         s"Context:\n$contextText\n--- End of context ---\n\n" +
         "Provide your concise answer now."
-    val answer = generator.generate(CitationPrompt, finalPrompt, queryText)
+    val answer = stream match {
+      case Some(cb) =>
+        generator.generateStream(CitationPrompt, finalPrompt, queryText)(cb)
+      case None => generator.generate(CitationPrompt, finalPrompt, queryText)
+    }
 
-    val ts = new java.sql.Timestamp(now / 1000)
-    chatStore.append(ChatMessage(chatId, "user", queryText, ts))
-    chatStore.append(ChatMessage(chatId, "assistant", answer, ts))
+    // the WS path persists only a non-empty joined answer
+    // (`main.py:3324-3340`); the REST path appends unconditionally
+    if (stream.isEmpty || answer.nonEmpty) {
+      val ts = new java.sql.Timestamp(now / 1000)
+      chatStore.append(ChatMessage(chatId, "user", queryText, ts))
+      chatStore.append(ChatMessage(chatId, "assistant", answer, ts))
+    }
     Answer(queryText, intent, answer, hits, patient)
   }
 }

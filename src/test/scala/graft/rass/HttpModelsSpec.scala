@@ -167,6 +167,48 @@ class HttpModelsSpec extends AnyFunSuite {
     }
   }
 
+  test("HttpGenerator streams SSE deltas in order and returns the joined answer") {
+    var captured: String = null
+    val sse = Seq(
+      """data: {"choices":[{"delta":{"role":"assistant"}}]}""", // no content yet
+      "", // SSE event separator
+      """data: {"choices":[{"delta":{"content":"Hello"}}]}""",
+      "",
+      """data: {"choices":[{"delta":{"content":" world "}}]}""",
+      "",
+      "data: [DONE]",
+      "").mkString("\n")
+    withServer({ (body, ex) =>
+      captured = body
+      ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+      (200, sse)
+    }) { url =>
+      val g = new HttpGenerator(url, "gpt-x")
+      val tokens = scala.collection.mutable.ArrayBuffer[String]()
+      val out = g.generateStream("sys", "ctx", "q")(tokens += _)
+      assert(tokens.toSeq == Seq("Hello", " world "), "deltas in arrival order")
+      assert(out == "Hello world", "joined and stripped like the reference")
+      val m = HttpJson.mapper.readTree(captured)
+      assert(m.get("stream").asBoolean(), "request must opt into streaming")
+    }
+  }
+
+  test("a mid-stream failure is yielded as an [ERROR] chunk, not thrown") {
+    val sse = Seq(
+      """data: {"choices":[{"delta":{"content":"partial"}}]}""",
+      "data: {not valid json", // transport corruption mid-stream
+      "").mkString("\n")
+    withServer({ (_, _) => (200, sse) }) { url =>
+      val g = new HttpGenerator(url, "gpt-x")
+      val tokens = scala.collection.mutable.ArrayBuffer[String]()
+      val out = g.generateStream("sys", "ctx", "q")(tokens += _)
+      assert(tokens.head == "partial", "tokens before the fault still stream")
+      assert(tokens.last.startsWith("[ERROR]"),
+        "failure must reach the consumer in-band (main.py:3048-3051)")
+      assert(out.startsWith("partial[ERROR]"))
+    }
+  }
+
   test("embedColumn runs the HTTP embedder inside partitions (serializable closure)") {
     val spark = graft.TestSpark.spark
     import spark.implicits._

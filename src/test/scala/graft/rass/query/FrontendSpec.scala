@@ -178,6 +178,31 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("askStream(): tokens reassemble to the answer; empty answers don't persist") {
+    val store = new InMemoryChatStore
+    val engine = new RassEngine(corpus, chatStore = store,
+      nowMicros = () => 1748736000000000L)
+    val tokens = scala.collection.mutable.ArrayBuffer[String]()
+    val a = engine.askStream("Search for diabetes treatment options.", "u1", "cs1")(tokens += _)
+    assert(tokens.size > 1, "stub must stream multiple chunks, not one blob")
+    assert(tokens.mkString.trim == a.answer, "chunks must reassemble to the answer")
+    assert(store.history("cs1").map(_.role) == Seq("user", "assistant"),
+      "a non-empty streamed answer persists the exchange (WS path)")
+    // the WS path guards `if final_answer:` — an empty stream appends nothing
+    val empty = new graft.rass.Generator {
+      override def generate(s: String, c: String, q: String): String = ""
+    }
+    val silent = new RassEngine(corpus, generator = empty, chatStore = store,
+      nowMicros = () => 1748736000000000L)
+    val a2 = silent.askStream("Search for diabetes treatment options.", "u1", "cs2")(_ => ())
+    assert(a2.answer.isEmpty)
+    assert(store.history("cs2").isEmpty,
+      "an empty streamed answer must not persist (main.py:3324-3340)")
+    // ... but the REST path still appends unconditionally
+    silent.ask("Search for diabetes treatment options.", "u1", "cs3")
+    assert(store.history("cs3").size == 2)
+  }
+
   test("ask(): context renders the reference's snippet bodies (P7)") {
     val gen = new CapturingGenerator
     // semantic hits are unstructured (only those carry embeddings)
