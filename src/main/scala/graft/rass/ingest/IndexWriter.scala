@@ -69,6 +69,15 @@ object IndexWriter {
     * analogue of the reference's `_routing = patientId` shard pruning
     * (`app/main.py:1230,1263`), with no metastore/bucketing metadata
     * needed. IngestSpec asserts the disjoint-ranges property on disk.
+    *
+    * 100 TB deployment note: plain parquet records no bucket metadata,
+    * so this layout accelerates patient-FILTERED scans but a patientId
+    * equi-JOIN still shuffles both sides. A real deployment (any
+    * catalog: Hive/Glue/Unity) should write the document table with
+    * `bucketBy(N, "patientId").sortBy("patientId").saveAsTable(...)` —
+    * co-bucketed joins then elide both exchanges, the full `_routing`
+    * analogue. BucketingSpec pins BOTH behaviors: the metastore-free
+    * limitation and the bucketed-table fix.
     */
   def write(docs: DataFrame, path: String): Unit =
     docs.repartitionByRange(col("user_id"), col("patientId"))
