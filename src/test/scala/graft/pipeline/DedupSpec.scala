@@ -141,6 +141,50 @@ class DedupSpec extends SparkSpec {
       s"candidate fraction too high: $nCand/$allPairs")
   }
 
+  test("d06 artifact: cold reads come from the published parquet; stale fingerprints rebuild") {
+    import spark.implicits._
+    type HP = org.apache.hadoop.fs.Path
+    val fs = new HP("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def putFingerprint(path: String, content: String): Unit = {
+      val out = fs.create(new HP(path + "/_fingerprint"), true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    // publish a fresh artifact and record the truth
+    Dedup.d06NeardupClusters(spark, sfDir).collect()
+    val path = Dedup.clusterArtifactPath(sfDir)
+    assert(fs.exists(new HP(path + "/_fingerprint")), "publish must write the guard")
+    val fpIn = fs.open(new HP(path + "/_fingerprint"))
+    val fp = try scala.io.Source.fromInputStream(fpIn, "UTF-8").mkString.trim
+      finally fpIn.close()
+    val truth = Dedup.clusterDropList(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(truth.nonEmpty)
+    try {
+      // plant a distinguishable artifact under the SAME fingerprint: a
+      // cold session (memo invalidated) must serve the published table,
+      // not silently re-run label propagation
+      Dedup.invalidateCaches()
+      Seq((-1L, -2L, -2L)).toDF("id", "label", "old")
+        .write.mode("overwrite").parquet(path)
+      putFingerprint(path, fp)
+      val planted = Dedup.clusterDropList(spark, sfDir).collect()
+        .map(_.getAs[Long]("doc_id")).toSeq
+      assert(planted == Seq(-1L),
+        s"cold read must come from the disk artifact, got ${planted.take(5)}")
+      // corrupt the fingerprint: the reader must REBUILD rather than
+      // serve clusters for data it wasn't built from
+      Dedup.invalidateCaches()
+      putFingerprint(path, "stale-source-data")
+      val rebuilt = Dedup.clusterDropList(spark, sfDir).collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(rebuilt == truth, "stale artifact must not be served")
+    } finally {
+      // leave a correct published artifact for later suites
+      Dedup.invalidateCaches()
+      Dedup.d06NeardupClusters(spark, sfDir).collect()
+    }
+  }
+
   test("d06 clusters are consistent connected components of the d03 pairs") {
     val pairs = Dedup.d03MinhashLshPairs(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
