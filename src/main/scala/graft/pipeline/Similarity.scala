@@ -122,6 +122,15 @@ object Similarity {
     * assignment of their own query vectors. Released via
     * [[invalidateCaches]] (same explicit-invalidation contract as
     * [[Dedup.invalidateCaches]]).
+    *
+    * Unlike the d06 cluster table this artifact is deliberately NOT
+    * persisted to disk: s02/s03/s04 are benchmarked as build+probe (the
+    * bench releases the memo between groups so every round measures the
+    * index build), and no registered query consumes the index from a
+    * separate session the way x01 consumes d06's clusters. A deployment
+    * that wants the index durable would publish (cents, assign) with
+    * exactly the staged-swap + fingerprint pattern of
+    * `Dedup.writeClusterArtifact`.
     */
   private val SeedVariant = "seed"
   private val TrainedVariant = "kmeans"
