@@ -276,6 +276,25 @@ object StarQueries {
   def invalidateCaches(): Unit =
     ntileCache.keys.foreach(k => ntileCache.remove(k).foreach(_.unpersist()))
 
+  /** SQL-standard NTILE(k) in closed form from a 1-based global rank:
+    * with n rows, the first `n % k` buckets hold `n/k + 1` rows and the
+    * rest hold `n/k` (what Spark's `ntile` and DuckDB's `NTILE` both
+    * implement). Extracted so the property spec can check it against
+    * Spark's own window ntile across many n. Column `/` is double
+    * division; `floor` makes the integer quotient explicit (exact here:
+    * quotients are <= k, denominators << 2^53).
+    */
+  private[relational] def ntileBucket(rank: Column, n: Long, k: Int): Column = {
+    val base = n / k
+    val rem = n % k
+    val cut = (base + 1) * rem
+    val bucket =
+      if (base == 0) rank // n < k: every row its own bucket
+      else when(rank <= cut, floor((rank - 1) / (base + 1)) + 1)
+        .otherwise(floor((rank - 1 - cut) / base) + (rem + 1))
+    bucket.cast(IntegerType)
+  }
+
   /** NTILE deciles of customers by account balance — exact, with no
     * global single-partition window. `Window.orderBy(...)` with an
     * empty partitionBy funnels the whole table through ONE task (fine
@@ -309,14 +328,8 @@ object StarQueries {
       .withColumn("rn", row_number().over(w))
       .join(broadcast(offsetsDf), Seq("pid"))
       .withColumn("rank", $"offset" + $"rn")
-    // Column `/` is double division; floor makes the integer quotient
-    // explicit (exact: quotients are <= 10, denominators << 2^53)
-    val decile =
-      if (base == 0) $"rank" // n < 10: every row its own bucket
-      else when($"rank" <= cut, floor(($"rank" - 1) / (base + 1)) + 1)
-        .otherwise(floor(($"rank" - 1 - cut) / base) + (rem + 1))
     ranked
-      .withColumn("decile", decile.cast(IntegerType))
+      .withColumn("decile", ntileBucket($"rank", n, 10))
       .groupBy($"decile")
       .agg(count(lit(1)).as("n_customers"),
         sum(money($"c_acctbal")).cast(DoubleType).as("total_acctbal"),

@@ -12,6 +12,24 @@ class StarQueriesSpec extends SparkSpec {
     }
   }
 
+  test("closed-form ntileBucket matches Spark's window ntile for many n and k") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the closed form has a branch boundary at rank == (base+1)*rem and
+    // degenerate cases at n < k and n % k == 0 — sweep across all of them
+    for (n <- Seq(1, 3, 9, 10, 11, 19, 20, 21, 99, 100, 101, 137);
+         k <- Seq(3, 10)) {
+      val df = (1L to n.toLong).toDF("rank")
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"rank")
+      val mismatches = df
+        .withColumn("expected", ntile(k).over(w))
+        .withColumn("got", StarQueries.ntileBucket($"rank", n.toLong, k))
+        .filter($"expected" =!= $"got")
+        .count()
+      assert(mismatches == 0, s"ntileBucket diverges from ntile($k) at n=$n")
+    }
+  }
+
   test("q01 aggregates are internally consistent") {
     val rows = StarQueries.q01PricingSummary(spark, sfDir).collect()
     rows.foreach { r =>
