@@ -37,10 +37,11 @@ object Export {
           .cast("long").as("n_stop"))
     val clean = stats
       .filter($"n_tokens" >= 30 && $"n_stop" * 5 < $"n_tokens")
-    // the drop list is READ from the stored d06 cluster artifact (built
-    // on first use, memoized per session+dir like the d03 signatures
-    // and the IVF index): a production export must not re-run label
-    // propagation over the corpus per run
+    // the drop list is READ from the stored d06 cluster artifact — a
+    // DURABLE parquet table (fingerprint-guarded, atomically swapped),
+    // with the session memo as the hot handle: a production export must
+    // not re-run label propagation over the corpus per run, and must
+    // not depend on an in-memory cache surviving either
     val drops = Dedup.clusterDropList(spark, dir)
     clean.join(drops, Seq("doc_id"), "left_anti")
       .select($"doc_id", TextAnalysis.SplitBucket.as("b"), $"n_tokens")
