@@ -179,10 +179,43 @@ object TextAnalysis {
       .orderBy($"source", $"split")
   }
 
+  /** p08 — intra-document repetition profile, the Gopher/C4-style
+    * repetition quality signal: documents whose word-3-gram mass is
+    * dominated by repeats (boilerplate, keyword stuffing, decode loops)
+    * are flagged. Per doc: total trigrams, distinct trigrams, the
+    * hottest trigram's count, and `repetitive` = repeated mass >= 20 %
+    * (integer cross-multiplication, no float division). Docs under 3
+    * tokens carry no trigram signal and are excluded.
+    *
+    * Scale shape: trigrams explode AFTER the projection to (doc_id,
+    * trigram) — the per-(doc, trigram) count is a two-level aggregate
+    * with map-side partial aggregation, keyed by doc_id, and the text
+    * column itself never shuffles (only trigram strings, which the df
+    * distribution caps the same way d02's shingle index is capped).
+    */
+  def p08RepetitionProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tri = Tables.documents(spark, dir)
+      .select($"doc_id", toks($"text").as("t"))
+      .filter(size($"t") >= 3)
+      .select($"doc_id", explode(
+        transform(sequence(lit(1), size($"t") - 2),
+          i => array_join(slice($"t", i, lit(3)), " "))).as("tri"))
+    tri.groupBy($"doc_id", $"tri").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tri"),
+        count(lit(1)).as("n_uniq_tri"),
+        max($"c").as("max_tri_cnt"))
+      .withColumn("repetitive",
+        when(($"n_tri" - $"n_uniq_tri") * 5 >= $"n_tri", 1L).otherwise(0L))
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_token_stats" -> p01TokenStats _,
+    "p08_repetition_profile" -> p08RepetitionProfile _,
     "p02_quality_buckets" -> p02QualityBuckets _,
     "p03_lang_profile" -> p03LangProfile _,
     "p04_langid_confusion" -> p04LangIdConfusion _,
@@ -197,6 +230,17 @@ object TextAnalysis {
     s"len(list_filter($TOKS, t -> t IN ('the','a','of','and','in','to','is')))"
 
   val oracles: Map[String, String] = Map(
+    "p08_repetition_profile" ->
+      s"""WITH tk AS (SELECT doc_id, $TOKS t FROM documents),
+         |tri AS (SELECT doc_id, unnest(
+         |    [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS tri
+         |  FROM tk WHERE len(t) >= 3),
+         |cnt AS (SELECT doc_id, tri, COUNT(*) c FROM tri GROUP BY doc_id, tri)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tri,
+         | COUNT(*) AS n_uniq_tri, CAST(MAX(c) AS BIGINT) AS max_tri_cnt,
+         | CAST(CASE WHEN (SUM(c) - COUNT(*)) * 5 >= SUM(c)
+         |      THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "p01_token_stats" ->
       s"""SELECT doc_id, $NTOK AS n_tokens, length(text) AS n_chars,
          | len(list_distinct($TOKS)) AS n_uniq_tokens,

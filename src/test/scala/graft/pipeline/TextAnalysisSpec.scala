@@ -56,6 +56,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("fingerprint")).distinct.length == rows.length)
   }
 
+  test("p08 repetition profile is internally consistent with p01 token counts") {
+    import org.apache.spark.sql.functions._
+    val toks = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n")).toMap
+    val rows = TextAnalysis.p08RepetitionProfile(spark, sfDir).collect()
+    // exactly the >=3-token docs appear
+    assert(rows.length == toks.count(_._2 >= 3))
+    rows.foreach { r =>
+      val (id, nTri, nUniq, maxCnt, rep) = (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tri"), r.getAs[Long]("n_uniq_tri"),
+        r.getAs[Long]("max_tri_cnt"), r.getAs[Long]("repetitive"))
+      assert(nTri == toks(id) - 2, s"doc $id: trigram count must be n_tokens-2")
+      assert(nUniq >= 1 && nUniq <= nTri && maxCnt >= 1 && maxCnt <= nTri)
+      assert(maxCnt - 1 <= nTri - nUniq, s"doc $id: repeat mass inconsistent")
+      assert(rep == (if ((nTri - nUniq) * 5 >= nTri) 1L else 0L))
+    }
+    // a synthetically repetitive doc flags; a clean one doesn't
+    import spark.implicits._
+    val planted = Seq(
+      (1L, ("spam ham " * 30).trim), // "spam ham spam ham ..." repeats
+      (2L, (1 to 60).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val pl = planted.select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("t")) - 2),
+        i => array_join(slice(col("t"), i, lit(3)), " "))).as("tri"))
+      .groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tri"), count(lit(1)).as("n_uniq_tri"))
+      .withColumn("repetitive",
+        when((col("n_tri") - col("n_uniq_tri")) * 5 >= col("n_tri"), 1L).otherwise(0L))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("repetitive")).toMap
+    assert(pl(1L) == 1L && pl(2L) == 0L)
+  }
+
   test("p07 split covers every doc, skews ~90/5/5, and is deterministic") {
     val total = graft.Tables.documents(spark, sfDir).count()
     def profile() = TextAnalysis.p07SplitProfile(spark, sfDir).collect()
