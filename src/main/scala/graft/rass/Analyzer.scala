@@ -100,7 +100,10 @@ object Analyzer {
     val fz = autoFuzz(term)
     val hit =
       if (fz == 0) instr(tokenString(field), s" $term ") > 0
-      else exists(tokens(field), t => levenshtein(t, lit(term)) <= fz)
+      // bounded levenshtein (threshold variant returns -1 above fz):
+      // same accept set as `levenshtein <= fz`, but length-pruned and
+      // band-limited to O(len*fz) per token
+      else exists(tokens(field), t => levenshtein(t, lit(term), fz) >= 0)
     coalesce(hit, lit(false))
   }
 

@@ -46,9 +46,12 @@ case class TermFrequency(tokens: Expression, term: Expression, maxDist: Expressi
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val tok = arr.getUTF8String(i)
+        // bounded variant: length-prunes and band-limits the DP to
+        // O(len*dist), returning -1 above the threshold — same
+        // accept/reject set as `levenshteinDistance(needle) <= dist`
         val hit =
           if (dist == 0) tok.equals(needle)
-          else tok.levenshteinDistance(needle) <= dist
+          else tok.levenshteinDistance(needle, dist) >= 0
         if (hit) cnt += 1
       }
       i += 1
@@ -70,7 +73,7 @@ case class TermFrequency(tokens: Expression, term: Expression, maxDist: Expressi
          |    org.apache.spark.unsafe.types.UTF8String $tok = $toks.getUTF8String($i);
          |    boolean hit = ($d == 0)
          |      ? $tok.equals($t)
-         |      : $tok.levenshteinDistance($t) <= $d;
+         |      : $tok.levenshteinDistance($t, $d) >= 0;
          |    if (hit) $cnt++;
          |  }
          |}
