@@ -181,6 +181,13 @@ object ParquetChatStore {
     if (t == null) false
     else t match {
       case _: java.io.FileNotFoundException => true
+      // Hadoop's vectored-read path (RawLocalFileSystem.readVectored)
+      // surfaces a rename-during-read as NIO's NoSuchFileException —
+      // NOT a java.io.FileNotFoundException — wrapped in a
+      // FAILED_READ_FILE.NO_HINT SparkException whose message carries
+      // no recognizable error class. Matching the NIO type in the
+      // cause chain is the only reliable signal.
+      case _: java.nio.file.NoSuchFileException => true
       case e: org.apache.spark.sql.AnalysisException
         if e.getMessage.contains("PATH_NOT_FOUND") ||
           e.getMessage.contains("Path does not exist") ||
