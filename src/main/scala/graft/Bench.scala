@@ -100,9 +100,13 @@ object Bench {
     val maxes = pass1.zip(pass2).map { case ((k, a), (_, b)) =>
       k -> math.max(a, b)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 4-decimal rounding (0.1 ms resolution, far below run-to-run
+    // noise) keeps the full 60-query min map ~1.8 kB — inside the
+    // driver's 2000-char stdout tail; raw doubles would not fit
+    def r4(v: Double): Double = math.round(v * 10000).toDouble / 10000
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
-    val qsMax = maxes.map { case (k, v) => "\"" + k + "\":" + v }
+    val qsMax = maxes.map { case (k, v) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // total is emitted at BOTH ends of the line: harnesses that keep a
@@ -114,7 +118,12 @@ object Bench {
     val warm = Seq("x01_corpus_export", "s05_recall_profile")
       .filter(names.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     val totalMax = maxes.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":2,"queries":$qs,"queries_max":$qsMax,"total_max_sec":$totalMax,"warm_queries":$warm,"sf":"$sfDir","total_sec":$total}""")
+    // key order matters for archival, not parsing: the driver stores
+    // only the LAST 2000 chars of stdout, so the per-query MIN map —
+    // the cross-round comparison basis (BASELINE.md §E) — must sit at
+    // the END of the line, after the max map it would otherwise lose
+    // out to. JSON consumers are order-insensitive; the tail is not.
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","passes":2,"queries_max":$qsMax,"total_max_sec":${r4(totalMax)},"warm_queries":$warm,"sf":"$sfDir","total_sec":${r4(total)},"queries":$qs}""")
     spark.stop()
   }
 }
