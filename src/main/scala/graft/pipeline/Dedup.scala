@@ -531,10 +531,21 @@ object Dedup {
     * subdirectory per source dir (keyed by the dir's md5 so unrelated
     * corpora never collide), overridable for deployments that want the
     * artifacts on the same filesystem as the warehouse.
+    *
+    * The default root lives under the invoking user's HOME, not a
+    * world-writable tmpdir: the artifact's `_fingerprint` is derived
+    * from world-readable file metadata, so under a shared /tmp root any
+    * local user could pre-plant a forged-but-fingerprint-valid cluster
+    * table that would then silently drive x01's drop list (and two
+    * users on one box would collide on the shared root). HOME is owned
+    * by — and on any sane setup writable only by — the user running the
+    * pipeline.
     */
   private[graft] def artifactRoot: String =
     sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS",
-      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-artifacts")
+      sys.props.get("user.home").filter(_.trim.nonEmpty)
+        .map(_ + "/.graft-artifacts")
+        .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-artifacts"))
 
   /** Bump when the clustering semantics change: a stale artifact from
     * an older build must never satisfy a newer reader.
@@ -589,6 +600,17 @@ object Dedup {
       }
   }
 
+  /** One monitor per artifact path (same hazard and same pattern as
+    * [[graft.rass.ingest.IngestCommit]]'s commitLocks): the staging and
+    * `_old` paths are FIXED per artifact, so a concurrent d06 rebuild
+    * and a cold [[clusterLabels]] miss — which writes OUTSIDE the Memo
+    * monitor — would interleave their delete/renames inside
+    * [[graft.rass.ingest.IngestCommit.swapIn]] without this lock.
+    * Cross-driver exclusion remains the deployment's contract.
+    */
+  private val artifactLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
   /** Publish the converged label table: stage fully (parquet +
     * fingerprint), then promote atomically via the shared staging/_old
     * swap — a reader sees the old table or the new one, never a
@@ -598,12 +620,14 @@ object Dedup {
   private def writeClusterArtifact(spark: SparkSession, dir: String,
       labels: DataFrame): Unit = {
     val path = clusterArtifactPath(dir)
-    val fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    labels.write.mode("overwrite").parquet(path + "_staging")
-    val out = fs.create(new HPath(path + "_staging/_fingerprint"), true)
-    try out.write(sourceFingerprint(spark, dir).getBytes("UTF-8"))
-    finally out.close()
-    graft.rass.ingest.IngestCommit.swapIn(fs, path)
+    artifactLocks.getOrElseUpdate(path, new Object).synchronized {
+      val fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      labels.write.mode("overwrite").parquet(path + "_staging")
+      val out = fs.create(new HPath(path + "_staging/_fingerprint"), true)
+      try out.write(sourceFingerprint(spark, dir).getBytes("UTF-8"))
+      finally out.close()
+      graft.rass.ingest.IngestCommit.swapIn(fs, path)
+    }
   }
 
   /** The drop list d06 implies — every non-canonical cluster member —
@@ -654,12 +678,12 @@ object Dedup {
       .toDF("src", "dst")
       .repartition(loopParts, $"src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val changedAcc = spark.sparkContext.longAccumulator("d06_changed_labels")
     var cached = pin(edges.select($"src".as("id")).distinct()
       .withColumn("label", $"id")
       .withColumn("old", $"id"))
     var converged = false
     var iter = 0
+    var lastChanged = -1L
     while (!converged && iter < MaxCcIterations) {
       // one shuffle per round: own label unioned with every in-neighbor's
       // label, min per node. The own-label row also carries `old` (max
@@ -671,7 +695,15 @@ object Dedup {
       // at dup-volume-sized parallelism instead of the session-wide
       // shuffle-partition count.
       val labels = cached.select($"id", $"label")
-      changedAcc.reset()
+      // a FRESH accumulator per round, not reset() on a shared one: a
+      // previous round's pin() closure captures its own accumulator, so
+      // if that round's persisted blocks are lost (executor loss) and
+      // recomputed during a LATER round's count(), the stale closure
+      // adds into its own dead counter — never into the round currently
+      // deciding convergence. With one shared instance, that stale
+      // recomputation could keep the counter nonzero forever and turn a
+      // correctly-converged propagation into the MaxCcIterations error.
+      val changedAcc = spark.sparkContext.longAccumulator(s"d06_changed_labels_r$iter")
       val next = pin(labels.select($"id", $"label", $"label".as("old"))
         .union(edges.join(labels, $"src" === $"id")
           .select($"dst".as("id"), $"label", lit(null).cast("long").as("old")))
@@ -679,7 +711,8 @@ object Dedup {
         .groupBy($"id").agg(min($"label").as("label"), max($"old").as("old")),
         Some(changedAcc))
       next.count()
-      converged = changedAcc.value == 0L
+      lastChanged = changedAcc.value
+      converged = lastChanged == 0L
       cached.unpersist()
       cached = next
       iter += 1
@@ -693,7 +726,7 @@ object Dedup {
       cached.unpersist()
       throw new IllegalStateException(
         s"d06 label propagation did not converge in $MaxCcIterations rounds " +
-          s"(${changedAcc.value} labels still changing): component diameter exceeds the cap")
+          s"($lastChanged labels still changing): component diameter exceeds the cap")
     }
     edges.unpersist()
     cached

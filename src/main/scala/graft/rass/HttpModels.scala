@@ -112,7 +112,7 @@ final class HttpEmbedder(endpoint: String, model: String,
   * reference's prompt layout (`main.py:2924-2942`).
   */
 final class HttpGenerator(endpoint: String, model: String,
-    maxRetries: Int = 3) extends Generator {
+    maxRetries: Int = 3, streamIdleSeconds: Int = 60) extends Generator {
 
   @transient private lazy val client = HttpClient.newHttpClient()
 
@@ -156,6 +156,7 @@ final class HttpGenerator(endpoint: String, model: String,
     usr.put("role", "user")
     usr.put("content", s"Context:\n$context\n\nQuestion: $query")
     val sb = new StringBuilder
+    val stalled = new java.util.concurrent.atomic.AtomicBoolean(false)
     try {
       val req = HttpRequest.newBuilder(URI.create(endpoint))
         .timeout(Duration.ofSeconds(300))
@@ -166,20 +167,56 @@ final class HttpGenerator(endpoint: String, model: String,
       val resp = client.send(req, HttpResponse.BodyHandlers.ofLines())
       if (resp.statusCode() / 100 != 2)
         throw new RuntimeException(s"$endpoint returned ${resp.statusCode()}")
-      resp.body().forEach { line =>
-        if (line.startsWith("data:")) {
-          val payload = line.drop(5).trim
-          if (payload.nonEmpty && payload != "[DONE]") {
-            val tok = m.readTree(payload)
-              .path("choices").path(0).path("delta").path("content")
-            if (tok.isTextual && tok.asText().nonEmpty) {
-              sb.append(tok.asText())
-              onToken(tok.asText())
+      // HttpRequest.timeout only bounds the exchange until response
+      // HEADERS arrive; a server that stalls mid-body without closing
+      // would block the line drain forever. An idle watchdog bounds the
+      // gap between lines: on expiry it closes the stream (cancelling
+      // the subscription) and interrupts the reader, and the stall
+      // surfaces to the consumer as an in-band [ERROR] chunk exactly
+      // like any other mid-stream fault.
+      val stream = resp.body()
+      val reader = Thread.currentThread()
+      val lastLine = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+      val drained = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val watchdog = java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+        val t = new Thread(r, "sse-idle-watchdog"); t.setDaemon(true); t
+      }
+      watchdog.scheduleAtFixedRate({ () =>
+        if (!drained.get() &&
+            System.nanoTime() - lastLine.get() > streamIdleSeconds * 1000000000L) {
+          stalled.set(true)
+          try stream.close() catch { case _: Exception => () }
+          if (!drained.get()) reader.interrupt()
+        }
+      }: Runnable, 1000, 250, java.util.concurrent.TimeUnit.MILLISECONDS)
+      try {
+        stream.forEach { line =>
+          lastLine.set(System.nanoTime())
+          if (line.startsWith("data:")) {
+            val payload = line.drop(5).trim
+            if (payload.nonEmpty && payload != "[DONE]") {
+              val tok = m.readTree(payload)
+                .path("choices").path(0).path("delta").path("content")
+              if (tok.isTextual && tok.asText().nonEmpty) {
+                sb.append(tok.asText())
+                onToken(tok.asText())
+              }
             }
           }
         }
+      } finally {
+        drained.set(true)
+        watchdog.shutdownNow()
+        // the watchdog may have fired between the last line and
+        // shutdown — don't leak its interrupt into the caller
+        if (stalled.get()) Thread.interrupted()
       }
     } catch {
+      case _: Exception if stalled.get() =>
+        Thread.interrupted() // the watchdog's interrupt, not a task kill
+        val err = s"[ERROR] stream stalled: no data for ${streamIdleSeconds}s"
+        sb.append(err)
+        onToken(err)
       case e: InterruptedException =>
         Thread.currentThread().interrupt()
         throw new RuntimeException(s"$endpoint interrupted mid-stream", e)

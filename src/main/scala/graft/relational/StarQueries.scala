@@ -321,9 +321,6 @@ object StarQueries {
     }.toSeq
     val offsetsDf = offsets.toDF("pid", "offset")
     val w = Window.partitionBy($"pid").orderBy($"c_acctbal", $"c_custkey")
-    val base = n / 10
-    val rem = n % 10
-    val cut = (base + 1) * rem
     val ranked = parted
       .withColumn("rn", row_number().over(w))
       .join(broadcast(offsetsDf), Seq("pid"))

@@ -209,6 +209,49 @@ class HttpModelsSpec extends AnyFunSuite {
     }
   }
 
+  test("a stalled SSE body trips the idle watchdog instead of blocking forever") {
+    // HttpRequest.timeout only covers the exchange until headers; a
+    // server that sends a token then stops WITHOUT closing would hang
+    // the drain indefinitely. The custom server below streams one
+    // delta, flushes, then stalls until released.
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool { r =>
+      val t = new Thread(r); t.setDaemon(true); t
+    })
+    server.createContext("/", { ex =>
+      ex.getRequestBody.readAllBytes()
+      ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+      ex.sendResponseHeaders(200, 0) // chunked: length unknown up front
+      val os = ex.getResponseBody
+      os.write("data: {\"choices\":[{\"delta\":{\"content\":\"tick\"}}]}\n\n"
+        .getBytes(StandardCharsets.UTF_8))
+      os.flush()
+      release.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      ex.close()
+    })
+    server.start()
+    try {
+      val g = new HttpGenerator(
+        s"http://127.0.0.1:${server.getAddress.getPort}", "m",
+        streamIdleSeconds = 1)
+      val tokens = scala.collection.mutable.ArrayBuffer[String]()
+      val t0 = System.nanoTime()
+      val out = g.generateStream("sys", "ctx", "q")(tokens += _)
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(tokens.head == "tick", "tokens before the stall still stream")
+      assert(tokens.last.startsWith("[ERROR] stream stalled"),
+        s"stall must surface in-band, got: ${tokens.last}")
+      assert(out.startsWith("tick[ERROR]"))
+      assert(secs < 15, s"watchdog must fire in ~1s, took ${secs}s")
+      assert(!Thread.currentThread().isInterrupted,
+        "the watchdog's interrupt must not leak to the caller")
+    } finally {
+      release.countDown()
+      server.stop(0)
+    }
+  }
+
   test("embedColumn runs the HTTP embedder inside partitions (serializable closure)") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
