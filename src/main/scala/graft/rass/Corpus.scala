@@ -229,6 +229,9 @@ object Corpus {
     statsCache.keys.foreach(k => statsCache.remove(k).foreach { case (f, t) =>
       f.unpersist(); t.unpersist()
     })
+    // the fuzzy accept sets derive from the stats tables — drop them
+    // together so a rebuilt vocabulary can never serve stale variants
+    Bm25.invalidateAcceptCache()
   }
 
   // ------------------------------------------------------------- sql side

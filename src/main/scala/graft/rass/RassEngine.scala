@@ -505,9 +505,12 @@ object RassEngine {
     * are invalidated explicitly when corpora change or between
     * unrelated workloads).
     */
-  def invalidateStatsCache(): Unit =
+  def invalidateStatsCache(): Unit = {
     builtStatsCache.keys.foreach(k =>
       builtStatsCache.remove(k).foreach { case (f, t) =>
         f.unpersist(); t.unpersist()
       })
+    // accept sets derive from the stats tables — same lifetime
+    Bm25.invalidateAcceptCache()
+  }
 }

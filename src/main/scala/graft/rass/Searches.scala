@@ -76,6 +76,18 @@ object Searches {
     case None => Bm25.withStats(docsTok, fields, terms, tok)
   }
 
+  /** Fuzzy accept sets for the fuzzy-scored fields — only available on
+    * the materialized-stats path (the vocabulary IS the termStats
+    * table); without stats the fuzzy clauses fall back to the per-row
+    * bounded-Levenshtein scan inside [[Bm25.scoreFuzzy]].
+    */
+  private def fuzzyAccept(stats: Option[(DataFrame, DataFrame)],
+      fields: Seq[(String, Double)],
+      terms: Seq[String]): Option[Map[(String, String), Seq[String]]] =
+    stats.map { case (_, ts) =>
+      Bm25.fuzzyAcceptSets(ts, fields.map(_._1), terms)
+    }
+
   /** Project each scored field's token array once (`__tok_<f>`), so the
     * BM25 stats aggregate and every per-term tf read a column reference
     * instead of re-tokenizing — the dominant cost in multi-field scans.
@@ -136,7 +148,8 @@ object Searches {
     val qv = array(queryVec.map(lit): _*)
     val knn = coalesce(VectorOps.cosineFused(docs.sparkSession,
       col("embedding").cast("array<double>"), qv), lit(0.0))
-    val score = Bm25.bestFields(textFields, terms, 1.5, fuzzy = true, tok = tok) +
+    val score = Bm25.bestFields(textFields, terms, 1.5, fuzzy = true, tok = tok,
+      accept = fuzzyAccept(stats, textFields, terms)) +
       Bm25.bestFields(keywordFields, terms, 1.0, tok = tok) + knn * 2.0
     topK(withStats.withColumn("score", score), k)
   }
@@ -215,7 +228,8 @@ object Searches {
       compareFields.map(_._1))
     val withStats = attachStats(docsTok, compareFields.map(_._1), terms, tok, stats)
     topK(withStats.withColumn("score",
-      Bm25.bestFields(compareFields, terms, fuzzy = true, tok = tok)), k)
+      Bm25.bestFields(compareFields, terms, fuzzy = true, tok = tok,
+        accept = fuzzyAccept(stats, compareFields, terms))), k)
   }
 
   /** Q8 — temporal_search (`main.py:1866-1918`): any-term text match
@@ -256,7 +270,8 @@ object Searches {
       noteFields.map(_._1))
     val withStats = attachStats(docsTok, noteFields.map(_._1), terms, tok, stats)
     topK(withStats.withColumn("score",
-      Bm25.bestFields(noteFields, terms, fuzzy = true, tok = tok)), k)
+      Bm25.bestFields(noteFields, terms, fuzzy = true, tok = tok,
+        accept = fuzzyAccept(stats, noteFields, terms))), k)
   }
 
   /** Q10 — multi_intent_search, INTENDED semantics (`main.py:1969-2027`
@@ -278,7 +293,8 @@ object Searches {
     val hi = timestamp_micros(lit(nowMicros))
     val dateBonus = dateFields.map(f =>
       when(col(f).between(lo, hi), lit(0.5)).otherwise(lit(0.0))).reduce(_ + _)
-    val score = Bm25.bestFields(textFields, terms, 1.0, fuzzy = true, tok = tok) +
+    val score = Bm25.bestFields(textFields, terms, 1.0, fuzzy = true, tok = tok,
+      accept = fuzzyAccept(stats, textFields, terms)) +
       Bm25.bestFields(keywordFields, terms, 0.5, tok = tok) + knn * 1.5 + dateBonus
     topK(withStats.withColumn("score", score), k)
   }

@@ -20,6 +20,58 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("vocab accept sets equal the per-row fuzzy accept set on a typo fixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // typos at distance 1-2 of the query terms, plus decoys beyond AUTO
+    // distance and short terms that pin the fz=0 exact path
+    val docs = Seq(
+      "metformin prescribed daily",
+      "metfornin dose increased",   // 1 edit
+      "metforminn and ibuprofen",   // 1 edit (insert)
+      "metmorfin taken with food",  // 2 edits (transposed pair)
+      "ibuprofen for pain",
+      "ibuprophen as needed",       // 1 edit
+      "ibu for short",              // not within 2 of ibuprofen
+      "mx unrelated token",         // fz=0 term decoy
+      null
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "note")
+    val terms = Seq("metformin", "ibuprofen", "mx") // fz: 2, 2, 0
+    val (_, termStats) = CorpusStats.build(docs, Seq("note"))
+    val accept = Bm25.fuzzyAcceptSets(termStats, Seq("note"), terms)
+    // brute-force truth: distinct corpus tokens within AUTO distance
+    val vocab = docs.filter($"note".isNotNull)
+      .select(explode(Analyzer.tokens($"note")).as("t"))
+      .distinct().as[String].collect().toSeq
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    terms.foreach { qt =>
+      val expected = vocab.filter(v => lev(v, qt) <= Analyzer.autoFuzz(qt)).sorted
+      val got = accept.getOrElse(("note", qt), Nil)
+      assert(got == expected, s"$qt: got $got expected $expected")
+    }
+    assert(accept(("note", "metformin")).size >= 3, "typo variants must be admitted")
+    // and the two scoring paths agree to the bit on every row
+    val stats = Bm25.withStats(docs, Seq("note"), terms)
+    val both = stats.withColumn("slow",
+        Bm25.scoreFuzzy("note", terms, "s_note_"))
+      .withColumn("fast",
+        Bm25.scoreFuzzyVocab("note", terms, "s_note_", accept))
+      .select($"doc_id", $"slow", $"fast").collect()
+    both.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2),
+        s"doc ${r.getLong(0)}: slow=${r.getDouble(1)} fast=${r.getDouble(2)}")
+    }
+  }
+
   test("stats merge additively across ingest batches") {
     import org.apache.spark.sql.functions._
     val corpus = Corpus.corpus(spark, sfDir)
