@@ -137,17 +137,27 @@ object Similarity {
 
   private val indexCache =
     scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String, String), (DataFrame, DataFrame)]
+      .empty[(SparkSession, String, String, Int), (DataFrame, DataFrame)]
+
+  /** k ~ sqrt(n): the retrain lever [[s06CellProfile]]'s doc prescribes
+    * when the max cell share drifts. C(occ,2) candidate work per cell
+    * means cost ∝ n²/k for even occupancy, so k ~ sqrt(n) keeps the
+    * corpus-wide knn-join (s03) at ~n^1.5 comparisons total; the
+    * registered queries pin k=16 (≈ sqrt of the sf0.01 gate corpus)
+    * only because the oracle SQL hard-codes it.
+    */
+  def recommendedCells(n: Long): Int =
+    math.max(1L, math.round(math.sqrt(n.toDouble))).toInt
 
   private def ivfIndex(spark: SparkSession, dir: String,
-      variant: String): (DataFrame, DataFrame) =
-    Memo.getOrBuild(indexCache, (spark, dir, variant)) {
+      variant: String, cells: Int = NumCentroids): (DataFrame, DataFrame) =
+    Memo.getOrBuild(indexCache, (spark, dir, variant, cells)) {
       import spark.implicits._
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val e = vectors(spark, dir)
       val cents = (variant match {
-        case TrainedVariant => kmeansCentroids(spark, e, NumCentroids, KmeansIters)
-        case _ => e.filter($"vec_id" < NumCentroids)
+        case TrainedVariant => kmeansCentroids(spark, e, cells, KmeansIters)
+        case _ => e.filter($"vec_id" < cells)
           .select($"vec_id".as("cid"), $"v".as("cv"))
       }).persist(lvl)
       cents.count() // materialize: consumers read the artifact, not the Lloyd lineage
@@ -230,7 +240,7 @@ object Similarity {
     * and sort all n x ncells rows. Max cosine, ties to the smallest
     * cid — same order as the oracle's row_number formulation.
     */
-  private def cellAssign(spark: SparkSession, e: DataFrame,
+  private[pipeline] def cellAssign(spark: SparkSession, e: DataFrame,
       cents: DataFrame): DataFrame = {
     import spark.implicits._
     e.as("x").join(broadcast(cents))
@@ -242,10 +252,11 @@ object Similarity {
 
   private def ivfKnn(spark: SparkSession, dir: String,
       queryLimit: Option[Int], k: Int,
-      variant: String = SeedVariant): DataFrame = {
+      variant: String = SeedVariant,
+      cells: Int = NumCentroids): DataFrame = {
     import spark.implicits._
     val e = vectors(spark, dir)
-    val (cents, assign) = ivfIndex(spark, dir, variant)
+    val (cents, assign) = ivfIndex(spark, dir, variant, cells)
     val q = queryLimit.map(n => e.filter($"vec_id" < n)).getOrElse(e)
     // top-NProbe cells per query as a sorted-slice aggregate over the
     // (bounded, = ncells) per-query score list: again one hash
@@ -307,6 +318,25 @@ object Similarity {
     import spark.implicits._
     val (_, assign) = ivfIndex(spark, dir, TrainedVariant)
     assign
+      .groupBy($"cell").agg(count(lit(1)).as("n_vectors"))
+      .select($"cell", $"n_vectors",
+        expr("n_vectors * (n_vectors - 1) div 2").as("self_join_pairs"))
+      .orderBy($"cell")
+  }
+
+  /** s06's occupancy math over ANY vector frame and cell count — the
+    * retrain evaluation: train k cells on a sample, inspect the
+    * occupancy/pair profile, and only commit the retrain (ivfIndex with
+    * the new `cells`) when the max share comes down. The registered s06
+    * stays pinned to the gate corpus and k=16; this seam is how a
+    * deployment answers "would k=[[recommendedCells]](n) fix my
+    * hotspot" without rebuilding the production index first.
+    */
+  def cellOccupancy(spark: SparkSession, e: DataFrame, cells: Int,
+      iters: Int = KmeansIters): DataFrame = {
+    import spark.implicits._
+    val cents = kmeansCentroids(spark, e, cells, iters)
+    cellAssign(spark, e, cents)
       .groupBy($"cell").agg(count(lit(1)).as("n_vectors"))
       .select($"cell", $"n_vectors",
         expr("n_vectors * (n_vectors - 1) div 2").as("self_join_pairs"))

@@ -48,6 +48,42 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.3, f"mean IVF recall $mean%.2f below floor")
   }
 
+  test("doubling the trained cell count shrinks the max cell share on a skewed corpus") {
+    import spark.implicits._
+    // skewed fixture: one dominant blob (160 vectors) plus three small
+    // ones (16 each) in 8 dims, seeded so the test is deterministic.
+    // vec_ids interleave blob members so the first-k init sees variety.
+    val rnd = new scala.util.Random(42)
+    def blob(center: Array[Double], n: Int): Seq[Array[Double]] =
+      Seq.fill(n)(center.map(c => c + rnd.nextGaussian() * 0.15))
+    val centers = Seq(
+      Array(5.0, 0, 0, 0, 0, 0, 0, 0),
+      Array(0.0, 5, 0, 0, 0, 0, 0, 0),
+      Array(0.0, 0, 5, 0, 0, 0, 0, 0),
+      Array(0.0, 0, 0, 5, 0, 0, 0, 0))
+    val vecs = (blob(centers(0), 160) ++ centers.tail.flatMap(blob(_, 16)))
+    val e = rnd.shuffle(vecs).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("vec_id", "v")
+    def maxShare(cells: Int): Double = {
+      val occ = Similarity.cellOccupancy(spark, e, cells)
+        .collect().map(_.getAs[Long]("n_vectors"))
+      assert(occ.sum == vecs.size, "every vector lands in exactly one cell")
+      occ.max.toDouble / occ.sum
+    }
+    val at4 = maxShare(4)
+    val at8 = maxShare(8)
+    // even distribution would be 0.25 at k=4; the dominant blob keeps
+    // the hot cell well above that (Lloyd may split the blob across
+    // two cells, so the share is bounded by ~0.5, not 0.77)
+    assert(at4 > 0.33, s"fixture must be skewed at k=4, max share $at4")
+    assert(at8 < at4,
+      s"doubling cells must shrink the hot cell: k=4 share $at4, k=8 share $at8")
+    // the retrain lever the docs prescribe: k ~ sqrt(n)
+    assert(Similarity.recommendedCells(vecs.size) == 14)
+    assert(Similarity.recommendedCells(1000000) == 1000)
+  }
+
   test("s06 occupancy profile partitions the corpus and prices the self-join") {
     val rows = Similarity.s06CellProfile(spark, sfDir).collect()
     val total = rows.map(_.getAs[Long]("n_vectors")).sum
