@@ -114,6 +114,72 @@ class NerSpec extends AnyFunSuite {
   }
 }
 
+/** SURVEY §2.5 — the synthetic generator round-trips: pools harvested
+  * from the ingested fixture bundle, ≥50 seeded template fills, and
+  * every case must (a) classify to its template's intent and (b) have
+  * every substituted entity recovered by the rule NER built over the
+  * same pools.
+  */
+class SyntheticQueriesSpec extends SparkSpec {
+
+  private lazy val docs = {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/fixtures/bundle.json"))
+    val json = try src.mkString finally src.close()
+    val rows = graft.rass.ingest.FhirBundleParser
+      .parseBundleRows(json, "/f/bundle.json", "u1")
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, graft.rass.DocSchema.schema)
+  }
+
+  test("harvested pools are non-empty per label and come from the bundle") {
+    val pools = SyntheticQueries.harvestPools(docs)
+    SyntheticQueries.Templates.flatMap(_._2).distinct.foreach { l =>
+      assert(pools(l).nonEmpty, s"pool $l empty")
+    }
+    // at least the person pool must be real harvested data, not defaults
+    val patientNames = docs.selectExpr("lower(patientName)")
+      .collect().flatMap(r => Option(r.getString(0))).toSet
+    assert(pools("PERSON").toSet.subsetOf(patientNames),
+      "PERSON pool must come from the ingested bundle")
+  }
+
+  test("60 generated cases round-trip through intent classification and NER") {
+    val pools = SyntheticQueries.harvestPools(docs)
+    val cases = SyntheticQueries.generate(pools, 60)
+    assert(cases.size == 60)
+    val ner = SyntheticQueries.nerFor(pools)
+    val intentMisses = cases.collect {
+      case c if RuleIntentClassifier.classify(c.text) != c.intent =>
+        s"'${c.text}' -> ${RuleIntentClassifier.classify(c.text).name} (want ${c.intent.name})"
+    }
+    assert(intentMisses.isEmpty, intentMisses.mkString("\n"))
+    val nerMisses = cases.flatMap { c =>
+      val got = ner.extract(c.text).map(e => (e.text, e.label)).toSet
+      c.entities.collect {
+        case e if !got.contains((e.text, e.label)) =>
+          s"'${c.text}': ${e.label}=${e.text} not in $got"
+      }
+    }
+    assert(nerMisses.isEmpty, nerMisses.mkString("\n"))
+    // spans index the exact substituted value
+    cases.foreach { c =>
+      c.spans.zip(c.entities).foreach { case ((s, e, l), ent) =>
+        assert(s >= 0 && c.text.substring(s, e) == ent.text && l == ent.label)
+      }
+    }
+  }
+
+  test("generation is deterministic: same pools, n, seed -> identical output") {
+    val pools = SyntheticQueries.harvestPools(docs)
+    val a = SyntheticQueries.generate(pools, 60)
+    val b = SyntheticQueries.generate(pools, 60)
+    assert(a == b)
+    val c = SyntheticQueries.generate(pools, 60, seed = 7L)
+    assert(a != c, "a different seed must produce different fills")
+  }
+}
+
 class EntityFiltersSpec extends SparkSpec {
 
   test("entities compile to predicates that select the right docs") {
