@@ -41,8 +41,8 @@ object Dedup {
     * next group's execution memory.
     */
   def invalidateCaches(): Unit = {
-    Seq(shingleCache, sigCache, simhashCache, signSigCache, pairsCache,
-      clusterCache).foreach { c =>
+    Seq(shingleCache, cappedShingleCache, sigCache, simhashCache,
+      signSigCache, pairsCache, clusterCache).foreach { c =>
       c.keys.foreach(k => c.remove(k).foreach(_.unpersist()))
     }
   }
@@ -105,17 +105,34 @@ object Dedup {
     * self-join on the shingle, candidate volume bounded by
     * cap x df per shingle.
     */
+  /** The df-capped shingle occurrences (df <= [[ShingleDfCap]]) — the
+    * d02 inverted index, df computed as a whole-partition window count
+    * (ONE shuffle of the occurrence rows by shingle, vs aggregate +
+    * equi-join shuffling them twice). Memoized + persisted under the
+    * same ingest-artifact policy as [[minhashSig]], and for the same
+    * reason: d02 consumes it three ways (self-join a-side, b-side, and
+    * the per-doc sizes), and without the persist each consumer
+    * re-evaluated the window shuffle — the physical plan showed the
+    * Window node three times over three separate exchanges.
+    */
+  private def cappedShingles(spark: SparkSession, dir: String): DataFrame =
+    Memo.getOrBuild(cappedShingleCache, (spark, dir)) {
+      import spark.implicits._
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"shingle")
+      shingleRows(spark, dir)
+        .withColumn("df_", count(lit(1)).over(w))
+        .filter($"df_" <= ShingleDfCap)
+        .select($"doc_id", $"shingle")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private val cappedShingleCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
   def d02NgramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // document frequency as a whole-partition window count: ONE shuffle
-    // of the occurrence rows by shingle (vs aggregate + equi-join, which
-    // shuffles the same rows twice), and the self-join below reuses the
-    // shingle partitioning without a further exchange
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"shingle")
-    val sh = shingleRows(spark, dir)
-      .withColumn("df_", count(lit(1)).over(w))
-      .filter($"df_" <= ShingleDfCap)
-      .select($"doc_id", $"shingle")
+    val sh = cappedShingles(spark, dir)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
