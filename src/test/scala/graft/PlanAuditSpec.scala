@@ -62,6 +62,24 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("fuzzy searches score via vocabulary accept sets — no per-row Levenshtein") {
+    // the materialized-stats fuzzy path (r03/r07/r09/r10) computes its
+    // accepted typo variants ONCE against the term vocabulary and
+    // scores by exact codegen term_freq membership; a regression that
+    // silently falls back to the bounded-Levenshtein scan would put a
+    // per-(row x token x term) edit-distance band back into every
+    // scoring pass — corpus-sized work at 100 TB. levenshtein() may
+    // only appear in the vocab job, never in a registered scan plan.
+    Seq("r03_hybrid", "r07_comparison", "r09_explanatory",
+      "r10_multi_intent").foreach { name =>
+      val p = plan(name)
+      assert(!p.toLowerCase.contains("levenshtein"),
+        s"$name scores with per-row Levenshtein — vocab accept path lost")
+      assert(p.contains("term_freq"),
+        s"$name lost its codegen term_freq scoring")
+    }
+  }
+
   test("star-schema dimension joins stay broadcast") {
     val p = plan("q04_region_revenue")
     assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")
