@@ -84,6 +84,7 @@ object Bench {
         }
         graft.pipeline.Dedup.invalidateCaches()
         graft.pipeline.Similarity.invalidateCaches()
+        graft.pipeline.TextAnalysis.invalidateCaches()
         graft.rass.Corpus.invalidateCaches()
         graft.rass.RassEngine.invalidateStatsCache()
         graft.relational.StarQueries.invalidateCaches()

@@ -211,11 +211,78 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Word-n-gram size for the decontamination check — n = 13, the
+    * GPT-3 report's eval-decontamination n-gram length (a published,
+    * widely copied pipeline constant).
+    */
+  private[pipeline] val ContamN = 13
+
+  /** p09 — train/test decontamination: for every TEST-split document
+    * (p07's content-hash split), how many of its distinct word-13-grams
+    * also occur in some TRAIN-split document, plus a 0/1 contaminated
+    * flag. This is the standard benchmark-decontamination sweep a
+    * training pipeline runs before publishing a split: a test doc
+    * sharing a 13-gram with train leaks evaluation signal.
+    *
+    * Scale shape: both sides reduce to md5(gram) hashes BEFORE the
+    * join — document text never shuffles, and the join keys are fixed
+    * 32-char digests rather than ~100-char gram strings (the same
+    * engine-independent-hash trick as the minhash signatures, so the
+    * DuckDB oracle reproduces keys exactly). The train side is a
+    * distinct hash set keyed by gram; the test side is 5 % of the
+    * corpus. At 100 TB a deployment would swap the exact distinct set
+    * for a bloom filter (accepting false contamination hits) — the
+    * plan shape is identical, only the build side shrinks.
+    */
+  /** The 13-gram hash index (doc_id, split bucket, md5(gram)) —
+    * memoized + persisted per (session, dir) under the same
+    * ingest-artifact policy as [[Dedup]]'s shingle index: p09 consumes
+    * it twice (train side and test side), and a decontamination
+    * pipeline at 100 TB materializes the gram index once per corpus
+    * snapshot, not per sweep.
+    */
+  private def contamGrams(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.getOrBuild(gramCache, (spark, dir)) {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select($"doc_id", SplitBucket.as("b"), toks($"text").as("t"))
+        .filter(size($"t") >= ContamN)
+        // greatest(...) guards the sequence bound: sequence(1, 0)
+        // counts DOWN and feeds slice a start of 0 — and a plan
+        // reordering can evaluate this projection on a row the size
+        // filter discards, so the expression must be total. For
+        // surviving rows (>= ContamN tokens) the bound is unchanged.
+        .select($"doc_id", $"b", explode(array_distinct(
+          transform(sequence(lit(1), greatest(size($"t") - (ContamN - 1), lit(1))),
+            i => md5(array_join(slice($"t", i, lit(ContamN)), " "))))).as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private val gramCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  def invalidateCaches(): Unit =
+    gramCache.keys.foreach(k => gramCache.remove(k).foreach(_.unpersist()))
+
+  def p09Contamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = contamGrams(spark, dir)
+    val train = grams.filter($"b" < TrainMax).select($"g").distinct()
+    grams.filter($"b" >= ValMax)
+      .join(train.withColumn("hit", lit(1L)), Seq("g"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce($"hit", lit(0L))).as("n_hit"))
+      .withColumn("contaminated", when($"n_hit" > 0, 1L).otherwise(0L))
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_token_stats" -> p01TokenStats _,
     "p08_repetition_profile" -> p08RepetitionProfile _,
+    "p09_contamination" -> p09Contamination _,
     "p02_quality_buckets" -> p02QualityBuckets _,
     "p03_lang_profile" -> p03LangProfile _,
     "p04_langid_confusion" -> p04LangIdConfusion _,
@@ -229,7 +296,29 @@ object TextAnalysis {
   private val NSTOP =
     s"len(list_filter($TOKS, t -> t IN ('the','a','of','and','in','to','is')))"
 
+  /** The p07 split bucket in DuckDB SQL (first 4 md5 hex chars of the
+    * doc_id as a 16-bit integer — identical fold to [[SplitBucket]]).
+    */
+  private val BUCKET =
+    """list_reduce(list_prepend(0::BIGINT,
+      |    list_transform(string_split(substr(md5(doc_id::VARCHAR), 1, 4), ''),
+      |      ch -> (instr('0123456789abcdef', ch) - 1)::BIGINT)),
+      |    (h, c) -> h * 16 + c)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "p09_contamination" ->
+      s"""WITH tk AS (SELECT doc_id, $TOKS t, $BUCKET AS b FROM documents),
+         |gr AS (SELECT doc_id, b, unnest(list_distinct(
+         |    [md5(array_to_string(t[i:i+12], ' ')) for i in range(1, len(t)-11)])) AS g
+         |  FROM tk WHERE len(t) >= 13),
+         |tr AS (SELECT DISTINCT g FROM gr WHERE b < 58982)
+         |SELECT gr.doc_id, COUNT(*) AS n_grams,
+         | CAST(SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         | CAST(CASE WHEN SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) > 0
+         |      THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+         |FROM gr LEFT JOIN tr ON gr.g = tr.g
+         |WHERE gr.b >= 62259
+         |GROUP BY gr.doc_id ORDER BY gr.doc_id""".stripMargin,
     "p08_repetition_profile" ->
       s"""WITH tk AS (SELECT doc_id, $TOKS t FROM documents),
          |tri AS (SELECT doc_id, unnest(

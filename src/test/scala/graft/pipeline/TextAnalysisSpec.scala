@@ -23,6 +23,40 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("p09 contamination counts are consistent and catch a planted test/train dup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.p09Contamination(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_hit")
+      assert(hits <= r.getAs[Long]("n_grams"))
+      assert(r.getAs[Long]("contaminated") == (if (hits > 0) 1L else 0L))
+    }
+    // every row is a TEST-split doc
+    val testIds = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", TextAnalysis.SplitBucket.as("b"))
+      .filter($"b" >= TextAnalysis.ValMax)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rows.map(_.getAs[Long]("doc_id")).forall(testIds.contains))
+    // ground truth: a test doc that exactly duplicates a train doc's
+    // text (the d01 exact-dup groups straddle the split at this SF)
+    // MUST be flagged — cross-check one via the raw tables
+    val dup = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", TextAnalysis.SplitBucket.as("b"), md5($"text").as("h"),
+        size(split(trim($"text"), "\\s+")).as("nTok"))
+      .filter($"nTok" >= TextAnalysis.ContamN)
+    val straddling = dup.as("a").join(dup.as("b"), $"a.h" === $"b.h")
+      .filter($"a.b" >= TextAnalysis.ValMax && $"b.b" < TextAnalysis.TrainMax)
+      .select($"a.doc_id").distinct().as[Long].collect().toSet
+    if (straddling.nonEmpty) {
+      val flagged = rows.filter(r => straddling.contains(r.getAs[Long]("doc_id")))
+      assert(flagged.nonEmpty &&
+        flagged.forall(_.getAs[Long]("contaminated") == 1L),
+        "an exact test/train duplicate must be contaminated")
+    }
+  }
+
   test("p02 buckets partition the corpus") {
     val total = graft.Tables.documents(spark, sfDir).count()
     val rows = TextAnalysis.p02QualityBuckets(spark, sfDir).collect()
