@@ -311,13 +311,13 @@ object TextAnalysis {
          |gr AS (SELECT doc_id, b, unnest(list_distinct(
          |    [md5(array_to_string(t[i:i+12], ' ')) for i in range(1, len(t)-11)])) AS g
          |  FROM tk WHERE len(t) >= 13),
-         |tr AS (SELECT DISTINCT g FROM gr WHERE b < 58982)
+         |tr AS (SELECT DISTINCT g FROM gr WHERE b < $TrainMax)
          |SELECT gr.doc_id, COUNT(*) AS n_grams,
          | CAST(SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
          | CAST(CASE WHEN SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) > 0
          |      THEN 1 ELSE 0 END AS BIGINT) AS contaminated
          |FROM gr LEFT JOIN tr ON gr.g = tr.g
-         |WHERE gr.b >= 62259
+         |WHERE gr.b >= $ValMax
          |GROUP BY gr.doc_id ORDER BY gr.doc_id""".stripMargin,
     "p08_repetition_profile" ->
       s"""WITH tk AS (SELECT doc_id, $TOKS t FROM documents),

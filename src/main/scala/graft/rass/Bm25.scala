@@ -70,8 +70,14 @@ object Bm25 {
   /** BM25 score of `field` for the query terms, given the broadcast
     * stats columns (prefixed). Null field scores 0.
     */
-  def score(field: String, terms: Seq[String], statsPrefix: String,
-      tok: String => Column = inlineToks): Column = {
+  /** The shared BM25 skeleton: per-term idf x saturation over whatever
+    * tf expression the variant supplies. ONE copy of the formula (k1/b,
+    * rational idf, the avgdl>0 ANSI guard, the null-field wrapper) so
+    * the oracle-parity surface is single-sourced across the exact,
+    * fuzzy-scan, and fuzzy-vocab variants.
+    */
+  private def scoreWith(field: String, terms: Seq[String], statsPrefix: String,
+      tok: String => Column)(tfFor: (Column, String) => Column): Column = {
     val toksCol = tok(field)
     val dl = size(toksCol).cast("double")
     val avgdl = col(s"${statsPrefix}avgdl")
@@ -82,12 +88,16 @@ object Bm25 {
     val perTerm = terms.zipWithIndex.map { case (t, i) =>
       val dfT = col(s"${statsPrefix}df_$i")
       val idf = (n - dfT + lit(0.5)) / (dfT + lit(0.5))
-      val tfT = tf(toksCol, t)
+      val tfT = tfFor(toksCol, t)
       idf * (tfT * (K1 + 1)) / (tfT + lit(K1) * (lit(1.0) - B + lit(B) * lnorm))
     }
     val s = perTerm.reduceOption(_ + _).getOrElse(lit(0.0))
     when(col(field).isNotNull, s).otherwise(lit(0.0))
   }
+
+  def score(field: String, terms: Seq[String], statsPrefix: String,
+      tok: String => Column = inlineToks): Column =
+    scoreWith(field, terms, statsPrefix, tok)((toksCol, t) => tf(toksCol, t))
 
   /** Fuzzy variant (`fuzziness: AUTO`): tf counts tokens within the
     * term's AUTO edit distance (0/1/2 by length; Levenshtein is
@@ -95,24 +105,9 @@ object Bm25 {
     * deliberate simplification kept identical on both sides.
     */
   def scoreFuzzy(field: String, terms: Seq[String], statsPrefix: String,
-      tok: String => Column = inlineToks): Column = {
-    val toksCol = tok(field)
-    val dl = size(toksCol).cast("double")
-    val avgdl = col(s"${statsPrefix}avgdl")
-    // empty-string fields make avgdl 0; tf is 0 there too, so the term is
-    // 0 either way — the CASE just keeps ANSI mode from raising /0
-    val lnorm = when(avgdl > 0, dl / avgdl).otherwise(lit(0.0))
-    val n = col(s"${statsPrefix}n_docs")
-    val perTerm = terms.zipWithIndex.map { case (t, i) =>
-      val dfT = col(s"${statsPrefix}df_$i")
-      val idf = (n - dfT + lit(0.5)) / (dfT + 0.5)
-      val fz = Analyzer.autoFuzz(t)
-      val tfT = tf(toksCol, t, fz)
-      idf * (tfT * (K1 + 1)) / (tfT + lit(K1) * (lit(1.0) - B + lit(B) * lnorm))
-    }
-    val s = perTerm.reduceOption(_ + _).getOrElse(lit(0.0))
-    when(col(field).isNotNull, s).otherwise(lit(0.0))
-  }
+      tok: String => Column = inlineToks): Column =
+    scoreWith(field, terms, statsPrefix, tok)((toksCol, t) =>
+      tf(toksCol, t, Analyzer.autoFuzz(t)))
 
   /** Fuzzy accept sets from the MATERIALIZED vocabulary: for each
     * (scored field, query term), the vocabulary tokens within the
@@ -129,7 +124,11 @@ object Bm25 {
     */
   def fuzzyAcceptSets(termStats: DataFrame, fields: Seq[String],
       terms: Seq[String]): Map[(String, String), Seq[String]] =
-    graft.Memo.getOrBuild(acceptCache,
+    // a query normalized to zero terms ("???") must score 0 on the BM25
+    // clauses, not crash the vocabulary job on an empty OR-reduce — the
+    // per-row fuzzy path got this for free via reduceOption
+    if (terms.isEmpty) Map.empty
+    else graft.Memo.getOrBuild(acceptCache,
       (termStats.sparkSession, termStats.queryExecution.analyzed.canonicalized,
         fields.toList, terms.toList)) {
       buildFuzzyAcceptSets(termStats, fields, terms)
@@ -184,29 +183,17 @@ object Bm25 {
     */
   def scoreFuzzyVocab(field: String, terms: Seq[String], statsPrefix: String,
       accept: Map[(String, String), Seq[String]],
-      tok: String => Column = inlineToks): Column = {
-    val toksCol = tok(field)
-    val dl = size(toksCol).cast("double")
-    val avgdl = col(s"${statsPrefix}avgdl")
-    val lnorm = when(avgdl > 0, dl / avgdl).otherwise(lit(0.0))
-    val n = col(s"${statsPrefix}n_docs")
-    val perTerm = terms.zipWithIndex.map { case (t, i) =>
-      val dfT = col(s"${statsPrefix}df_$i")
-      val idf = (n - dfT + lit(0.5)) / (dfT + 0.5)
-      val variants = accept.getOrElse((field, t), Nil)
+      tok: String => Column = inlineToks): Column =
+    scoreWith(field, terms, statsPrefix, tok) { (toksCol, t) =>
       // sum of EXACT counts per accepted variant: the sets are disjoint
       // tokens, so the counts add to the membership count — and each
       // term_freq is the native codegen expression, keeping the whole
       // score inside WholeStageCodegen (a filter() higher-order
       // function would drop the scan out of codegen)
-      val tfT =
-        if (variants.isEmpty) lit(0.0)
-        else variants.map(v => tf(toksCol, v)).reduce(_ + _)
-      idf * (tfT * (K1 + 1)) / (tfT + lit(K1) * (lit(1.0) - B + lit(B) * lnorm))
+      val variants = accept.getOrElse((field, t), Nil)
+      if (variants.isEmpty) lit(0.0)
+      else variants.map(v => tf(toksCol, v)).reduce(_ + _)
     }
-    val s = perTerm.reduceOption(_ + _).getOrElse(lit(0.0))
-    when(col(field).isNotNull, s).otherwise(lit(0.0))
-  }
 
   /** `best_fields` multi_match: max over fields of (BM25 x field boost),
     * then x clause boost. Stats for all fields must be joined with

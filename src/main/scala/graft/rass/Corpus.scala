@@ -232,6 +232,8 @@ object Corpus {
     // the fuzzy accept sets derive from the stats tables — drop them
     // together so a rebuilt vocabulary can never serve stale variants
     Bm25.invalidateAcceptCache()
+    // ditto the memoized query-vector lookups (same source tables)
+    RassQueries.invalidateQvCache()
   }
 
   // ------------------------------------------------------------- sql side

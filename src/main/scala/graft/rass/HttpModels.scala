@@ -176,14 +176,21 @@ final class HttpGenerator(endpoint: String, model: String,
       // like any other mid-stream fault.
       val stream = resp.body()
       val reader = Thread.currentThread()
+      val firstLine = new java.util.concurrent.atomic.AtomicBoolean(false)
       val lastLine = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
       val drained = new java.util.concurrent.atomic.AtomicBoolean(false)
       val watchdog = java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
         val t = new Thread(r, "sse-idle-watchdog"); t.setDaemon(true); t
       }
       watchdog.scheduleAtFixedRate({ () =>
+        // the FIRST token gets the request-timeout budget (prefill on a
+        // slow backend can take minutes before any delta); the idle
+        // bound applies between tokens once the stream is flowing
+        val budget =
+          if (firstLine.get()) streamIdleSeconds.toLong
+          else math.max(streamIdleSeconds.toLong, 300L)
         if (!drained.get() &&
-            System.nanoTime() - lastLine.get() > streamIdleSeconds * 1000000000L) {
+            System.nanoTime() - lastLine.get() > budget * 1000000000L) {
           stalled.set(true)
           try stream.close() catch { case _: Exception => () }
           if (!drained.get()) reader.interrupt()
@@ -191,6 +198,7 @@ final class HttpGenerator(endpoint: String, model: String,
       }: Runnable, 1000, 250, java.util.concurrent.TimeUnit.MILLISECONDS)
       try {
         stream.forEach { line =>
+          firstLine.set(true)
           lastLine.set(System.nanoTime())
           if (line.startsWith("data:")) {
             val payload = line.drop(5).trim
@@ -206,14 +214,24 @@ final class HttpGenerator(endpoint: String, model: String,
         }
       } finally {
         drained.set(true)
+        // wait out any in-flight tick before clearing the interrupt:
+        // shutdownNow alone doesn't stop a tick that already passed its
+        // !drained check, and its late interrupt would otherwise land
+        // AFTER the clear and leak into the caller's next blocking call
         watchdog.shutdownNow()
-        // the watchdog may have fired between the last line and
-        // shutdown — don't leak its interrupt into the caller
+        try watchdog.awaitTermination(2, java.util.concurrent.TimeUnit.SECONDS)
+        catch { case _: InterruptedException => () } // the tick's own late interrupt
         if (stalled.get()) Thread.interrupted()
       }
     } catch {
-      case _: Exception if stalled.get() =>
-        Thread.interrupted() // the watchdog's interrupt, not a task kill
+      case e: Exception if stalled.get() =>
+        // the watchdog interrupts exactly once — clear it; if the flag
+        // is STILL set afterwards, a second interrupt (a genuine task
+        // kill racing the stall) arrived and must propagate, not be
+        // swallowed into an in-band [ERROR] chunk
+        Thread.interrupted()
+        if (Thread.currentThread().isInterrupted)
+          throw new RuntimeException(s"$endpoint interrupted mid-stream", e)
         val err = s"[ERROR] stream stalled: no data for ${streamIdleSeconds}s"
         sb.append(err)
         onToken(err)

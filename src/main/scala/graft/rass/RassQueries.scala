@@ -18,9 +18,13 @@ object RassQueries {
 
   // the query vector is a data LOOKUP (one row of the embeddings
   // table), not query work — memoized so repeated vector queries don't
-  // re-run a parquet job per call. ~1 KB per entry; never unpersisted.
+  // re-run a parquet job per call. ~1 KB per entry. Cleared by
+  // [[Corpus.invalidateCaches]]: a re-ingest that rewrites the
+  // embeddings table must not keep serving the pre-rewrite vector.
   private val qvCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Long), Seq[Double]]
+
+  private[rass] def invalidateQvCache(): Unit = qvCache.clear()
 
   private def qv(spark: SparkSession, dir: String, vecId: Long = 0): Seq[Double] =
     graft.Memo.getOrBuild(qvCache, (spark, dir, vecId)) {

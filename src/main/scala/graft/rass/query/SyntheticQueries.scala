@@ -189,8 +189,15 @@ object SyntheticQueries {
       }
       val text = template.split("\\{\\}", -1).zipAll(values, "", "")
         .map { case (part, v) => part + v }.mkString
+      // spans advance a cursor through the text: slots fill in template
+      // order, so each value's span starts at or after the previous
+      // span's end — a plain indexOf would pin BOTH spans of a
+      // repeated value (e.g. "Compare {} vs {}" drawing the same
+      // condition twice) to the first occurrence
+      var cursor = 0
       val spans = values.zip(labels).map { case (v, l) =>
-        val start = text.indexOf(v)
+        val start = text.indexOf(v, cursor)
+        cursor = start + v.length
         (start, start + v.length, l)
       }
       LabeledQuery(text, intent,

@@ -72,6 +72,18 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("a query normalized to zero terms yields empty accept sets, not a crash") {
+    import spark.implicits._
+    val docs = Seq((1L, "some note text")).toDF("doc_id", "note")
+    val (_, termStats) = CorpusStats.build(docs, Seq("note"))
+    assert(Bm25.fuzzyAcceptSets(termStats, Seq("note"), Nil).isEmpty)
+    // and the scoring column degrades to 0 for null-term queries
+    val scored = Bm25.withStats(docs, Seq("note"), Nil)
+      .withColumn("s", Bm25.scoreFuzzyVocab("note", Nil, "s_note_", Map.empty))
+      .select($"s").head()
+    assert(scored.getDouble(0) == 0.0)
+  }
+
   test("stats merge additively across ingest batches") {
     import org.apache.spark.sql.functions._
     val corpus = Corpus.corpus(spark, sfDir)

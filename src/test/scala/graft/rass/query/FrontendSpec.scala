@@ -170,6 +170,18 @@ class SyntheticQueriesSpec extends SparkSpec {
     }
   }
 
+  test("a repeated value in a two-slot template gets distinct, ordered spans") {
+    val pools = SyntheticQueries.Pools(
+      SyntheticQueries.harvestPools(docs).byLabel.updated("CONDITION", Seq("diabetes")))
+    val cases = SyntheticQueries.generate(pools, SyntheticQueries.Templates.size)
+    val cmp = cases.find(_.text.startsWith("Compare diabetes vs diabetes"))
+    assert(cmp.nonEmpty, "the two-slot compare template must have filled")
+    val Seq((s1, e1, _), (s2, e2, _)) = cmp.get.spans
+    assert(cmp.get.text.substring(s1, e1) == "diabetes")
+    assert(s2 >= e1, s"second span ($s2,$e2) must follow the first ($s1,$e1)")
+    assert(cmp.get.text.substring(s2, e2) == "diabetes")
+  }
+
   test("generation is deterministic: same pools, n, seed -> identical output") {
     val pools = SyntheticQueries.harvestPools(docs)
     val a = SyntheticQueries.generate(pools, 60)
