@@ -116,7 +116,8 @@ object Bench {
     // warm_queries: measured against ingest artifacts another query in
     // their group already built (the production shape for consumers of
     // stored artifacts); their cold cost includes that build
-    val warm = Seq("x01_corpus_export", "s05_recall_profile")
+    val warm = Seq("x01_corpus_export", "x02_decontaminated_export",
+      "s05_recall_profile")
       .filter(names.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     val totalMax = maxes.map(_._2).filter(_ >= 0).sum
     // key order matters for archival, not parsing: the driver stores

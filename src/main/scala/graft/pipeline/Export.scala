@@ -53,10 +53,29 @@ object Export {
       .orderBy($"doc_id")
   }
 
+  /** x02 — the decontaminated manifest: x01 minus the TEST-split
+    * documents p09 flags as sharing a 13-gram with train. This is the
+    * version of the manifest a pipeline can actually publish: an eval
+    * split that leaks training n-grams overstates every model trained
+    * on the corpus, so the leaked docs are dropped (train/val rows are
+    * untouched — p09 only ever flags test docs). Scale shape: x01's
+    * manifest anti-joins a contaminated-doc list that is at most the
+    * test split's dup fraction — a broadcast.
+    */
+  def x02DecontaminatedExport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val contaminated = TextAnalysis.p09Contamination(spark, dir)
+      .filter($"contaminated" === 1L).select($"doc_id")
+    x01CorpusExport(spark, dir)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_corpus_export" -> x01CorpusExport _,
+    "x02_decontaminated_export" -> x02DecontaminatedExport _,
   )
 
   /** The oracle composes the published d06 clustering SQL as a
@@ -64,28 +83,38 @@ object Export {
     * so the drop list is BY CONSTRUCTION the same transitive closure
     * the d06 gate verifies.
     */
+  private def exportSql(extraWhere: String): String = {
+    val toks = raw"regexp_split_to_array(trim(text), '\s+')"
+    val stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH stats AS (SELECT doc_id, len($toks) AS n_tokens,
+       |    len(list_filter($toks, t -> t IN ($stop))) AS n_stop
+       |  FROM documents),
+       |drops AS (SELECT doc_id FROM
+       |  (${Dedup.oracles("d06_neardup_clusters")}) WHERE keep = 0),
+       |b AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(string_split(substr(md5(doc_id::VARCHAR), 1, 4), ''),
+       |      ch -> (instr('0123456789abcdef', ch) - 1)::BIGINT)),
+       |    (h, c) -> h * 16 + c) AS b FROM documents)
+       |SELECT s.doc_id,
+       |  CASE WHEN b.b < ${TextAnalysis.TrainMax} THEN 'train'
+       |       WHEN b.b < ${TextAnalysis.ValMax} THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  s.n_tokens
+       |FROM stats s JOIN b USING (doc_id)
+       |WHERE s.n_tokens >= 30 AND s.n_stop * 5 < s.n_tokens
+       |  AND s.doc_id NOT IN (SELECT doc_id FROM drops)$extraWhere
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "x01_corpus_export" -> {
-      val toks = raw"regexp_split_to_array(trim(text), '\s+')"
-      val stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
-      s"""WITH stats AS (SELECT doc_id, len($toks) AS n_tokens,
-         |    len(list_filter($toks, t -> t IN ($stop))) AS n_stop
-         |  FROM documents),
-         |drops AS (SELECT doc_id FROM
-         |  (${Dedup.oracles("d06_neardup_clusters")}) WHERE keep = 0),
-         |b AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
-         |    list_transform(string_split(substr(md5(doc_id::VARCHAR), 1, 4), ''),
-         |      ch -> (instr('0123456789abcdef', ch) - 1)::BIGINT)),
-         |    (h, c) -> h * 16 + c) AS b FROM documents)
-         |SELECT s.doc_id,
-         |  CASE WHEN b.b < ${TextAnalysis.TrainMax} THEN 'train'
-         |       WHEN b.b < ${TextAnalysis.ValMax} THEN 'val'
-         |       ELSE 'test' END AS split,
-         |  s.n_tokens
-         |FROM stats s JOIN b USING (doc_id)
-         |WHERE s.n_tokens >= 30 AND s.n_stop * 5 < s.n_tokens
-         |  AND s.doc_id NOT IN (SELECT doc_id FROM drops)
-         |ORDER BY s.doc_id""".stripMargin
-    },
+    "x01_corpus_export" -> exportSql(""),
+    // the p09 oracle embeds as a derived table the same way the d06
+    // clustering SQL does above, so the contamination drop is BY
+    // CONSTRUCTION the same sweep the p09 gate verifies
+    "x02_decontaminated_export" -> exportSql(
+      s"""
+         |  AND s.doc_id NOT IN (SELECT doc_id FROM
+         |    (${TextAnalysis.oracles("p09_contamination")})
+         |    WHERE contaminated = 1)""".stripMargin),
   )
 }

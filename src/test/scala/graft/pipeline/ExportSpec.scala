@@ -33,4 +33,23 @@ class ExportSpec extends SparkSpec {
     val total = graft.Tables.documents(spark, sfDir).count()
     assert(rows.length < total)
   }
+
+  test("x02 drops exactly x01's contaminated test docs, nothing else") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val x01 = Export.x01CorpusExport(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val x02 = Export.x02DecontaminatedExport(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(x02.subsetOf(x01.keySet), "x02 must be a subset of x01")
+    val contaminated = TextAnalysis.p09Contamination(spark, sfDir)
+      .filter($"contaminated" === 1).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val dropped = x01.keySet -- x02
+    assert(dropped == x01.keySet.intersect(contaminated),
+      s"dropped $dropped != x01-surviving contaminated docs")
+    // only test-split rows can be dropped
+    assert(dropped.forall(id => x01(id) == "test"),
+      "decontamination must never touch train/val rows")
+  }
 }
