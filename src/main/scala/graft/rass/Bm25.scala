@@ -67,9 +67,6 @@ object Bm25 {
     docs.agg(aggCols.head, aggCols.tail: _*)
   }
 
-  /** BM25 score of `field` for the query terms, given the broadcast
-    * stats columns (prefixed). Null field scores 0.
-    */
   /** The shared BM25 skeleton: per-term idf x saturation over whatever
     * tf expression the variant supplies. ONE copy of the formula (k1/b,
     * rational idf, the avgdl>0 ANSI guard, the null-field wrapper) so
@@ -95,6 +92,9 @@ object Bm25 {
     when(col(field).isNotNull, s).otherwise(lit(0.0))
   }
 
+  /** BM25 score of `field` for the query terms, given the broadcast
+    * stats columns (prefixed). Null field scores 0.
+    */
   def score(field: String, terms: Seq[String], statsPrefix: String,
       tok: String => Column = inlineToks): Column =
     scoreWith(field, terms, statsPrefix, tok)((toksCol, t) => tf(toksCol, t))

@@ -170,12 +170,18 @@ final class HttpGenerator(endpoint: String, model: String,
       // HttpRequest.timeout only bounds the exchange until response
       // HEADERS arrive; a server that stalls mid-body without closing
       // would block the line drain forever. An idle watchdog bounds the
-      // gap between lines: on expiry it closes the stream (cancelling
-      // the subscription) and interrupts the reader, and the stall
-      // surfaces to the consumer as an in-band [ERROR] chunk exactly
-      // like any other mid-stream fault.
+      // gap between lines: on expiry it CLOSES the stream — per the
+      // HttpResponse.BodyHandlers.ofLines contract, closing the stream
+      // cancels the underlying subscription, which terminates the
+      // blocked drain (normally or exceptionally). The watchdog never
+      // interrupts the reader thread: an interrupt here would be
+      // indistinguishable from a genuine Spark task kill, and a kill
+      // must always propagate (InterruptedException case below) rather
+      // than degrade into an in-band [ERROR] chunk.
       val stream = resp.body()
-      val reader = Thread.currentThread()
+      // lastLine is written BEFORE firstLine in the drain loop, so a
+      // watchdog tick can never pair the shrunk post-first-token
+      // budget with the stale stream-start timestamp
       val firstLine = new java.util.concurrent.atomic.AtomicBoolean(false)
       val lastLine = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
       val drained = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -193,13 +199,12 @@ final class HttpGenerator(endpoint: String, model: String,
             System.nanoTime() - lastLine.get() > budget * 1000000000L) {
           stalled.set(true)
           try stream.close() catch { case _: Exception => () }
-          if (!drained.get()) reader.interrupt()
         }
       }: Runnable, 1000, 250, java.util.concurrent.TimeUnit.MILLISECONDS)
       try {
         stream.forEach { line =>
-          firstLine.set(true)
           lastLine.set(System.nanoTime())
+          firstLine.set(true)
           if (line.startsWith("data:")) {
             val payload = line.drop(5).trim
             if (payload.nonEmpty && payload != "[DONE]") {
@@ -214,30 +219,34 @@ final class HttpGenerator(endpoint: String, model: String,
         }
       } finally {
         drained.set(true)
-        // wait out any in-flight tick before clearing the interrupt:
-        // shutdownNow alone doesn't stop a tick that already passed its
-        // !drained check, and its late interrupt would otherwise land
-        // AFTER the clear and leak into the caller's next blocking call
         watchdog.shutdownNow()
+        // a genuine task-kill interrupt landing during this short wait
+        // must not be eaten — restore the flag so the caller's next
+        // blocking call still sees the cancellation
         try watchdog.awaitTermination(2, java.util.concurrent.TimeUnit.SECONDS)
-        catch { case _: InterruptedException => () } // the tick's own late interrupt
-        if (stalled.get()) Thread.interrupted()
+        catch { case _: InterruptedException => Thread.currentThread().interrupt() }
       }
-    } catch {
-      case e: Exception if stalled.get() =>
-        // the watchdog interrupts exactly once — clear it; if the flag
-        // is STILL set afterwards, a second interrupt (a genuine task
-        // kill racing the stall) arrived and must propagate, not be
-        // swallowed into an in-band [ERROR] chunk
-        Thread.interrupted()
-        if (Thread.currentThread().isInterrupted)
-          throw new RuntimeException(s"$endpoint interrupted mid-stream", e)
+      // a watchdog close can also end the drain QUIETLY (forEach
+      // returns as if the stream completed) — surface the stall either
+      // way, matching the exceptional path below
+      if (stalled.get()) {
         val err = s"[ERROR] stream stalled: no data for ${streamIdleSeconds}s"
         sb.append(err)
         onToken(err)
+      }
+    } catch {
+      // the watchdog never interrupts, so an InterruptedException is
+      // ALWAYS a genuine cancellation (Spark task kill) — propagate it
+      // even when it races a stall
       case e: InterruptedException =>
         Thread.currentThread().interrupt()
         throw new RuntimeException(s"$endpoint interrupted mid-stream", e)
+      case _: Exception if stalled.get() =>
+        // the watchdog's close surfacing as an exception from the
+        // blocked drain
+        val err = s"[ERROR] stream stalled: no data for ${streamIdleSeconds}s"
+        sb.append(err)
+        onToken(err)
       case e: Exception =>
         val err = s"[ERROR] ${e.getMessage}"
         sb.append(err)

@@ -175,9 +175,12 @@ object SyntheticQueries {
 
   /** Fill `n` cases deterministically: template `i % |templates|`,
     * values drawn from a `seed`-initialized RNG (the reference pins
-    * seed 42, `train_ner.py:20`), spans recorded by first occurrence
-    * exactly like `fill()` (`train_ner.py:844-849`). Same (pools, n,
-    * seed) → identical output, so specs and a re-run trainer agree.
+    * seed 42, `train_ner.py:20`), spans recorded left-to-right with an
+    * advancing cursor — deliberately STRICTER than the reference's
+    * first-occurrence `fill()` (`train_ner.py:844-849`), which
+    * mislabels the second site of a value drawn twice in one template.
+    * Same (pools, n, seed) → identical output, so specs and a re-run
+    * trainer agree.
     */
   def generate(pools: Pools, n: Int, seed: Long = 42L): Seq[LabeledQuery] = {
     val rng = new scala.util.Random(seed)
