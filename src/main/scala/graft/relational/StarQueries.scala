@@ -119,7 +119,19 @@ object StarQueries {
       .limit(10)
   }
 
-  /** TPC-H Q5-style: revenue by region/nation of the customer. */
+  /** TPC-H Q5-style: revenue by region/nation of the customer.
+    * The lineitem side pre-aggregates to ONE
+    * row per order BEFORE the fact-fact join: map-side partial
+    * aggregation collapses the shuffle from |lineitem| raw rows to
+    * ~|orders| (hi, lo, count) triples, and the orderkey join then
+    * moves an order-sized table instead of a lineitem-sized one — at
+    * 100 TB lineitem is the largest table in the schema and this is
+    * the difference between shuffling 100 TB and shuffling its 4x
+    * smaller key-side digest. Exactness is preserved because the
+    * split-long sums ([[sumExact]]'s hi/lo decomposition) are plain
+    * long additions — associative — so summing per-order partials and
+    * recombining equals the single-level sum bit-for-bit.
+    */
   def q04RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)
@@ -127,14 +139,20 @@ object StarQueries {
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
     val r = Tables.region(spark, dir)
-    li.join(o, $"l_orderkey" === $"o_orderkey")
+    val rev = revenueCents($"l_extendedprice", $"l_discount")
+    val perOrder = li.groupBy($"l_orderkey").agg(
+      sum(shiftright(rev, 20)).as("rev_hi"),
+      sum(rev.bitwiseAND(lit(1048575L))).as("rev_lo"),
+      count(lit(1)).as("n_lines_o"))
+    perOrder.join(o, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(c), $"o_custkey" === $"c_custkey")
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
-      .agg((sumExact(revenueCents($"l_extendedprice", $"l_discount"))
+      .agg(((sum($"rev_hi").cast(DecimalType(38, 0)) * lit(1048576L) +
+        sum($"rev_lo").cast(DecimalType(38, 0)))
         .cast(DoubleType) / 10000.0).as("revenue"),
-        count(lit(1)).as("n_lines"))
+        sum($"n_lines_o").as("n_lines"))
       .orderBy($"r_name", $"n_name")
   }
 
