@@ -103,18 +103,26 @@ object StarQueries {
       .limit(10)
   }
 
-  /** TPC-H Q3-style shipping priority: 3-way join, filter both sides. */
+  /** TPC-H Q3-style shipping priority: 3-way join, filter both sides.
+    * The per-order revenue aggregation runs BEFORE the orderkey join:
+    * the grouping key is the join key (the o_* columns are functionally
+    * dependent on it), so aggregating first is semantics-preserving —
+    * inner join and semi join only drop whole orders — and the shuffle
+    * carries one (orderkey, revenue) row per order instead of every
+    * surviving lineitem row. Same scale argument as [[q04RegionRevenue]].
+    */
   def q03ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cutoff = lit("1998-01-01").cast(TimestampType)
     val c = Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
     val o = Tables.orders(spark, dir).filter($"o_orderdate" < cutoff)
     val li = Tables.lineitem(spark, dir).filter($"l_shipdate" > cutoff)
-    li.join(o, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(c), $"o_custkey" === $"c_custkey", "left_semi")
-      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+    val perOrder = li.groupBy($"l_orderkey")
       .agg((sumExact(revenueCents($"l_extendedprice", $"l_discount"))
         .cast(DoubleType) / 10000.0).as("revenue"))
+    perOrder.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey", "left_semi")
+      .select($"l_orderkey", $"o_orderdate", $"o_orderpriority", $"revenue")
       .orderBy($"revenue".desc, $"l_orderkey")
       .limit(10)
   }
