@@ -80,6 +80,28 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("fact-fact joins consume a per-order digest, not raw lineitem") {
+    // q03/q04 aggregate lineitem by l_orderkey BELOW the orderkey join,
+    // so the join (and its shuffle at production scale) moves ~|orders|
+    // digest rows instead of raw lineitem — the difference between
+    // shuffling the largest table in the schema and its key-side
+    // summary. A refactor that re-joins first would pass the oracle
+    // (the aggregation commutes) but regress the scale shape.
+    Seq("q03_shipping_priority", "q04_region_revenue").foreach { name =>
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+      val opt = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.optimizedPlan
+      val preJoinAgg = opt.collect {
+        case a: Aggregate
+            if a.groupingExpressions.exists(
+              _.references.exists(_.name == "l_orderkey")) &&
+              a.collectFirst { case j: Join => j }.isEmpty => a
+      }
+      assert(preJoinAgg.nonEmpty,
+        s"$name joins raw lineitem rows — per-order pre-aggregation lost")
+    }
+  }
+
   test("star-schema dimension joins stay broadcast") {
     val p = plan("q04_region_revenue")
     assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")
