@@ -277,12 +277,53 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** p10 — leaked-gram detail: for every TEST-split document, the
+    * specific 13-gram hashes that also occur in TRAIN, with each gram's
+    * train-document frequency — the per-gram forensic view behind
+    * p09's per-document flag (which grams leaked, and how widespread
+    * they are in train).
+    *
+    * This is the query that carries the bloom-prune pattern p09's doc
+    * only points at: the train side is ~95 % of the corpus and must be
+    * aggregated per gram, but only grams that occur in TEST can ever
+    * survive the final join. A bloom filter built over the small test
+    * side (a compact driver sketch, same broadcast-a-digest shape as
+    * the BM25 stats row) prunes train grams MAP-SIDE, before the
+    * per-gram aggregation's shuffle — at a 5 % test split and 1 % fp
+    * rate, ~94 % of the train side never crosses the wire. The result
+    * stays exact and engine-independent: bloom false positives are
+    * dropped by the exact inner join against the real test grams, so
+    * the sketch changes the plan's volume, never its output.
+    *
+    * mightContain is a Scala UDF (Spark exposes no public bloom-probe
+    * function); it sits on the pre-shuffle side where it eliminates
+    * far more work than a codegen break costs.
+    */
+  def p10LeakedGrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = contamGrams(spark, dir)
+    val test = grams.filter($"b" >= ValMax)
+    // sized by the (cheap, persisted-index) test-side row count — an
+    // upper bound on its distinct grams, so the fp rate is <= 1 %
+    val bf = test.stat.bloomFilter("g", math.max(test.count(), 1L), 0.01)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((g: String) => bfB.value.mightContain(g))
+    val trainFreq = grams.filter($"b" < TrainMax)
+      .filter(mightContain($"g"))
+      .groupBy($"g").agg(countDistinct($"doc_id").as("n_train_docs"))
+    test.select($"doc_id", $"g")
+      .join(trainFreq, Seq("g"), "inner")
+      .select($"doc_id", $"g", $"n_train_docs")
+      .orderBy($"doc_id", $"g")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_token_stats" -> p01TokenStats _,
     "p08_repetition_profile" -> p08RepetitionProfile _,
     "p09_contamination" -> p09Contamination _,
+    "p10_leaked_grams" -> p10LeakedGrams _,
     "p02_quality_buckets" -> p02QualityBuckets _,
     "p03_lang_profile" -> p03LangProfile _,
     "p04_langid_confusion" -> p04LangIdConfusion _,
@@ -319,6 +360,17 @@ object TextAnalysis {
          |FROM gr LEFT JOIN tr ON gr.g = tr.g
          |WHERE gr.b >= $ValMax
          |GROUP BY gr.doc_id ORDER BY gr.doc_id""".stripMargin,
+    "p10_leaked_grams" ->
+      s"""WITH tk AS (SELECT doc_id, $TOKS t, $BUCKET AS b FROM documents),
+         |gr AS (SELECT doc_id, b, unnest(list_distinct(
+         |    [md5(array_to_string(t[i:i+12], ' ')) for i in range(1, len(t)-11)])) AS g
+         |  FROM tk WHERE len(t) >= 13),
+         |tr AS (SELECT g, COUNT(DISTINCT doc_id) AS n_train_docs
+         |  FROM gr WHERE b < $TrainMax GROUP BY g)
+         |SELECT gr.doc_id, gr.g, tr.n_train_docs
+         |FROM gr JOIN tr ON gr.g = tr.g
+         |WHERE gr.b >= $ValMax
+         |ORDER BY gr.doc_id, gr.g""".stripMargin,
     "p08_repetition_profile" ->
       s"""WITH tk AS (SELECT doc_id, $TOKS t FROM documents),
          |tri AS (SELECT doc_id, unnest(

@@ -57,6 +57,38 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("p10 leaked grams reconcile with p09 and the bloom prune stays pre-shuffle") {
+    val leaks = TextAnalysis.p10LeakedGrams(spark, sfDir).collect()
+    assert(leaks.nonEmpty)
+    leaks.foreach(r => assert(r.getAs[Long]("n_train_docs") >= 1L))
+    // per-doc rollup of the gram detail == p09's (n_hit, contaminated=1) rows
+    val byDoc = leaks.groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.length.toLong).toMap
+    val p09 = TextAnalysis.p09Contamination(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_hit"), r.getAs[Long]("contaminated")))).toMap
+    byDoc.foreach { case (id, n) =>
+      assert(p09(id) == ((n, 1L)), s"doc $id: p10 detail disagrees with p09")
+    }
+    p09.foreach { case (id, (hits, _)) =>
+      assert(byDoc.getOrElse(id, 0L) == hits,
+        s"doc $id: p09 counts $hits leaked grams, p10 lists ${byDoc.getOrElse(id, 0L)}")
+    }
+    // the prune must sit BELOW the per-gram aggregation (and so below
+    // its shuffle): the bloom UDF filter's subtree may contain no
+    // Aggregate — pruned train grams never reach the exchange.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    val opt = TextAnalysis.p10LeakedGrams(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val prune = opt.collect {
+      case f: Filter if f.condition.find(_.isInstanceOf[ScalaUDF]).isDefined => f
+    }
+    assert(prune.nonEmpty, "bloom mightContain prune missing from the plan")
+    prune.foreach(f => assert(
+      f.collectFirst { case a: Aggregate => a }.isEmpty,
+      "the bloom prune must run below the per-gram aggregation"))
+  }
+
   test("p02 buckets partition the corpus") {
     val total = graft.Tables.documents(spark, sfDir).count()
     val rows = TextAnalysis.p02QualityBuckets(spark, sfDir).collect()
