@@ -298,6 +298,14 @@ object TextAnalysis {
     * mightContain is a Scala UDF (Spark exposes no public bloom-probe
     * function); it sits on the pre-shuffle side where it eliminates
     * far more work than a codegen break costs.
+    *
+    * Sketch sizing at 100 TB: 1 % fp costs ~9.6 bits per expected item,
+    * so a test split with billions of distinct grams would make the
+    * broadcast sketch itself GB-scale. The exactness argument is
+    * fp-rate-independent (the confirm join drops every false positive),
+    * so a deployment caps the sketch size and accepts a higher fp rate
+    * — pruning, say, 80 % of train instead of 94 % — or shards the
+    * sweep by a gram-hash prefix, one bounded sketch per shard.
     */
   def p10LeakedGrams(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
