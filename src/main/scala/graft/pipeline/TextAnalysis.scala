@@ -16,7 +16,10 @@ import graft.Tables
   *     reproducible bit-for-bit across engines (DuckDB oracle hash-match)
   *     and across cluster re-runs;
   *   - everything stays inside whole-stage codegen (built-in string /
-  *     higher-order array functions only — no UDFs).
+  *     higher-order array functions); the ONE exception is p10's bloom
+  *     mightContain probe — a Scala UDF, because Spark exposes no
+  *     public bloom function — deliberately placed where the codegen
+  *     break buys a ~94 % pre-shuffle prune (see [[p10LeakedGrams]]).
   *
   * Reference capability being generalized: the RASS engine tokenizes,
   * chunks, and scores medical text (reference `app/main.py:2160-2170`

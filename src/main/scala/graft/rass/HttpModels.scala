@@ -145,6 +145,8 @@ final class HttpGenerator(endpoint: String, model: String,
     */
   override def generateStream(systemPrompt: String, context: String,
       query: String)(onToken: String => Unit): String = {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger, AtomicLong, AtomicReference}
     val m = HttpJson.mapper
     val body = m.createObjectNode()
     body.put("model", model)
@@ -155,8 +157,20 @@ final class HttpGenerator(endpoint: String, model: String,
     val usr = msgs.addObject()
     usr.put("role", "user")
     usr.put("content", s"Context:\n$context\n\nQuestion: $query")
+    // appended by the drain thread, snapshotted by the task thread —
+    // every touch goes through sb.synchronized
     val sb = new StringBuilder
-    val stalled = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // single-winner terminal state: natural EOF (drain), stall
+    // (watchdog), and drain failure race for ONE CAS out of Running, so
+    // a late watchdog tick can never relabel an already-completed
+    // stream as stalled (and a stall can't be masked by the unwinding
+    // drain's exception)
+    val Running = 0; val Eof = 1; val Stalled = 2; val Failed = 3
+    val state = new AtomicInteger(Running)
+    val stalledAfter = new AtomicLong(0L)
+    val failure = new AtomicReference[Throwable](null)
+    val abandoned = new AtomicBoolean(false)
+    @volatile var streamRef: AutoCloseable = null
     try {
       val req = HttpRequest.newBuilder(URI.create(endpoint))
         .timeout(Duration.ofSeconds(300))
@@ -173,18 +187,20 @@ final class HttpGenerator(endpoint: String, model: String,
       // gap between lines: on expiry it CLOSES the stream — per the
       // HttpResponse.BodyHandlers.ofLines contract, closing the stream
       // cancels the underlying subscription, which terminates the
-      // blocked drain (normally or exceptionally). The watchdog never
-      // interrupts the reader thread: an interrupt here would be
-      // indistinguishable from a genuine Spark task kill, and a kill
-      // must always propagate (InterruptedException case below) rather
-      // than degrade into an in-band [ERROR] chunk.
+      // blocked drain (normally or exceptionally). Nothing ever
+      // interrupts the drain: the JDK body drain parks in a queue take
+      // that SWALLOWS interrupts (flag cleared, still blocked), which
+      // is exactly why the drain runs on its own daemon thread below —
+      // the Spark task thread waits on a latch, where an interrupt (a
+      // genuine task kill) is always delivered, and propagates.
       val stream = resp.body()
+      streamRef = stream
       // lastLine is written BEFORE firstLine in the drain loop, so a
       // watchdog tick can never pair the shrunk post-first-token
       // budget with the stale stream-start timestamp
-      val firstLine = new java.util.concurrent.atomic.AtomicBoolean(false)
-      val lastLine = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
-      val drained = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val firstLine = new AtomicBoolean(false)
+      val lastLine = new AtomicLong(System.nanoTime())
+      val done = new CountDownLatch(1)
       val watchdog = java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
         val t = new Thread(r, "sse-idle-watchdog"); t.setDaemon(true); t
       }
@@ -195,63 +211,96 @@ final class HttpGenerator(endpoint: String, model: String,
         val budget =
           if (firstLine.get()) streamIdleSeconds.toLong
           else math.max(streamIdleSeconds.toLong, 300L)
-        if (!drained.get() &&
-            System.nanoTime() - lastLine.get() > budget * 1000000000L) {
-          stalled.set(true)
+        if (state.get() == Running &&
+            System.nanoTime() - lastLine.get() > budget * 1000000000L &&
+            state.compareAndSet(Running, Stalled)) {
+          stalledAfter.set(budget)
           try stream.close() catch { case _: Exception => () }
         }
-      }: Runnable, 1000, 250, java.util.concurrent.TimeUnit.MILLISECONDS)
-      try {
-        stream.forEach { line =>
-          lastLine.set(System.nanoTime())
-          firstLine.set(true)
-          if (line.startsWith("data:")) {
-            val payload = line.drop(5).trim
-            if (payload.nonEmpty && payload != "[DONE]") {
-              val tok = m.readTree(payload)
-                .path("choices").path(0).path("delta").path("content")
-              if (tok.isTextual && tok.asText().nonEmpty) {
-                sb.append(tok.asText())
-                onToken(tok.asText())
+      }: Runnable, 1000, 250, TimeUnit.MILLISECONDS)
+      val drain = new Thread(() => {
+        try {
+          stream.forEach { line =>
+            if (abandoned.get()) throw new HttpGenerator.AbandonedStream
+            lastLine.set(System.nanoTime())
+            firstLine.set(true)
+            if (line.startsWith("data:")) {
+              val payload = line.drop(5).trim
+              if (payload.nonEmpty && payload != "[DONE]") {
+                val tok = m.readTree(payload)
+                  .path("choices").path(0).path("delta").path("content")
+                if (tok.isTextual && tok.asText().nonEmpty) {
+                  sb.synchronized { sb.append(tok.asText()) }
+                  onToken(tok.asText())
+                }
               }
             }
           }
+          state.compareAndSet(Running, Eof)
+        } catch {
+          case _: HttpGenerator.AbandonedStream => ()
+          case e: Throwable =>
+            // set the cause BEFORE the CAS: a reader of state=Failed
+            // always sees it. If the CAS loses (watchdog close already
+            // recorded the stall), the unwind exception is just the
+            // closed stream surfacing — the stall stands.
+            failure.set(e)
+            state.compareAndSet(Running, Failed)
+        } finally done.countDown()
+      }, "sse-drain")
+      drain.setDaemon(true)
+      drain.start()
+      try {
+        // interruptible wait for the drain. Once a terminal state is
+        // recorded the closed stream unblocks a queue-parked drain
+        // almost immediately; the one thing close() cannot free is a
+        // drain stuck inside the CONSUMER's onToken callback — after a
+        // bounded grace, abandon the daemon drain thread (it delivers
+        // nothing further) instead of hanging the Spark task on a
+        // consumer that stopped reading.
+        var waiting = true
+        while (waiting && !done.await(250, TimeUnit.MILLISECONDS)) {
+          if (state.get() != Running) {
+            if (!done.await(5, TimeUnit.SECONDS)) abandoned.set(true)
+            waiting = false
+          }
         }
-      } finally {
-        drained.set(true)
-        watchdog.shutdownNow()
-        // a genuine task-kill interrupt landing during this short wait
-        // must not be eaten — restore the flag so the caller's next
-        // blocking call still sees the cancellation
-        try watchdog.awaitTermination(2, java.util.concurrent.TimeUnit.SECONDS)
-        catch { case _: InterruptedException => Thread.currentThread().interrupt() }
-      }
-      // a watchdog close can also end the drain QUIETLY (forEach
-      // returns as if the stream completed) — surface the stall either
-      // way, matching the exceptional path below
-      if (stalled.get()) {
-        val err = s"[ERROR] stream stalled: no data for ${streamIdleSeconds}s"
-        sb.append(err)
-        onToken(err)
+      } finally watchdog.shutdownNow()
+      state.get() match {
+        case Stalled =>
+          val err = s"[ERROR] stream stalled: no data for ${stalledAfter.get()}s"
+          sb.synchronized { sb.append(err) }
+          onToken(err)
+        case Failed =>
+          val err = s"[ERROR] ${failure.get().getMessage}"
+          sb.synchronized { sb.append(err) }
+          onToken(err)
+        case _ => ()
       }
     } catch {
-      // the watchdog never interrupts, so an InterruptedException is
-      // ALWAYS a genuine cancellation (Spark task kill) — propagate it
-      // even when it races a stall
+      // only the task thread's own blocking calls (connect, latch
+      // wait) throw here — drain-side failures are recorded in `state`
+      // — so an InterruptedException is always a genuine cancellation
+      // (Spark task kill): stop the drain, restore the flag, propagate
+      // rather than degrade into an in-band [ERROR] chunk.
       case e: InterruptedException =>
+        abandoned.set(true)
+        try if (streamRef != null) streamRef.close()
+        catch { case _: Exception => () }
         Thread.currentThread().interrupt()
         throw new RuntimeException(s"$endpoint interrupted mid-stream", e)
-      case _: Exception if stalled.get() =>
-        // the watchdog's close surfacing as an exception from the
-        // blocked drain
-        val err = s"[ERROR] stream stalled: no data for ${streamIdleSeconds}s"
-        sb.append(err)
-        onToken(err)
       case e: Exception =>
         val err = s"[ERROR] ${e.getMessage}"
-        sb.append(err)
+        sb.synchronized { sb.append(err) }
         onToken(err)
     }
-    sb.result().trim
+    sb.synchronized { sb.result() }.trim
   }
+}
+
+object HttpGenerator {
+  /** Control-flow signal that breaks the SSE drain's forEach once the
+    * task thread has abandoned the stream — never user-visible.
+    */
+  private final class AbandonedStream extends RuntimeException
 }

@@ -179,8 +179,12 @@ object SyntheticQueries {
     * advancing cursor — deliberately STRICTER than the reference's
     * first-occurrence `fill()` (`train_ner.py:844-849`), which
     * mislabels the second site of a value drawn twice in one template.
-    * Same (pools, n, seed) → identical output, so specs and a re-run
-    * trainer agree.
+    * Determinism claim: same (pools, n, seed) → THIS generator emits
+    * identical output on every run, which is what the specs pin. It is
+    * NOT span-identical to the reference trainer when a template draws
+    * the same value twice — there the reference's spans are the known
+    * mislabeling this cursor deliberately corrects; texts, intents,
+    * and entity values still match the reference's construction.
     */
   def generate(pools: Pools, n: Int, seed: Long = 42L): Seq[LabeledQuery] = {
     val rng = new scala.util.Random(seed)

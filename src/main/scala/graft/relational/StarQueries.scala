@@ -55,8 +55,18 @@ object StarQueries {
     * mirrors with its native exact HUGEINT sums.
     */
   private def sumExact(c: Column): Column =
-    sum(shiftright(c, 20)).cast(DecimalType(38, 0)) * lit(1048576L) +
-      sum(c.bitwiseAND(lit(1048575L))).cast(DecimalType(38, 0))
+    recombineExact(sumExactHi(c), sumExactLo(c))
+
+  /** The split-long decomposition behind [[sumExact]], exposed so a
+    * TWO-level aggregate (per-order partials in q03/q04, recombined
+    * after the join) uses the same constants from one definition —
+    * the shift and its masks must never diverge between the partial
+    * and the recombine, or exactness silently breaks.
+    */
+  private def sumExactHi(c: Column): Column = sum(shiftright(c, 20))
+  private def sumExactLo(c: Column): Column = sum(c.bitwiseAND(lit(1048575L)))
+  private def recombineExact(hi: Column, lo: Column): Column =
+    hi.cast(DecimalType(38, 0)) * lit(1048576L) + lo.cast(DecimalType(38, 0))
 
   /** Revenue per row in 10^-4 dollars: price_cents x (100 - disc_cents). */
   private def revenueCents(ep: Column, disc: Column): Column =
@@ -149,16 +159,15 @@ object StarQueries {
     val r = Tables.region(spark, dir)
     val rev = revenueCents($"l_extendedprice", $"l_discount")
     val perOrder = li.groupBy($"l_orderkey").agg(
-      sum(shiftright(rev, 20)).as("rev_hi"),
-      sum(rev.bitwiseAND(lit(1048575L))).as("rev_lo"),
+      sumExactHi(rev).as("rev_hi"),
+      sumExactLo(rev).as("rev_lo"),
       count(lit(1)).as("n_lines_o"))
     perOrder.join(o, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(c), $"o_custkey" === $"c_custkey")
       .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
-      .agg(((sum($"rev_hi").cast(DecimalType(38, 0)) * lit(1048576L) +
-        sum($"rev_lo").cast(DecimalType(38, 0)))
+      .agg((recombineExact(sum($"rev_hi"), sum($"rev_lo"))
         .cast(DoubleType) / 10000.0).as("revenue"),
         sum($"n_lines_o").as("n_lines"))
       .orderBy($"r_name", $"n_name")

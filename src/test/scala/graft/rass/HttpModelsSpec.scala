@@ -252,6 +252,68 @@ class HttpModelsSpec extends AnyFunSuite {
     }
   }
 
+  test("a task-kill interrupt mid-stream propagates instead of hanging in the drain") {
+    // the JDK body drain swallows interrupts while parked on its line
+    // queue (flag cleared, still blocked) — so the drain runs on its
+    // own daemon thread and the calling thread waits interruptibly.
+    // A genuine kill must surface as the interrupted RuntimeException
+    // within the 250 ms latch-poll cadence, never as an [ERROR] chunk.
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool { r =>
+      val t = new Thread(r); t.setDaemon(true); t
+    })
+    server.createContext("/", { ex =>
+      ex.getRequestBody.readAllBytes()
+      ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+      ex.sendResponseHeaders(200, 0)
+      val os = ex.getResponseBody
+      os.write("data: {\"choices\":[{\"delta\":{\"content\":\"tick\"}}]}\n\n"
+        .getBytes(StandardCharsets.UTF_8))
+      os.flush()
+      release.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      ex.close()
+    })
+    server.start()
+    try {
+      val g = new HttpGenerator(
+        s"http://127.0.0.1:${server.getAddress.getPort}", "m",
+        streamIdleSeconds = 120) // idle budget far beyond the test: the
+                                 // interrupt, not the watchdog, must end it
+      val sawToken = new java.util.concurrent.CountDownLatch(1)
+      @volatile var thrown: Throwable = null
+      @volatile var flagRestored = false
+      @volatile var errChunk: String = null
+      val worker = new Thread(() => {
+        try g.generateStream("sys", "ctx", "q") { t =>
+          if (t.startsWith("[ERROR]")) errChunk = t
+          sawToken.countDown()
+        } catch {
+          case e: Throwable =>
+            thrown = e
+            flagRestored = Thread.currentThread().isInterrupted
+        }
+      }, "victim")
+      worker.start()
+      assert(sawToken.await(10, java.util.concurrent.TimeUnit.SECONDS),
+        "first token must arrive before the kill")
+      val t0 = System.nanoTime()
+      worker.interrupt()
+      worker.join(10000)
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(!worker.isAlive, "the killed task thread must return")
+      assert(secs < 5, s"kill must surface within the poll cadence, took ${secs}s")
+      assert(thrown != null && thrown.getMessage.contains("interrupted mid-stream"),
+        s"kill must propagate as an exception, got: $thrown")
+      assert(flagRestored, "interrupt flag must be restored for the task runtime")
+      assert(errChunk == null,
+        s"a kill must not degrade into an in-band chunk, got: $errChunk")
+    } finally {
+      release.countDown()
+      server.stop(0)
+    }
+  }
+
   test("embedColumn runs the HTTP embedder inside partitions (serializable closure)") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
