@@ -328,6 +328,33 @@ object TextAnalysis {
       .orderBy($"doc_id", $"g")
   }
 
+  /** p11 — per-source token-length quantiles (exact p50/p90/p99): the
+    * length-distribution profile a pipeline reads before picking chunk
+    * sizes, truncation limits, and packing strategies.
+    *
+    * EXACT percentiles, not approx_percentile, and still scale-safe:
+    * Spark's percentile aggregate buffers a (value → count) histogram,
+    * and the value domain here is document token COUNTS — bounded by
+    * the longest document, not by corpus size — so the map-side
+    * partial state stays a small histogram per (partition, source) and
+    * only histograms cross the wire. (For an unbounded-domain column —
+    * raw doubles — this would NOT hold; that is what approx sketches
+    * are for.) Both Spark `percentile` and DuckDB `quantile_cont`
+    * implement the R-7 linear-interpolation estimator, so doubles
+    * match bit-for-bit over integer inputs.
+    */
+  def p11LengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"source", size(toks($"text")).cast("long").as("n"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        percentile($"n", lit(0.5)).as("p50_tokens"),
+        percentile($"n", lit(0.9)).as("p90_tokens"),
+        percentile($"n", lit(0.99)).as("p99_tokens"))
+      .orderBy($"source")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -335,6 +362,7 @@ object TextAnalysis {
     "p08_repetition_profile" -> p08RepetitionProfile _,
     "p09_contamination" -> p09Contamination _,
     "p10_leaked_grams" -> p10LeakedGrams _,
+    "p11_length_quantiles" -> p11LengthQuantiles _,
     "p02_quality_buckets" -> p02QualityBuckets _,
     "p03_lang_profile" -> p03LangProfile _,
     "p04_langid_confusion" -> p04LangIdConfusion _,
@@ -382,6 +410,13 @@ object TextAnalysis {
          |FROM gr JOIN tr ON gr.g = tr.g
          |WHERE gr.b >= $ValMax
          |ORDER BY gr.doc_id, gr.g""".stripMargin,
+    "p11_length_quantiles" ->
+      s"""SELECT source, COUNT(*) AS n_docs,
+         | quantile_cont(n, 0.5) AS p50_tokens,
+         | quantile_cont(n, 0.9) AS p90_tokens,
+         | quantile_cont(n, 0.99) AS p99_tokens
+         |FROM (SELECT source, $NTOK::BIGINT AS n FROM documents)
+         |GROUP BY source ORDER BY source""".stripMargin,
     "p08_repetition_profile" ->
       s"""WITH tk AS (SELECT doc_id, $TOKS t FROM documents),
          |tri AS (SELECT doc_id, unnest(

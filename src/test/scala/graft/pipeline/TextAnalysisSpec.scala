@@ -89,6 +89,35 @@ class TextAnalysisSpec extends SparkSpec {
       "the bloom prune must run below the per-gram aggregation"))
   }
 
+  test("p11 quantiles: ordered, R-7 interpolation pinned, histogram partials") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = TextAnalysis.p11LengthQuantiles(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("p50_tokens") <= r.getAs[Double]("p90_tokens"))
+      assert(r.getAs[Double]("p90_tokens") <= r.getAs[Double]("p99_tokens"))
+      assert(r.getAs[Long]("n_docs") > 0L)
+    }
+    // exact percentile must plan a PARTIAL object-hash aggregate —
+    // histograms cross the wire, not rows
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), "percentile lost its hash agg")
+    assert(plan.toLowerCase.contains("partial_percentile"),
+      "percentile lost its map-side partial — raw rows would shuffle")
+    // pin the R-7 linear-interpolation convention the oracle parity
+    // rests on: for (10,20,30,40), p50 sits at rank (n-1)*0.5 = 1.5 →
+    // 20 + 0.5*(30-20) = 25. The approx twin may only snap to a real
+    // data point (rank-error semantics), never interpolate.
+    val planted = Seq(10L, 20L, 30L, 40L).toDF("n")
+    val ex = planted.agg(percentile($"n", lit(0.5))).head.getDouble(0)
+    assert(ex == 25.0, s"R-7 interpolation broken: got $ex")
+    val ap = planted.agg(percentile_approx($"n", lit(0.5), lit(1000)))
+      .head.getLong(0)
+    assert(ap == 20L || ap == 30L, s"approx p50 must be a data point, got $ap")
+  }
+
   test("p02 buckets partition the corpus") {
     val total = graft.Tables.documents(spark, sfDir).count()
     val rows = TextAnalysis.p02QualityBuckets(spark, sfDir).collect()
