@@ -30,6 +30,7 @@ object Verify {
         }
         graft.pipeline.Dedup.invalidateCaches()
         graft.pipeline.Similarity.invalidateCaches()
+        graft.pipeline.Export.invalidateCaches()
         graft.rass.Corpus.invalidateCaches()
         graft.rass.RassEngine.invalidateStatsCache()
       }

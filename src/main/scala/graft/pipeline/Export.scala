@@ -71,11 +71,76 @@ object Export {
       .orderBy($"doc_id")
   }
 
+  /** Tokens per packed training block (GPT-style concat-and-slice).
+    * Kept a power of two so the block/offset math below stays exact
+    * long shift/mask arithmetic (and the oracle's `//`/`%` mirror it
+    * on non-negative values).
+    */
+  val BlockTokens = 2048L
+  private val BlockShift = java.lang.Long.numberOfTrailingZeros(BlockTokens)
+
+  /** x03 — the packed-training-block layout of the publishable train
+    * split: documents concatenate in doc_id order and slice into
+    * fixed [[BlockTokens]]-token blocks (the standard LM pretraining
+    * layout); each row gives the block and in-block offset where the
+    * document's first token lands. Downstream, this is the manifest a
+    * data loader uses to materialize shard files without re-tokenizing.
+    *
+    * Scale shape: a GLOBAL running sum with NO global window (which
+    * PlanAuditSpec bans as a one-task funnel). Same pattern as q14's
+    * decile rank: range-partition by doc_id, window-cumsum WITHIN each
+    * partition, and add per-partition base offsets — the bases come
+    * from a one-row-per-partition aggregate collected to the driver
+    * (bounded by partition count, not data volume) and re-broadcast.
+    * The persist pins the range boundaries so both jobs — the base
+    * aggregate and the final projection — see identical partitioning
+    * (RangePartitioner re-samples per execution otherwise).
+    */
+  def x03PackingLayout(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ranged = graft.Memo.getOrBuild(packCache, (spark, dir)) {
+      x02DecontaminatedExport(spark, dir)
+        .filter($"split" === "train")
+        .select($"doc_id", $"n_tokens")
+        .repartitionByRange($"doc_id")
+        .withColumn("pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    // one row per non-empty partition — driver-side prefix sum over
+    // partition totals (the q14-sanctioned collect shape: bounded by
+    // the partition count, never by corpus size)
+    val parts = ranged.groupBy($"pid").agg(sum($"n_tokens").as("t"))
+      .collect().map(r => (r.getAs[Int]("pid"), r.getAs[Long]("t")))
+      .sortBy(_._1)
+    var acc = 0L
+    val bases = parts.map { case (pid, t) =>
+      val row = (pid, acc); acc += t; row
+    }.toSeq.toDF("pid", "base")
+    val w = Window.partitionBy($"pid").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(bases), Seq("pid"))
+      .withColumn("cum_before",
+        $"base" + sum($"n_tokens").over(w) - $"n_tokens")
+      .select($"doc_id", $"n_tokens",
+        shiftright($"cum_before", BlockShift).as("start_block"),
+        $"cum_before".bitwiseAND(lit(BlockTokens - 1L)).as("start_offset"))
+      .orderBy($"doc_id")
+  }
+
+  private val packCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** Release x03's memoized range-partitioned projection. */
+  def invalidateCaches(): Unit =
+    packCache.keys.foreach(k => packCache.remove(k).foreach(_.unpersist()))
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_corpus_export" -> x01CorpusExport _,
     "x02_decontaminated_export" -> x02DecontaminatedExport _,
+    "x03_packing_layout" -> x03PackingLayout _,
   )
 
   /** The oracle composes the published d06 clustering SQL as a
@@ -106,15 +171,28 @@ object Export {
        |ORDER BY s.doc_id""".stripMargin
   }
 
+  // the p09 oracle embeds as a derived table the same way the d06
+  // clustering SQL does above, so the contamination drop is BY
+  // CONSTRUCTION the same sweep the p09 gate verifies
+  private def decontamWhere: String =
+    s"""
+       |  AND s.doc_id NOT IN (SELECT doc_id FROM
+       |    (${TextAnalysis.oracles("p09_contamination")})
+       |    WHERE contaminated = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "x01_corpus_export" -> exportSql(""),
-    // the p09 oracle embeds as a derived table the same way the d06
-    // clustering SQL does above, so the contamination drop is BY
-    // CONSTRUCTION the same sweep the p09 gate verifies
-    "x02_decontaminated_export" -> exportSql(
-      s"""
-         |  AND s.doc_id NOT IN (SELECT doc_id FROM
-         |    (${TextAnalysis.oracles("p09_contamination")})
-         |    WHERE contaminated = 1)""".stripMargin),
+    "x02_decontaminated_export" -> exportSql(decontamWhere),
+    // the running sum is over the SAME manifest SQL x02 publishes; the
+    // window form here is the oracle-side equivalent of the engine's
+    // range-partition + base-offset formulation
+    "x03_packing_layout" ->
+      s"""SELECT doc_id, n_tokens,
+         | CAST((c - n_tokens) // $BlockTokens AS BIGINT) AS start_block,
+         | CAST((c - n_tokens) % $BlockTokens AS BIGINT) AS start_offset
+         |FROM (SELECT doc_id, n_tokens,
+         |   SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c
+         |  FROM (${exportSql(decontamWhere)}) WHERE split = 'train')
+         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -52,4 +52,34 @@ class ExportSpec extends SparkSpec {
     assert(dropped.forall(id => x01(id) == "test"),
       "decontamination must never touch train/val rows")
   }
+
+  test("x03 packs the train split gaplessly into fixed blocks") {
+    import spark.implicits._
+    val rows = Export.x03PackingLayout(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("doc_id"))
+    assert(rows.nonEmpty)
+    // exactly x02's train docs, in doc_id order
+    val train = Export.x02DecontaminatedExport(spark, sfDir)
+      .filter($"split" === "train").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == train.keySet)
+    val B = Export.BlockTokens
+    // gapless concatenation: doc k starts exactly where doc k-1 ended
+    var expectedStart = 0L
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val blk = r.getAs[Long]("start_block")
+      val off = r.getAs[Long]("start_offset")
+      assert(off >= 0 && off < B, s"doc $id: offset $off outside [0,$B)")
+      assert(blk * B + off == expectedStart,
+        s"doc $id: starts at ${blk * B + off}, expected $expectedStart")
+      assert(r.getAs[Long]("n_tokens") == train(id))
+      expectedStart += r.getAs[Long]("n_tokens")
+    }
+    // total block count is exactly ceil(total_tokens / B)
+    val totalTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    val lastBlock = rows.last.getAs[Long]("start_block")
+    assert(lastBlock <= (totalTokens - 1) / B,
+      "a start_block beyond the token total means phantom gaps")
+  }
 }
