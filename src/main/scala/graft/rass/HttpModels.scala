@@ -179,8 +179,12 @@ final class HttpGenerator(endpoint: String, model: String,
         .POST(HttpRequest.BodyPublishers.ofString(m.writeValueAsString(body)))
         .build()
       val resp = client.send(req, HttpResponse.BodyHandlers.ofLines())
-      if (resp.statusCode() / 100 != 2)
+      if (resp.statusCode() / 100 != 2) {
+        // release the rejected exchange's body before surfacing the
+        // status — the error path must not leak the connection
+        try resp.body().close() catch { case _: Exception => () }
         throw new RuntimeException(s"$endpoint returned ${resp.statusCode()}")
+      }
       // HttpRequest.timeout only bounds the exchange until response
       // HEADERS arrive; a server that stalls mid-body without closing
       // would block the line drain forever. An idle watchdog bounds the
@@ -246,7 +250,13 @@ final class HttpGenerator(endpoint: String, model: String,
             // closed stream surfacing — the stall stands.
             failure.set(e)
             state.compareAndSet(Running, Failed)
-        } finally done.countDown()
+        } finally {
+          // forEach does NOT auto-close at EOF or on a parse failure —
+          // without this, a mid-stream Failed exit leaks the connection
+          // with body bytes still pending
+          try stream.close() catch { case _: Exception => () }
+          done.countDown()
+        }
       }, "sse-drain")
       drain.setDaemon(true)
       drain.start()
