@@ -105,11 +105,13 @@ object Bench {
     // 4-decimal rounding (0.1 ms resolution, far below run-to-run
     // noise) keeps the full 60-query min map ~1.8 kB — inside the
     // driver's 2000-char stdout tail; raw doubles would not fit
-    def r4(v: Double): Double = math.round(v * 10000).toDouble / 10000
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r4(v) }
-      .mkString("{", ",", "}")
-    val qsMax = maxes.map { case (k, v) => "\"" + k + "\":" + r4(v) }
-      .mkString("{", ",", "}")
+    def round(v: Double, f: Double): Double = math.round(v * f) / f
+    def r4(v: Double): Double = round(v, 10000)
+    def jsonMap(m: Seq[(String, Double)], f: Double): String =
+      m.map { case (k, v) => "\"" + k + "\":" + round(v, f) }
+        .mkString("{", ",", "}")
+    val qs = jsonMap(results, 10000)
+    val qsMax = jsonMap(maxes, 10000)
     val total = results.map(_._2).filter(_ >= 0).sum
     // total is emitted at BOTH ends of the line: harnesses that keep a
     // bounded tail of the output would otherwise lose the leading total
@@ -135,10 +137,7 @@ object Bench {
     // 3-decimal (1 ms) resolution here: coarser than the full line's
     // 0.1 ms but far below noise, and it buys ~1 char per query of
     // tail budget for the growing suite
-    def r3(v: Double): Double = math.round(v * 1000).toDouble / 1000
-    val qsMin3 = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total_min","value":${r4(total)},"unit":"sec","sf":"$sfDir","queries_min":$qsMin3}""")
+    println(s"""{"metric":"total_min","value":${r4(total)},"unit":"sec","sf":"$sfDir","queries_min":${jsonMap(results, 1000)}}""")
     spark.stop()
   }
 }

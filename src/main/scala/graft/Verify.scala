@@ -30,9 +30,11 @@ object Verify {
         }
         graft.pipeline.Dedup.invalidateCaches()
         graft.pipeline.Similarity.invalidateCaches()
+        graft.pipeline.TextAnalysis.invalidateCaches()
         graft.pipeline.Export.invalidateCaches()
         graft.rass.Corpus.invalidateCaches()
         graft.rass.RassEngine.invalidateStatsCache()
+        graft.relational.StarQueries.invalidateCaches()
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -87,53 +87,27 @@ object Export {
     * data loader uses to materialize shard files without re-tokenizing.
     *
     * Scale shape: a GLOBAL running sum with NO global window (which
-    * PlanAuditSpec bans as a one-task funnel). Same pattern as q14's
-    * decile rank: range-partition by doc_id, window-cumsum WITHIN each
-    * partition, and add per-partition base offsets — the bases come
-    * from a one-row-per-partition aggregate collected to the driver
-    * (bounded by partition count, not data volume) and re-broadcast.
-    * The persist pins the range boundaries so both jobs — the base
-    * aggregate and the final projection — see identical partitioning
-    * (RangePartitioner re-samples per execution otherwise).
+    * PlanAuditSpec bans as a one-task funnel), via
+    * [[graft.RangedPrefix.runningSum]] — the same range-partition +
+    * per-partition-offset mechanism behind q14's global rank.
     */
   def x03PackingLayout(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val ranged = graft.Memo.getOrBuild(packCache, (spark, dir)) {
+    val (cum, _) = graft.RangedPrefix.runningSum(spark, s"x03:$dir",
       x02DecontaminatedExport(spark, dir)
         .filter($"split" === "train")
-        .select($"doc_id", $"n_tokens")
-        .repartitionByRange($"doc_id")
-        .withColumn("pid", spark_partition_id())
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
-    // one row per non-empty partition — driver-side prefix sum over
-    // partition totals (the q14-sanctioned collect shape: bounded by
-    // the partition count, never by corpus size)
-    val parts = ranged.groupBy($"pid").agg(sum($"n_tokens").as("t"))
-      .collect().map(r => (r.getAs[Int]("pid"), r.getAs[Long]("t")))
-      .sortBy(_._1)
-    var acc = 0L
-    val bases = parts.map { case (pid, t) =>
-      val row = (pid, acc); acc += t; row
-    }.toSeq.toDF("pid", "base")
-    val w = Window.partitionBy($"pid").orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged.join(broadcast(bases), Seq("pid"))
-      .withColumn("cum_before",
-        $"base" + sum($"n_tokens").over(w) - $"n_tokens")
+        .select($"doc_id", $"n_tokens"),
+      Seq($"doc_id"), $"n_tokens", "cum")
+    cum
+      .withColumn("cum_before", $"cum" - $"n_tokens")
       .select($"doc_id", $"n_tokens",
         shiftright($"cum_before", BlockShift).as("start_block"),
         $"cum_before".bitwiseAND(lit(BlockTokens - 1L)).as("start_offset"))
       .orderBy($"doc_id")
   }
 
-  private val packCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
-
-  /** Release x03's memoized range-partitioned projection. */
-  def invalidateCaches(): Unit =
-    packCache.keys.foreach(k => packCache.remove(k).foreach(_.unpersist()))
+  /** Release x03's memoized ranged projection (shared helper cache). */
+  def invalidateCaches(): Unit = graft.RangedPrefix.invalidateCaches()
 
   // ---------------------------------------------------------------- registry
 

@@ -276,15 +276,22 @@ final class HttpGenerator(endpoint: String, model: String,
           }
         }
       } finally watchdog.shutdownNow()
+      // when the grace expired because the CONSUMER's callback is the
+      // stuck thing (abandoned), pushing the error chunk through that
+      // same callback would re-block the task thread on it — append to
+      // the returned answer only; a consumer that stopped consuming
+      // gets the error from the return value, not a push it can't take
+      val deliver: String => Unit =
+        if (abandoned.get()) _ => () else onToken
       state.get() match {
         case Stalled =>
           val err = s"[ERROR] stream stalled: no data for ${stalledAfter.get()}s"
           sb.synchronized { sb.append(err) }
-          onToken(err)
+          deliver(err)
         case Failed =>
           val err = s"[ERROR] ${failure.get().getMessage}"
           sb.synchronized { sb.append(err) }
-          onToken(err)
+          deliver(err)
         case _ => ()
       }
     } catch {

@@ -283,33 +283,8 @@ object StarQueries {
       .orderBy($"user_id")
   }
 
-  /** The range-partitioned (c_custkey, c_acctbal, pid) projection q14
-    * ranks over, memoized and persisted per (session, dir). The persist
-    * is what makes the two jobs that read it — the per-partition count
-    * and the ranked aggregation — see the SAME range boundaries
-    * (RangePartitioner re-samples per execution, so an unpersisted
-    * exchange could assign rows differently between the jobs; which
-    * boundaries it picks is irrelevant to correctness, but both jobs
-    * must agree). Two columns + an int, so the cached footprint is a
-    * fraction of the customer table. Released by [[invalidateCaches]].
-    */
-  private def rankedBalances(spark: SparkSession, dir: String): DataFrame =
-    graft.Memo.getOrBuild(ntileCache, (spark, dir)) {
-      import spark.implicits._
-      Tables.customer(spark, dir)
-        .select($"c_custkey", $"c_acctbal")
-        .repartitionByRange($"c_acctbal", $"c_custkey")
-        .withColumn("pid", spark_partition_id())
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
-
-  private val ntileCache =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), DataFrame]
-
-  /** Release the memoized q14 range-partitioned projection. */
-  def invalidateCaches(): Unit =
-    ntileCache.keys.foreach(k => ntileCache.remove(k).foreach(_.unpersist()))
+  /** Release the memoized q14 ranged projection (shared helper cache). */
+  def invalidateCaches(): Unit = graft.RangedPrefix.invalidateCaches()
 
   /** SQL-standard NTILE(k) in closed form from a 1-based global rank:
     * with n rows, the first `n % k` buckets hold `n/k + 1` rows and the
@@ -331,35 +306,20 @@ object StarQueries {
   }
 
   /** NTILE deciles of customers by account balance — exact, with no
-    * global single-partition window. `Window.orderBy(...)` with an
-    * empty partitionBy funnels the whole table through ONE task (fine
-    * at sf0.1, a single-executor sort of every customer row at 100 TB),
-    * so the global rank is computed scale-safely instead:
-    * range-partition by the sort key, row_number WITHIN each partition
-    * (a partitioned window), and add per-partition cumulative offsets —
-    * driver traffic is one count per partition, not per row. The NTILE
-    * bucket then follows from the global rank in closed form (first
-    * `n % 10` buckets get the extra row), which is the SQL-standard
-    * semantics DuckDB's NTILE implements, so hash-parity holds.
-    * PlanAuditSpec enforces the no-unpartitioned-Window rule for every
-    * registered query.
+    * global single-partition window: the global 1-based rank comes from
+    * [[graft.RangedPrefix.runningSum]] (range partition + partitioned
+    * window + per-partition offsets; one driver row per partition).
+    * The NTILE bucket then follows from the global rank in closed form
+    * (first `n % 10` buckets get the extra row), which is the
+    * SQL-standard semantics DuckDB's NTILE implements, so hash-parity
+    * holds. PlanAuditSpec enforces the no-unpartitioned-Window rule
+    * for every registered query.
     */
   def q14BalanceDeciles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val parted = rankedBalances(spark, dir)
-    val counts = parted.groupBy($"pid").agg(count(lit(1)).as("cnt"))
-      .orderBy($"pid").collect()
-    val n = counts.map(_.getLong(1)).sum
-    var acc = 0L
-    val offsets = counts.map { r =>
-      val o = (r.getInt(0), acc); acc += r.getLong(1); o
-    }.toSeq
-    val offsetsDf = offsets.toDF("pid", "offset")
-    val w = Window.partitionBy($"pid").orderBy($"c_acctbal", $"c_custkey")
-    val ranked = parted
-      .withColumn("rn", row_number().over(w))
-      .join(broadcast(offsetsDf), Seq("pid"))
-      .withColumn("rank", $"offset" + $"rn")
+    val (ranked, n) = graft.RangedPrefix.runningSum(spark, s"q14:$dir",
+      Tables.customer(spark, dir).select($"c_custkey", $"c_acctbal"),
+      Seq($"c_acctbal", $"c_custkey"), lit(1L), "rank")
     ranked
       .withColumn("decile", ntileBucket($"rank", n, 10))
       .groupBy($"decile")
