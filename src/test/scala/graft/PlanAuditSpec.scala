@@ -102,6 +102,66 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("scans are pruned to required columns and filters reach parquet") {
+    // a scan that reads all columns for a narrow projection multiplies
+    // 100 TB of IO for nothing; these column sets are the contract
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scans(name: String): Seq[FileSourceScanExec] =
+      SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.sparkPlan.collect { case s: FileSourceScanExec => s }
+    def scanOf(name: String, table: String): FileSourceScanExec = {
+      val hits = scans(name).filter(
+        _.relation.location.rootPaths.exists(_.toString.contains(table)))
+      assert(hits.nonEmpty, s"$name plans no $table scan")
+      hits.head
+    }
+    // q01: seven lineitem columns, no keys; the shipdate filter pushed
+    val q01 = scanOf("q01_pricing_summary", "lineitem")
+    assert(q01.requiredSchema.fieldNames.toSet == Set("l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+      "l_linestatus", "l_shipdate"))
+    assert(q01.metadata("PushedFilters").contains("l_shipdate"),
+      "q01's date filter must reach the parquet reader")
+    // q02: revenue digest needs exactly three lineitem columns
+    assert(scanOf("q02_top_parts", "lineitem")
+      .requiredSchema.fieldNames.toSet ==
+      Set("l_partkey", "l_extendedprice", "l_discount"))
+    // p01 reads only (doc_id, text) of documents
+    assert(scanOf("p01_token_stats", "documents")
+      .requiredSchema.fieldNames.toSet == Set("doc_id", "text"))
+    // d01 fingerprints content only — no ids, no lang, no n_chars
+    assert(scanOf("d01_exact_dedup", "documents")
+      .requiredSchema.fieldNames.toSet == Set("text", "source"))
+    // q11's tumbling windows touch three event columns
+    assert(scanOf("q11_event_tumbling", "events")
+      .requiredSchema.fieldNames.toSet == Set("ts", "event_type", "value"))
+    // (the r02 embeddings scan is NOT asserted here: the corpus memo
+    // legitimately serves it from an InMemoryRelation in a warm
+    // session, hiding the parquet scan this test would inspect)
+  }
+
+  test("shuffle budgets hold for the headline single-table plans") {
+    // data shuffles only — broadcasts are cheap by design. Budgets are
+    // the plans' CURRENT shuffle counts; a regression that doubles a
+    // shuffle (lost partial agg, re-partition creep) must fail loudly.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def shuffles(name: String): Int =
+      SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.sparkPlan.collect {
+          case s: ShuffleExchangeExec => s
+        }.size
+    val budgets = Map(
+      "q01_pricing_summary" -> 2, // partial→final agg, output sort
+      "q02_top_parts" -> 1,       // partkey digest agg (top-k needs no sort exchange)
+      "p01_token_stats" -> 1,     // output sort only: stats are per-row
+      "r01_exact_match" -> 0,     // one scan + broadcast + TakeOrdered
+      "r02_semantic_knn" -> 0)    // one scan + broadcast + TakeOrdered
+    budgets.foreach { case (name, budget) =>
+      val n = shuffles(name)
+      assert(n <= budget, s"$name plans $n data shuffles, budget $budget")
+    }
+  }
+
   test("star-schema dimension joins stay broadcast") {
     val p = plan("q04_region_revenue")
     assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")
