@@ -36,14 +36,14 @@ object TextAnalysis {
   /** p07's stable split bucket: first 16 bits of md5(doc_id) as a long —
     * shared with the corpus-export composition ([[Export]]).
     */
-  private[pipeline] val SplitBucket = expr(
+  private[graft] val SplitBucket = expr(
     """aggregate(split(substring(md5(cast(doc_id as string)), 1, 4), ''),
       | CAST(0 AS BIGINT),
       | (h, ch) -> h * 16 + instr('0123456789abcdef', ch) - 1)""".stripMargin)
 
   /** Split thresholds: 0.90 * 65536 and 0.95 * 65536. */
-  private[pipeline] val TrainMax = 58982
-  private[pipeline] val ValMax = 62259
+  private[graft] val TrainMax = 58982
+  private[graft] val ValMax = 62259
 
   /** BPE-ish subword count: runs of <=4 letters, digit runs, or single
     * punctuation — a deterministic stand-in for a real BPE vocab that
@@ -244,20 +244,30 @@ object TextAnalysis {
     * pipeline at 100 TB materializes the gram index once per corpus
     * snapshot, not per sweep.
     */
+  /** Distinct md5(13-gram) hashes of a text column, as an array —
+    * THE gram definition, shared by the batch sweeps (p09/p10) and the
+    * streaming ingest guard so the two can never drift. Empty array
+    * for docs shorter than [[ContamN]] tokens. greatest(...) guards
+    * the sequence bound: sequence(1, 0) counts DOWN and feeds slice a
+    * start of 0 — and a plan reordering can evaluate this projection
+    * on a row a size filter discards, so the expression must be total.
+    */
+  private[graft] def gramHashes(text: Column): Column = {
+    val t = toks(text)
+    when(size(t) >= ContamN, array_distinct(
+      transform(sequence(lit(1), greatest(size(t) - (ContamN - 1), lit(1))),
+        i => md5(array_join(slice(t, i, lit(ContamN)), " ")))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   private def contamGrams(spark: SparkSession, dir: String): DataFrame =
     graft.Memo.getOrBuild(gramCache, (spark, dir)) {
       import spark.implicits._
+      // explode drops empty arrays, so short docs contribute no rows —
+      // same accept set as the pre-refactor size filter
       Tables.documents(spark, dir)
-        .select($"doc_id", SplitBucket.as("b"), toks($"text").as("t"))
-        .filter(size($"t") >= ContamN)
-        // greatest(...) guards the sequence bound: sequence(1, 0)
-        // counts DOWN and feeds slice a start of 0 — and a plan
-        // reordering can evaluate this projection on a row the size
-        // filter discards, so the expression must be total. For
-        // surviving rows (>= ContamN tokens) the bound is unchanged.
-        .select($"doc_id", $"b", explode(array_distinct(
-          transform(sequence(lit(1), greatest(size($"t") - (ContamN - 1), lit(1))),
-            i => md5(array_join(slice($"t", i, lit(ContamN)), " "))))).as("g"))
+        .select($"doc_id", SplitBucket.as("b"),
+          explode(gramHashes($"text")).as("g"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 

@@ -75,6 +75,35 @@ object Streams {
     events.withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming decontamination guard (the streaming face of the batch
+    * p09/p10 sweep): each arriving document's word-13-grams are joined
+    * against the STATIC train-split gram index, and every leaked
+    * (doc_id, gram-hash) pair is emitted as it arrives — a consumer
+    * quarantines any doc_id it sees here before the doc can reach a
+    * published eval split.
+    *
+    * Scale shape: a STATELESS stream-static inner join — no watermark,
+    * no state store, append mode. The static side is the materialized
+    * gram-index artifact (the same table the batch sweep reads;
+    * ingest-time, not per-microbatch), and the gram definition is
+    * shared ([[graft.pipeline.TextAnalysis.gramHashes]]) so batch and
+    * stream can never drift. Per-doc aggregation is deliberately left
+    * to the consumer: counting grams per doc in-stream would need
+    * keyed state, and the guard's decision ("any leak → quarantine")
+    * doesn't require it.
+    *
+    * `trainGrams` must be the DISTINCT gram-hash table (column `g`) —
+    * the static subplan re-executes per micro-batch, so deduping here
+    * would re-aggregate the whole index every batch; the artifact is
+    * stored distinct instead (and duplicate grams would emit duplicate
+    * leak rows).
+    */
+  def contaminationGuard(docs: DataFrame, trainGrams: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(graft.pipeline.TextAnalysis.gramHashes(col("text"))).as("g"))
+      .join(trainGrams.select(col("g")), Seq("g"), "inner")
+      .select(col("doc_id"), col("g"))
+
   /** Stateful sessionization: 30-minute inactivity gap splits sessions.
     * One GroupState per user holding (last event time, counters). With
     * `idleTimeout` set (the production default), a processing-time

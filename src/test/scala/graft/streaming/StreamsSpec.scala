@@ -108,6 +108,52 @@ class StreamsSpec extends SparkSpec {
     assert(got.toSet == events.map(_.event_id).toSet)
   }
 
+  test("streaming contamination guard matches the batch leaked-gram sweep") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // static train index + arriving docs, derived from the fixture
+    // corpus with the SHARED gram definition: train = p07 train split,
+    // stream = the val+test remainder — so the batch twin is exactly
+    // p10's (doc_id, g) detail (which the sf0.01 oracle gate verifies)
+    val bucketed = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text",
+        graft.pipeline.TextAnalysis.SplitBucket.as("b"))
+    val trainGrams = bucketed
+      .filter($"b" < graft.pipeline.TextAnalysis.TrainMax)
+      .select(explode(
+        graft.pipeline.TextAnalysis.gramHashes($"text")).as("g"))
+      .distinct()
+    val arriving = bucketed
+      .filter($"b" >= graft.pipeline.TextAnalysis.ValMax)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+
+    val input = MemoryStream[(Long, String)]
+    val query = contaminationGuard(
+      input.toDF().toDF("doc_id", "text"), trainGrams)
+      .writeStream.format("memory").queryName("leak_guard")
+      .outputMode("append").start()
+    // two batches: the guard is stateless, so a doc's leaks must not
+    // depend on which micro-batch carried it
+    val (first, rest) = arriving.splitAt(arriving.size / 2)
+    input.addData(first)
+    query.processAllAvailable()
+    input.addData(rest)
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("leak_guard").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = bucketed.filter($"b" >= graft.pipeline.TextAnalysis.ValMax)
+      .select($"doc_id", explode(
+        graft.pipeline.TextAnalysis.gramHashes($"text")).as("g"))
+      .join(trainGrams, Seq("g"))
+      .select($"doc_id", $"g").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want, "stream leaks diverge from the batch sweep")
+    assert(want.nonEmpty,
+      "fixture must contain at least one train/test leak to make this real")
+  }
+
   test("auto-ingest picks up bundle files and upserts idempotently") {
     val watch = java.nio.file.Files.createTempDirectory("rasswatch")
     val table = watch.resolve("table").toString
