@@ -32,9 +32,19 @@ object RangedPrefix {
   private val cache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  /** Release every memoized ranged projection. */
-  def invalidateCaches(): Unit =
-    cache.keys.foreach(k => cache.remove(k).foreach(_.unpersist()))
+  // working-column names no reasonable base schema carries; runningSum
+  // rejects a base that does rather than silently clobbering it
+  private val PidCol = "__rp_pid"
+  private val OffsetCol = "__rp_offset"
+
+  /** Release memoized ranged projections whose caller key starts with
+    * `prefix` (empty = all). Callers that expose their own
+    * `invalidateCaches` pass their key prefix, so releasing one
+    * module's artifact can never unpersist another's mid-use.
+    */
+  def invalidateCaches(prefix: String = ""): Unit =
+    cache.keys.filter(_._2.startsWith(prefix))
+      .foreach(k => cache.remove(k).foreach(_.unpersist()))
 
   /** `base` extended with `cumCol` = the running sum of `value` in the
     * global `orderCols` order, INCLUSIVE of the current row (so a
@@ -42,28 +52,38 @@ object RangedPrefix {
     * is `cumCol - value`). Also returns the grand total. `orderCols`
     * must be a total order (include a tie-break column) or the
     * within-partition accumulation is nondeterministic across ties.
+    * Null `value`s count as zero (both in the total and in `cumCol`).
+    *
+    * The memo key is `cacheKey` PLUS the analyzed plan's semantic
+    * hash, so two calls sharing a prefix but computing different
+    * inputs can never be served each other's ranged projection.
     */
   def runningSum(spark: SparkSession, cacheKey: String, base: => DataFrame,
       orderCols: Seq[Column], value: Column, cumCol: String): (DataFrame, Long) = {
     import spark.implicits._
-    val parted = Memo.getOrBuild(cache, (spark, cacheKey)) {
-      base.repartitionByRange(orderCols: _*)
-        .withColumn("pid", spark_partition_id())
+    val b = base
+    require(!b.columns.contains(PidCol) && !b.columns.contains(OffsetCol),
+      s"base must not carry the helper's working columns ($PidCol, $OffsetCol)")
+    val key = s"$cacheKey:${b.queryExecution.analyzed.semanticHash()}"
+    val parted = Memo.getOrBuild(cache, (spark, key)) {
+      b.repartitionByRange(orderCols: _*)
+        .withColumn(PidCol, spark_partition_id())
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    val parts = parted.groupBy($"pid").agg(sum(value).cast("long").as("t"))
-      .collect().map(r => (r.getAs[Int]("pid"), r.getAs[Long]("t")))
+    val parts = parted.groupBy(col(PidCol))
+      .agg(coalesce(sum(value), lit(0L)).cast("long").as("t"))
+      .collect().map(r => (r.getAs[Int](PidCol), r.getAs[Long]("t")))
       .sortBy(_._1)
     var acc = 0L
     val offsets = parts.map { case (pid, t) =>
       val row = (pid, acc); acc += t; row
     }.toSeq
-    val w = Window.partitionBy($"pid").orderBy(orderCols: _*)
+    val w = Window.partitionBy(col(PidCol)).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val out = parted
-      .join(broadcast(offsets.toDF("pid", "offset")), Seq("pid"))
-      .withColumn(cumCol, $"offset" + sum(value).over(w))
-      .drop("offset", "pid")
+      .join(broadcast(offsets.toDF(PidCol, OffsetCol)), Seq(PidCol))
+      .withColumn(cumCol, col(OffsetCol) + coalesce(sum(value).over(w), lit(0L)))
+      .drop(OffsetCol, PidCol)
     (out, acc)
   }
 }

@@ -106,8 +106,8 @@ object Export {
       .orderBy($"doc_id")
   }
 
-  /** Release x03's memoized ranged projection (shared helper cache). */
-  def invalidateCaches(): Unit = graft.RangedPrefix.invalidateCaches()
+  /** Release x03's memoized ranged projection (and only it). */
+  def invalidateCaches(): Unit = graft.RangedPrefix.invalidateCaches("x03:")
 
   // ---------------------------------------------------------------- registry
 

@@ -283,8 +283,8 @@ object StarQueries {
       .orderBy($"user_id")
   }
 
-  /** Release the memoized q14 ranged projection (shared helper cache). */
-  def invalidateCaches(): Unit = graft.RangedPrefix.invalidateCaches()
+  /** Release the memoized q14 ranged projection (and only it). */
+  def invalidateCaches(): Unit = graft.RangedPrefix.invalidateCaches("q14:")
 
   /** SQL-standard NTILE(k) in closed form from a 1-based global rank:
     * with n rows, the first `n % k` buckets hold `n/k + 1` rows and the

@@ -38,6 +38,28 @@ class RangedPrefixSpec extends SparkSpec {
     assert(got == Map(10L -> 1L, 20L -> 2L, 25L -> 3L, 30L -> 4L, 40L -> 5L))
   }
 
+  test("same caller key, different input: no cross-serving from the memo") {
+    import spark.implicits._
+    val a = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    val bDf = Seq((1L, 100L), (2L, 200L)).toDF("k", "v")
+    val (outA, totA) = RangedPrefix.runningSum(
+      spark, "spec:same", a, Seq($"k"), $"v", "cum")
+    val (outB, totB) = RangedPrefix.runningSum(
+      spark, "spec:same", bDf, Seq($"k"), $"v", "cum")
+    assert(totA == 30L && totB == 300L)
+    assert(outB.collect().map(_.getAs[Long]("cum")).toSet == Set(100L, 300L),
+      "second call must see its own data, not the first call's cache")
+    assert(outA.collect().map(_.getAs[Long]("cum")).toSet == Set(10L, 30L))
+  }
+
+  test("a base carrying the working columns is rejected, not clobbered") {
+    import spark.implicits._
+    val bad = Seq((1L, 2L)).toDF("k", "__rp_pid")
+    intercept[IllegalArgumentException] {
+      RangedPrefix.runningSum(spark, "spec:bad", bad, Seq($"k"), lit(1L), "cum")
+    }
+  }
+
   test("no unpartitioned Window in the helper's plan") {
     import spark.implicits._
     val df = (1L to 100L).toDF("k").withColumn("v", lit(2L))
