@@ -188,6 +188,16 @@ object ParquetChatStore {
       // no recognizable error class. Matching the NIO type in the
       // cause chain is the only reliable signal.
       case _: java.nio.file.NoSuchFileException => true
+      // Hadoop's FileUtil.list throws NIO AccessDeniedException
+      // whenever File.list() returns null — which a directory
+      // VANISHING mid-list (the compaction rename winning the race
+      // during the scan's file listing) also produces, misreported as
+      // "Permission denied". Probe the named path: if it is no longer
+      // there, this is the rename race; a genuine permissions problem
+      // leaves the directory in place and still propagates.
+      case e: java.nio.file.AccessDeniedException
+        if e.getFile != null &&
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(e.getFile)) => true
       case e: org.apache.spark.sql.AnalysisException
         if e.getMessage.contains("PATH_NOT_FOUND") ||
           e.getMessage.contains("Path does not exist") ||

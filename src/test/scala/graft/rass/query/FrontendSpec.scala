@@ -460,6 +460,17 @@ class EngineSpec extends SparkSpec {
     assert(ParquetChatStore.pathGone(scanTime))
     assert(!ParquetChatStore.pathGone(new RuntimeException("parquet footer corrupt")))
     assert(!ParquetChatStore.pathGone(null))
+    // Hadoop's FileUtil.list misreports a vanished directory as NIO
+    // AccessDenied (File.list() == null); gone-by-probe-time means the
+    // rename race, while a still-present path is a REAL permissions
+    // problem and must propagate
+    val vanished = new RuntimeException("task failed",
+      new java.nio.file.AccessDeniedException("/tmp/definitely-gone-" +
+        System.nanoTime()))
+    assert(ParquetChatStore.pathGone(vanished))
+    val present = java.nio.file.Files.createTempDirectory("perm").toString
+    assert(!ParquetChatStore.pathGone(
+      new java.nio.file.AccessDeniedException(present)))
   }
 
   test("parquet chat history keeps tied exchanges whole and ordered") {
