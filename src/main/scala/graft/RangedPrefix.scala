@@ -30,7 +30,8 @@ import org.apache.spark.sql.functions._
 object RangedPrefix {
 
   private val cache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+    .empty[(SparkSession, String,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]
 
   // working-column names no reasonable base schema carries; runningSum
   // rejects a base that does rather than silently clobbering it
@@ -54,9 +55,11 @@ object RangedPrefix {
     * within-partition accumulation is nondeterministic across ties.
     * Null `value`s count as zero (both in the total and in `cumCol`).
     *
-    * The memo key is `cacheKey` PLUS the analyzed plan's semantic
-    * hash, so two calls sharing a prefix but computing different
-    * inputs can never be served each other's ranged projection.
+    * The memo key is `cacheKey` PLUS the analyzed plan's CANONICALIZED
+    * form (full structural equality, the `sameResult` relation — not
+    * its 32-bit `semanticHash`, which can collide), so two calls
+    * sharing a prefix but computing different inputs can never be
+    * served each other's ranged projection.
     */
   def runningSum(spark: SparkSession, cacheKey: String, base: => DataFrame,
       orderCols: Seq[Column], value: Column, cumCol: String): (DataFrame, Long) = {
@@ -64,8 +67,8 @@ object RangedPrefix {
     val b = base
     require(!b.columns.contains(PidCol) && !b.columns.contains(OffsetCol),
       s"base must not carry the helper's working columns ($PidCol, $OffsetCol)")
-    val key = s"$cacheKey:${b.queryExecution.analyzed.semanticHash()}"
-    val parted = Memo.getOrBuild(cache, (spark, key)) {
+    val parted = Memo.getOrBuild(cache,
+        (spark, cacheKey, b.queryExecution.analyzed.canonicalized)) {
       b.repartitionByRange(orderCols: _*)
         .withColumn(PidCol, spark_partition_id())
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -121,8 +121,20 @@ object Bm25 {
     * of tokens; the resulting sets (typo variants actually present in
     * the corpus) are a handful of strings, broadcast as literals into
     * the scan. Same trick as d04's vocab-join, applied to scoring.
+    *
+    * The returned map is TOTAL over (requested field x distinct term):
+    * a covered field with no in-distance variants maps to `Nil`
+    * (scores 0, same as the per-row scan), and [[scoreFuzzyVocab]]
+    * treats a MISSING key as a contract violation. Coverage is
+    * validated against `fieldStats`: a requested field the stats
+    * build never covered (externally supplied stats over fewer
+    * fields) throws instead of silently scoring 0 where the per-row
+    * Levenshtein scan would have scored. An entirely empty
+    * `fieldStats` (empty corpus) is NOT a coverage failure — every
+    * field's vocabulary is legitimately empty there.
     */
-  def fuzzyAcceptSets(termStats: DataFrame, fields: Seq[String],
+  def fuzzyAcceptSets(fieldStats: DataFrame, termStats: DataFrame,
+      fields: Seq[String],
       terms: Seq[String]): Map[(String, String), Seq[String]] =
     // a query normalized to zero terms ("???") must score 0 on the BM25
     // clauses, not crash the vocabulary job on an empty OR-reduce — the
@@ -131,6 +143,14 @@ object Bm25 {
     else graft.Memo.getOrBuild(acceptCache,
       (termStats.sparkSession, termStats.queryExecution.analyzed.canonicalized,
         fields.toList, terms.toList)) {
+      val covered = fieldStats.select(col("field")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val uncovered = fields.filterNot(covered)
+      if (covered.nonEmpty && uncovered.nonEmpty)
+        throw new IllegalArgumentException(
+          s"fuzzy accept sets requested for field(s) ${uncovered.mkString(", ")} " +
+            s"not covered by the materialized stats (covers: ${covered.mkString(", ")}); " +
+            "rebuild stats over these fields or score them via the per-row fuzzy path")
       buildFuzzyAcceptSets(termStats, fields, terms)
     }
 
@@ -171,8 +191,13 @@ object Bm25 {
         }: _*)).as("qts"))
       .select(col("field"), col("term"), explode(col("qts")).as("qt"))
       .collect()
-    rows.groupBy(r => (r.getString(0), r.getString(2)))
+    val matched = rows.groupBy(r => (r.getString(0), r.getString(2)))
       .map { case (k, vs) => k -> vs.map(_.getString(1)).toSeq.sorted }
+    // total over (field x term): a no-variant pair carries an explicit
+    // Nil so a downstream lookup can tell "covered, nothing in
+    // distance" (score 0) from "never built for this field" (throw)
+    (for (f <- fields; t <- terms.distinct)
+      yield (f, t) -> matched.getOrElse((f, t), Nil)).toMap
   }
 
   /** [[scoreFuzzy]] with the per-term fuzzy scan replaced by exact
@@ -190,7 +215,13 @@ object Bm25 {
       // term_freq is the native codegen expression, keeping the whole
       // score inside WholeStageCodegen (a filter() higher-order
       // function would drop the scan out of codegen)
-      val variants = accept.getOrElse((field, t), Nil)
+      val variants = accept.getOrElse((field, t),
+        // fuzzyAcceptSets maps are total over the fields+terms they
+        // were built for, so a miss means THIS field/term was never
+        // built — scoring it 0 would be a silent relevance regression
+        throw new IllegalStateException(
+          s"no accept set built for ($field, $t); build fuzzyAcceptSets " +
+            "over this field or score it via scoreFuzzy"))
       if (variants.isEmpty) lit(0.0)
       else variants.map(v => tf(toksCol, v)).reduce(_ + _)
     }

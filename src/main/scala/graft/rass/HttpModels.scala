@@ -281,8 +281,15 @@ final class HttpGenerator(endpoint: String, model: String,
       // same callback would re-block the task thread on it — append to
       // the returned answer only; a consumer that stopped consuming
       // gets the error from the return value, not a push it can't take
+      // ...and a callback that already threw once (state=Failed via
+      // the drain) may well throw again on this terminal delivery —
+      // the error text is ALREADY in the returned answer, so a second
+      // throw here must not escape generateStream (the Generator
+      // contract returns in-band errors, it doesn't propagate
+      // callback exceptions).
       val deliver: String => Unit =
-        if (abandoned.get()) _ => () else onToken
+        if (abandoned.get()) _ => ()
+        else s => try onToken(s) catch { case _: Exception => () }
       state.get() match {
         case Stalled =>
           val err = s"[ERROR] stream stalled: no data for ${stalledAfter.get()}s"
@@ -309,7 +316,7 @@ final class HttpGenerator(endpoint: String, model: String,
       case e: Exception =>
         val err = s"[ERROR] ${e.getMessage}"
         sb.synchronized { sb.append(err) }
-        onToken(err)
+        try onToken(err) catch { case _: Exception => () }
     }
     sb.synchronized { sb.result() }.trim
   }

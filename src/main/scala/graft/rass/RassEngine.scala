@@ -19,6 +19,17 @@ trait Generator extends Serializable {
     * answer — the reference's `"".join(streamed_chunks).strip()`
     * (`main.py:3319-3324`). Implementations without a native streaming
     * transport deliver the whole answer as one chunk.
+    *
+    * THREADING CONTRACT: `onToken` may be invoked from an
+    * implementation-owned worker thread, NOT the calling thread (the
+    * HTTP impl drains SSE on a daemon thread so task kills stay
+    * deliverable). Callbacks must not rely on thread affinity —
+    * `TaskContext.get`, thread-locals, or non-thread-safe sinks — and
+    * must be safe to call until `generateStream` returns. Calls are
+    * sequential (never concurrent), and a callback that throws
+    * terminates the stream: the answer-so-far plus an in-band
+    * `[ERROR]` suffix is returned instead of the exception
+    * propagating.
     */
   def generateStream(systemPrompt: String, context: String, query: String)
       (onToken: String => Unit): String = {
@@ -192,12 +203,17 @@ object ParquetChatStore {
       // whenever File.list() returns null — which a directory
       // VANISHING mid-list (the compaction rename winning the race
       // during the scan's file listing) also produces, misreported as
-      // "Permission denied". Probe the named path: if it is no longer
-      // there, this is the rename race; a genuine permissions problem
-      // leaves the directory in place and still propagates.
+      // "Permission denied". Probe the named path: classify as the
+      // rename race ONLY when the path is DEFINITELY absent —
+      // `Files.notExists` returns false both for an existing path and
+      // for one whose existence cannot be determined (parent traversal
+      // denied), so a genuine permissions problem — which leaves the
+      // path in place or unprobeable — still propagates. A path string
+      // the local FS can't even parse is likewise not "gone".
       case e: java.nio.file.AccessDeniedException
-        if e.getFile != null &&
-          !java.nio.file.Files.exists(java.nio.file.Paths.get(e.getFile)) => true
+        if e.getFile != null && (try {
+          java.nio.file.Files.notExists(java.nio.file.Paths.get(e.getFile))
+        } catch { case _: java.nio.file.InvalidPathException => false }) => true
       case e: org.apache.spark.sql.AnalysisException
         if e.getMessage.contains("PATH_NOT_FOUND") ||
           e.getMessage.contains("Path does not exist") ||

@@ -84,8 +84,8 @@ object Searches {
   private def fuzzyAccept(stats: Option[(DataFrame, DataFrame)],
       fields: Seq[(String, Double)],
       terms: Seq[String]): Option[Map[(String, String), Seq[String]]] =
-    stats.map { case (_, ts) =>
-      Bm25.fuzzyAcceptSets(ts, fields.map(_._1), terms)
+    stats.map { case (fs, ts) =>
+      Bm25.fuzzyAcceptSets(fs, ts, fields.map(_._1), terms)
     }
 
   /** Project each scored field's token array once (`__tok_<f>`), so the

@@ -183,7 +183,7 @@ object SyntheticQueries {
     * identical output on every run, which is what the specs pin. It is
     * NOT span-identical to the reference trainer when a template draws
     * the same value twice — there the reference's spans are the known
-    * mislabeling this cursor deliberately corrects; texts, intents,
+    * mislabeling this offset tracking deliberately corrects; texts, intents,
     * and entity values still match the reference's construction.
     */
   def generate(pools: Pools, n: Int, seed: Long = 42L): Seq[LabeledQuery] = {
@@ -194,17 +194,24 @@ object SyntheticQueries {
         val pool = pools(l)
         pool(rng.nextInt(pool.size))
       }
-      val text = template.split("\\{\\}", -1).zipAll(values, "", "")
-        .map { case (part, v) => part + v }.mkString
-      // spans advance a cursor through the text: slots fill in template
-      // order, so each value's span starts at or after the previous
-      // span's end — a plain indexOf would pin BOTH spans of a
-      // repeated value (e.g. "Compare {} vs {}" drawing the same
-      // condition twice) to the first occurrence
-      var cursor = 0
-      val spans = values.zip(labels).map { case (v, l) =>
-        val start = text.indexOf(v, cursor)
-        cursor = start + v.length
+      // spans are recorded WHILE concatenating — each slot's start is
+      // the running length at the moment its value is appended. A
+      // post-hoc search (even a cursor-advancing indexOf) can match a
+      // coincidental occurrence of the value inside template literal
+      // text or a previous fill's tail, mislabeling the span AND
+      // desynchronizing every span after it; the running offset cannot.
+      val sbuf = new StringBuilder
+      val starts = Array.newBuilder[Int]
+      template.split("\\{\\}", -1).zipAll(values, "", "").foreach {
+        case (part, v) =>
+          sbuf.append(part)
+          starts += sbuf.length
+          sbuf.append(v)
+      }
+      val text = sbuf.result()
+      val slotStarts = starts.result()
+      val spans = values.zip(labels).zipWithIndex.map { case ((v, l), j) =>
+        val start = slotStarts(j)
         (start, start + v.length, l)
       }
       LabeledQuery(text, intent,

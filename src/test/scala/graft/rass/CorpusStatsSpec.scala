@@ -38,8 +38,8 @@ class CorpusStatsSpec extends SparkSpec {
     ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "note")
     val terms = Seq("metformin", "ibuprofen", "mx") // fz: 2, 2, 0
-    val (_, termStats) = CorpusStats.build(docs, Seq("note"))
-    val accept = Bm25.fuzzyAcceptSets(termStats, Seq("note"), terms)
+    val (fieldStats, termStats) = CorpusStats.build(docs, Seq("note"))
+    val accept = Bm25.fuzzyAcceptSets(fieldStats, termStats, Seq("note"), terms)
     // brute-force truth: distinct corpus tokens within AUTO distance
     val vocab = docs.filter($"note".isNotNull)
       .select(explode(Analyzer.tokens($"note")).as("t"))
@@ -75,13 +75,42 @@ class CorpusStatsSpec extends SparkSpec {
   test("a query normalized to zero terms yields empty accept sets, not a crash") {
     import spark.implicits._
     val docs = Seq((1L, "some note text")).toDF("doc_id", "note")
-    val (_, termStats) = CorpusStats.build(docs, Seq("note"))
-    assert(Bm25.fuzzyAcceptSets(termStats, Seq("note"), Nil).isEmpty)
+    val (fieldStats, termStats) = CorpusStats.build(docs, Seq("note"))
+    assert(Bm25.fuzzyAcceptSets(fieldStats, termStats, Seq("note"), Nil).isEmpty)
     // and the scoring column degrades to 0 for null-term queries
     val scored = Bm25.withStats(docs, Seq("note"), Nil)
       .withColumn("s", Bm25.scoreFuzzyVocab("note", Nil, "s_note_", Map.empty))
       .select($"s").head()
     assert(scored.getDouble(0) == 0.0)
+  }
+
+  test("accept sets for a field the stats never covered throw, not score 0") {
+    import spark.implicits._
+    val docs = Seq((1L, "metformin daily", "headache")).toDF("doc_id", "note", "symptom")
+    // stats materialized over note ONLY — requesting symptom too must be
+    // loud (the per-row fuzzy path would have scored it; silently
+    // returning empty accept sets is a relevance regression)
+    val (fieldStats, termStats) = CorpusStats.build(docs, Seq("note"))
+    val e = intercept[IllegalArgumentException] {
+      Bm25.fuzzyAcceptSets(fieldStats, termStats, Seq("note", "symptom"),
+        Seq("metformin"))
+    }
+    assert(e.getMessage.contains("symptom"))
+    // covered field, term with no in-distance variants: key PRESENT
+    // with Nil (scores 0) — absence is reserved for the contract
+    // violation scoreFuzzyVocab throws on
+    val accept = Bm25.fuzzyAcceptSets(fieldStats, termStats, Seq("note"),
+      Seq("zzzzzzzzzz"))
+    assert(accept(("note", "zzzzzzzzzz")) == Nil)
+    intercept[IllegalStateException] {
+      Bm25.scoreFuzzyVocab("symptom", Seq("metformin"), "s_symptom_", accept)
+    }
+    // an EMPTY corpus covers nothing but is not a coverage failure —
+    // every vocabulary is legitimately empty
+    val empty = docs.filter($"doc_id" < 0L)
+    val (ef, et) = CorpusStats.build(empty, Seq("note"))
+    val emptyAccept = Bm25.fuzzyAcceptSets(ef, et, Seq("note"), Seq("metformin"))
+    assert(emptyAccept(("note", "metformin")) == Nil)
   }
 
   test("stats merge additively across ingest batches") {
