@@ -91,14 +91,16 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
-  /** s02 — IVF approximate KNN: corpus assigned to the nearest of 16
-    * deterministic centroids (the first 16 vectors); each query probes
-    * its 4 nearest cells and ranks only those candidates. Centroids are
-    * broadcast both times, so assignment and probing are map-side; the
-    * candidate join co-partitions on the cell id.
+  /** s02 — IVF approximate KNN: corpus assigned to the nearest of
+    * k = [[recommendedCells]](n) deterministic centroids (the first k
+    * vectors); each query probes its 4 nearest cells and ranks only
+    * those candidates. Centroids are broadcast both times, so
+    * assignment and probing are map-side; the candidate join
+    * co-partitions on the cell id.
     */
   def s02IvfKnn(spark: SparkSession, dir: String): DataFrame =
-    ivfKnn(spark, dir, Some(NumQueries), TopK)
+    ivfKnn(spark, dir, Some(NumQueries), TopK,
+      cells = corpusCells(spark, dir))
 
   /** s03 — KNN self-join: top-3 IVF neighbors for EVERY vector (the
     * batch "knn join" a similarity-dedup or retrieval-index build runs
@@ -106,13 +108,14 @@ object Similarity {
     * candidate volume stays (nprobe/ncells) x n^2 instead of n^2.
     */
   def s03KnnJoin(spark: SparkSession, dir: String): DataFrame =
-    ivfKnn(spark, dir, None, 3)
+    ivfKnn(spark, dir, None, 3, cells = corpusCells(spark, dir))
 
   /** s04 — IVF KNN with k-means-trained centroids: the production IVF
     * path (s02 with [[kmeansCentroids]] instead of the raw seed).
     */
   def s04IvfKmeans(spark: SparkSession, dir: String): DataFrame =
-    ivfKnn(spark, dir, Some(NumQueries), TopK, TrainedVariant)
+    ivfKnn(spark, dir, Some(NumQueries), TopK, TrainedVariant,
+      corpusCells(spark, dir))
 
   /** The IVF INDEX — centroids and the corpus cell assignment — is an
     * ingest-time artifact, not per-query work: a production deployment
@@ -142,12 +145,28 @@ object Similarity {
   /** k ~ sqrt(n): the retrain lever [[s06CellProfile]]'s doc prescribes
     * when the max cell share drifts. C(occ,2) candidate work per cell
     * means cost ∝ n²/k for even occupancy, so k ~ sqrt(n) keeps the
-    * corpus-wide knn-join (s03) at ~n^1.5 comparisons total; the
-    * registered queries pin k=16 (≈ sqrt of the sf0.01 gate corpus)
-    * only because the oracle SQL hard-codes it.
+    * corpus-wide knn-join (s03) at ~n^1.5 comparisons total. The
+    * registered IVF queries size their cell count with THIS function
+    * over the corpus row count (the oracle SQL computes the identical
+    * `round(sqrt(count(*)))` from the same table, so the two sides
+    * agree at every scale factor); [[NumCentroids]] remains only as
+    * the fixed-k seam default for specs and retrain evaluations.
     */
   def recommendedCells(n: Long): Int =
     math.max(1L, math.round(math.sqrt(n.toDouble))).toInt
+
+  /** The embeddings row count, memoized per (session, dir): one
+    * metadata-cheap count job sizes every registered IVF query's cell
+    * count; at 100 TB this is the corpus snapshot's row count read
+    * from the catalog, not a scan.
+    */
+  private val countCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
+  private def corpusCells(spark: SparkSession, dir: String): Int =
+    recommendedCells(Memo.getOrBuild(countCache, (spark, dir)) {
+      vectors(spark, dir).count()
+    })
 
   private def ivfIndex(spark: SparkSession, dir: String,
       variant: String, cells: Int = NumCentroids): (DataFrame, DataFrame) =
@@ -184,6 +203,7 @@ object Similarity {
     }
 
   def invalidateCaches(): Unit = {
+    countCache.clear()
     indexCache.keys.foreach(k =>
       indexCache.remove(k).foreach { case (c, a) =>
         c.unpersist(); a.unpersist()
@@ -316,7 +336,8 @@ object Similarity {
     */
   def s06CellProfile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (_, assign) = ivfIndex(spark, dir, TrainedVariant)
+    val (_, assign) = ivfIndex(spark, dir, TrainedVariant,
+      corpusCells(spark, dir))
     assign
       .groupBy($"cell").agg(count(lit(1)).as("n_vectors"))
       .select($"cell", $"n_vectors",
@@ -328,9 +349,9 @@ object Similarity {
     * retrain evaluation: train k cells on a sample, inspect the
     * occupancy/pair profile, and only commit the retrain (ivfIndex with
     * the new `cells`) when the max share comes down. The registered s06
-    * stays pinned to the gate corpus and k=16; this seam is how a
-    * deployment answers "would k=[[recommendedCells]](n) fix my
-    * hotspot" without rebuilding the production index first.
+    * already sizes k=[[recommendedCells]](n); this seam is how a
+    * deployment evaluates a DIFFERENT candidate k (hot-cell splits, a
+    * sampled retrain) without rebuilding the production index first.
     */
   def cellOccupancy(spark: SparkSession, e: DataFrame, cells: Int,
       iters: Int = KmeansIters): DataFrame = {
@@ -369,6 +390,15 @@ object Similarity {
   private val VecCte =
     "n AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)"
 
+  /** The oracle's cell count: `round(sqrt(count(*)))` over the same
+    * table [[corpusCells]] counts — both sides derive k from the
+    * corpus, so the registered IVF queries stay hash-exact at every
+    * scale factor instead of pinning a k sized to one SF.
+    */
+  private val CellsCte =
+    "kp AS (SELECT CAST(round(sqrt(count(*))) AS INTEGER) AS cells FROM n)"
+  private val CellsSub = "(SELECT cells FROM kp)"
+
   private lazy val s01Sql =
     s"""WITH $VecCte,
        |q AS (SELECT * FROM n WHERE vec_id < $NumQueries),
@@ -381,7 +411,7 @@ object Similarity {
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
   private lazy val s02Sql = ivfSql(s"WHERE vec_id < $NumQueries", TopK,
-    s"SELECT vec_id cid, v AS cv FROM n WHERE vec_id < $NumCentroids")
+    s"SELECT vec_id cid, v AS cv FROM n WHERE vec_id < $CellsSub")
 
   val oracles: Map[String, String] = Map(
     "s01_knn_bruteforce" -> s01Sql,
@@ -397,11 +427,12 @@ object Similarity {
          |FROM exact e LEFT JOIN ov ON ov.query_id = e.query_id
          |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
     "s03_knn_join" -> ivfSql("", 3,
-      s"SELECT vec_id cid, v AS cv FROM n WHERE vec_id < $NumCentroids"),
+      s"SELECT vec_id cid, v AS cv FROM n WHERE vec_id < $CellsSub"),
     "s04_ivf_kmeans" -> ivfSql(s"WHERE vec_id < $NumQueries", TopK,
       s"SELECT cid, cv FROM cents$KmeansIters", kmeansCtes(KmeansIters)),
     "s06_cell_profile" ->
       s"""WITH $VecCte,
+         |$CellsCte,
          |${kmeansCtes(KmeansIters)},
          |cents AS (SELECT cid, cv FROM cents$KmeansIters),
          |assign AS (SELECT vec_id, cell FROM (
@@ -420,7 +451,7 @@ object Similarity {
     */
   private def kmeansCtes(iters: Int): String = {
     val sb = new StringBuilder(
-      s"cents0 AS (SELECT vec_id cid, v AS cv FROM n WHERE vec_id < $NumCentroids)")
+      s"cents0 AS (SELECT vec_id cid, v AS cv FROM n WHERE vec_id < $CellsSub)")
     for (i <- 1 to iters) {
       val prev = s"cents${i - 1}"
       sb.append(s""",
@@ -449,6 +480,7 @@ object Similarity {
       extraCtes: String = ""): String = {
     val extra = if (extraCtes.isEmpty) "" else s"$extraCtes,\n"
     s"""WITH $VecCte,
+       |$CellsCte,
        |${extra}cents AS ($centsSelect),
        |assign AS (SELECT vec_id, cell FROM (
        |  SELECT x.vec_id, c.cid AS cell, row_number() OVER (
