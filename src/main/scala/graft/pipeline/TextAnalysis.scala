@@ -318,24 +318,48 @@ object TextAnalysis {
     * fp-rate-independent (the confirm join drops every false positive),
     * so a deployment caps the sketch size and accepts a higher fp rate
     * — pruning, say, 80 % of train instead of 94 % — or shards the
-    * sweep by a gram-hash prefix, one bounded sketch per shard.
+    * sweep by a gram-hash prefix: [[leakedGramsSharded]].
     */
-  def p10LeakedGrams(spark: SparkSession, dir: String): DataFrame = {
+  def p10LeakedGrams(spark: SparkSession, dir: String): DataFrame =
+    leakedGramsSharded(spark, dir, 1)
+
+  /** The sharded sweep: the gram-hash space is partitioned by a 16-bit
+    * md5 prefix into `shards` disjoint slices, each swept with its OWN
+    * bloom sketch sized to that slice's test grams — so no single
+    * broadcast sketch ever exceeds ~1/shards of the whole test split,
+    * no matter how large the corpus. The union of the per-shard sweeps
+    * IS the unsharded output: the slices partition the gram space
+    * (every (test gram, train gram) join pair has both sides in the
+    * same slice), and within a slice the exact confirm join drops
+    * bloom false positives exactly as the single-sketch path does.
+    * Sweeps run as one union-all plan; each shard's train scan is
+    * pruned by its slice predicate + its own sketch map-side.
+    * `shards = 1` is the default single-sketch path bit-for-bit.
+    */
+  def leakedGramsSharded(spark: SparkSession, dir: String,
+      shards: Int): DataFrame = {
     import spark.implicits._
+    require(shards >= 1, s"shards must be >= 1, got $shards")
     val grams = contamGrams(spark, dir)
-    val test = grams.filter($"b" >= ValMax)
-    // sized by the (cheap, persisted-index) test-side row count — an
-    // upper bound on its distinct grams, so the fp rate is <= 1 %
-    val bf = test.stat.bloomFilter("g", math.max(test.count(), 1L), 0.01)
-    val bfB = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((g: String) => bfB.value.mightContain(g))
-    val trainFreq = grams.filter($"b" < TrainMax)
-      .filter(mightContain($"g"))
-      .groupBy($"g").agg(countDistinct($"doc_id").as("n_train_docs"))
-    test.select($"doc_id", $"g")
-      .join(trainFreq, Seq("g"), "inner")
-      .select($"doc_id", $"g", $"n_train_docs")
-      .orderBy($"doc_id", $"g")
+    val shardOf: Column =
+      conv(substring($"g", 1, 4), 16, 10).cast("long") % shards
+    val sweeps = (0 until shards).map { s =>
+      val inShard = if (shards == 1) lit(true) else shardOf === s
+      val test = grams.filter($"b" >= ValMax && inShard)
+      // sized by the (cheap, persisted-index) shard's test-side row
+      // count — an upper bound on its distinct grams, so the fp rate
+      // is <= 1 % per sketch
+      val bf = test.stat.bloomFilter("g", math.max(test.count(), 1L), 0.01)
+      val bfB = spark.sparkContext.broadcast(bf)
+      val mightContain = udf((g: String) => bfB.value.mightContain(g))
+      val trainFreq = grams.filter($"b" < TrainMax && inShard)
+        .filter(mightContain($"g"))
+        .groupBy($"g").agg(countDistinct($"doc_id").as("n_train_docs"))
+      test.select($"doc_id", $"g")
+        .join(trainFreq, Seq("g"), "inner")
+        .select($"doc_id", $"g", $"n_train_docs")
+    }
+    sweeps.reduce(_.unionAll(_)).orderBy($"doc_id", $"g")
   }
 
   /** p11 — per-source token-length quantiles (exact p50/p90/p99): the

@@ -89,6 +89,27 @@ class TextAnalysisSpec extends SparkSpec {
       "the bloom prune must run below the per-gram aggregation"))
   }
 
+  test("sharded p10 sweep equals the single-sketch output, shard by shard bounded") {
+    def asTuples(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("g"),
+        r.getAs[Long]("n_train_docs"))).toSeq
+    val single = asTuples(TextAnalysis.p10LeakedGrams(spark, sfDir).collect())
+    // shard counts that do and don't divide the 16-bit prefix space
+    // evenly, plus a count larger than the leaked-gram set
+    Seq(2, 3, 7).foreach { shards =>
+      val sharded = asTuples(
+        TextAnalysis.leakedGramsSharded(spark, sfDir, shards).collect())
+      assert(sharded == single,
+        s"$shards-shard sweep diverged from the single-sketch output")
+    }
+    // schema identical to the registered query (same downstream shape)
+    assert(TextAnalysis.leakedGramsSharded(spark, sfDir, 2).schema ==
+      TextAnalysis.p10LeakedGrams(spark, sfDir).schema)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.leakedGramsSharded(spark, sfDir, 0)
+    }
+  }
+
   test("p11 quantiles: ordered, R-7 interpolation pinned, histogram partials") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
