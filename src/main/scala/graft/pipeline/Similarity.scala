@@ -39,6 +39,15 @@ object Similarity {
   private val NumQueries = 10
   private val TopK = 10
   private val NumCentroids = 16
+  /** Cells probed per query. Deliberately FIXED while the cell count
+    * scales with sqrt(n): the scan fraction nprobe/k then shrinks as
+    * the corpus grows, which is the IVF scale story — and measured
+    * recall against exact KNN actually rose with the corpus (0.86 at
+    * sf0.01/k=22, 0.93 at sf0.1/k=45: more cells cut each cell's
+    * radius faster than 4 probes lose coverage). If a deployment's s05
+    * profile drifts down at much larger k, nprobe ~ sqrt(k) is the
+    * lever — raise it here and in the oracle's `rn <=` bound together.
+    */
   private val NProbe = 4
   private val KmeansIters = 2
 
