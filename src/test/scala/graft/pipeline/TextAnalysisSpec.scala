@@ -108,6 +108,23 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextAnalysis.leakedGramsSharded(spark, sfDir, 0)
     }
+    // every shard's bloom prune must sit below that shard's per-gram
+    // aggregation — the same plan guarantee the single-sketch test
+    // pins, once per sweep
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    val opt = TextAnalysis.leakedGramsSharded(spark, sfDir, 3)
+      .queryExecution.optimizedPlan
+    val prunes = opt.collect {
+      case f: Filter if f.condition.find(_.isInstanceOf[ScalaUDF]).isDefined => f
+    }
+    // >= 3, not == 3: InferFiltersFromConstraints also copies the
+    // (deterministic) UDF predicate across the g-equality join onto the
+    // test side, so each shard can contribute more than one UDF filter
+    assert(prunes.size >= 3, s"expected a bloom prune per shard, got ${prunes.size}")
+    prunes.foreach(f => assert(
+      f.collectFirst { case a: Aggregate => a }.isEmpty,
+      "a shard's bloom prune must run below its per-gram aggregation"))
   }
 
   test("p11 quantiles: ordered, R-7 interpolation pinned, histogram partials") {
