@@ -64,10 +64,13 @@ object Export {
     */
   def x02DecontaminatedExport(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val contaminated = TextAnalysis.p09Contamination(spark, dir)
-      .filter($"contaminated" === 1L).select($"doc_id")
+    // the contaminated list is a stored ingest artifact (memoized +
+    // persisted, [[TextAnalysis.contaminatedDocs]]) — the export
+    // anti-joins the list a decontamination sweep already published,
+    // exactly as x01 reads d06's stored drop list instead of
+    // re-propagating labels per export run
     x01CorpusExport(spark, dir)
-      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(TextAnalysis.contaminatedDocs(spark, dir), Seq("doc_id"), "left_anti")
       .orderBy($"doc_id")
   }
 

@@ -274,8 +274,35 @@ object TextAnalysis {
   private val gramCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  def invalidateCaches(): Unit =
+  def invalidateCaches(): Unit = {
     gramCache.keys.foreach(k => gramCache.remove(k).foreach(_.unpersist()))
+    contamDocsCache.keys.foreach(k =>
+      contamDocsCache.remove(k).foreach(_.unpersist()))
+  }
+
+  /** The contaminated-doc LIST p09 implies — the test-split doc_ids
+    * sharing a 13-gram with train — memoized + persisted per (session,
+    * dir) under the same ingest-artifact policy as the gram index and
+    * d06's drop list: the decontamination sweep runs once per corpus
+    * snapshot, and every consumer (x02's anti-join, a publish gate)
+    * reads the stored list rather than re-running the gram join.
+    * p09-the-query stays un-memoized: it IS the benchmark of the sweep.
+    * At 100 TB the list is at most the test split's contaminated
+    * fraction — broadcast-sized by construction.
+    */
+  private[graft] def contaminatedDocs(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.Memo.getOrBuild(contamDocsCache, (spark, dir)) {
+      import spark.implicits._
+      val df = p09Contamination(spark, dir)
+        .filter($"contaminated" === 1L).select($"doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize: consumers read the list, not the sweep plan
+      df
+    }
+
+  private val contamDocsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
 
   def p09Contamination(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
