@@ -195,6 +195,18 @@ object TextAnalysis {
     * with map-side partial aggregation, keyed by doc_id, and the text
     * column itself never shuffles (only trigram strings, which the df
     * distribution caps the same way d02's shingle index is capped).
+    *
+    * A zero-shuffle formulation exists (max per-trigram count == the
+    * longest equal-run in the per-row SORTED trigram array) and was
+    * benchmarked in round 9: every HOF variant lost to the shuffle —
+    * struct-accumulator `aggregate` fold 1.35 s, boundary-scan
+    * `filter`+`zip_with` 1.82 s, vs 1.04 s for this explode at sf0.1
+    * — because higher-order-function lambdas evaluate interpreted
+    * per element while the exploded aggregate stays in codegen. On a
+    * network-bound cluster the tradeoff flips (the fold is pure
+    * linear-scaling CPU; this shape shuffles ~the corpus's trigram
+    * mass), so the fold is the documented alternative if shuffle IO
+    * ever dominates this profile.
     */
   def p08RepetitionProfile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
