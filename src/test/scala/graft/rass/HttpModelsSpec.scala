@@ -209,6 +209,26 @@ class HttpModelsSpec extends AnyFunSuite {
     }
   }
 
+  test("an onToken that throws on the terminal [ERROR] delivery does not escape") {
+    // a callback that died once (Failed stream) may well throw again
+    // when the terminal error chunk is pushed through it — the
+    // Generator contract returns in-band errors, so the second throw
+    // must be swallowed, not escape generateStream
+    val sse = Seq(
+      """data: {"choices":[{"delta":{"content":"partial"}}]}""",
+      "data: {not valid json",
+      "").mkString("\n")
+    withServer({ (_, _) => (200, sse) }) { url =>
+      val g = new HttpGenerator(url, "gpt-x")
+      val out = g.generateStream("sys", "ctx", "q") { tok =>
+        if (tok.startsWith("[ERROR]"))
+          throw new IllegalStateException("consumer sink closed")
+      }
+      assert(out.startsWith("partial[ERROR]"),
+        "the answer must still carry the in-band error suffix")
+    }
+  }
+
   test("a stalled SSE body trips the idle watchdog instead of blocking forever") {
     // HttpRequest.timeout only covers the exchange until headers; a
     // server that sends a token then stops WITHOUT closing would hang

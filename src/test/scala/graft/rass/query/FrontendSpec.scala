@@ -471,6 +471,11 @@ class EngineSpec extends SparkSpec {
     val present = java.nio.file.Files.createTempDirectory("perm").toString
     assert(!ParquetChatStore.pathGone(
       new java.nio.file.AccessDeniedException(present)))
+    // a path string the local FS can't even parse (NUL byte) is not
+    // "definitely absent" — Paths.get throws InvalidPathException, and
+    // the guard must classify the error as real, not the rename race
+    assert(!ParquetChatStore.pathGone(
+      new java.nio.file.AccessDeniedException("/tmp/bad\u0000path")))
   }
 
   test("parquet chat history keeps tied exchanges whole and ordered") {
