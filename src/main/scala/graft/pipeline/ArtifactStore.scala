@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared mechanics for durable, fingerprint-guarded parquet artifacts —
+  * the d06 cluster table, the IVF index, and the p09 contaminated-doc
+  * list all follow the same protocol:
+  *
+  *   1. compute a fingerprint of the SOURCE table's file listing plus
+  *      every parameter the artifact depends on — BEFORE the build reads
+  *      any source data, so an artifact trained on one snapshot can
+  *      never be stamped with a later snapshot's listing (the write-side
+  *      TOCTOU: if the source is regenerated mid-build, the stored
+  *      pre-build fingerprint no longer matches the fresh listing and
+  *      every reader invalidates instead of serving the stale build);
+  *   2. stage the parquet + `_fingerprint` fully, then promote
+  *      atomically via the staging/_old swap
+  *      ([[graft.rass.ingest.IngestCommit.swapIn]]) — a reader sees the
+  *      old artifact or the new one, never a half-written directory;
+  *   3. on read, accept `path` or `path_old` (crash recovery: a kill
+  *      between swapIn's renames leaves the previous artifact at
+  *      `_old`; repair is the writer's job) only when the stored
+  *      fingerprint matches the expected one recomputed from the
+  *      current source listing.
+  *
+  * Only the mechanics live here; each artifact keeps its own version
+  * constant and parameter string at the call site, so bumping one
+  * artifact's semantics never invalidates the others.
+  */
+private[graft] object ArtifactStore {
+
+  private type HPath = org.apache.hadoop.fs.Path
+
+  /** Durable home for artifacts derived from a (possibly read-only)
+    * source dir — artifacts cannot live beside the inputs the way the
+    * BM25 stats tables live beside their document table
+    * ([[graft.rass.ingest.IngestCommit.statsFieldsPath]]), because the
+    * benchmark corpora are mounted read-only. One fixed root, one
+    * subdirectory per source dir (keyed by the dir's md5 so unrelated
+    * corpora never collide), overridable for deployments that want the
+    * artifacts on the same filesystem as the warehouse.
+    *
+    * The default root lives under the invoking user's HOME, not a
+    * world-writable tmpdir: the artifact's `_fingerprint` is derived
+    * from world-readable file metadata, so under a shared /tmp root any
+    * local user could pre-plant a forged-but-fingerprint-valid artifact
+    * that would then silently drive the exports (and two users on one
+    * box would collide on the shared root). HOME is owned by — and on
+    * any sane setup writable only by — the user running the pipeline.
+    */
+  def artifactRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS",
+      sys.props.get("user.home").filter(_.trim.nonEmpty)
+        .map(_ + "/.graft-artifacts")
+        .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-artifacts"))
+
+  def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Metadata-only listing (name:length:mtime per file, sorted) of a
+    * source table's directory — a driver-side listStatus, no data scan.
+    * "absent" when the path does not exist, so a fingerprint over a
+    * missing source still compares deterministically.
+    */
+  def sourceListing(spark: SparkSession, path: String): String = {
+    val src = new HPath(path)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(src)) "absent"
+    else fs.listStatus(src).filterNot(_.getPath.getName.startsWith("_"))
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("\n")
+  }
+
+  /** The first of `path`/`path_old` that is published (has a
+    * `_fingerprint`), if its stored fingerprint matches `expected`.
+    * Like the pre-refactor readers, only the first published directory
+    * is consulted: `_old` is crash recovery, not a fallback cache for
+    * a stale primary.
+    */
+  def findValid(spark: SparkSession, path: String,
+      expected: String): Option[String] = {
+    val fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(path, path + "_old")
+      .find(p => fs.exists(new HPath(p + "/_fingerprint")))
+      .filter { p =>
+        val in = fs.open(new HPath(p + "/_fingerprint"))
+        val stored =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        stored == expected
+      }
+  }
+
+  /** One monitor per artifact path (same hazard and same pattern as
+    * [[graft.rass.ingest.IngestCommit]]'s commitLocks): the staging and
+    * `_old` paths are FIXED per artifact, so two concurrent builders of
+    * the same artifact — e.g. a rebuild racing a cold memo miss, which
+    * publishes OUTSIDE the Memo monitor — would interleave their
+    * delete/renames inside swapIn without this lock. Cross-driver
+    * exclusion remains the deployment's contract.
+    */
+  private val locks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  /** Publish an artifact: `write` stages everything under the staging
+    * directory it is handed, then the `_fingerprint` is stamped with
+    * the CALLER-CAPTURED (pre-build) fingerprint and the whole
+    * directory promotes atomically.
+    */
+  def publish(spark: SparkSession, path: String, fingerprint: String)(
+      write: String => Unit): Unit =
+    locks.getOrElseUpdate(path, new Object).synchronized {
+      val fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      write(path + "_staging")
+      val out = fs.create(new HPath(path + "_staging/_fingerprint"), true)
+      try out.write(fingerprint.getBytes("UTF-8"))
+      finally out.close()
+      graft.rass.ingest.IngestCommit.swapIn(fs, path)
+    }
+}

@@ -531,50 +531,32 @@ object Dedup {
 
   private def clusterLabels(spark: SparkSession, dir: String): DataFrame =
     Memo.getOrBuild(clusterCache, (spark, dir)) {
-      readClusterArtifact(spark, dir).getOrElse {
+      // fingerprint captured BEFORE the build reads any source data:
+      // if the documents table is regenerated mid-propagation, the
+      // published artifact carries the pre-build listing and every
+      // reader invalidates it instead of trusting the stale labels
+      val fp = sourceFingerprint(spark, dir)
+      readClusterArtifact(spark, dir, fp).getOrElse {
         val fresh = buildClusterLabels(spark, dir)
-        writeClusterArtifact(spark, dir, fresh)
+        writeClusterArtifact(spark, dir, fp, fresh)
         fresh
       }
     }
 
   private type HPath = org.apache.hadoop.fs.Path
 
-  /** Durable home for artifacts derived from a (possibly read-only)
-    * source dir — the cluster table cannot live beside the inputs the
-    * way the BM25 stats tables live beside their document table
-    * ([[graft.rass.ingest.IngestCommit.statsFieldsPath]]), because the
-    * benchmark corpora are mounted read-only. One fixed root, one
-    * subdirectory per source dir (keyed by the dir's md5 so unrelated
-    * corpora never collide), overridable for deployments that want the
-    * artifacts on the same filesystem as the warehouse.
-    *
-    * The default root lives under the invoking user's HOME, not a
-    * world-writable tmpdir: the artifact's `_fingerprint` is derived
-    * from world-readable file metadata, so under a shared /tmp root any
-    * local user could pre-plant a forged-but-fingerprint-valid cluster
-    * table that would then silently drive x01's drop list (and two
-    * users on one box would collide on the shared root). HOME is owned
-    * by — and on any sane setup writable only by — the user running the
-    * pipeline.
+  /** @see [[ArtifactStore.artifactRoot]] — shared by every durable
+    * artifact (d06 clusters, IVF index, p09 contaminated list).
     */
-  private[graft] def artifactRoot: String =
-    sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS",
-      sys.props.get("user.home").filter(_.trim.nonEmpty)
-        .map(_ + "/.graft-artifacts")
-        .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-artifacts"))
+  private[graft] def artifactRoot: String = ArtifactStore.artifactRoot
 
   /** Bump when the clustering semantics change: a stale artifact from
     * an older build must never satisfy a newer reader.
     */
   private val ClusterArtifactVersion = 1
 
-  private def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
   private[graft] def clusterArtifactPath(dir: String): String =
-    s"$artifactRoot/${md5Hex(dir)}_d06_clusters"
+    s"$artifactRoot/${ArtifactStore.md5Hex(dir)}_d06_clusters"
 
   /** Staleness guard: the artifact is valid only for the exact source
     * files it was built from. The fingerprint hashes the documents
@@ -584,68 +566,33 @@ object Dedup {
     * regenerated test data or changed LSH parameters invalidate the
     * artifact instead of silently serving wrong clusters.
     */
-  private def sourceFingerprint(spark: SparkSession, dir: String): String = {
-    val src = new HPath(dir + "/documents.parquet")
-    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val listing =
-      if (!fs.exists(src)) "absent"
-      else fs.listStatus(src).filterNot(_.getPath.getName.startsWith("_"))
-        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-        .sorted.mkString("\n")
-    md5Hex(s"v$ClusterArtifactVersion|minhash=${NumHashes}x$Bands|$listing")
-  }
+  private def sourceFingerprint(spark: SparkSession, dir: String): String =
+    ArtifactStore.md5Hex(
+      s"v$ClusterArtifactVersion|minhash=${NumHashes}x$Bands|" +
+        ArtifactStore.sourceListing(spark, dir + "/documents.parquet"))
 
   /** Read the published cluster table if one exists for exactly this
-    * source data. Checks `_old` too (read-only crash recovery: a kill
-    * between [[graft.rass.ingest.IngestCommit.swapIn]]'s renames leaves
-    * the previous table there; repair is the writer's job). Returns the
-    * table persisted, as the session's hot handle.
+    * source data ([[ArtifactStore.findValid]] handles the `_old`
+    * crash-recovery probe). Returns the table persisted, as the
+    * session's hot handle.
     */
-  private def readClusterArtifact(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val path = clusterArtifactPath(dir)
-    val fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq(path, path + "_old")
-      .find(p => fs.exists(new HPath(p + "/_fingerprint")))
-      .flatMap { p =>
-        val in = fs.open(new HPath(p + "/_fingerprint"))
-        val stored =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        if (stored != sourceFingerprint(spark, dir)) None
-        else Some(spark.read.parquet(p)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      }
-  }
-
-  /** One monitor per artifact path (same hazard and same pattern as
-    * [[graft.rass.ingest.IngestCommit]]'s commitLocks): the staging and
-    * `_old` paths are FIXED per artifact, so a concurrent d06 rebuild
-    * and a cold [[clusterLabels]] miss — which writes OUTSIDE the Memo
-    * monitor — would interleave their delete/renames inside
-    * [[graft.rass.ingest.IngestCommit.swapIn]] without this lock.
-    * Cross-driver exclusion remains the deployment's contract.
-    */
-  private val artifactLocks =
-    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def readClusterArtifact(spark: SparkSession, dir: String,
+      fingerprint: String): Option[DataFrame] =
+    ArtifactStore.findValid(spark, clusterArtifactPath(dir), fingerprint)
+      .map(p => spark.read.parquet(p)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Publish the converged label table: stage fully (parquet +
-    * fingerprint), then promote atomically via the shared staging/_old
-    * swap — a reader sees the old table or the new one, never a
-    * half-written directory. Single-writer-per-artifact is the same
-    * deployment contract IngestCommit documents for the document table.
+    * fingerprint), then promote atomically — [[ArtifactStore.publish]]
+    * holds the per-path monitor and runs the staging/_old swap.
+    * Single-writer-per-artifact is the same deployment contract
+    * IngestCommit documents for the document table.
     */
   private def writeClusterArtifact(spark: SparkSession, dir: String,
-      labels: DataFrame): Unit = {
-    val path = clusterArtifactPath(dir)
-    artifactLocks.getOrElseUpdate(path, new Object).synchronized {
-      val fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      labels.write.mode("overwrite").parquet(path + "_staging")
-      val out = fs.create(new HPath(path + "_staging/_fingerprint"), true)
-      try out.write(sourceFingerprint(spark, dir).getBytes("UTF-8"))
-      finally out.close()
-      graft.rass.ingest.IngestCommit.swapIn(fs, path)
+      fingerprint: String, labels: DataFrame): Unit =
+    ArtifactStore.publish(spark, clusterArtifactPath(dir), fingerprint) {
+      staging => labels.write.mode("overwrite").parquet(staging)
     }
-  }
 
   /** The drop list d06 implies — every non-canonical cluster member —
     * read from the stored artifact (building it first if cold). This is
@@ -790,8 +737,9 @@ object Dedup {
     */
   def d06NeardupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val fp = sourceFingerprint(spark, dir) // pre-build capture, same as clusterLabels
     val fresh = buildClusterLabels(spark, dir)
-    writeClusterArtifact(spark, dir, fresh)
+    writeClusterArtifact(spark, dir, fp, fresh)
     clusterCache.synchronized {
       clusterCache.put((spark, dir), fresh).foreach(_.unpersist())
     }

@@ -46,7 +46,9 @@ object Similarity {
     * sf0.01/k=22, 0.93 at sf0.1/k=45: more cells cut each cell's
     * radius faster than 4 probes lose coverage). If a deployment's s05
     * profile drifts down at much larger k, nprobe ~ sqrt(k) is the
-    * lever — raise it here and in the oracle's `rn <=` bound together.
+    * lever — raise it HERE, and only here: the oracle SQL interpolates
+    * this same constant into its `rn <=` bound, so one edit updates
+    * both sides and the hash-match survives by construction.
     */
   private val NProbe = 4
   private val KmeansIters = 2
@@ -182,7 +184,13 @@ object Similarity {
   private def ivfIndex(spark: SparkSession, dir: String,
       variant: String, cells: Int = NumCentroids): (DataFrame, DataFrame) =
     Memo.getOrBuild(indexCache, (spark, dir, variant, cells)) {
-      readIndexArtifact(spark, dir, variant, cells).getOrElse {
+      // fingerprint captured BEFORE training reads vectors(): if the
+      // embeddings table is regenerated mid-build, the published index
+      // carries the pre-build listing and readers invalidate it
+      // instead of serving cells trained on the vanished snapshot
+      val fp =
+        if (durableIvf) indexFingerprint(spark, dir, variant, cells) else ""
+      readIndexArtifact(spark, dir, variant, cells, fp).getOrElse {
         import spark.implicits._
         val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         val e = vectors(spark, dir)
@@ -193,7 +201,7 @@ object Similarity {
         }).persist(lvl)
         cents.count() // materialize: consumers read the artifact, not the Lloyd lineage
         val assign = cellAssign(spark, e, cents).persist(lvl)
-        if (durableIvf) writeIndexArtifact(spark, dir, variant, cells, cents, assign)
+        if (durableIvf) writeIndexArtifact(spark, dir, variant, cells, fp, cents, assign)
         (cents, assign)
       }
     }
@@ -206,10 +214,6 @@ object Similarity {
       .orElse(sys.env.get("SPARK_GRAFT_DURABLE_IVF"))
       .exists(v => v == "1" || v.equalsIgnoreCase("true"))
 
-  private def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
   /** Bump when index semantics change: a stale artifact from an older
     * build must never satisfy a newer reader.
     */
@@ -217,7 +221,7 @@ object Similarity {
 
   private[pipeline] def ivfArtifactPath(dir: String, variant: String,
       cells: Int): String =
-    s"${Dedup.artifactRoot}/${md5Hex(dir)}_ivf_${variant}_$cells"
+    s"${ArtifactStore.artifactRoot}/${ArtifactStore.md5Hex(dir)}_ivf_${variant}_$cells"
 
   /** Staleness guard, the d06 pattern applied to the IVF index: the
     * fingerprint hashes the embeddings table's file listing (metadata
@@ -226,67 +230,41 @@ object Similarity {
     * invalidate the artifact instead of silently serving wrong cells.
     */
   private def indexFingerprint(spark: SparkSession, dir: String,
-      variant: String, cells: Int): String = {
-    val src = new org.apache.hadoop.fs.Path(dir + "/embeddings.parquet")
-    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val listing =
-      if (!fs.exists(src)) "absent"
-      else fs.listStatus(src).filterNot(_.getPath.getName.startsWith("_"))
-        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-        .sorted.mkString("\n")
-    md5Hex(s"v$IvfArtifactVersion|ivf=$variant|k=$cells|iters=$KmeansIters|" +
-      s"q=$Quant|$listing")
-  }
+      variant: String, cells: Int): String =
+    ArtifactStore.md5Hex(
+      s"v$IvfArtifactVersion|ivf=$variant|k=$cells|iters=$KmeansIters|" +
+        s"q=$Quant|" +
+        ArtifactStore.sourceListing(spark, dir + "/embeddings.parquet"))
 
   /** Read the published (centroids, assign) pair if one exists for
-    * exactly this source data and parameters; `_old` covers crash
-    * recovery like the d06 reader. Only consulted when [[durableIvf]]
-    * is on.
+    * exactly this source data and parameters
+    * ([[ArtifactStore.findValid]] handles the `_old` crash-recovery
+    * probe). Only consulted when [[durableIvf]] is on.
     */
   private def readIndexArtifact(spark: SparkSession, dir: String,
-      variant: String, cells: Int): Option[(DataFrame, DataFrame)] = {
+      variant: String, cells: Int,
+      fingerprint: String): Option[(DataFrame, DataFrame)] = {
     if (!durableIvf) return None
-    val path = ivfArtifactPath(dir, variant, cells)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    Seq(path, path + "_old")
-      .find(p => fs.exists(new org.apache.hadoop.fs.Path(p + "/_fingerprint")))
-      .flatMap { p =>
-        val in = fs.open(new org.apache.hadoop.fs.Path(p + "/_fingerprint"))
-        val stored =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        if (stored != indexFingerprint(spark, dir, variant, cells)) None
-        else Some((spark.read.parquet(p + "/centroids").persist(lvl),
-          spark.read.parquet(p + "/assign").persist(lvl)))
-      }
+    ArtifactStore.findValid(spark, ivfArtifactPath(dir, variant, cells),
+        fingerprint)
+      .map(p => (spark.read.parquet(p + "/centroids").persist(lvl),
+        spark.read.parquet(p + "/assign").persist(lvl)))
   }
-
-  private val artifactLocks =
-    scala.collection.concurrent.TrieMap.empty[String, Object]
 
   /** Publish the trained index: stage both tables + fingerprint fully,
-    * then promote atomically via the shared staging/_old swap
-    * ([[graft.rass.ingest.IngestCommit.swapIn]]) — a reader sees the
-    * old index or the new one, never a half-written directory.
+    * then promote atomically — [[ArtifactStore.publish]] holds the
+    * per-path monitor and runs the staging/_old swap; a reader sees
+    * the old index or the new one, never a half-written directory.
     */
   private def writeIndexArtifact(spark: SparkSession, dir: String,
-      variant: String, cells: Int, cents: DataFrame,
-      assign: DataFrame): Unit = {
-    val path = ivfArtifactPath(dir, variant, cells)
-    artifactLocks.getOrElseUpdate(path, new Object).synchronized {
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      cents.write.mode("overwrite").parquet(path + "_staging/centroids")
-      assign.write.mode("overwrite").parquet(path + "_staging/assign")
-      val out = fs.create(
-        new org.apache.hadoop.fs.Path(path + "_staging/_fingerprint"), true)
-      try out.write(indexFingerprint(spark, dir, variant, cells).getBytes("UTF-8"))
-      finally out.close()
-      graft.rass.ingest.IngestCommit.swapIn(fs, path)
+      variant: String, cells: Int, fingerprint: String, cents: DataFrame,
+      assign: DataFrame): Unit =
+    ArtifactStore.publish(spark, ivfArtifactPath(dir, variant, cells),
+        fingerprint) { staging =>
+      cents.write.mode("overwrite").parquet(staging + "/centroids")
+      assign.write.mode("overwrite").parquet(staging + "/assign")
     }
-  }
 
   /** Test seam: the trained corpus-sized index exactly as s04/s06
     * consume it — lets a spec inspect provenance (inputFiles) without

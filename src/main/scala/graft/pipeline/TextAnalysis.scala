@@ -293,28 +293,70 @@ object TextAnalysis {
   }
 
   /** The contaminated-doc LIST p09 implies — the test-split doc_ids
-    * sharing a 13-gram with train — memoized + persisted per (session,
-    * dir) under the same ingest-artifact policy as the gram index and
-    * d06's drop list: the decontamination sweep runs once per corpus
-    * snapshot, and every consumer (x02's anti-join, a publish gate)
-    * reads the stored list rather than re-running the gram join.
+    * sharing a 13-gram with train — a DURABLE ingest artifact under
+    * exactly the policy of d06's cluster table: the decontamination
+    * sweep runs once per corpus snapshot, publishes the list as
+    * fingerprint-guarded parquet, and every consumer (x02's anti-join,
+    * a publish gate) — including a COLD session — reads the stored
+    * list rather than re-running the gram-index build + sweep.
     * p09-the-query stays un-memoized: it IS the benchmark of the sweep.
     * At 100 TB the list is at most the test split's contaminated
-    * fraction — broadcast-sized by construction.
+    * fraction — broadcast-sized by construction — so durability costs
+    * a few MB of parquet and saves a full-corpus gram join per export
+    * session. The TrieMap below is only the session's hot handle to
+    * the on-disk list; a miss falls back to the parquet artifact
+    * before it ever falls back to a re-sweep.
     */
   private[graft] def contaminatedDocs(spark: SparkSession,
       dir: String): DataFrame =
     graft.Memo.getOrBuild(contamDocsCache, (spark, dir)) {
       import spark.implicits._
-      val df = p09Contamination(spark, dir)
-        .filter($"contaminated" === 1L).select($"doc_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count() // materialize: consumers read the list, not the sweep plan
-      df
+      // fingerprint captured BEFORE the sweep reads any source data:
+      // a corpus regenerated mid-sweep invalidates the published list
+      // instead of being silently stamped with the fresh listing
+      val fp = contamFingerprint(spark, dir)
+      readContamArtifact(spark, dir, fp).getOrElse {
+        val df = p09Contamination(spark, dir)
+          .filter($"contaminated" === 1L).select($"doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count() // materialize: consumers read the list, not the sweep plan
+        writeContamArtifact(spark, dir, fp, df)
+        df
+      }
     }
 
   private val contamDocsCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
+
+  /** Bump when the sweep semantics change (gram definition, split
+    * thresholds): a stale artifact from an older build must never
+    * satisfy a newer reader.
+    */
+  private val ContamArtifactVersion = 1
+
+  private[graft] def contamArtifactPath(dir: String): String =
+    s"${ArtifactStore.artifactRoot}/${ArtifactStore.md5Hex(dir)}_p09_contam"
+
+  /** Staleness guard: the documents table's file listing (metadata
+    * only) plus every parameter the sweep depends on — the gram width
+    * and both split thresholds.
+    */
+  private def contamFingerprint(spark: SparkSession, dir: String): String =
+    ArtifactStore.md5Hex(
+      s"v$ContamArtifactVersion|n=$ContamN|train=$TrainMax|val=$ValMax|" +
+        ArtifactStore.sourceListing(spark, dir + "/documents.parquet"))
+
+  private def readContamArtifact(spark: SparkSession, dir: String,
+      fingerprint: String): Option[DataFrame] =
+    ArtifactStore.findValid(spark, contamArtifactPath(dir), fingerprint)
+      .map(p => spark.read.parquet(p)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def writeContamArtifact(spark: SparkSession, dir: String,
+      fingerprint: String, docs: DataFrame): Unit =
+    ArtifactStore.publish(spark, contamArtifactPath(dir), fingerprint) {
+      staging => docs.write.mode("overwrite").parquet(staging)
+    }
 
   def p09Contamination(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -239,4 +239,60 @@ class TextAnalysisSpec extends SparkSpec {
     // same assignment on a second run — the split is a pure hash of doc_id
     assert(profile() == p)
   }
+
+  test("durable contaminated-doc artifact: a cold session reads the list from disk") {
+    import org.apache.hadoop.fs.Path
+    val path = TextAnalysis.contamArtifactPath(sfDir)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def wipe(): Unit =
+      Seq(path, path + "_old", path + "_staging")
+        .foreach(p => fs.delete(new Path(p), true))
+    // provenance via the analyzed plan's scan roots (Dataset.inputFiles
+    // returns empty for persisted frames in Spark 4.1, so it can't be
+    // the witness here)
+    def scanRoots(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+    try {
+      wipe()
+      TextAnalysis.invalidateCaches()
+      // warm sweep publishes the list as a side effect
+      val warm = TextAnalysis.contaminatedDocs(spark, sfDir)
+        .collect().map(_.getLong(0)).toSet
+      assert(fs.exists(new Path(path + "/_fingerprint")),
+        "the sweep must publish the list (parquet + fingerprint)")
+      // cold session (memo cleared): the list must come from the
+      // artifact — no gram-index rebuild, no documents scan
+      TextAnalysis.invalidateCaches()
+      val cold = TextAnalysis.contaminatedDocs(spark, sfDir)
+      val roots = scanRoots(cold)
+      assert(roots.nonEmpty && roots.forall(_.contains("_p09_contam")),
+        s"cold list not served from the artifact: ${roots.take(2).mkString(",")}")
+      assert(cold.collect().map(_.getLong(0)).toSet == warm,
+        "artifact-served list must equal the fresh sweep")
+      // the export consuming the artifact-served list is unchanged
+      val x02 = graft.pipeline.Export.x02DecontaminatedExport(spark, sfDir)
+        .collect().map(_.getAs[Long]("doc_id")).toSeq
+      TextAnalysis.invalidateCaches()
+      // a stale fingerprint (foreign/outdated artifact) forces a re-sweep
+      val out = fs.create(new Path(path + "/_fingerprint"), true)
+      try out.write("stale".getBytes("UTF-8")) finally out.close()
+      val rebuilt = TextAnalysis.contaminatedDocs(spark, sfDir)
+      assert(scanRoots(rebuilt).exists(_.contains("documents.parquet")),
+        "a stale fingerprint must trigger a re-sweep from the source table")
+      assert(rebuilt.collect().map(_.getLong(0)).toSet == warm)
+      assert(graft.pipeline.Export.x02DecontaminatedExport(spark, sfDir)
+        .collect().map(_.getAs[Long]("doc_id")).toSeq == x02,
+        "x02 must be identical whether the list is swept or read from disk")
+    } finally {
+      wipe()
+      TextAnalysis.invalidateCaches()
+    }
+  }
 }
