@@ -141,7 +141,8 @@ object Bm25 {
     // per-row fuzzy path got this for free via reduceOption
     if (terms.isEmpty) Map.empty
     else graft.Memo.getOrBuild(acceptCache,
-      (termStats.sparkSession, termStats.queryExecution.analyzed.canonicalized,
+      (termStats.sparkSession, fieldStats.queryExecution.analyzed.canonicalized,
+        termStats.queryExecution.analyzed.canonicalized,
         fields.toList, terms.toList)) {
       val covered = fieldStats.select(col("field")).distinct()
         .collect().map(_.getString(0)).toSet
@@ -154,16 +155,22 @@ object Bm25 {
       buildFuzzyAcceptSets(termStats, fields, terms)
     }
 
-  /** Accept-set lookups memoized per (session, termStats plan, fields,
-    * terms): a repeated query re-uses the collected sets instead of
-    * re-running the vocabulary job — the same keying discipline as
-    * [[graft.rass.RassEngine]]'s builtStatsCache (canonicalized plans
-    * compare structurally, so two corpora never share an entry).
-    * Entries are dropped by [[invalidateAcceptCache]] alongside the
-    * stats tables they derive from.
+  /** Accept-set lookups memoized per (session, fieldStats plan,
+    * termStats plan, fields, terms): a repeated query re-uses the
+    * collected sets instead of re-running the vocabulary job — the
+    * same keying discipline as [[graft.rass.RassEngine]]'s
+    * builtStatsCache (canonicalized plans compare structurally, so two
+    * corpora never share an entry). fieldStats is part of the key even
+    * though only the coverage VALIDATION reads it: keyed on termStats
+    * alone, a later call with the same vocabulary but a different,
+    * non-covering fieldStats would hit the cache and silently skip the
+    * coverage check that call was owed. Entries are dropped by
+    * [[invalidateAcceptCache]] alongside the stats tables they derive
+    * from.
     */
   private val acceptCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       List[String], List[String]), Map[(String, String), Seq[String]]]
 

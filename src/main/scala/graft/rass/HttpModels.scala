@@ -287,9 +287,15 @@ final class HttpGenerator(endpoint: String, model: String,
       // throw here must not escape generateStream (the Generator
       // contract returns in-band errors, it doesn't propagate
       // callback exceptions).
+      // ...but a cancellation signaled THROUGH the callback must not be
+      // lost: re-assert the interrupt flag before swallowing, matching
+      // HttpJson.post's discipline, so the caller still observes it
       val deliver: String => Unit =
         if (abandoned.get()) _ => ()
-        else s => try onToken(s) catch { case _: Exception => () }
+        else s => try onToken(s) catch {
+          case _: InterruptedException => Thread.currentThread().interrupt()
+          case _: Exception => ()
+        }
       state.get() match {
         case Stalled =>
           val err = s"[ERROR] stream stalled: no data for ${stalledAfter.get()}s"
@@ -316,7 +322,10 @@ final class HttpGenerator(endpoint: String, model: String,
       case e: Exception =>
         val err = s"[ERROR] ${e.getMessage}"
         sb.synchronized { sb.append(err) }
-        try onToken(err) catch { case _: Exception => () }
+        try onToken(err) catch {
+          case _: InterruptedException => Thread.currentThread().interrupt()
+          case _: Exception => ()
+        }
     }
     sb.synchronized { sb.result() }.trim
   }

@@ -113,6 +113,24 @@ class CorpusStatsSpec extends SparkSpec {
     assert(emptyAccept(("note", "metformin")) == Nil)
   }
 
+  test("coverage validation is not skipped by a memo hit keyed on another fieldStats") {
+    import spark.implicits._
+    val docs = Seq((1L, "metformin daily", "headache")).toDF("doc_id", "note", "symptom")
+    val (fieldStats, termStats) = CorpusStats.build(docs, Seq("note", "symptom"))
+    // covering call populates the accept cache for (termStats, fields, terms)
+    Bm25.fuzzyAcceptSets(fieldStats, termStats, Seq("note", "symptom"),
+      Seq("metformin"))
+    // same termStats/fields/terms but a NON-covering fieldStats: keyed
+    // on termStats alone this would hit the cache and silently skip the
+    // validation — it must throw exactly like a cold call would
+    val noteOnly = fieldStats.filter($"field" === "note")
+    val e = intercept[IllegalArgumentException] {
+      Bm25.fuzzyAcceptSets(noteOnly, termStats, Seq("note", "symptom"),
+        Seq("metformin"))
+    }
+    assert(e.getMessage.contains("symptom"))
+  }
+
   test("stats merge additively across ingest batches") {
     import org.apache.spark.sql.functions._
     val corpus = Corpus.corpus(spark, sfDir)

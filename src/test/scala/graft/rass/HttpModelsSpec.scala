@@ -229,6 +229,27 @@ class HttpModelsSpec extends AnyFunSuite {
     }
   }
 
+  test("an InterruptedException from the terminal delivery re-asserts the flag") {
+    // a cancellation signaled THROUGH the sink on the terminal [ERROR]
+    // push is still a cancellation: the delivery wrapper swallows the
+    // throw (the error text is already in the returned answer) but must
+    // restore the thread's interrupt status, not silently discard it
+    val sse = Seq(
+      """data: {"choices":[{"delta":{"content":"partial"}}]}""",
+      "data: {not valid json",
+      "").mkString("\n")
+    withServer({ (_, _) => (200, sse) }) { url =>
+      val g = new HttpGenerator(url, "gpt-x")
+      val out = g.generateStream("sys", "ctx", "q") { tok =>
+        if (tok.startsWith("[ERROR]")) throw new InterruptedException("cancelled")
+      }
+      // reads AND clears the status so later tests see a clean thread
+      assert(Thread.interrupted(),
+        "interrupt signaled via the sink must survive the swallow")
+      assert(out.startsWith("partial[ERROR]"))
+    }
+  }
+
   test("a stalled SSE body trips the idle watchdog instead of blocking forever") {
     // HttpRequest.timeout only covers the exchange until headers; a
     // server that sends a token then stops WITHOUT closing would hang
