@@ -128,16 +128,37 @@ object Bench {
     // the cross-round comparison basis (BASELINE.md §E) — must sit at
     // the END of the line, after the max map it would otherwise lose
     // out to. JSON consumers are order-insensitive; the tail is not.
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","passes":2,"queries_max":$qsMax,"total_max_sec":${r4(totalMax)},"warm_queries":$warm,"sf":"$sfDir","total_sec":${r4(total)},"queries":$qs}""")
+    val fullLine = s"""{"metric":"total","value":${r4(total)},"unit":"sec","passes":2,"queries_max":$qsMax,"total_max_sec":${r4(totalMax)},"warm_queries":$warm,"sf":"$sfDir","total_sec":${r4(total)},"queries":$qs}"""
+    println(fullLine)
+    // the full-resolution record also lands in a local file: the
+    // driver archives only a bounded stdout TAIL, so the long line
+    // above is the first casualty as the suite grows — the file keeps
+    // full names + 0.1 ms resolution reviewable regardless of suite
+    // size
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_detail.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] detail file write failed: ${e.getMessage}")
+    }
     // and a compact min-only record as the FINAL line: the archival
     // tail is bounded, and the suite keeps growing — this line alone
     // carries everything cross-round comparison needs (total + per-
     // query mins), so it survives even when the full line above no
-    // longer fits the tail (VERDICT r7 asked for exactly this shape)
-    // 3-decimal (1 ms) resolution here: coarser than the full line's
-    // 0.1 ms but far below noise, and it buys ~1 char per query of
-    // tail budget for the growing suite
-    println(s"""{"metric":"total_min","value":${r4(total)},"unit":"sec","sf":"$sfDir","queries_min":${jsonMap(results, 1000)}}""")
+    // longer fits the tail (VERDICT r7 asked for exactly this shape).
+    // Keys are the unique suite short ids (the token before the first
+    // '_': d01, s03, x02 — names are ~17.5 chars on average, the ids 3,
+    // and the id IS the cross-round identity), values 3-decimal (1 ms,
+    // far below noise): 65 queries fit in ~0.9 kB and a projected
+    // 80-query suite in ~1.1 kB, inside the 2000-char tail with room
+    // to spare (VERDICT r9 asked for exactly this headroom)
+    val shortId = {
+      val ids = results.map { case (n, _) => n -> n.takeWhile(_ != '_') }
+      val dup = ids.groupBy(_._2).collect { case (s, g) if g.size > 1 => s }.toSet
+      ids.map { case (n, s) => n -> (if (dup(s)) n else s) }.toMap
+    }
+    val qsMin = jsonMap(results.map { case (n, v) => shortId(n) -> v }, 1000)
+    println(s"""{"metric":"total_min","value":${r4(total)},"unit":"sec","sf":"$sfDir","queries_min":$qsMin}""")
     spark.stop()
   }
 }
