@@ -109,19 +109,28 @@ object TextAnalysis {
     * synthetic corpus (English word salad under every label) it
     * deterministically predicts `en`, which the matrix makes visible.
     */
+  /** The langid prediction itself, over any text column — first match
+    * wins: CJK charset, then Spanish / German / French / English
+    * function-word markers, else `unknown`. Exposed as a seam so the
+    * non-`en` branches get positive fixture coverage (the synthetic
+    * oracle corpus is English word salad and only ever exercises the
+    * `en` arm — TextAnalysisSpec plants marker docs for the rest).
+    */
+  private[graft] def langIdPred(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    def hasWord(w: String): Column = instr(padded, s" $w ") > 0
+    when(text.rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+      .when(hasWord("el") || hasWord("que") || hasWord("una"), "es")
+      .when(hasWord("der") || hasWord("und") || hasWord("nicht"), "de")
+      .when(hasWord("le") || hasWord("les") || hasWord("est"), "fr")
+      .when(hasWord("the") || hasWord("is") || hasWord("and"), "en")
+      .otherwise("unknown")
+  }
+
   def p04LangIdConfusion(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val padded = concat(lit(" "), $"text", lit(" "))
-    def hasWord(w: String): Column = instr(padded, s" $w ") > 0
-    val pred =
-      when($"text".rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
-        .when(hasWord("el") || hasWord("que") || hasWord("una"), "es")
-        .when(hasWord("der") || hasWord("und") || hasWord("nicht"), "de")
-        .when(hasWord("le") || hasWord("les") || hasWord("est"), "fr")
-        .when(hasWord("the") || hasWord("is") || hasWord("and"), "en")
-        .otherwise("unknown")
     Tables.documents(spark, dir)
-      .select($"lang", pred.as("pred_lang"))
+      .select($"lang", langIdPred($"text").as("pred_lang"))
       .groupBy($"lang", $"pred_lang")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy($"lang", $"pred_lang")

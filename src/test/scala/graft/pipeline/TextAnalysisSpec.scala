@@ -240,6 +240,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(profile() == p)
   }
 
+  test("langid heuristic: every branch fires on a marker-bearing fixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the oracle corpus is English word salad, so the zh/es/de/fr/
+    // unknown arms never fire in any gate — plant one doc per branch,
+    // plus precedence probes (first match wins: zh > es > de > fr > en)
+    val fixtures = Seq(
+      ("你好 world greetings", "zh"),            // CJK charset beats any marker
+      ("el gato come pescado", "es"),            // " el "
+      ("una cosa más", "es"),                    // " una "
+      ("der zug kommt nicht", "de"),             // " der "
+      ("le chat dort", "fr"),                    // " le "
+      ("c'est ici que der zug", "es"),           // es marker outranks de
+      ("der hund est là", "de"),                 // de marker outranks fr
+      ("le monde is big", "fr"),                 // fr marker outranks en
+      ("the cat is here and there", "en"),
+      ("zzz qqq www", "unknown"))
+    val got = fixtures.map(_._1).toDF("text")
+      .select(col("text"), TextAnalysis.langIdPred(col("text")).as("pred"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    fixtures.foreach { case (text, want) =>
+      assert(got(text) == want, s"'$text' predicted ${got(text)}, want $want")
+    }
+  }
+
   test("durable contaminated-doc artifact: a cold session reads the list from disk") {
     import org.apache.hadoop.fs.Path
     val path = TextAnalysis.contamArtifactPath(sfDir)
