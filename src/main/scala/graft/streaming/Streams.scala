@@ -26,6 +26,22 @@ import graft.rass.ingest.{FhirBundleParser, IngestCommit}
   */
 object Streams {
 
+  /** The streaming/batch twin registry: every streaming operator here
+    * whose semantics are EXACTLY a batch operator's, mapped to that
+    * batch twin. StreamsSpec's table-driven equivalence test enumerates
+    * THIS map — registering a new twin without adding its equivalence
+    * runner (or vice versa) fails the suite, so the stream==batch proof
+    * can never silently lapse for a new operator. [[AutoIngest]] is
+    * deliberately absent: it is an ingest pipeline with its own
+    * idempotence/stats specs, not a pure twin of one batch operator.
+    */
+  val twinRegistry: Map[String, String] = Map(
+    "windowed_counts" -> "tumbling 15-min groupBy over events (q11's shape)",
+    "sessionize" -> "relational.StarQueries.q13Sessionize (lag-based batch sessionizer)",
+    "stream_stream_join" -> "30-minute user_id range self-join over events",
+    "dedup" -> "exact distinct-by-event_id over the replayed stream",
+    "contamination_guard" -> "p10 leaked-gram sweep (shared TextAnalysis.gramHashes)")
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 

@@ -10,7 +10,14 @@ class StreamsSpec extends SparkSpec {
 
   import Streams._
 
-  test("windowed stream counts match the batch tumbling aggregation") {
+  // ------------------------------------------------------- twin runners
+  // One runner per twinRegistry entry, each asserting stream == batch
+  // (plus the twin's own semantics probes: replay for dedup, batch
+  // splits for the stateless guard). The single table-driven test below
+  // enumerates the REGISTRY, so a new twin cannot register without an
+  // equivalence proof and a runner cannot outlive a deregistered twin.
+
+  private def windowedCountsTwin(): Unit = {
     import spark.implicits._
     implicit val sc = spark.sqlContext
     val events = graft.Tables.events(spark, sfDir)
@@ -37,7 +44,7 @@ class StreamsSpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("stateful sessionization matches the batch lag-based sessionizer") {
+  private def sessionizeTwin(): Unit = {
     import spark.implicits._
     implicit val sc = spark.sqlContext
     val events = graft.Tables.events(spark, sfDir)
@@ -62,7 +69,7 @@ class StreamsSpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("watermarked stream-stream join matches the batch range join") {
+  private def streamStreamJoinTwin(): Unit = {
     import spark.implicits._
     implicit val sc = spark.sqlContext
     val events = graft.Tables.events(spark, sfDir)
@@ -86,7 +93,7 @@ class StreamsSpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("streaming dedup drops replayed events, keeping each id once") {
+  private def dedupTwin(): Unit = {
     import spark.implicits._
     implicit val sc = spark.sqlContext
     val events = graft.Tables.events(spark, sfDir)
@@ -108,7 +115,7 @@ class StreamsSpec extends SparkSpec {
     assert(got.toSet == events.map(_.event_id).toSet)
   }
 
-  test("streaming contamination guard matches the batch leaked-gram sweep") {
+  private def contaminationGuardTwin(): Unit = {
     import spark.implicits._
     implicit val sc = spark.sqlContext
     // static train index + arriving docs, derived from the fixture
@@ -152,6 +159,28 @@ class StreamsSpec extends SparkSpec {
     assert(got == want, "stream leaks diverge from the batch sweep")
     assert(want.nonEmpty,
       "fixture must contain at least one train/test leak to make this real")
+  }
+
+  private val twinRunners: Map[String, () => Unit] = Map(
+    "windowed_counts" -> (windowedCountsTwin _),
+    "sessionize" -> (sessionizeTwin _),
+    "stream_stream_join" -> (streamStreamJoinTwin _),
+    "dedup" -> (dedupTwin _),
+    "contamination_guard" -> (contaminationGuardTwin _))
+
+  test("twin registry: every registered streaming twin proves batch equivalence") {
+    // the registry is PRODUCTION code (Streams.twinRegistry); this
+    // equality makes it impossible to register a twin without an
+    // equivalence runner, or to keep a runner for a twin that no
+    // longer exists
+    assert(twinRunners.keySet == Streams.twinRegistry.keySet,
+      s"registry/runner drift: runners for ${twinRunners.keySet}, " +
+        s"registered ${Streams.twinRegistry.keySet}")
+    Streams.twinRegistry.keys.toSeq.sorted.foreach { name =>
+      withClue(s"twin '$name' (${Streams.twinRegistry(name)}): ") {
+        twinRunners(name)()
+      }
+    }
   }
 
   test("auto-ingest picks up bundle files and upserts idempotently") {
