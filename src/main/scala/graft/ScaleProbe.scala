@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale probe (BASELINE §H): measures the superlinear-risk
+  * queries at sf0.1 and at an R-times replica of it, so the 100 TB
+  * scaling story is MEASURED, not only design-argued. Not part of the
+  * driver bench contract — run by hand:
+  *
+  *   SPARK_GRAFT_ARTIFACTS=/tmp/graft_scale/artifacts \
+  *     sbt "runMain graft.ScaleProbe [reps]"
+  *
+  * The replica corpus is deterministic and structure-preserving:
+  *   - documents: replica k offsets doc_id by k*ceil(maxId+1) and
+  *     suffixes every token with "~k" (k>0), so each replica carries
+  *     EXACTLY the original's shingle/gram overlap structure (the same
+  *     transformation applied to both sides of a near-dup pair
+  *     preserves their token overlap) while sharing NO vocabulary with
+  *     other replicas — dup volume, vocabulary, and train/test gram
+  *     leakage all scale by R with no cross-replica artifacts.
+  *     doc_id-derived split buckets stay ~90/5/5 (md5 of new ids is
+  *     still uniform).
+  *   - embeddings: replica k offsets vec_id and circularly shifts the
+  *     vector by k dims — norms, pairwise-distance distribution, and
+  *     isotropy are preserved, so IVF cell geometry scales honestly.
+  *
+  * Expected exponents (the probe's pass criteria, BASELINE §H):
+  *   - d02: bounded by cap x df on the sharded shingle index — ~linear
+  *   - d04: banded SimHash, pigeonhole buckets — ~linear
+  *   - d06: rounds x dup-volume label propagation — ~linear (diameter
+  *     unchanged by replication)
+  *   - s03: IVF knn-join, k = sqrt(n) cells, candidates (nprobe/k)n^2
+  *     — ~n^1.5
+  *   - p09/p10: gram-hash join, test-split-bounded — ~linear
+  */
+object ScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val reps = args.headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = s"/tmp/graft_scale/x$reps"
+
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/_built"))) {
+      println(s"[probe] building ${reps}x replica of $base at $out")
+      val docs = Tables.documents(spark, base)
+      val maxDoc = docs.agg(max($"doc_id")).head().getLong(0) + 1
+      val ks = spark.range(reps).toDF("k")
+      docs.crossJoin(broadcast(ks))
+        .select(
+          ($"doc_id" + $"k" * maxDoc).as("doc_id"),
+          when($"k" === 0, $"text").otherwise(
+            array_join(transform(split(trim($"text"), "\\s+"),
+              t => concat(t, lit("~"), $"k")), " ")).as("text"),
+          $"lang", $"source")
+        .withColumn("n_chars", length($"text"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      val emb = Tables.embeddings(spark, base)
+      val maxVec = emb.agg(max($"vec_id")).head().getLong(0) + 1
+      val dim = emb.select(size($"embedding")).head().getInt(0)
+      emb.crossJoin(broadcast(ks))
+        .select(
+          ($"vec_id" + $"k" * maxVec).as("vec_id"),
+          concat(
+            slice($"embedding", ($"k" % dim) + 1, lit(dim) - ($"k" % dim)),
+            slice($"embedding", lit(1), $"k" % dim)).as("embedding"),
+          $"label")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      fs.create(new org.apache.hadoop.fs.Path(s"$out/_built"), true).close()
+    }
+
+    def invalidateAll(): Unit = {
+      graft.pipeline.Dedup.invalidateCaches()
+      graft.pipeline.Similarity.invalidateCaches()
+      graft.pipeline.TextAnalysis.invalidateCaches()
+      graft.pipeline.Export.invalidateCaches()
+      System.gc()
+    }
+
+    // the superlinear-risk set, bench protocol (noop sink, memoized
+    // ingest artifacts warm WITHIN a dir like the bench's d-group)
+    val targets: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "d02" -> SparkEntry.queries("d02_ngram_jaccard_pairs"),
+      "d04" -> SparkEntry.queries("d04_simhash_pairs"),
+      "d06" -> SparkEntry.queries("d06_neardup_clusters"),
+      "s03" -> SparkEntry.queries("s03_knn_join"),
+      "p09" -> SparkEntry.queries("p09_contamination"),
+      "p10x4" -> ((s: SparkSession, d: String) =>
+        graft.pipeline.TextAnalysis.leakedGramsSharded(s, d, 4)))
+
+    def once(f: (SparkSession, String) => DataFrame, dir: String): Double = {
+      val t0 = System.nanoTime()
+      f(spark, dir).write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val rows = for (dir <- Seq(base, out)) yield {
+      invalidateAll()
+      // warm FS metadata + page cache so dir order doesn't bias pass 1
+      Tables.documents(spark, dir).write.mode("overwrite").format("noop").save()
+      Tables.embeddings(spark, dir).write.mode("overwrite").format("noop").save()
+      dir -> targets.map { case (name, f) =>
+        val t1 = once(f, dir)
+        val t2 = once(f, dir)
+        println(f"[probe] $dir $name cold=$t1%.2f warm=${math.min(t1, t2)}%.2f")
+        (name, t1, math.min(t1, t2))
+      }
+    }
+    val Seq((_, b), (_, s)) = rows
+    println("SCALE name base_cold base_warm x_cold x_warm ratio_cold ratio_warm")
+    b.zip(s).foreach { case ((n, bc, bw), (_, sc, sw)) =>
+      println(f"SCALE $n $bc%.2f $bw%.2f $sc%.2f $sw%.2f ${sc / bc}%.2f ${sw / bw}%.2f")
+    }
+    spark.stop()
+  }
+}
