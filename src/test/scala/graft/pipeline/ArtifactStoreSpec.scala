@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSpec
+
+/** Direct contract tests for the shared artifact mechanics — the
+  * consumer specs (d06, IVF, p09 contamination) prove their artifacts
+  * round-trip; this spec pins the store-level semantics they all rely
+  * on, in particular the `_old` crash-recovery probe that none of the
+  * consumer paths exercises unless a publish actually dies mid-swap.
+  */
+class ArtifactStoreSpec extends SparkSpec {
+
+  private def fs =
+    new Path(ArtifactStore.artifactRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def freshPath(tag: String): String =
+    s"${ArtifactStore.artifactRoot}/spec_${tag}_${System.nanoTime()}"
+
+  private def wipe(path: String): Unit =
+    Seq(path, path + "_old", path + "_staging")
+      .foreach(p => fs.delete(new Path(p), true))
+
+  private def publishOne(path: String, fp: String, payload: Long): Unit = {
+    import spark.implicits._
+    ArtifactStore.publish(spark, path, fp) { staging =>
+      Seq(payload).toDF("v").write.mode("overwrite").parquet(staging)
+    }
+  }
+
+  private def readV(dir: String): Long =
+    spark.read.parquet(dir).collect().head.getLong(0)
+
+  test("publish/findValid round-trip; wrong fingerprint rejects") {
+    val path = freshPath("roundtrip")
+    try {
+      assert(ArtifactStore.findValid(spark, path, "fp1").isEmpty,
+        "nothing published yet")
+      publishOne(path, "fp1", 41L)
+      assert(ArtifactStore.findValid(spark, path, "fp1").contains(path))
+      assert(readV(path) == 41L)
+      assert(ArtifactStore.findValid(spark, path, "fp2").isEmpty,
+        "a fingerprint mismatch must reject, not serve stale data")
+    } finally wipe(path)
+  }
+
+  test("republish replaces the primary cleanly; no stale fallback survives") {
+    val path = freshPath("swap")
+    try {
+      publishOne(path, "fp1", 1L)
+      publishOne(path, "fp2", 2L)
+      assert(ArtifactStore.findValid(spark, path, "fp2").contains(path))
+      assert(readV(path) == 2L)
+      // swapIn retires the displaced artifact THROUGH _old and then
+      // deletes it — after a clean republish the old table is gone, so
+      // a reader expecting fp1 gets nothing rather than stale data
+      assert(!fs.exists(new Path(path + "_old")),
+        "_old must not outlive a successful swap")
+      assert(!fs.exists(new Path(path + "_staging")),
+        "staging must not outlive a successful swap")
+      assert(ArtifactStore.findValid(spark, path, "fp1").isEmpty)
+    } finally wipe(path)
+  }
+
+  test("a crash that loses the primary leaves _old readable (recovery probe)") {
+    val path = freshPath("crash")
+    try {
+      publishOne(path, "fp1", 7L)
+      // simulate a kill between swapIn's renames: the new primary never
+      // landed, the previous table sits at _old
+      assert(fs.rename(new Path(path), new Path(path + "_old")))
+      assert(ArtifactStore.findValid(spark, path, "fp1").contains(path + "_old"),
+        "the reader must recover the displaced artifact from _old")
+      assert(readV(path + "_old") == 7L)
+      // and a stale _old is still rejected by its fingerprint
+      assert(ArtifactStore.findValid(spark, path, "fp-other").isEmpty)
+    } finally wipe(path)
+  }
+
+  test("sourceListing is metadata-deterministic and absence-safe") {
+    val missing = ArtifactStore.sourceListing(spark,
+      s"${ArtifactStore.artifactRoot}/never_written_${System.nanoTime()}")
+    assert(missing == "absent")
+    val a = ArtifactStore.sourceListing(spark, sfDir + "/documents.parquet")
+    val b = ArtifactStore.sourceListing(spark, sfDir + "/documents.parquet")
+    assert(a == b && a != "absent" && a.nonEmpty)
+  }
+}
