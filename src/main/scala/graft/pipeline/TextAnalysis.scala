@@ -433,13 +433,24 @@ object TextAnalysis {
     val grams = contamGrams(spark, dir)
     val shardOf: Column =
       conv(substring($"g", 1, 4), 16, 10).cast("long") % shards
+    // every sketch is sized by its shard's test-side row count — an
+    // upper bound on its distinct grams, so the fp rate is <= 1 % per
+    // sketch. ALL shard counts come from ONE aggregation over the
+    // persisted index rather than a count() action per shard: the §H
+    // scale probe showed the sharded sweep dominated by fixed
+    // per-shard job overhead, and this removes shards-1 of those jobs
+    // without touching the output (identical sizes → identical
+    // sketches → and the confirm join keeps the result
+    // sketch-independent anyway)
+    val testCounts: Map[Long, Long] =
+      grams.filter($"b" >= ValMax)
+        .groupBy((if (shards == 1) lit(0L) else shardOf).as("s")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val sweeps = (0 until shards).map { s =>
       val inShard = if (shards == 1) lit(true) else shardOf === s
       val test = grams.filter($"b" >= ValMax && inShard)
-      // sized by the (cheap, persisted-index) shard's test-side row
-      // count — an upper bound on its distinct grams, so the fp rate
-      // is <= 1 % per sketch
-      val bf = test.stat.bloomFilter("g", math.max(test.count(), 1L), 0.01)
+      val bf = test.stat.bloomFilter("g",
+        math.max(testCounts.getOrElse(s.toLong, 0L), 1L), 0.01)
       val bfB = spark.sparkContext.broadcast(bf)
       val mightContain = udf((g: String) => bfB.value.mightContain(g))
       val trainFreq = grams.filter($"b" < TrainMax && inShard)
