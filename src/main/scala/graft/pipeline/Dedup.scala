@@ -545,18 +545,13 @@ object Dedup {
 
   private type HPath = org.apache.hadoop.fs.Path
 
-  /** @see [[ArtifactStore.artifactRoot]] — shared by every durable
-    * artifact (d06 clusters, IVF index, p09 contaminated list).
-    */
-  private[graft] def artifactRoot: String = ArtifactStore.artifactRoot
-
   /** Bump when the clustering semantics change: a stale artifact from
     * an older build must never satisfy a newer reader.
     */
   private val ClusterArtifactVersion = 1
 
   private[graft] def clusterArtifactPath(dir: String): String =
-    s"$artifactRoot/${ArtifactStore.md5Hex(dir)}_d06_clusters"
+    s"${ArtifactStore.artifactRoot}/${ArtifactStore.md5Hex(dir)}_d06_clusters"
 
   /** Staleness guard: the artifact is valid only for the exact source
     * files it was built from. The fingerprint hashes the documents

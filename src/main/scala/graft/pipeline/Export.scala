@@ -64,11 +64,12 @@ object Export {
     */
   def x02DecontaminatedExport(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // the contaminated list is a stored ingest artifact (memoized +
-    // persisted, [[TextAnalysis.contaminatedDocs]]) — the export
-    // anti-joins the list a decontamination sweep already published,
-    // exactly as x01 reads d06's stored drop list instead of
-    // re-propagating labels per export run
+    // the contaminated list is a DURABLE ingest artifact
+    // ([[TextAnalysis.contaminatedDocs]]: fingerprint-guarded parquet
+    // via ArtifactStore, plus a session memo as the hot handle) — the
+    // export anti-joins the list a decontamination sweep already
+    // published, exactly as x01 reads d06's stored drop list; even a
+    // cold session reads the disk artifact instead of re-sweeping
     x01CorpusExport(spark, dir)
       .join(TextAnalysis.contaminatedDocs(spark, dir), Seq("doc_id"), "left_anti")
       .orderBy($"doc_id")
