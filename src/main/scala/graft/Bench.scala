@@ -135,8 +135,11 @@ object Bench {
     // above is the first casualty as the suite grows — the file keeps
     // full names + 0.1 ms resolution reviewable regardless of suite
     // size
+    // filename carries the sf dir so back-to-back runs from one CWD
+    // (sf0.01 then sf0.1) don't overwrite each other's record
+    val sfTag = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_detail.json"),
+      java.nio.file.Paths.get(s"bench_detail_$sfTag.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] detail file write failed: ${e.getMessage}")

@@ -37,7 +37,14 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
-    val reps = args.headOption.map(_.toInt).getOrElse(10)
+    val reps = args.headOption.map { a =>
+      val n = try a.toInt catch {
+        case _: NumberFormatException =>
+          sys.error(s"usage: ScaleProbe [reps]; got non-numeric arg '$a'")
+      }
+      require(n >= 1, s"reps must be >= 1, got $n")
+      n
+    }.getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -76,7 +76,10 @@ private[graft] object ArtifactStore {
     * `_fingerprint`), if its stored fingerprint matches `expected`.
     * Like the pre-refactor readers, only the first published directory
     * is consulted: `_old` is crash recovery, not a fallback cache for
-    * a stale primary.
+    * a stale primary. The exists/open pair is not atomic against a
+    * republish in ANOTHER driver (swapIn deletes `_old` after a clean
+    * swap), so a vanished fingerprint mid-read is treated as "not
+    * valid" — the caller falls back to a rebuild — rather than a crash.
     */
   def findValid(spark: SparkSession, path: String,
       expected: String): Option[String] = {
@@ -84,11 +87,13 @@ private[graft] object ArtifactStore {
     Seq(path, path + "_old")
       .find(p => fs.exists(new HPath(p + "/_fingerprint")))
       .filter { p =>
-        val in = fs.open(new HPath(p + "/_fingerprint"))
-        val stored =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        stored == expected
+        try {
+          val in = fs.open(new HPath(p + "/_fingerprint"))
+          val stored =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          stored == expected
+        } catch { case _: java.io.IOException => false }
       }
   }
 

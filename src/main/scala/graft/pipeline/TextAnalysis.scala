@@ -104,11 +104,6 @@ object TextAnalysis {
       .orderBy($"lang")
   }
 
-  /** Heuristic language-ID (charset + function-word markers) vs the label:
-    * a confusion matrix. The heuristic is the real operator; on this
-    * synthetic corpus (English word salad under every label) it
-    * deterministically predicts `en`, which the matrix makes visible.
-    */
   /** The langid prediction itself, over any text column — first match
     * wins: CJK charset, then Spanish / German / French / English
     * function-word markers, else `unknown`. Exposed as a seam so the
@@ -127,6 +122,11 @@ object TextAnalysis {
       .otherwise("unknown")
   }
 
+  /** Heuristic language-ID (charset + function-word markers) vs the label:
+    * a confusion matrix. The heuristic is the real operator; on this
+    * synthetic corpus (English word salad under every label) it
+    * deterministically predicts `en`, which the matrix makes visible.
+    */
   def p04LangIdConfusion(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)

@@ -79,6 +79,19 @@ class ArtifactStoreSpec extends SparkSpec {
     } finally wipe(path)
   }
 
+  test("an unreadable fingerprint is 'invalid', not a crash (republish race)") {
+    val path = freshPath("race")
+    try {
+      // a reader racing a republish in another driver can pass the
+      // exists() probe and then lose the file before open() — stand in
+      // for that window with a _fingerprint that exists but cannot be
+      // opened as a file (a directory throws the same IOException class)
+      fs.mkdirs(new Path(path + "/_fingerprint"))
+      assert(ArtifactStore.findValid(spark, path, "fp1").isEmpty,
+        "a vanished/unreadable fingerprint must fall back to rebuild")
+    } finally wipe(path)
+  }
+
   test("sourceListing is metadata-deterministic and absence-safe") {
     val missing = ArtifactStore.sourceListing(spark,
       s"${ArtifactStore.artifactRoot}/never_written_${System.nanoTime()}")
