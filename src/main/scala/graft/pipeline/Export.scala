@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -113,12 +113,53 @@ object Export {
   /** Release x03's memoized ranged projection (and only it). */
   def invalidateCaches(): Unit = graft.RangedPrefix.invalidateCaches("x03:")
 
+  /** x04's target mixture, in integer parts (out of 10): the dominant
+    * language gets 6 parts, every other stratum 1. Integer parts keep
+    * the whole plan in exact BIGINT arithmetic — no floating-point
+    * weight ever touches a quota, so the plan is bit-reproducible on
+    * any engine (the oracle runs the same `div`s).
+    */
+  private[graft] def mixtureParts(lang: Column): Column =
+    when(lang === "en", 6L).otherwise(1L)
+
+  /** x04 — the mixture-allocation plan over the publishable (x02)
+    * manifest: how many documents of each language stratum a training
+    * run can draw while holding the target mixture exactly. `units` is
+    * the binding constraint — the largest number of whole "recipe
+    * units" (6 en + 1 each of the rest) the cleaned corpus supports,
+    * `min(n_available div parts)` — and each stratum's quota is
+    * `parts * units`. The stratum with the lowest availability-to-
+    * weight ratio caps the whole run; the plan makes that visible
+    * (quota == n_available marks the binding stratum).
+    *
+    * Scale shape: the manifest joins the documents table on doc_id
+    * with only (doc_id, lang) read (text pruned), reduces to one row
+    * per language, and the scalar `units` bound joins back as a
+    * broadcast one-row frame (the Bm25-stats pattern) — no data
+    * shuffle after the per-lang count.
+    */
+  def x04MixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lang = Tables.documents(spark, dir).select($"doc_id", $"lang")
+    val avail = x02DecontaminatedExport(spark, dir)
+      .join(lang, "doc_id")
+      .groupBy($"lang").agg(count(lit(1)).as("n_available"))
+      .withColumn("parts", mixtureParts($"lang"))
+    val units = avail
+      .select(min(expr("n_available div parts")).as("units"))
+    avail.crossJoin(broadcast(units))
+      .select($"lang", $"n_available", $"parts",
+        ($"parts" * $"units").as("quota"))
+      .orderBy($"lang")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_corpus_export" -> x01CorpusExport _,
     "x02_decontaminated_export" -> x02DecontaminatedExport _,
     "x03_packing_layout" -> x03PackingLayout _,
+    "x04_mixture_plan" -> x04MixturePlan _,
   )
 
   /** The oracle composes the published d06 clustering SQL as a
@@ -172,5 +213,15 @@ object Export {
          |   SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c
          |  FROM (${exportSql(decontamWhere)}) WHERE split = 'train')
          |ORDER BY doc_id""".stripMargin,
+    // the same publishable manifest, reduced to per-language counts and
+    // the integer recipe-unit bound (min over n_available // parts)
+    "x04_mixture_plan" ->
+      s"""WITH man AS (${exportSql(decontamWhere)}),
+         |av AS (SELECT d.lang AS lang, COUNT(*) AS n_available,
+         |    (CASE WHEN d.lang = 'en' THEN 6 ELSE 1 END)::BIGINT AS parts
+         |  FROM man m JOIN documents d USING (doc_id) GROUP BY d.lang),
+         |u AS (SELECT MIN(n_available // parts) AS units FROM av)
+         |SELECT lang, n_available, parts, parts * units AS quota
+         |FROM av, u ORDER BY lang""".stripMargin,
   )
 }

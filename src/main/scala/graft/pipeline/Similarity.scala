@@ -65,7 +65,7 @@ object Similarity {
     * codegen fusion with the downstream joins, while the parquet scan
     * of the embeddings table is already cheap and column-pruned.
     */
-  private def vectors(spark: SparkSession, dir: String): DataFrame = {
+  private[pipeline] def vectors(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
@@ -149,7 +149,7 @@ object Similarity {
     * matches probes straight from the artifact without retraining.
     */
   private val SeedVariant = "seed"
-  private val TrainedVariant = "kmeans"
+  private[pipeline] val TrainedVariant = "kmeans"
 
   private val indexCache =
     scala.collection.concurrent.TrieMap
@@ -176,12 +176,12 @@ object Similarity {
   private val countCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
 
-  private def corpusCells(spark: SparkSession, dir: String): Int =
+  private[pipeline] def corpusCells(spark: SparkSession, dir: String): Int =
     recommendedCells(Memo.getOrBuild(countCache, (spark, dir)) {
       vectors(spark, dir).count()
     })
 
-  private def ivfIndex(spark: SparkSession, dir: String,
+  private[pipeline] def ivfIndex(spark: SparkSession, dir: String,
       variant: String, cells: Int = NumCentroids): (DataFrame, DataFrame) =
     Memo.getOrBuild(indexCache, (spark, dir, variant, cells)) {
       // fingerprint captured BEFORE training reads vectors(): if the
@@ -455,6 +455,49 @@ object Similarity {
       .orderBy($"cell")
   }
 
+  /** s07's near-duplicate cosine threshold — the same synthetic-corpus
+    * setting as d05's sign-LSH verifier (a production SemDeDup run uses
+    * ~0.95+ on real embeddings; the knob is this one constant).
+    */
+  private[pipeline] val SemDedupTau = 0.4
+
+  /** s07 — semantic dedup pairs, SemDeDup-style (Abbas et al. 2023,
+    * arXiv:2303.09540): candidate near-duplicates are only sought
+    * WITHIN a k-means cell of the trained IVF index — the cluster
+    * structure prunes the O(n²) pair space to per-cell self-joins.
+    * Output: every within-cell pair at cosine >= [[SemDedupTau]], the
+    * pairs a SemDeDup pruner would collapse to one representative
+    * (d06's connected-components does exactly that collapse for the
+    * lexical pipelines; these pairs feed the same shape).
+    *
+    * Complements d05: sign-LSH blocks by random hyperplanes and needs
+    * a band collision to surface a pair, while s07 reuses the SAME
+    * trained clustering the retrieval index (s04) already maintains —
+    * zero extra index state, and the candidate volume is exactly s06's
+    * `self_join_pairs` column, the monitored quantity.
+    *
+    * Scale shape: with k ~ sqrt(n) cells (even occupancy ~sqrt(n) per
+    * cell), the pair volume is ~n^1.5 like s03, co-partitioned on the
+    * cell id; the verify join reads each vector's array once per side.
+    */
+  def s07SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    val (_, assign) = ivfIndex(spark, dir, TrainedVariant,
+      corpusCells(spark, dir))
+    assign.as("a")
+      .join(assign.as("b"),
+        $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.cell".as("cell"), $"a.vec_id".as("a_id"),
+        $"b.vec_id".as("b_id"))
+      .join(e.select($"vec_id".as("a_id"), $"v".as("av")), "a_id")
+      .join(e.select($"vec_id".as("b_id"), $"v".as("bv")), "b_id")
+      .select($"cell", $"a_id", $"b_id",
+        cosineCol(spark, $"av", $"bv").as("cosine"))
+      .filter($"cosine" >= SemDedupTau)
+      .orderBy($"cell", $"a_id", $"b_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -464,6 +507,7 @@ object Similarity {
     "s04_ivf_kmeans" -> s04IvfKmeans _,
     "s05_recall_profile" -> s05RecallProfile _,
     "s06_cell_profile" -> s06CellProfile _,
+    "s07_semantic_dedup" -> s07SemanticDedup _,
   )
 
   /** Inline sequential-fold cosine over two vector SQL expressions
@@ -521,6 +565,25 @@ object Similarity {
       s"SELECT vec_id cid, v AS cv FROM n WHERE vec_id < $CellsSub"),
     "s04_ivf_kmeans" -> ivfSql(s"WHERE vec_id < $NumQueries", TopK,
       s"SELECT cid, cv FROM cents$KmeansIters", kmeansCtes(KmeansIters)),
+    "s07_semantic_dedup" ->
+      s"""WITH $VecCte,
+         |$CellsCte,
+         |${kmeansCtes(KmeansIters)},
+         |cents AS (SELECT cid, cv FROM cents$KmeansIters),
+         |assign AS (SELECT vec_id, cell FROM (
+         |  SELECT x.vec_id, c.cid AS cell, row_number() OVER (
+         |    PARTITION BY x.vec_id
+         |    ORDER BY ${cosVSql("x.v", "c.cv")} DESC, c.cid) rn
+         |  FROM n x CROSS JOIN cents c) WHERE rn = 1)
+         |SELECT * FROM (
+         |  SELECT a.cell AS cell, a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${cosVSql("x.v", "y.v")} AS cosine
+         |  FROM assign a JOIN assign b
+         |    ON b.cell = a.cell AND a.vec_id < b.vec_id
+         |  JOIN n x ON x.vec_id = a.vec_id
+         |  JOIN n y ON y.vec_id = b.vec_id)
+         |WHERE cosine >= $SemDedupTau
+         |ORDER BY cell, a_id, b_id""".stripMargin,
     "s06_cell_profile" ->
       s"""WITH $VecCte,
          |$CellsCte,

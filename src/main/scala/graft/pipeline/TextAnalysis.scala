@@ -45,6 +45,28 @@ object TextAnalysis {
   private[graft] val TrainMax = 58982
   private[graft] val ValMax = 62259
 
+  /** p12's sampling bucket: the [[SplitBucket]] fold over a SALTED
+    * doc_id (`smp` prefix), so the sampling decision is independent of
+    * the train/val/test split — a doc's split bucket and its sampling
+    * bucket are uncorrelated hashes of the same id. Deterministic
+    * across engines, re-runs, and corpus growth: adding documents
+    * never flips an existing document's keep/drop decision (the
+    * property reservoir sampling lacks, and the reason a 100 TB
+    * pipeline samples by hash threshold instead).
+    */
+  private[graft] val SampleBucket = expr(
+    """aggregate(split(substring(md5(concat('smp', cast(doc_id as string))), 1, 4), ''),
+      | CAST(0 AS BIGINT),
+      | (h, ch) -> h * 16 + instr('0123456789abcdef', ch) - 1)""".stripMargin)
+
+  /** Per-stratum keep thresholds out of 65536: the over-represented
+    * language (en, ~45 % of this corpus) keeps 25 %, every other
+    * stratum keeps 75 % — the rebalancing shape of a training-mixture
+    * downsampler.
+    */
+  private[graft] val SampleEnMax = 16384
+  private[graft] val SampleOtherMax = 49152
+
   /** BPE-ish subword count: runs of <=4 letters, digit runs, or single
     * punctuation — a deterministic stand-in for a real BPE vocab that
     * both Spark (Java regex) and the oracle (RE2) evaluate identically.
@@ -490,10 +512,34 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  /** p12 — deterministic stratified downsampling manifest: the
+    * documents kept by a per-language hash-threshold sample
+    * ([[SampleBucket]] < [[SampleEnMax]]/[[SampleOtherMax]]). This is
+    * the curation step between profiling (p03) and export (x01): the
+    * mixture is rebalanced by dropping a deterministic fraction of the
+    * dominant stratum, not by a random sample that changes per run.
+    *
+    * Scale shape: a per-row projection + filter over (doc_id, lang,
+    * n_chars) — the text column is never read (column pruning), no
+    * shuffle precedes the output sort, and the decision function is a
+    * pure hash of doc_id, so the sample is reproducible on any cluster
+    * layout and stable under corpus growth.
+    */
+  def p12SampleManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"n_chars", SampleBucket.as("sb"))
+      .filter($"sb" < when($"lang" === "en", SampleEnMax)
+        .otherwise(SampleOtherMax))
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_token_stats" -> p01TokenStats _,
+    "p12_sample_manifest" -> p12SampleManifest _,
     "p08_repetition_profile" -> p08RepetitionProfile _,
     "p09_contamination" -> p09Contamination _,
     "p10_leaked_grams" -> p10LeakedGrams _,
@@ -520,7 +566,22 @@ object TextAnalysis {
       |      ch -> (instr('0123456789abcdef', ch) - 1)::BIGINT)),
       |    (h, c) -> h * 16 + c)""".stripMargin
 
+  /** [[SampleBucket]] in DuckDB SQL — the [[BUCKET]] fold over the
+    * salted id.
+    */
+  private val SAMPLE_BUCKET =
+    """list_reduce(list_prepend(0::BIGINT,
+      |    list_transform(string_split(substr(md5('smp' || doc_id::VARCHAR), 1, 4), ''),
+      |      ch -> (instr('0123456789abcdef', ch) - 1)::BIGINT)),
+      |    (h, c) -> h * 16 + c)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "p12_sample_manifest" ->
+      s"""SELECT doc_id, lang, n_chars FROM (
+         |  SELECT doc_id, lang, n_chars, $SAMPLE_BUCKET AS sb FROM documents)
+         |WHERE sb < (CASE WHEN lang = 'en'
+         |  THEN $SampleEnMax ELSE $SampleOtherMax END)
+         |ORDER BY doc_id""".stripMargin,
     "p09_contamination" ->
       s"""WITH tk AS (SELECT doc_id, $TOKS t, $BUCKET AS b FROM documents),
          |gr AS (SELECT doc_id, b, unnest(list_distinct(

@@ -82,4 +82,30 @@ class ExportSpec extends SparkSpec {
     assert(lastBlock <= (totalTokens - 1) / B,
       "a start_block beyond the token total means phantom gaps")
   }
+
+  test("x04 mixture quotas are integer-exact and bound by the scarcest stratum") {
+    import spark.implicits._
+    val rows = Export.x04MixturePlan(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // availability recomputed from the publishable manifest directly
+    val avail = Export.x02DecontaminatedExport(spark, sfDir).select($"doc_id")
+      .join(graft.Tables.documents(spark, sfDir).select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    assert(rows.map(_.getAs[String]("lang")).toSet == avail.keySet)
+    val units = rows.map(r =>
+      r.getAs[Long]("n_available") / r.getAs[Long]("parts")).min
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      assert(r.getAs[Long]("n_available") == avail(lang))
+      assert(r.getAs[Long]("parts") == (if (lang == "en") 6L else 1L))
+      assert(r.getAs[Long]("quota") == r.getAs[Long]("parts") * units)
+      // every quota is drawable from what the stratum actually has
+      assert(r.getAs[Long]("quota") <= r.getAs[Long]("n_available"))
+    }
+    // the bound is tight: one more recipe unit would overdraw some stratum
+    assert(rows.exists(r =>
+      (units + 1) * r.getAs[Long]("parts") > r.getAs[Long]("n_available")),
+      "units is not the maximal whole-recipe count")
+  }
 }

@@ -193,4 +193,46 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Seq[Double]]("v").toList)).toMap
     assert(a.exists { case (cid, cv) => seed(cid) != cv })
   }
+
+  test("s07 returns exactly the within-cell pairs at or above tau") {
+    val rows = Similarity.s07SemanticDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // ground truth from the same trained index the query consumes,
+    // with the cosine re-derived in the expression's exact fold order
+    val (_, assign) = Similarity.ivfIndex(spark, sfDir,
+      Similarity.TrainedVariant, Similarity.corpusCells(spark, sfDir))
+    val cellOf = assign.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    val vecOf = Similarity.vectors(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Double]]("v").toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = vecOf.keys.toArray.sorted
+    val expected = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      if cellOf(a) == cellOf(b) && cos(vecOf(a), vecOf(b)) >= Similarity.SemDedupTau
+    } yield (cellOf(a), a, b)).toSet
+    val got = rows.map(r => (r.getAs[Long]("cell"), r.getAs[Long]("a_id"),
+      r.getAs[Long]("b_id"))).toSet
+    assert(got == expected,
+      s"missing ${expected -- got}, spurious ${got -- expected}")
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cosine")
+      assert(c == cos(vecOf(r.getAs[Long]("a_id")), vecOf(r.getAs[Long]("b_id"))))
+    }
+    // the candidate space s07 searched is exactly s06's monitored
+    // self_join_pairs volume — the pruning claim, cross-checked
+    val candidates = Similarity.s06CellProfile(spark, sfDir).collect()
+      .map(_.getAs[Long]("self_join_pairs")).sum
+    assert(rows.length <= candidates)
+    assert(candidates < ids.length.toLong * (ids.length - 1) / 2,
+      "cell blocking must prune the all-pairs space")
+  }
 }

@@ -320,4 +320,37 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.invalidateCaches()
     }
   }
+
+  test("p12 keep decision is the documented salted-hash threshold, per row") {
+    import spark.implicits._
+    val kept = TextAnalysis.p12SampleManifest(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang"))
+    // the decision recomputed independently in the JVM: the first 16
+    // bits of md5("smp" || doc_id) against the stratum threshold
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"smp$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(4), 16)
+    }
+    val expected = docs.collect { case (id, lang)
+        if bucket(id) < (if (lang == "en") TextAnalysis.SampleEnMax
+                         else TextAnalysis.SampleOtherMax) => id }.toSet
+    assert(kept == expected,
+      s"missing ${expected -- kept}, spurious ${kept -- expected}")
+    // the rebalance actually happened: en is sampled well below the
+    // other strata (rates near 25% vs 75% under hash uniformity)
+    val byLang = docs.toMap
+    def rate(p: String => Boolean) = {
+      val all = docs.count { case (_, l) => p(l) }
+      kept.count(id => p(byLang(id))).toDouble / all
+    }
+    val en = rate(_ == "en"); val other = rate(_ != "en")
+    assert(en > 0.1 && en < 0.4, f"en keep rate $en%.2f far from 0.25")
+    assert(other > 0.6 && other < 0.9, f"non-en keep rate $other%.2f far from 0.75")
+    assert(en < other)
+  }
 }
