@@ -24,15 +24,27 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark cannot read
-    * natively; read it as a long and truncate to microseconds — the same
-    * ns→µs truncation DuckDB applies, keeping oracle parity exact.
+  /** events.ts has shipped as TIMESTAMP(NANOS) (which Spark can only
+    * read as a long), as TIMESTAMP_NTZ(MICROS), or as plain
+    * TIMESTAMP(MICROS) depending on the generator version. Branch on
+    * the decoded type and normalize every variant to TimestampType —
+    * the type all downstream queries, twins, and specs were written
+    * against: a long gets the same ns→µs truncation DuckDB applies; an
+    * NTZ cast is micros-identity under the UTC session timezone both
+    * Verify and Bench pin.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", raw("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

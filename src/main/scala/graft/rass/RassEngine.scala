@@ -147,22 +147,68 @@ final class ParquetChatStore(spark: SparkSession, path: String,
         if (!fs.exists(new HPath(path)) && fs.exists(new HPath(path + "_old")))
           path + "_old"
         else path
-      // last-n pushed into the scan (TakeOrderedAndProject after the
-      // chatId filter) — only n rows reach the driver however long the
-      // chat history grows, mirroring the reference's `take: 10` desc
-      // query (`main.py:2786-2791`). An exchange's user+assistant rows
-      // share a timestamp (ask() stamps both with one clock read), so
-      // the role breaks the tie on BOTH the cutoff (assistant first in
-      // desc order keeps an exchange's halves together) and the final
-      // ascending render (user line before its answer).
-      val roleRank = when(col("role") === "user", 0).otherwise(1)
-      spark.read.parquet(readPath).as[ChatMessage]
-        .filter(col("chatId") === chatId)
-        .orderBy(col("createdAt").desc, roleRank.desc)
-        .limit(n)
-        .collect()
-        .sortBy(m => (m.createdAt.getTime, if (m.role == "user") 0 else 1))
-        .toSeq
+      // Snapshot the file listing OURSELVES and scan those exact files:
+      // Spark's file-index listing (InMemoryFileIndex/HadoopFSUtils)
+      // tolerates a path vanishing mid-list — it logs "Was it deleted
+      // very recently?" and SKIPS it, even for explicitly named files —
+      // so a compaction rename racing the scan could silently serve
+      // HALF a conversation. A single fs.listStatus is stat-per-entry
+      // too, but entries only disappear when the WHOLE directory
+      // renames, which makes the stat throw FileNotFoundException →
+      // classified by pathGone → retry/empty, never partial.
+      val partStatuses = fs.listStatus(new HPath(readPath))
+        .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.toString)
+      // RawLocalFileSystem can win its exists() probe and then lose the
+      // File.length() call to the rename — java.io.File.length() reports
+      // a MISSING file as 0, so the race materializes as a zero-length
+      // FileStatus, not an exception. A committed parquet part is never
+      // 0 bytes (writers rename in complete files), so zero length IS
+      // the race — reclassify it as the FileNotFound it really is.
+      if (partStatuses.exists(_.getLen == 0L))
+        throw new java.io.FileNotFoundException(
+          s"zero-length parquet part under $readPath (rename race)")
+      val parts = partStatuses.map(_.getPath.toString)
+      if (parts.isEmpty) Seq.empty
+      else {
+        // last-n pushed into the scan (TakeOrderedAndProject after the
+        // chatId filter) — only n rows reach the driver however long the
+        // chat history grows, mirroring the reference's `take: 10` desc
+        // query (`main.py:2786-2791`). An exchange's user+assistant rows
+        // share a timestamp (ask() stamps both with one clock read), so
+        // the role breaks the tie on BOTH the cutoff (assistant first in
+        // desc order keeps an exchange's halves together) and the final
+        // ascending render (user line before its answer).
+        val roleRank = when(col("role") === "user", 0).otherwise(1)
+        val df = spark.read.parquet(parts: _*)
+        // The eager file index is what the scan will actually read, and
+        // it degrades under the same race two different ways, neither an
+        // exception: a file that vanished between our listing and its
+        // own is logged ("Was it deleted very recently?") and SKIPPED,
+        // and a file whose stat lost the length call to the rename is
+        // kept at length 0 — which plans NO scan splits. Either way the
+        // scan silently serves a PARTIAL conversation; surface both as
+        // the classified FileNotFound they really are so the retry
+        // re-resolves the moved table.
+        val indexedLens = df.queryExecution.analyzed.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.listFiles(Nil, Nil).flatMap(_.files.map(_.getLen))
+              case _ => Nil
+            }
+        }.flatten
+        if (indexedLens.length != parts.length || indexedLens.contains(0L))
+          throw new java.io.FileNotFoundException(
+            s"file index saw ${indexedLens.count(_ > 0L)} complete of " +
+              s"${parts.length} listed files under $readPath (rename race)")
+        df.as[ChatMessage]
+          .filter(col("chatId") === chatId)
+          .orderBy(col("createdAt").desc, roleRank.desc)
+          .limit(n)
+          .collect()
+          .sortBy(m => (m.createdAt.getTime, if (m.role == "user") 0 else 1))
+          .toSeq
+      }
     }
     try attempt()
     catch {
@@ -214,6 +260,20 @@ object ParquetChatStore {
         if e.getFile != null && (try {
           java.nio.file.Files.notExists(java.nio.file.Paths.get(e.getFile))
         } catch { case _: java.nio.file.InvalidPathException => false }) => true
+      // Hadoop's FileUtil.list has a second misreport shape for the
+      // same File.list()==null condition: a bare IOException "Invalid
+      // directory or I/O error occurred for dir: <path>". Same rule as
+      // AccessDenied above: it's the rename race only when the named
+      // path is DEFINITELY absent by probe time; a real I/O fault
+      // leaves the path in place and must propagate.
+      case e: java.io.IOException
+        if e.getMessage != null &&
+          e.getMessage.startsWith("Invalid directory or I/O error occurred for dir: ") &&
+          (try {
+            java.nio.file.Files.notExists(java.nio.file.Paths.get(
+              e.getMessage.stripPrefix(
+                "Invalid directory or I/O error occurred for dir: ")))
+          } catch { case _: java.nio.file.InvalidPathException => false }) => true
       case e: org.apache.spark.sql.AnalysisException
         if e.getMessage.contains("PATH_NOT_FOUND") ||
           e.getMessage.contains("Path does not exist") ||

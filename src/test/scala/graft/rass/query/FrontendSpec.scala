@@ -476,6 +476,15 @@ class EngineSpec extends SparkSpec {
     // the guard must classify the error as real, not the rename race
     assert(!ParquetChatStore.pathGone(
       new java.nio.file.AccessDeniedException("/tmp/bad\u0000path")))
+    // FileUtil.list's OTHER misreport shape for File.list()==null: a
+    // bare IOException naming the dir - rename race only if the dir is
+    // gone by probe time; the same message over a still-present dir is
+    // a real I/O fault
+    assert(ParquetChatStore.pathGone(new java.io.IOException(
+      "Invalid directory or I/O error occurred for dir: " +
+        s"/tmp/definitely-gone-${System.nanoTime()}")))
+    assert(!ParquetChatStore.pathGone(new java.io.IOException(
+      s"Invalid directory or I/O error occurred for dir: $present")))
   }
 
   test("parquet chat history keeps tied exchanges whole and ordered") {
