@@ -110,8 +110,13 @@ object Export {
       .orderBy($"doc_id")
   }
 
-  /** Release x03's memoized ranged projection (and only it). */
-  def invalidateCaches(): Unit = graft.RangedPrefix.invalidateCaches("x03:")
+  /** Release x03's and x05's memoized ranged projections (and only
+    * them).
+    */
+  def invalidateCaches(): Unit = {
+    graft.RangedPrefix.invalidateCaches("x03:")
+    graft.RangedPrefix.invalidateCaches("x05:")
+  }
 
   /** x04's target mixture, in integer parts (out of 10): the dominant
     * language gets 6 parts, every other stratum 1. Integer parts keep
@@ -153,6 +158,51 @@ object Export {
       .orderBy($"lang")
   }
 
+  /** x05 — materialize x04's quota plan as a concrete, deterministic
+    * document sample: within each language stratum of the publishable
+    * (x02) manifest, the `quota` documents with the LOWEST selection
+    * hash (md5 of the doc_id string) are drawn, ranked 1..quota.
+    * Deterministic (same corpus → same sample), stratum-exact (each
+    * lang contributes exactly its x04 quota), and order-reproducible
+    * (`stratum_rank` is the draw order a loader consumes).
+    *
+    * Scale shape: per-stratum rank WITHOUT a per-lang window — a
+    * handful of language strata would funnel n/|langs| rows through
+    * single window tasks — via ONE global
+    * [[graft.RangedPrefix.runningSum]] rank over the total order
+    * (lang, hash, doc_id), minus each stratum's start offset. The
+    * offsets come from a |langs|-row driver aggregate (the sanctioned
+    * stats-row collect shape) broadcast back, and the quota filter
+    * prunes to the sample before the final order.
+    */
+  def x05MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lang = Tables.documents(spark, dir).select($"doc_id", $"lang")
+    val member = x02DecontaminatedExport(spark, dir)
+      .join(lang, "doc_id")
+      .select($"doc_id", $"lang",
+        substring(md5($"doc_id".cast("string").cast("binary")), 1, 8)
+          .as("hkey"))
+    val (ranked, _) = graft.RangedPrefix.runningSum(spark, s"x05:$dir",
+      member, Seq($"lang", $"hkey", $"doc_id"), lit(1L), "grank")
+    // exclusive start offset of each stratum in the global (lang, hash)
+    // order = running count of the strata sorted before it
+    val counts = member.groupBy($"lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (l, n) =>
+      val row = (l, acc); acc += n; row
+    }.toSeq
+    val quotas = x04MixturePlan(spark, dir).select($"lang", $"quota")
+    ranked
+      .join(broadcast(offsets.toDF("lang", "off")), Seq("lang"))
+      .join(broadcast(quotas), Seq("lang"))
+      .withColumn("stratum_rank", $"grank" - $"off")
+      .filter($"stratum_rank" <= $"quota")
+      .select($"doc_id", $"lang", $"stratum_rank")
+      .orderBy($"lang", $"stratum_rank")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -160,6 +210,7 @@ object Export {
     "x02_decontaminated_export" -> x02DecontaminatedExport _,
     "x03_packing_layout" -> x03PackingLayout _,
     "x04_mixture_plan" -> x04MixturePlan _,
+    "x05_mixture_sample" -> x05MixtureSample _,
   )
 
   /** The oracle composes the published d06 clustering SQL as a
@@ -223,5 +274,23 @@ object Export {
          |u AS (SELECT MIN(n_available // parts) AS units FROM av)
          |SELECT lang, n_available, parts, parts * units AS quota
          |FROM av, u ORDER BY lang""".stripMargin,
+    // the window form here is the oracle-side equivalent of the
+    // engine's global-rank-minus-stratum-offset formulation (the same
+    // relationship x03's oracle has to its RangedPrefix running sum)
+    "x05_mixture_sample" ->
+      s"""WITH man AS (${exportSql(decontamWhere)}),
+         |l AS (SELECT m.doc_id AS doc_id, d.lang AS lang
+         |  FROM man m JOIN documents d USING (doc_id)),
+         |av AS (SELECT lang, COUNT(*) AS n_available,
+         |    (CASE WHEN lang = 'en' THEN 6 ELSE 1 END)::BIGINT AS parts
+         |  FROM l GROUP BY lang),
+         |u AS (SELECT MIN(n_available // parts) AS units FROM av),
+         |q AS (SELECT lang, parts * units AS quota FROM av, u),
+         |r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+         |    ORDER BY substr(md5(doc_id::VARCHAR), 1, 8), doc_id)
+         |      AS stratum_rank FROM l)
+         |SELECT r.doc_id, r.lang, CAST(r.stratum_rank AS BIGINT) AS stratum_rank
+         |FROM r JOIN q USING (lang) WHERE r.stratum_rank <= q.quota
+         |ORDER BY lang, stratum_rank""".stripMargin,
   )
 }

@@ -108,4 +108,44 @@ class ExportSpec extends SparkSpec {
       (units + 1) * r.getAs[Long]("parts") > r.getAs[Long]("n_available")),
       "units is not the maximal whole-recipe count")
   }
+
+  test("x05 draws exactly x04's quota per stratum, lowest-hash-first") {
+    import spark.implicits._
+    val quotas = Export.x04MixturePlan(spark, sfDir).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("quota")).toMap
+    val sample = Export.x05MixtureSample(spark, sfDir).collect()
+    // stratum-exact: each language contributes precisely its quota,
+    // ranked contiguously from 1
+    val byLang = sample.groupBy(_.getAs[String]("lang"))
+    assert(byLang.keySet == quotas.filter(_._2 > 0).keySet)
+    byLang.foreach { case (lang, rows) =>
+      assert(rows.length.toLong == quotas(lang), s"$lang sample size")
+      assert(rows.map(_.getAs[Long]("stratum_rank")).sorted.toSeq ==
+        (1L to quotas(lang)), s"$lang ranks not contiguous")
+    }
+    // lowest-hash-first: no selected doc hashes higher than an
+    // unselected doc of the same stratum
+    val hk = (id: Long) => {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+    }
+    val all = Export.x02DecontaminatedExport(spark, sfDir).select($"doc_id")
+      .join(graft.Tables.documents(spark, sfDir).select($"doc_id", $"lang"), "doc_id")
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id")))
+    val chosen = sample.map(r =>
+      (r.getAs[String]("lang"), r.getAs[Long]("doc_id"))).toSet
+    byLang.keys.foreach { lang =>
+      val keys = all.filter(_._1 == lang)
+        .map { case (_, id) => ((hk(id), id), chosen.contains((lang, id))) }
+        .sortBy(_._1)
+      val boundary = keys.count(_._2)
+      assert(keys.take(boundary).forall(_._2),
+        s"$lang selection is not a lowest-hash prefix")
+    }
+    // deterministic across a cache flush
+    Export.invalidateCaches()
+    val again = Export.x05MixtureSample(spark, sfDir).collect()
+    assert(again.map(_.toSeq).toSeq == sample.map(_.toSeq).toSeq)
+  }
 }
