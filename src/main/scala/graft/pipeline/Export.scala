@@ -185,18 +185,22 @@ object Export {
           .as("hkey"))
     val (ranked, _) = graft.RangedPrefix.runningSum(spark, s"x05:$dir",
       member, Seq($"lang", $"hkey", $"doc_id"), lit(1L), "grank")
-    // exclusive start offset of each stratum in the global (lang, hash)
-    // order = running count of the strata sorted before it
-    val counts = member.groupBy($"lang").agg(count(lit(1)).as("n"))
+    // Per-lang counts read the PERSISTED ranged projection (one
+    // |langs|-row collect), and both the stratum start offsets AND the
+    // x04 quota math derive from them on the driver — availability,
+    // parts, units, and quota are exactly x04's definitions over the
+    // same manifest, so recomputing the x02/x04 subtrees here would
+    // buy nothing but two more corpus scans.
+    val counts = ranked.groupBy($"lang").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    def parts(lang: String): Long = if (lang == "en") 6L else 1L
+    val units = counts.map { case (l, n) => n / parts(l) }.min
     var acc = 0L
-    val offsets = counts.map { case (l, n) =>
-      val row = (l, acc); acc += n; row
+    val strata = counts.map { case (l, n) =>
+      val row = (l, acc, parts(l) * units); acc += n; row
     }.toSeq
-    val quotas = x04MixturePlan(spark, dir).select($"lang", $"quota")
     ranked
-      .join(broadcast(offsets.toDF("lang", "off")), Seq("lang"))
-      .join(broadcast(quotas), Seq("lang"))
+      .join(broadcast(strata.toDF("lang", "off", "quota")), Seq("lang"))
       .withColumn("stratum_rank", $"grank" - $"off")
       .filter($"stratum_rank" <= $"quota")
       .select($"doc_id", $"lang", $"stratum_rank")
