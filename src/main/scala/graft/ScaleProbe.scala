@@ -107,7 +107,11 @@ object ScaleProbe {
       "s03" -> SparkEntry.queries("s03_knn_join"),
       "p09" -> SparkEntry.queries("p09_contamination"),
       "p10x4" -> ((s: SparkSession, d: String) =>
-        graft.pipeline.TextAnalysis.leakedGramsSharded(s, d, 4)))
+        graft.pipeline.TextAnalysis.leakedGramsSharded(s, d, 4)),
+      // x05: global RangedPrefix rank over (lang, hash) — expected
+      // ~n log n from the range-partition sort, i.e. ~linear wall-clock
+      // at any practical R
+      "x05" -> SparkEntry.queries("x05_mixture_sample"))
 
     def once(f: (SparkSession, String) => DataFrame, dir: String): Double = {
       val t0 = System.nanoTime()

@@ -194,7 +194,10 @@ object Export {
     val counts = ranked.groupBy($"lang").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     def parts(lang: String): Long = if (lang == "en") 6L else 1L
-    val units = counts.map { case (l, n) => n / parts(l) }.min
+    // an empty publishable manifest (every doc filtered or dropped)
+    // yields an empty sample, not a min-over-nothing crash
+    val units =
+      if (counts.isEmpty) 0L else counts.map { case (l, n) => n / parts(l) }.min
     var acc = 0L
     val strata = counts.map { case (l, n) =>
       val row = (l, acc, parts(l) * units); acc += n; row
