@@ -97,6 +97,54 @@ private[graft] object ArtifactStore {
       }
   }
 
+  /** Read a published parquet directory as a CONSISTENT snapshot, or
+    * None if a concurrent republish raced the read. Spark's file-index
+    * listing degrades under a rename race two silent ways (the same
+    * windows [[graft.rass.ParquetChatStore]] closes for chat history):
+    * a file that vanishes mid-list is logged and SKIPPED, and a stat
+    * that loses the length call to the rename records the file at
+    * length 0 — which plans zero scan splits. Either would serve a
+    * PARTIAL artifact (a truncated d06 drop list silently widens an
+    * export). So: snapshot the listing ourselves, reject zero-length
+    * parts, scan the explicit file set, and cross-check the relation's
+    * own file index before trusting the frame. None means "treat the
+    * artifact as not published" — callers already rebuild on that.
+    */
+  def consistentParquet(spark: SparkSession, dir: String):
+      Option[org.apache.spark.sql.DataFrame] = {
+    val d = new HPath(dir)
+    try {
+      val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val parts = fs.listStatus(d)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.toString)
+      // a published artifact always carries >=1 part (even a 0-row
+      // write does), and a committed part is never 0 bytes — both
+      // shapes only appear mid-republish
+      if (parts.isEmpty || parts.exists(_.getLen == 0L)) None
+      else {
+        val df = spark.read.parquet(parts.map(_.getPath.toString).toSeq: _*)
+        val indexedLens = df.queryExecution.analyzed.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.listFiles(Nil, Nil).flatMap(_.files.map(_.getLen))
+              case _ => Nil
+            }
+        }.flatten
+        if (indexedLens.length != parts.length || indexedLens.contains(0L)) None
+        else Some(df)
+      }
+    } catch {
+      // the dir itself renamed away mid-probe (FileNotFound, or
+      // FileUtil.list's misreports of File.list()==null)
+      case _: java.io.IOException => None
+      case e: org.apache.spark.sql.AnalysisException
+        if e.getMessage != null && (e.getMessage.contains("PATH_NOT_FOUND") ||
+          e.getMessage.contains("UNABLE_TO_INFER_SCHEMA")) => None
+    }
+  }
+
   /** One monitor per artifact path (same hazard and same pattern as
     * [[graft.rass.ingest.IngestCommit]]'s commitLocks): the staging and
     * `_old` paths are FIXED per artifact, so two concurrent builders of

@@ -574,8 +574,8 @@ object Dedup {
   private def readClusterArtifact(spark: SparkSession, dir: String,
       fingerprint: String): Option[DataFrame] =
     ArtifactStore.findValid(spark, clusterArtifactPath(dir), fingerprint)
-      .map(p => spark.read.parquet(p)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .flatMap(p => ArtifactStore.consistentParquet(spark, p))
+      .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Publish the converged label table: stage fully (parquet +
     * fingerprint), then promote atomically — [[ArtifactStore.publish]]

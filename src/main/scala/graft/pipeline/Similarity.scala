@@ -248,8 +248,12 @@ object Similarity {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     ArtifactStore.findValid(spark, ivfArtifactPath(dir, variant, cells),
         fingerprint)
-      .map(p => (spark.read.parquet(p + "/centroids").persist(lvl),
-        spark.read.parquet(p + "/assign").persist(lvl)))
+      .flatMap { p =>
+        for {
+          c <- ArtifactStore.consistentParquet(spark, p + "/centroids")
+          a <- ArtifactStore.consistentParquet(spark, p + "/assign")
+        } yield (c.persist(lvl), a.persist(lvl))
+      }
   }
 
   /** Publish the trained index: stage both tables + fingerprint fully,

@@ -380,8 +380,8 @@ object TextAnalysis {
   private def readContamArtifact(spark: SparkSession, dir: String,
       fingerprint: String): Option[DataFrame] =
     ArtifactStore.findValid(spark, contamArtifactPath(dir), fingerprint)
-      .map(p => spark.read.parquet(p)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .flatMap(p => ArtifactStore.consistentParquet(spark, p))
+      .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def writeContamArtifact(spark: SparkSession, dir: String,
       fingerprint: String, docs: DataFrame): Unit =

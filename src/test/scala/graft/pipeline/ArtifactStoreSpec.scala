@@ -33,6 +33,35 @@ class ArtifactStoreSpec extends SparkSpec {
   private def readV(dir: String): Long =
     spark.read.parquet(dir).collect().head.getLong(0)
 
+  test("consistentParquet: complete snapshot reads; race shapes reject") {
+    import spark.implicits._
+    val path = freshPath("consistent")
+    try {
+      // a healthy published dir reads back whole
+      Seq(1L, 2L, 3L).toDF("v").repartition(2)
+        .write.mode("overwrite").parquet(path)
+      val got = ArtifactStore.consistentParquet(spark, path)
+      assert(got.isDefined)
+      assert(got.get.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+      // a zero-length part is the mid-republish stat race, not data —
+      // the reader must refuse the snapshot rather than drop the rows
+      // the part really holds
+      val zero = new Path(path + "/part-99999-race.snappy.parquet")
+      fs.create(zero).close()
+      assert(ArtifactStore.consistentParquet(spark, path).isEmpty,
+        "zero-length part must invalidate the snapshot")
+      fs.delete(zero, true)
+      // a vanished dir is "not published", not a crash
+      assert(ArtifactStore.consistentParquet(spark,
+        path + s"_never_${System.nanoTime()}").isEmpty)
+      // an empty dir (no parts yet) is likewise not a readable artifact
+      val bare = freshPath("bare")
+      fs.mkdirs(new Path(bare))
+      try assert(ArtifactStore.consistentParquet(spark, bare).isEmpty)
+      finally wipe(bare)
+    } finally wipe(path)
+  }
+
   test("publish/findValid round-trip; wrong fingerprint rejects") {
     val path = freshPath("roundtrip")
     try {
