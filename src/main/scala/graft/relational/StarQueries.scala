@@ -283,6 +283,25 @@ object StarQueries {
       .orderBy($"user_id")
   }
 
+  /** Q20 — native session-window aggregation: per-user sessions with a
+    * 30-minute inactivity gap via Spark's `session_window` (vs q13's
+    * lag-based formulation of the same semantics). Sessions CHAIN: an
+    * event extends the session while it lands within the gap of the
+    * LATEST event, and the boundary case — a gap of exactly 30 minutes
+    * — merges (probed empirically; same strict-> convention as q13's
+    * `> 1800000000`). `session_window.start` is the first event's ts.
+    */
+  def q20SessionWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    ev.groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(money($"value")).cast(DoubleType).as("total_value"))
+      .select($"user_id", $"sw.start".as("session_start"),
+        $"n_events", $"total_value")
+      .orderBy($"user_id", $"session_start")
+  }
+
   /** Release the memoized q14 ranged projection (and only it). */
   def invalidateCaches(): Unit = graft.RangedPrefix.invalidateCaches("q14:")
 
@@ -463,6 +482,7 @@ object StarQueries {
     "q17_asof_join" -> q17AsofJoin _,
     "q18_distinct_profile" -> q18DistinctProfile _,
     "q19_event_range_join" -> q19EventRangeJoin _,
+    "q20_session_window" -> q20SessionWindowAgg _,
   )
 
   private val DEC = "DECIMAL(18,2)"
@@ -616,5 +636,24 @@ object StarQueries {
         |  ON a.user_id = b.user_id AND a.ts < b.ts
         | AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
         |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+    // gaps-and-islands form of chained session windows: a session break
+    // is a STRICTLY > 30-minute gap to the previous event (the boundary
+    // case merges in Spark's session_window, probed empirically), and
+    // session_start = the island's first event
+    "q20_session_window" ->
+      s"""WITH o AS (SELECT user_id, ts, event_id, value, epoch_us(ts) AS us,
+         |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev
+         |  FROM events),
+         |s AS (SELECT user_id, ts, value,
+         |    SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000
+         |        THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |        ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM o)
+         |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+         | CAST(SUM(${m("value")}) AS DOUBLE) AS total_value
+         |FROM s GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin,
   )
 }

@@ -38,6 +38,7 @@ object Streams {
   val twinRegistry: Map[String, String] = Map(
     "windowed_counts" -> "tumbling 15-min groupBy over events (q11's shape)",
     "sessionize" -> "relational.StarQueries.q13Sessionize (lag-based batch sessionizer)",
+    "session_window" -> "relational.StarQueries.q20SessionWindowAgg (native session_window batch agg)",
     "stream_stream_join" -> "30-minute user_id range self-join over events",
     "dedup" -> "exact distinct-by-event_id over the replayed stream",
     "contamination_guard" -> "p10 leaked-gram sweep (shared TextAnalysis.gramHashes)")
@@ -90,6 +91,23 @@ object Streams {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Native session-window aggregation (the streaming twin of the batch
+    * q20 operator): per-user sessions with a 30-minute inactivity gap
+    * via `session_window`. The engine merges partial sessions as late
+    * events chain them together, and the watermark bounds how long an
+    * open session's state waits for a chaining event — session state
+    * finalizes (and is evicted) once event time passes gap + watermark
+    * beyond its last event, so state is bounded by the open-session
+    * volume inside the horizon at any scale.
+    */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"), col("total_value"))
 
   /** Streaming decontamination guard (the streaming face of the batch
     * p09/p10 sweep): each arriving document's word-13-grams are joined

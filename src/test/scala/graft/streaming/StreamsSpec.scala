@@ -69,6 +69,48 @@ class StreamsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  private def sessionWindowTwin(): Unit = {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val events = graft.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq
+
+    val input = MemoryStream[Event]
+    // session-window aggregation only supports append (or complete)
+    // output: a session emits exactly ONCE, when the watermark passes
+    // its end and no later event can chain onto it
+    val query = sessionWindowAgg(input.toDF())
+      .writeStream.format("memory").queryName("sess_win")
+      .outputMode("append").start()
+    input.addData(events)
+    query.processAllAvailable()
+    // the watermark computed from batch N only EMITS in batch N+1, so
+    // push two sentinel batches (user −1, far future) past the data:
+    // the first advances the watermark beyond every real session's
+    // end, the second flushes the sessions that finalized under it;
+    // the sentinels' own session stays open and never emits
+    val maxUs = events.map(e => e.ts.getTime).max * 1000L
+    def sentinel(k: Long) = Event(-k, new java.sql.Timestamp(
+      maxUs / 1000L + k * 7200000L), -1L, "sentinel", 0.0)
+    input.addData(Seq(sentinel(1)))
+    query.processAllAvailable()
+    input.addData(Seq(sentinel(2)))
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("sess_win")
+      .filter($"user_id" >= 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))).toMap
+    val want = graft.relational.StarQueries.q20SessionWindowAgg(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))).toMap
+    assert(got == want)
+  }
+
   private def streamStreamJoinTwin(): Unit = {
     import spark.implicits._
     implicit val sc = spark.sqlContext
@@ -164,6 +206,7 @@ class StreamsSpec extends SparkSpec {
   private val twinRunners: Map[String, () => Unit] = Map(
     "windowed_counts" -> (windowedCountsTwin _),
     "sessionize" -> (sessionizeTwin _),
+    "session_window" -> (sessionWindowTwin _),
     "stream_stream_join" -> (streamStreamJoinTwin _),
     "dedup" -> (dedupTwin _),
     "contamination_guard" -> (contaminationGuardTwin _))
