@@ -122,4 +122,30 @@ class StarQueriesSpec extends SparkSpec {
       assert(r.getAs[Long]("n_sessions") <= r.getAs[Long]("n_events"))
     }
   }
+
+  test("session_window boundary: a gap of exactly the timeout merges") {
+    // q20's DuckDB oracle breaks sessions only on STRICTLY greater gaps
+    // because Spark's session_window chains an event at exactly
+    // latest+gap into the same session (probed round 12); if a Spark
+    // upgrade ever flips this to strict overlap, fail HERE with the
+    // semantics named, not in the hash gate
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = 1704067200000000L
+    val gapUs = 1800000000L
+    def sessions(offsets: Long*): Seq[(Long, Long)] =
+      offsets.zipWithIndex
+        .map { case (off, i) => (i.toLong, base + off, 7L) }
+        .toDF("event_id", "us", "user_id")
+        .withColumn("ts", timestamp_micros($"us"))
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros($"sw.start"), $"n")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // chain: 0, +30min, +30min — one session despite spanning 60min
+    assert(sessions(0L, gapUs, 2 * gapUs) == Seq((base, 3L)))
+    // one microsecond past the gap: the chain breaks
+    assert(sessions(0L, gapUs + 1L) ==
+      Seq((base, 1L), (base + gapUs + 1L, 1L)))
+  }
 }
