@@ -136,8 +136,13 @@ private[graft] object ArtifactStore {
         else Some(df)
       }
     } catch {
-      // the dir itself renamed away mid-probe (FileNotFound, or
-      // FileUtil.list's misreports of File.list()==null)
+      // anything in the failure's cause chain that means "the path we
+      // resolved is no longer there" — the dir renamed away mid-probe,
+      // a footer read racing the swap, FileUtil.list's misreports of
+      // File.list()==null — classified by the same predicate the chat
+      // store retries on; real errors (corrupt data, permissions on a
+      // still-present path) propagate
+      case t: Throwable if graft.rass.ParquetChatStore.pathGone(t) => None
       case _: java.io.IOException => None
       case e: org.apache.spark.sql.AnalysisException
         if e.getMessage != null && (e.getMessage.contains("PATH_NOT_FOUND") ||

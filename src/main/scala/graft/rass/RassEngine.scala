@@ -234,7 +234,7 @@ object ParquetChatStore {
     * resolved is no longer there — as opposed to corrupt data, a bad
     * schema, or any other real error that must propagate?
     */
-  private[rass] def pathGone(t: Throwable): Boolean =
+  private[graft] def pathGone(t: Throwable): Boolean =
     if (t == null) false
     else t match {
       case _: java.io.FileNotFoundException => true

@@ -62,6 +62,52 @@ class ArtifactStoreSpec extends SparkSpec {
     } finally wipe(path)
   }
 
+  test("consistentParquet under a live republish race: complete or None, never partial") {
+    import spark.implicits._
+    val path = freshPath("republish")
+    // two distinguishable complete payloads; a "partial" read would
+    // surface as a row set matching neither
+    val payloads = Seq(Seq(1L, 2L, 3L), Seq(10L, 20L, 30L)).map(_.toSet)
+    def publishPayload(i: Int): Unit =
+      ArtifactStore.publish(spark, path, s"fp$i") { staging =>
+        payloads(i).toSeq.toDF("v").repartition(2)
+          .write.mode("overwrite").parquet(staging)
+      }
+    try {
+      publishPayload(0)
+      @volatile var stop = false
+      @volatile var writerFailure: Option[Throwable] = None
+      val writer = new Thread(() => {
+        var i = 1
+        try while (!stop) { publishPayload(i % 2); i += 1 }
+        catch { case t: Throwable => writerFailure = Some(t) }
+      })
+      writer.start()
+      // The contract under a live race: a read either refuses (None),
+      // fails LOUDLY with a classified gone-path error when the next
+      // swap lands mid-materialization, or returns a COMPLETE payload.
+      // What it must never do is silently return a subset or a mix.
+      try (1 to 25).foreach { _ =>
+        ArtifactStore.consistentParquet(spark, path).foreach { df =>
+          val got =
+            try Some(df.collect().map(_.getLong(0)).toSet)
+            catch {
+              case t: Throwable if graft.rass.ParquetChatStore.pathGone(t) =>
+                None // loud refusal mid-swap: allowed
+            }
+          got.foreach(g => assert(payloads.contains(g),
+            s"partial/mixed snapshot under republish race: $g"))
+        }
+      } finally { stop = true; writer.join() }
+      assert(writerFailure.isEmpty,
+        s"concurrent publisher died: ${writerFailure.map(_.toString)}")
+      // settled state reads back whole
+      val settled = ArtifactStore.consistentParquet(spark, path)
+      assert(settled.isDefined &&
+        payloads.contains(settled.get.collect().map(_.getLong(0)).toSet))
+    } finally wipe(path)
+  }
+
   test("publish/findValid round-trip; wrong fingerprint rejects") {
     val path = freshPath("roundtrip")
     try {
