@@ -97,6 +97,41 @@ private[graft] object ArtifactStore {
       }
   }
 
+  /** listStatus that REFUSES to return a silently-truncated listing.
+    * RawLocalFileSystem.listStatus stats each enumerated name
+    * individually and SWALLOWS per-child FileNotFoundException ("ignore
+    * the files not found since the dir list may have changed") — so a
+    * directory renamed away and back between the name enumeration and
+    * one entry's stat yields a PARTIAL array with no error. Cross-check
+    * the stat count against a raw name listing, which is
+    * complete-or-null by construction (readdir walks the open directory
+    * fd and entries never change — only the dir's NAME does), and
+    * convert truncation into the FileNotFoundException it really is so
+    * callers retry/rebuild. Local FS only: remote listings are atomic
+    * server-side, and the raw java.io.File probe only exists there.
+    */
+  private[graft] def listComplete(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: HPath): Array[org.apache.hadoop.fs.FileStatus] = {
+    val statuses = fs.listStatus(dir)
+    if (fs.getUri.getScheme == "file") {
+      val names = Option(new java.io.File(dir.toUri.getPath).list())
+        .getOrElse(throw new java.io.FileNotFoundException(
+          s"$dir vanished mid-list (rename race)"))
+      // compare dot-filtered NAME SETS, not raw counts: the checksummed
+      // LocalFileSystem hides `.crc` entries from listStatus that the
+      // raw enumeration still sees, and no data file is dot-prefixed
+      def visible(ns: Iterable[String]) = ns.filterNot(_.startsWith(".")).toSet
+      val raw = visible(names)
+      val statted = visible(statuses.map(_.getPath.getName))
+      if (raw != statted)
+        throw new java.io.FileNotFoundException(
+          s"listing of $dir truncated by a concurrent rename: stat saw " +
+            s"${statted.size} of ${raw.size} entries")
+    }
+    statuses
+  }
+
   /** Read a published parquet directory as a CONSISTENT snapshot, or
     * None if a concurrent republish raced the read. Spark's file-index
     * listing degrades under a rename race two silent ways (the same
@@ -115,7 +150,7 @@ private[graft] object ArtifactStore {
     val d = new HPath(dir)
     try {
       val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val parts = fs.listStatus(d)
+      val parts = listComplete(fs, d)
         .filter(_.getPath.getName.endsWith(".parquet"))
         .sortBy(_.getPath.toString)
       // a published artifact always carries >=1 part (even a 0-row

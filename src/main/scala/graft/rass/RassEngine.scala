@@ -152,12 +152,14 @@ final class ParquetChatStore(spark: SparkSession, path: String,
       // tolerates a path vanishing mid-list — it logs "Was it deleted
       // very recently?" and SKIPS it, even for explicitly named files —
       // so a compaction rename racing the scan could silently serve
-      // HALF a conversation. A single fs.listStatus is stat-per-entry
-      // too, but entries only disappear when the WHOLE directory
-      // renames, which makes the stat throw FileNotFoundException →
-      // classified by pathGone → retry/empty, never partial.
-      val partStatuses = fs.listStatus(new HPath(readPath))
-        .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.toString)
+      // HALF a conversation. A plain fs.listStatus is stat-per-entry
+      // and silently TRUNCATES under the same race, so route through
+      // listComplete, which cross-checks the stat count against the
+      // raw name enumeration and throws the FileNotFound that pathGone
+      // retries instead of returning a partial listing.
+      val partStatuses =
+        graft.pipeline.ArtifactStore.listComplete(fs, new HPath(readPath))
+          .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.toString)
       // RawLocalFileSystem can win its exists() probe and then lose the
       // File.length() call to the rename — java.io.File.length() reports
       // a MISSING file as 0, so the race materializes as a zero-length
@@ -234,6 +236,18 @@ object ParquetChatStore {
     * resolved is no longer there — as opposed to corrupt data, a bad
     * schema, or any other real error that must propagate?
     */
+  /** Disambiguates FileUtil.list's File.list()==null misreports: the
+    * rename race either leaves the path absent or puts it back whole
+    * (a fresh enumeration succeeds); a real EACCES leaves it present
+    * and unlistable on every retry. Unparseable path strings are not
+    * "gone".
+    */
+  private def goneOrListable(path: String): Boolean =
+    try {
+      java.nio.file.Files.notExists(java.nio.file.Paths.get(path)) ||
+        new java.io.File(path).list() != null
+    } catch { case _: java.nio.file.InvalidPathException => false }
+
   private[graft] def pathGone(t: Throwable): Boolean =
     if (t == null) false
     else t match {
@@ -249,31 +263,23 @@ object ParquetChatStore {
       // whenever File.list() returns null — which a directory
       // VANISHING mid-list (the compaction rename winning the race
       // during the scan's file listing) also produces, misreported as
-      // "Permission denied". Probe the named path: classify as the
-      // rename race ONLY when the path is DEFINITELY absent —
-      // `Files.notExists` returns false both for an existing path and
-      // for one whose existence cannot be determined (parent traversal
-      // denied), so a genuine permissions problem — which leaves the
-      // path in place or unprobeable — still propagates. A path string
-      // the local FS can't even parse is likewise not "gone".
+      // "Permission denied". Probe the named path: it is the rename
+      // race when the path is absent by probe time OR back and
+      // LISTABLE (the flip-back can land before the probe) — a genuine
+      // permissions problem leaves the path present and still
+      // unlistable on every retry, and propagates. A path string the
+      // local FS can't even parse is likewise not "gone".
       case e: java.nio.file.AccessDeniedException
-        if e.getFile != null && (try {
-          java.nio.file.Files.notExists(java.nio.file.Paths.get(e.getFile))
-        } catch { case _: java.nio.file.InvalidPathException => false }) => true
+        if e.getFile != null && ParquetChatStore.goneOrListable(e.getFile) => true
       // Hadoop's FileUtil.list has a second misreport shape for the
       // same File.list()==null condition: a bare IOException "Invalid
       // directory or I/O error occurred for dir: <path>". Same rule as
-      // AccessDenied above: it's the rename race only when the named
-      // path is DEFINITELY absent by probe time; a real I/O fault
-      // leaves the path in place and must propagate.
+      // AccessDenied above.
       case e: java.io.IOException
         if e.getMessage != null &&
           e.getMessage.startsWith("Invalid directory or I/O error occurred for dir: ") &&
-          (try {
-            java.nio.file.Files.notExists(java.nio.file.Paths.get(
-              e.getMessage.stripPrefix(
-                "Invalid directory or I/O error occurred for dir: ")))
-          } catch { case _: java.nio.file.InvalidPathException => false }) => true
+          ParquetChatStore.goneOrListable(e.getMessage.stripPrefix(
+            "Invalid directory or I/O error occurred for dir: ")) => true
       case e: org.apache.spark.sql.AnalysisException
         if e.getMessage.contains("PATH_NOT_FOUND") ||
           e.getMessage.contains("Path does not exist") ||

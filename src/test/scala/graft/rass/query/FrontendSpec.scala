@@ -468,9 +468,17 @@ class EngineSpec extends SparkSpec {
       new java.nio.file.AccessDeniedException("/tmp/definitely-gone-" +
         System.nanoTime()))
     assert(ParquetChatStore.pathGone(vanished))
+    // flip-back race: the dir is back AND listable by probe time —
+    // a fresh enumeration succeeding is what distinguishes the race
+    // from a real EACCES, so this classifies as gone/retryable
     val present = java.nio.file.Files.createTempDirectory("perm").toString
-    assert(!ParquetChatStore.pathGone(
+    assert(ParquetChatStore.pathGone(
       new java.nio.file.AccessDeniedException(present)))
+    // a genuinely unlistable-but-present path (a regular FILE gives
+    // File.list() == null while existing) is a REAL error: propagate
+    val presentFile = java.nio.file.Files.createTempFile("perm", ".dat").toString
+    assert(!ParquetChatStore.pathGone(
+      new java.nio.file.AccessDeniedException(presentFile)))
     // a path string the local FS can't even parse (NUL byte) is not
     // "definitely absent" — Paths.get throws InvalidPathException, and
     // the guard must classify the error as real, not the rename race
@@ -484,7 +492,7 @@ class EngineSpec extends SparkSpec {
       "Invalid directory or I/O error occurred for dir: " +
         s"/tmp/definitely-gone-${System.nanoTime()}")))
     assert(!ParquetChatStore.pathGone(new java.io.IOException(
-      s"Invalid directory or I/O error occurred for dir: $present")))
+      s"Invalid directory or I/O error occurred for dir: $presentFile")))
   }
 
   test("parquet chat history keeps tied exchanges whole and ordered") {
