@@ -158,6 +158,39 @@ object Export {
       .orderBy($"lang")
   }
 
+  /** Blocks per training shard file — with [[BlockTokens]] = 2048 this
+    * is 8 x 2048 = 16Ki tokens per shard. Production deployments shard
+    * far coarser (the parameter is a free knob; the manifest math is
+    * invariant to it); this granularity keeps the hash gate exercising
+    * MULTI-shard rollups at the driver's test scale factors instead of
+    * collapsing to a single row.
+    */
+  val BlocksPerShard = 8L
+
+  /** x06 — the shard manifest a data loader consumes: x03's packed
+    * block layout rolled up into fixed [[BlocksPerShard]]-block shard
+    * files. A document belongs to the shard where its FIRST token
+    * lands (the standard manifest convention — a doc spanning a shard
+    * boundary is read from its owning shard with the tail bleeding
+    * into the next file). Per shard: document and token volume plus
+    * the block range, which is what a loader needs to plan reads and
+    * what an operator dashboard needs to spot skew.
+    *
+    * Scale shape: a single map-side projection + hash aggregate over
+    * x03's memoized prefix-sum output; no new shuffle of the corpus.
+    */
+  def x06ShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    x03PackingLayout(spark, dir)
+      .withColumn("shard_id", expr(s"start_block div $BlocksPerShard"))
+      .groupBy($"shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"),
+        min($"start_block").as("first_block"),
+        max($"start_block").as("last_block"))
+      .orderBy($"shard_id")
+  }
+
   /** x05 — materialize x04's quota plan as a concrete, deterministic
     * document sample: within each language stratum of the publishable
     * (x02) manifest, the `quota` documents with the LOWEST selection
@@ -218,6 +251,7 @@ object Export {
     "x03_packing_layout" -> x03PackingLayout _,
     "x04_mixture_plan" -> x04MixturePlan _,
     "x05_mixture_sample" -> x05MixtureSample _,
+    "x06_shard_manifest" -> x06ShardManifest _,
   )
 
   /** The oracle composes the published d06 clustering SQL as a
@@ -299,5 +333,17 @@ object Export {
          |SELECT r.doc_id, r.lang, CAST(r.stratum_rank AS BIGINT) AS stratum_rank
          |FROM r JOIN q USING (lang) WHERE r.stratum_rank <= q.quota
          |ORDER BY lang, stratum_rank""".stripMargin,
+    // the x03 layout SQL rolled up by shard — same composition the
+    // engine applies over its memoized prefix sum
+    "x06_shard_manifest" ->
+      s"""SELECT CAST(start_block // $BlocksPerShard AS BIGINT) AS shard_id,
+         | COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         | MIN(start_block) AS first_block, MAX(start_block) AS last_block
+         |FROM (SELECT doc_id, n_tokens,
+         |   CAST((c - n_tokens) // $BlockTokens AS BIGINT) AS start_block
+         |  FROM (SELECT doc_id, n_tokens,
+         |     SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c
+         |    FROM (${exportSql(decontamWhere)}) WHERE split = 'train'))
+         |GROUP BY 1 ORDER BY shard_id""".stripMargin,
   )
 }

@@ -148,4 +148,25 @@ class ExportSpec extends SparkSpec {
     val again = Export.x05MixtureSample(spark, sfDir).collect()
     assert(again.map(_.toSeq).toSeq == sample.map(_.toSeq).toSeq)
   }
+
+  test("x06 shards partition x03's layout exactly") {
+    import spark.implicits._
+    val layout = Export.x03PackingLayout(spark, sfDir).collect()
+    val shards = Export.x06ShardManifest(spark, sfDir).collect()
+    // totals conserve: every laid-out doc lands in exactly one shard
+    assert(shards.map(_.getAs[Long]("n_docs")).sum == layout.length.toLong)
+    assert(shards.map(_.getAs[Long]("n_tokens")).sum ==
+      layout.map(_.getAs[Long]("n_tokens")).sum)
+    shards.foreach { s =>
+      val id = s.getAs[Long]("shard_id")
+      // block range stays inside the shard's window
+      assert(s.getAs[Long]("first_block") >= id * Export.BlocksPerShard)
+      assert(s.getAs[Long]("last_block") < (id + 1) * Export.BlocksPerShard)
+      assert(s.getAs[Long]("first_block") <= s.getAs[Long]("last_block"))
+    }
+    // shards cover a contiguous prefix of the block space (no gap: the
+    // packed layout has no empty block, so no empty shard either)
+    val ids = shards.map(_.getAs[Long]("shard_id")).sorted.toSeq
+    assert(ids == (0L until ids.length.toLong))
+  }
 }
