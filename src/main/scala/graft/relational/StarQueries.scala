@@ -302,6 +302,48 @@ object StarQueries {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** Q21 — pivot: the order-status mixture per priority as a wide
+    * matrix via Spark's native `pivot` with an EXPLICIT value list —
+    * no extra distinct-scan job to discover the columns, and the
+    * output schema is static (the form a scheduled report pipeline
+    * needs; a discovered pivot would change schema when a new status
+    * appears). One hash aggregate over (priority x status), map-side
+    * partial; revenue stays in exact integer cents ([[sumExact]])
+    * until the final divide, so the doubles match the oracle
+    * bit-for-bit.
+    */
+  def q21StatusPivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("orders"),
+        (sumExact(cents($"o_totalprice")).cast(DoubleType) / 100.0)
+          .as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Q22 — unpivot/melt: per-returnflag metrics reshaped to long
+    * (metric, value) form via Spark's native `unpivot` — the inverse
+    * of q21's widening, the shape metric stores and plotting layers
+    * ingest. All measures share one BIGINT value column (unpivot
+    * requires a common type, the same rule as SQL UNPIVOT); the
+    * quantity sum is exact integer cents. The reshape is a zero-shuffle
+    * Expand over the (tiny) aggregated frame — the aggregation before
+    * it is the only wide work.
+    */
+  def q22MetricsUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wide = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct($"l_orderkey").as("n_orders"),
+        sumExact(cents($"l_quantity")).cast(LongType).as("qty_cents"))
+    wide.unpivot(Array($"l_returnflag"),
+        Array($"n_items", $"n_orders", $"qty_cents"), "metric", "value")
+      .orderBy($"l_returnflag", $"metric")
+  }
+
   /** Release the memoized q14 ranged projection (and only it). */
   def invalidateCaches(): Unit = graft.RangedPrefix.invalidateCaches("q14:")
 
@@ -483,6 +525,8 @@ object StarQueries {
     "q18_distinct_profile" -> q18DistinctProfile _,
     "q19_event_range_join" -> q19EventRangeJoin _,
     "q20_session_window" -> q20SessionWindowAgg _,
+    "q21_status_pivot" -> q21StatusPivot _,
+    "q22_metrics_unpivot" -> q22MetricsUnpivot _,
   )
 
   private val DEC = "DECIMAL(18,2)"
@@ -655,5 +699,32 @@ object StarQueries {
          | CAST(SUM(${m("value")}) AS DOUBLE) AS total_value
          |FROM s GROUP BY user_id, sid
          |ORDER BY user_id, session_start""".stripMargin,
+    // SUM(CASE WHEN .. THEN 1 END) — no ELSE — so an empty cell is
+    // NULL, matching Spark pivot's null for a (priority, status)
+    // combination with no rows
+    "q21_status_pivot" ->
+      s"""SELECT o_orderpriority,
+         | SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F_orders,
+         | CAST(SUM(CASE WHEN o_orderstatus = 'F'
+         |   THEN ${cts("o_totalprice")} END) AS DOUBLE) / 100.0 AS F_revenue,
+         | SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O_orders,
+         | CAST(SUM(CASE WHEN o_orderstatus = 'O'
+         |   THEN ${cts("o_totalprice")} END) AS DOUBLE) / 100.0 AS O_revenue,
+         | SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P_orders,
+         | CAST(SUM(CASE WHEN o_orderstatus = 'P'
+         |   THEN ${cts("o_totalprice")} END) AS DOUBLE) / 100.0 AS P_revenue
+         |FROM orders GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+    "q22_metrics_unpivot" ->
+      s"""WITH w AS (SELECT l_returnflag, COUNT(*) AS n_items,
+         |  COUNT(DISTINCT l_orderkey) AS n_orders,
+         |  CAST(SUM(${cts("l_quantity")}) AS BIGINT) AS qty_cents
+         | FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, 'n_items' AS metric, n_items AS value FROM w
+         |UNION ALL
+         |SELECT l_returnflag, 'n_orders', n_orders FROM w
+         |UNION ALL
+         |SELECT l_returnflag, 'qty_cents', qty_cents FROM w
+         |ORDER BY l_returnflag, metric""".stripMargin,
   )
 }

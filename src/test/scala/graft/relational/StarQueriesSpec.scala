@@ -148,4 +148,34 @@ class StarQueriesSpec extends SparkSpec {
     assert(sessions(0L, gapUs + 1L) ==
       Seq((base, 1L), (base + gapUs + 1L, 1L)))
   }
+
+  test("q21 pivot cells reconcile with the unpivoted status totals") {
+    import org.apache.spark.sql.functions._
+    val piv = StarQueries.q21StatusPivot(spark, sfDir).collect()
+    assert(piv.map(_.getAs[String]("o_orderpriority")).distinct.length ==
+      piv.length, "one row per priority")
+    val perStatus = graft.Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (s <- Seq("F", "O", "P")) {
+      val cellSum = piv.map { r =>
+        val v = r.getAs[Any](s"${s}_orders")
+        if (v == null) 0L else v.asInstanceOf[Long]
+      }.sum
+      assert(cellSum == perStatus.getOrElse(s, 0L),
+        s"pivot column ${s}_orders must partition the status-$s count")
+    }
+  }
+
+  test("q22 unpivot emits metrics x flags rows matching the wide values") {
+    val rows = StarQueries.q22MetricsUnpivot(spark, sfDir).collect()
+    val flags = rows.map(_.getAs[String]("l_returnflag")).distinct
+    val metrics = rows.map(_.getAs[String]("metric")).distinct.sorted
+    assert(metrics.toSeq == Seq("n_items", "n_orders", "qty_cents"))
+    assert(rows.length == flags.length * metrics.length)
+    // the melted n_items values must reconcile with the table size
+    val nItems = rows.filter(_.getAs[String]("metric") == "n_items")
+      .map(_.getAs[Long]("value")).sum
+    assert(nItems == graft.Tables.lineitem(spark, sfDir).count())
+  }
 }
