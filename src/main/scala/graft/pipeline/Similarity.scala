@@ -365,6 +365,24 @@ object Similarity {
       .agg(max_by($"cid", struct($"ccos", -$"cid")).as("cell"))
   }
 
+  /** Top-[[NProbe]] cells per query as a sorted-slice aggregate over
+    * the (bounded, = ncells) per-query score list: one hash aggregate
+    * instead of a shuffle+sort window; ascending struct (-ccos, cid)
+    * = the window's (ccos desc, cid asc). Shared by the float (s02-s04)
+    * and SQ8-rescore (s08) paths so they probe identically.
+    */
+  private def topProbes(spark: SparkSession, q: DataFrame,
+      cents: DataFrame): DataFrame = {
+    import spark.implicits._
+    q.as("q").join(broadcast(cents))
+      .select($"q.vec_id".as("query_id"), $"cid",
+        cosineCol(spark, $"q.v", $"cv").as("ccos"))
+      .groupBy($"query_id")
+      .agg(slice(array_sort(collect_list(
+        struct((-$"ccos").as("nc"), $"cid"))), 1, NProbe).as("top"))
+      .select($"query_id", explode($"top.cid").as("cell"))
+  }
+
   private def ivfKnn(spark: SparkSession, dir: String,
       queryLimit: Option[Int], k: Int,
       variant: String = SeedVariant,
@@ -373,17 +391,7 @@ object Similarity {
     val e = vectors(spark, dir)
     val (cents, assign) = ivfIndex(spark, dir, variant, cells)
     val q = queryLimit.map(n => e.filter($"vec_id" < n)).getOrElse(e)
-    // top-NProbe cells per query as a sorted-slice aggregate over the
-    // (bounded, = ncells) per-query score list: again one hash
-    // aggregate instead of a shuffle+sort window; ascending struct
-    // (-ccos, cid) = the window's (ccos desc, cid asc)
-    val probes = q.as("q").join(broadcast(cents))
-      .select($"q.vec_id".as("query_id"), $"cid",
-        cosineCol(spark, $"q.v", $"cv").as("ccos"))
-      .groupBy($"query_id")
-      .agg(slice(array_sort(collect_list(
-        struct((-$"ccos").as("nc"), $"cid"))), 1, NProbe).as("top"))
-      .select($"query_id", explode($"top.cid").as("cell"))
+    val probes = topProbes(spark, q, cents)
     val cand = probes.join(assign, "cell")
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"))
@@ -502,6 +510,83 @@ object Similarity {
       .orderBy($"cell", $"a_id", $"b_id")
   }
 
+  /** SQ8 rescore-pool size: how many int8-ranked candidates per query
+    * survive to the exact rescore. 3x the final k — the usual
+    * refine-factor shape (FAISS `k_factor`); raising it trades scan
+    * volume for recall, and like NProbe it is interpolated into the
+    * oracle's `rn <=` bound so one edit moves both sides.
+    */
+  private val RescorePool = 3 * TopK
+
+  /** Per-vector symmetric int8 codes (v02's quantization, exactly:
+    * `q_i = floor(x_i * 127 / maxabs)`), as a long array so the dot
+    * product below stays in exact integer arithmetic. All-zero vectors
+    * (maxabs = 0) quantize to the zero code rather than NaN — the
+    * expression must be total under plan reordering.
+    */
+  private def quantized(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    vectors(spark, dir)
+      .withColumn("maxabs", aggregate(transform($"v", x => abs(x)),
+        lit(0.0), (a, x) => greatest(a, x)))
+      .withColumn("qc", when($"maxabs" > 0,
+          transform($"v", x => floor(x * lit(127.0) / $"maxabs").cast("long")))
+        .otherwise(transform($"v", _ => lit(0L))))
+      .select($"vec_id", $"qc")
+  }
+
+  /** s08 — IVF + SQ8 rescore: the memory-bandwidth ANN path of a large
+    * vector store (the IVF-with-scalar-quantizer design, e.g. FAISS
+    * IVF-SQ8). The IVF probe is identical to s02's; candidates are
+    * then ranked by an exact INTEGER dot product over per-vector
+    * symmetric int8 codes — a quarter of float32's bytes per scanned
+    * candidate, and pure long arithmetic, so both engines agree
+    * bit-for-bit — and only the top-[[RescorePool]] per query are
+    * re-scored with the full-precision fused cosine for the exact
+    * final top-k over that pool.
+    *
+    * Scale shape: at 100 TB the full-precision table is the cold store
+    * and the int8 codes are the hot scan set (4x smaller, int-SIMD
+    * friendly); the rescore reads RescorePool x n_queries full vectors
+    * — a point-lookup volume, not a scan. Candidate generation stays
+    * (nprobe/k)·n per query like s02; the quantized join is
+    * co-partitioned the same way.
+    */
+  def s08Sq8Rescore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    val (cents, assign) = ivfIndex(spark, dir, SeedVariant,
+      corpusCells(spark, dir))
+    val q = e.filter($"vec_id" < NumQueries)
+    val cand = topProbes(spark, q, cents).join(assign, "cell")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"))
+    val qv = quantized(spark, dir)
+    val iscored = cand
+      .join(qv.select($"vec_id".as("query_id"), $"qc".as("qa")), "query_id")
+      .join(qv.select($"vec_id".as("neighbor_id"), $"qc".as("qb")),
+        "neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        aggregate(zip_with($"qa", $"qb", (a, b) => a * b), lit(0L),
+          (s, x) => s + x).as("iscore"))
+    val pool = iscored.withColumn("rn", row_number().over(
+        Window.partitionBy($"query_id")
+          .orderBy($"iscore".desc, $"neighbor_id")))
+      .filter($"rn" <= RescorePool)
+      .select($"query_id", $"neighbor_id")
+    pool
+      .join(q.select($"vec_id".as("query_id"), $"v".as("qvec")), "query_id")
+      .join(e.select($"vec_id".as("neighbor_id"), $"v".as("nvec")),
+        "neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        cosineCol(spark, $"qvec", $"nvec").as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id")
+          .orderBy($"cosine".desc, $"neighbor_id")).cast("long"))
+      .filter($"rank" <= TopK)
+      .orderBy($"query_id", $"rank")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -512,6 +597,7 @@ object Similarity {
     "s05_recall_profile" -> s05RecallProfile _,
     "s06_cell_profile" -> s06CellProfile _,
     "s07_semantic_dedup" -> s07SemanticDedup _,
+    "s08_sq8_rescore" -> s08Sq8Rescore _,
   )
 
   /** Inline sequential-fold cosine over two vector SQL expressions
@@ -588,6 +674,7 @@ object Similarity {
          |  JOIN n y ON y.vec_id = b.vec_id)
          |WHERE cosine >= $SemDedupTau
          |ORDER BY cell, a_id, b_id""".stripMargin,
+    "s08_sq8_rescore" -> s08Sql,
     "s06_cell_profile" ->
       s"""WITH $VecCte,
          |$CellsCte,
@@ -634,10 +721,15 @@ object Similarity {
     sb.toString
   }
 
-  private def ivfSql(queryWhere: String, k: Int, centsSelect: String,
+  /** The shared IVF candidate-generation CTE prefix (through `cand`):
+    * one definition feeds both the float scoring tail ([[ivfSql]]) and
+    * the SQ8 rescore tail (s08's oracle), exactly as [[topProbes]] is
+    * shared on the Spark side.
+    */
+  private def ivfCandCtes(queryWhere: String, centsSelect: String,
       extraCtes: String = ""): String = {
     val extra = if (extraCtes.isEmpty) "" else s"$extraCtes,\n"
-    s"""WITH $VecCte,
+    s"""$VecCte,
        |$CellsCte,
        |${extra}cents AS ($centsSelect),
        |assign AS (SELECT vec_id, cell FROM (
@@ -651,7 +743,12 @@ object Similarity {
        |  FROM q CROSS JOIN cents c) WHERE rn <= $NProbe),
        |cand AS (SELECT p.query_id, a.vec_id neighbor_id
        |  FROM probes p JOIN assign a ON a.cell = p.cell
-       |  WHERE a.vec_id != p.query_id),
+       |  WHERE a.vec_id != p.query_id)""".stripMargin
+  }
+
+  private def ivfSql(queryWhere: String, k: Int, centsSelect: String,
+      extraCtes: String = ""): String = {
+    s"""WITH ${ivfCandCtes(queryWhere, centsSelect, extraCtes)},
        |scored AS (SELECT d.query_id, d.neighbor_id,
        |    ${cosVSql("q.v", "c.v")} AS cosine
        |  FROM cand d JOIN q ON q.vec_id = d.query_id
@@ -661,4 +758,36 @@ object Similarity {
        |    ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
+
+  /** s08's oracle: the shared IVF candidate CTEs, then the int8 code
+    * table (v02's `floor(x*127/maxabs)` quantization, zero code for
+    * all-zero vectors), the exact BIGINT dot-product pool cut at
+    * [[RescorePool]], and the full-precision rescore top-[[TopK]].
+    */
+  private lazy val s08Sql =
+    s"""WITH ${ivfCandCtes(s"WHERE vec_id < $NumQueries",
+          s"SELECT vec_id cid, v AS cv FROM n WHERE vec_id < $CellsSub")},
+       |qv AS (SELECT vec_id, CASE WHEN maxabs > 0
+       |    THEN list_transform(v, x -> CAST(floor(x * 127 / maxabs) AS BIGINT))
+       |    ELSE list_transform(v, x -> 0::BIGINT) END AS qc
+       |  FROM (SELECT vec_id, v, list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(v, x -> abs(x))), (a, x) -> greatest(a, x)) AS maxabs
+       |    FROM n)),
+       |iscored AS (SELECT c.query_id, c.neighbor_id,
+       |    list_reduce(list_prepend(0::BIGINT, list_transform(
+       |      list_zip(a.qc, b.qc), p -> p[1] * p[2])), (s, x) -> s + x) AS iscore
+       |  FROM cand c JOIN qv a ON a.vec_id = c.query_id
+       |              JOIN qv b ON b.vec_id = c.neighbor_id),
+       |pool AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY iscore DESC, neighbor_id) AS rn FROM iscored)
+       |  WHERE rn <= $RescorePool),
+       |scored AS (SELECT p.query_id, p.neighbor_id,
+       |    ${cosVSql("q.v", "c.v")} AS cosine
+       |  FROM pool p JOIN q ON q.vec_id = p.query_id
+       |              JOIN n c ON c.vec_id = p.neighbor_id)
+       |SELECT query_id, neighbor_id, cosine, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 }

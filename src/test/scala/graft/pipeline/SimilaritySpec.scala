@@ -235,4 +235,26 @@ class SimilaritySpec extends SparkSpec {
     assert(candidates < ids.length.toLong * (ids.length - 1) / 2,
       "cell blocking must prune the all-pairs space")
   }
+
+  test("s08 SQ8 rescore: valid top-k shape and high agreement with s02") {
+    val rows = Similarity.s08Sq8Rescore(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // exact top-k shape: ranks 1..k unique per query, cosine descending
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rank")).sorted
+      assert(ranks.toSeq == (1L to ranks.length).toSeq, s"ranks broken for $q")
+      val cs = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    // the int8 pool cut may only reorder WITHIN the same IVF candidate
+    // set s02 ranks, so agreement with the float path should be high —
+    // this is the rescore-recall claim (quantization costs little when
+    // the pool is 3x the final k)
+    val sq8 = rows.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val flt = Similarity.s02IvfKnn(spark, sfDir).collect().map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val overlap = sq8.intersect(flt).size.toDouble / flt.size
+    assert(overlap >= 0.8, s"SQ8 rescore agreement with s02 is $overlap")
+  }
 }
