@@ -535,9 +535,49 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** p13's vocabulary cutoff: the V most frequent terms form the
+    * "known" vocabulary, everything else is out-of-vocabulary. Sized
+    * WELL below this corpus's distinct-term count (31) so the OOV
+    * branch carries real signal in every gate run.
+    */
+  private[pipeline] val FreqVocabSize = 16
+
+  /** p13 — unigram corpus-frequency quality profile: per document, the
+    * token count, the number of token occurrences falling OUTSIDE the
+    * top-[[FreqVocabSize]] vocabulary (OOV mass), and the summed
+    * global frequency of the in-vocab occurrences. This is the
+    * deterministic integer skeleton of a CCNet-style language-model
+    * quality filter (docs dominated by rare/unknown tokens score low,
+    * docs of common tokens score high) with exact corpus counts in
+    * place of float log-probs — log-prob sums are
+    * summation-order-dependent and would break cross-engine hash
+    * parity, while these BIGINT sums reproduce bit-for-bit.
+    *
+    * Scale shape: the vocabulary is top-V by construction — a
+    * broadcast-sized ingest artifact a deployment materializes once
+    * per corpus snapshot (the p06 aggregate with a larger V) — so the
+    * per-doc pass is explode → broadcast-hash-join → partial/final
+    * aggregate keyed by doc_id: the text column never shuffles, and
+    * no all-to-all exchange exists anywhere in the plan.
+    */
+  def p13FreqQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir)
+      .select($"doc_id", explode(toks($"text")).as("term"))
+    val vocab = tok.groupBy($"term").agg(count(lit(1)).as("f"))
+      .orderBy($"f".desc, $"term").limit(FreqVocabSize)
+    tok.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"f".isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce($"f", lit(0L))).as("vocab_freq_sum"))
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p13_freq_quality" -> p13FreqQuality _,
     "p01_token_stats" -> p01TokenStats _,
     "p12_sample_manifest" -> p12SampleManifest _,
     "p08_repetition_profile" -> p08RepetitionProfile _,
@@ -576,6 +616,15 @@ object TextAnalysis {
       |    (h, c) -> h * 16 + c)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "p13_freq_quality" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
+         |tf AS (SELECT term, COUNT(*) AS f FROM tk GROUP BY term),
+         |vocab AS (SELECT term, f FROM tf ORDER BY f DESC, term LIMIT $FreqVocabSize)
+         |SELECT tk.doc_id, COUNT(*) AS n_tokens,
+         | CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         | CAST(SUM(coalesce(v.f, 0)) AS BIGINT) AS vocab_freq_sum
+         |FROM tk LEFT JOIN vocab v ON v.term = tk.term
+         |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin,
     "p12_sample_manifest" ->
       s"""SELECT doc_id, lang, n_chars FROM (
          |  SELECT doc_id, lang, n_chars, $SAMPLE_BUCKET AS sb FROM documents)

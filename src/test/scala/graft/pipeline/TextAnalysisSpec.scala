@@ -353,4 +353,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(other > 0.6 && other < 0.9, f"non-en keep rate $other%.2f far from 0.75")
     assert(en < other)
   }
+
+  test("p13 frequency-quality profile reconciles with hand-computed counts") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.p13FreqQuality(spark, sfDir).collect()
+    val p01 = TextAnalysis.p01TokenStats(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    assert(rows.length == p01.size, "one profile row per document")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens"); val oov = r.getAs[Long]("n_oov")
+      assert(n == p01(r.getAs[Long]("doc_id")), "token counts must agree with p01")
+      assert(oov >= 0 && oov <= n)
+      // every in-vocab occurrence contributes its global frequency >= 1
+      assert(r.getAs[Long]("vocab_freq_sum") >= n - oov)
+    }
+    // the cutoff is non-degenerate on this corpus: OOV mass exists and
+    // so does in-vocab mass (vocab 16 < 31 distinct terms)
+    assert(rows.exists(_.getAs[Long]("n_oov") > 0), "no OOV signal — cutoff degenerate")
+    assert(rows.exists(r => r.getAs[Long]("n_oov") < r.getAs[Long]("n_tokens")))
+    // hand-recompute one document against the corpus term frequencies
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val tf = docs.values.toSeq.flatMap(_.trim.split("\\s+"))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vocab = tf.toSeq.sortBy { case (t, f) => (-f, t) }
+      .take(TextAnalysis.FreqVocabSize).toMap
+    val someId = docs.keys.min
+    val toksOf = docs(someId).trim.split("\\s+").toSeq
+    val expected = (toksOf.size.toLong,
+      toksOf.count(t => !vocab.contains(t)).toLong,
+      toksOf.flatMap(vocab.get).sum)
+    val got = rows.find(_.getAs[Long]("doc_id") == someId).get
+    assert((got.getAs[Long]("n_tokens"), got.getAs[Long]("n_oov"),
+      got.getAs[Long]("vocab_freq_sum")) == expected)
+  }
 }
