@@ -111,7 +111,12 @@ object ScaleProbe {
       // x05: global RangedPrefix rank over (lang, hash) — expected
       // ~n log n from the range-partition sort, i.e. ~linear wall-clock
       // at any practical R
-      "x05" -> SparkEntry.queries("x05_mixture_sample"))
+      "x05" -> SparkEntry.queries("x05_mixture_sample"),
+      // s08: same IVF candidate volume as s02 (fixed query set), plus
+      // one int8 pass over the candidates — expected to track s02's
+      // shape, i.e. sub-linear in wall-clock at small R (probe cost is
+      // dominated by the k=sqrt(n) index build, like s03)
+      "s08" -> SparkEntry.queries("s08_sq8_rescore"))
 
     def once(f: (SparkSession, String) => DataFrame, dir: String): Double = {
       val t0 = System.nanoTime()

@@ -155,11 +155,25 @@ class PlanAuditSpec extends SparkSpec {
       "q02_top_parts" -> 1,       // partkey digest agg (top-k needs no sort exchange)
       "p01_token_stats" -> 1,     // output sort only: stats are per-row
       "r01_exact_match" -> 0,     // one scan + broadcast + TakeOrdered
-      "r02_semantic_knn" -> 0)    // one scan + broadcast + TakeOrdered
+      "r02_semantic_knn" -> 0,    // one scan + broadcast + TakeOrdered
+      "q21_status_pivot" -> 3,    // (prio,status) agg → pivot agg → sort
+      "q22_metrics_unpivot" -> 3, // distinct partial → final agg → sort
+      "p13_freq_quality" -> 3)    // vocab agg, per-doc agg, output sort
+      // (p13's text column itself never shuffles: the doc side joins the
+      // broadcast vocab straight off the scan, asserted below)
     budgets.foreach { case (name, budget) =>
       val n = shuffles(name)
       assert(n <= budget, s"$name plans $n data shuffles, budget $budget")
     }
+  }
+
+  test("p13 joins the vocabulary as a broadcast off the raw scan") {
+    // the per-doc side must meet the top-V vocab in a BroadcastHashJoin
+    // directly over the parquet scan — if the vocab ever stops
+    // broadcasting, the exploded text column starts crossing the wire
+    val p = plan("p13_freq_quality")
+    assert(p.contains("BroadcastHashJoin"),
+      s"p13 lost its broadcast vocabulary join:\n$p")
   }
 
   test("star-schema dimension joins stay broadcast") {
