@@ -186,13 +186,16 @@ object Dedup {
     * the scale path: candidate volume is proportional to true-duplicate
     * volume, not corpus^2.
     */
-  def d03MinhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** The LSH band-bucket candidate pairs (a_id < b_id, distinct):
+    * one-pass banding — all 4 buckets in a single posexplode pass (the
+    * union-of-4-selects form recomputed the whole signature aggregate
+    * per band per join side). Shared by d03's verify join and d07's
+    * calibration profile, so the two can never drift on what counts
+    * as a candidate.
+    */
+  private def minhashBandCand(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingleRows(spark, dir)
     val sig = minhashSig(spark, dir)
-    // one-pass banding: all 4 buckets in a single posexplode pass (the
-    // union-of-4-selects form recomputed the whole signature aggregate
-    // per band per join side)
     val bucketArr = array((0 until Bands).map { b =>
       val cols = (b * RowsPerBand until (b + 1) * RowsPerBand)
         .map(i => col(s"h$i"))
@@ -200,12 +203,18 @@ object Dedup {
     }: _*)
     val bands = sig.select($"doc_id",
       posexplode(bucketArr).as(Seq("band", "bucket")))
-    val cand = bands.as("x")
+    bands.as("x")
       .join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.bucket" === $"y.bucket" &&
           $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"))
       .distinct()
+  }
+
+  def d03MinhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingleRows(spark, dir)
+    val cand = minhashBandCand(spark, dir)
     val inter = cand
       .join(sh.as("sa"), $"a_id" === $"sa.doc_id")
       .join(sh.as("sb"), $"b_id" === $"sb.doc_id" && $"sa.shingle" === $"sb.shingle")
@@ -219,6 +228,57 @@ object Dedup {
       .join(sizes.as("zb"), $"b_id" === $"zb.doc_id")
       .filter(jaccardAtLeast08($"inter", $"za.n", $"zb.n"))
       .select($"a_id", $"b_id", $"inter", $"za.n".as("na"), $"zb.n".as("nb"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** d07 — MinHash estimator calibration over the LSH candidate set:
+    * for every band-bucket candidate pair, the number of EQUAL
+    * signature components out of [[NumHashes]] (the MinHash Jaccard
+    * estimator's numerator: est = n_match/12) side by side with the
+    * exact shingle intersection/sizes and the d03 duplicate verdict.
+    * This is the evaluation a MinHash deployment runs before trusting
+    * a b x r choice — precisely s05's recall-profile role for the
+    * dedup family: candidates whose estimator is high but whose exact
+    * Jaccard is low are the banding's false positives (the verify
+    * join's cost), and their volume is what a b x r retune would cut.
+    * Scored pairs are the CANDIDATE set only — a pair no band
+    * surfaces is d02's recall problem, not the estimator's — and a
+    * band collision implies >= 1 shared shingle (equal min-hash =>
+    * the same argmin shingle on both sides), so the inner intersect
+    * join drops nothing.
+    *
+    * All columns are exact integers over engine-identical md5 hashes,
+    * so the profile hash-matches the oracle at any scale factor.
+    * Scale shape: reuses the stored signature + shingle artifacts;
+    * the component comparison is a per-pair map over the (dup-volume
+    * -sized) candidate set, and the intersect join is d03's.
+    */
+  def d07MinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingleRows(spark, dir)
+    val cand = minhashBandCand(spark, dir)
+    val sig = minhashSig(spark, dir)
+    val nMatch = (0 until NumHashes).map(i =>
+      when(col(s"ma.h$i") === col(s"mb.h$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val matches = cand
+      .join(sig.as("ma"), $"a_id" === $"ma.doc_id")
+      .join(sig.as("mb"), $"b_id" === $"mb.doc_id")
+      .select($"a_id", $"b_id", nMatch.as("n_match"))
+    val inter = cand
+      .join(sh.as("sa"), $"a_id" === $"sa.doc_id")
+      .join(sh.as("sb"),
+        $"b_id" === $"sb.doc_id" && $"sa.shingle" === $"sb.shingle")
+      .groupBy($"a_id", $"b_id")
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    matches.join(inter, Seq("a_id", "b_id"))
+      .join(sizes.as("za"), $"a_id" === $"za.doc_id")
+      .join(sizes.as("zb"), $"b_id" === $"zb.doc_id")
+      .select($"a_id", $"b_id", $"n_match", $"inter",
+        $"za.n".as("na"), $"zb.n".as("nb"),
+        when(jaccardAtLeast08($"inter", $"za.n", $"zb.n"), 1L)
+          .otherwise(0L).as("is_dup"))
       .orderBy($"a_id", $"b_id")
   }
 
@@ -751,6 +811,7 @@ object Dedup {
     "d01_exact_dedup" -> d01ExactDedup _,
     "d02_ngram_jaccard_pairs" -> d02NgramJaccardPairs _,
     "d03_minhash_lsh_pairs" -> d03MinhashLshPairs _,
+    "d07_minhash_calibration" -> d07MinhashCalibration _,
     "d04_simhash_pairs" -> d04SimhashPairs _,
     "d05_embedding_neardup" -> d05EmbeddingNearDup _,
     "d06_neardup_clusters" -> d06NeardupClusters _,
@@ -862,6 +923,31 @@ object Dedup {
          |           JOIN sizes zb ON b_id = zb.doc_id
          |WHERE inter * 5 >= (za.n + zb.n - inter) * 4
          |ORDER BY a_id, b_id""".stripMargin,
+    "d07_minhash_calibration" -> {
+      val matchSum = (0 until NumHashes)
+        .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $ShingleCte,
+         |sig AS ($minhashSigSql),
+         |bands AS ($minhashBandsSql),
+         |cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |mt AS (SELECT c.a_id, c.b_id, CAST($matchSum AS BIGINT) AS n_match
+         |  FROM cand c JOIN sig a ON a.doc_id = c.a_id
+         |              JOIN sig b ON b.doc_id = c.b_id),
+         |pairs AS (SELECT c.a_id, c.b_id, count(*) inter
+         |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+         |              JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2)
+         |SELECT m.a_id, m.b_id, m.n_match, p.inter, za.n AS na, zb.n AS nb,
+         | (CASE WHEN p.inter * 5 >= (za.n + zb.n - p.inter) * 4
+         |    THEN 1 ELSE 0 END)::BIGINT AS is_dup
+         |FROM mt m JOIN pairs p ON p.a_id = m.a_id AND p.b_id = m.b_id
+         | JOIN sizes za ON m.a_id = za.doc_id
+         | JOIN sizes zb ON m.b_id = zb.doc_id
+         |ORDER BY m.a_id, m.b_id""".stripMargin
+    },
     "d04_simhash_pairs" ->
       s"""WITH $simhashCte
          |SELECT a.doc_id a_id, b.doc_id b_id,

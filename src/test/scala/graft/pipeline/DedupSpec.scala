@@ -204,4 +204,26 @@ class DedupSpec extends SparkSpec {
       assert(members.size >= 2, "singletons are excluded from the dup list")
     }
   }
+
+  test("d07 calibration: candidates carry >= one full band and flag d03's pairs") {
+    val cal = Dedup.d07MinhashCalibration(spark, sfDir).collect()
+    assert(cal.nonEmpty)
+    cal.foreach { r =>
+      val nm = r.getAs[Long]("n_match")
+      // a band-bucket candidate has >= 3 consecutive equal components
+      assert(nm >= 3 && nm <= 12, s"n_match $nm outside [3,12]")
+      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+      assert(r.getAs[Long]("inter") >= 1,
+        "a band collision implies a shared argmin shingle")
+    }
+    // the is_dup verdict over the candidate set IS d03's output
+    val flagged = cal.filter(_.getAs[Long]("is_dup") == 1L)
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("inter"), r.getAs[Long]("na"), r.getAs[Long]("nb"))).toSet
+    val d03 = Dedup.d03MinhashLshPairs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("inter"), r.getAs[Long]("na"), r.getAs[Long]("nb"))).toSet
+    assert(flagged == d03,
+      s"calibration verdicts diverge from d03: missing ${d03 -- flagged}, spurious ${flagged -- d03}")
+  }
 }
