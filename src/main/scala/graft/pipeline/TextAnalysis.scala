@@ -574,9 +574,39 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** p14 — cross-source 13-gram leakage matrix: for every ordered pair
+    * of sources, the number of DISTINCT 13-gram hashes occurring in
+    * both — the audit a pipeline runs before declaring two ingest
+    * feeds independent (shared grams are copied/syndicated content
+    * that defeats per-source dedup budgets and leaks eval material
+    * across mixture strata). Same gram definition as p09/p10 and the
+    * streaming guard ([[gramHashes]]), so "leakage" means one thing
+    * everywhere.
+    *
+    * Scale shape: the corpus reduces to DISTINCT (source, gram) pairs
+    * BEFORE any join — each gram then meets C(sources_with_gram, 2)
+    * matrix cells, bounded by the source count squared rather than by
+    * document volume; only 32-char digests shuffle (text never does),
+    * and the output is at most |sources|². A deployment facing hot
+    * boilerplate grams df-caps the gram side exactly like d02's
+    * shingle index.
+    */
+  def p14CrossSourceLeakage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sg = Tables.documents(spark, dir)
+      .select($"source", explode(gramHashes($"text")).as("g"))
+      .distinct()
+    sg.as("a")
+      .join(sg.as("b"), $"a.g" === $"b.g" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy($"src_a", $"src_b")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p14_cross_source_leakage" -> p14CrossSourceLeakage _,
     "p13_freq_quality" -> p13FreqQuality _,
     "p01_token_stats" -> p01TokenStats _,
     "p12_sample_manifest" -> p12SampleManifest _,
@@ -616,6 +646,15 @@ object TextAnalysis {
       |    (h, c) -> h * 16 + c)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "p14_cross_source_leakage" ->
+      s"""WITH tk AS (SELECT source, $TOKS t FROM documents),
+         |gr AS (SELECT DISTINCT source, unnest(list_distinct(
+         |    [md5(array_to_string(t[i:i+12], ' ')) for i in range(1, len(t)-11)])) g
+         |  FROM tk WHERE len(t) >= 13)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         | count(*) AS n_shared_grams
+         |FROM gr a JOIN gr b ON a.g = b.g AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "p13_freq_quality" ->
       s"""WITH tk AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
          |tf AS (SELECT term, COUNT(*) AS f FROM tk GROUP BY term),

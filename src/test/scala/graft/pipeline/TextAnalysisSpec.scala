@@ -388,4 +388,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert((got.getAs[Long]("n_tokens"), got.getAs[Long]("n_oov"),
       got.getAs[Long]("vocab_freq_sum")) == expected)
   }
+
+  test("p14 leakage matrix equals the hand-computed gram-set intersections") {
+    import org.apache.spark.sql.functions.col
+    val rows = TextAnalysis.p14CrossSourceLeakage(spark, sfDir).collect()
+    assert(rows.nonEmpty, "no cross-source 13-gram sharing — degenerate corpus")
+    rows.foreach { r =>
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+      assert(r.getAs[Long]("n_shared_grams") >= 1)
+    }
+    // brute-force recompute: per-source distinct gram-string sets
+    val bySource = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[String]("text"))
+      .groupBy(_._1).view.mapValues { docs =>
+        docs.flatMap { case (_, text) =>
+          val t = text.trim.split("\\s+")
+          if (t.length < 13) Seq.empty
+          else t.sliding(13).map(_.mkString(" ")).toSeq
+        }.toSet
+      }.toMap
+    val expected = (for {
+      a <- bySource.keys; b <- bySource.keys; if a < b
+      n = bySource(a).intersect(bySource(b)).size
+      if n > 0
+    } yield (a, b, n.toLong)).toSet
+    val got = rows.map(r => (r.getAs[String]("src_a"),
+      r.getAs[String]("src_b"), r.getAs[Long]("n_shared_grams"))).toSet
+    assert(got == expected,
+      s"missing ${expected -- got}, spurious ${got -- expected}")
+  }
 }
