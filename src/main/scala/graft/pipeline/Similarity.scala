@@ -176,10 +176,13 @@ object Similarity {
   private val countCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
 
-  private[pipeline] def corpusCells(spark: SparkSession, dir: String): Int =
-    recommendedCells(Memo.getOrBuild(countCache, (spark, dir)) {
+  private[pipeline] def corpusCount(spark: SparkSession, dir: String): Long =
+    Memo.getOrBuild(countCache, (spark, dir)) {
       vectors(spark, dir).count()
-    })
+    }
+
+  private[pipeline] def corpusCells(spark: SparkSession, dir: String): Int =
+    recommendedCells(corpusCount(spark, dir))
 
   private[pipeline] def ivfIndex(spark: SparkSession, dir: String,
       variant: String, cells: Int = NumCentroids): (DataFrame, DataFrame) =
@@ -305,6 +308,8 @@ object Similarity {
       })
     exactCache.keys.foreach(k =>
       exactCache.remove(k).foreach(_.unpersist()))
+    baseCentCache.keys.foreach(k =>
+      baseCentCache.remove(k).foreach(_.unpersist()))
   }
 
   /** Deterministic Lloyd k-means over (vec_id, v) rows — the IVF
@@ -587,6 +592,58 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** The base-90% trained centroids behind s09 — an ingest artifact
+    * like [[ivfIndex]]'s, memoized+persisted per (session, dir) and
+    * released via [[invalidateCaches]]: the Lloyd lineage would
+    * otherwise re-run once per consumer of the centroid frame.
+    */
+  private val baseCentCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
+  private def baseCentroids(spark: SparkSession, dir: String,
+      nBase: Long): DataFrame =
+    Memo.getOrBuild(baseCentCache, (spark, dir)) {
+      import spark.implicits._
+      val base = vectors(spark, dir).filter($"vec_id" < nBase)
+      val df = kmeansCentroids(spark, base, recommendedCells(nBase),
+        KmeansIters)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize: consumers read the artifact, not the Lloyd lineage
+      df
+    }
+
+  /** s09 — incremental IVF maintenance ("index add"): the newest ~10%
+    * of vectors — the delta an ingest batch appends — are assigned to
+    * the FROZEN centroids trained on the base 90%, with NO retrain,
+    * and the profile reports each cell's base vs delta occupancy.
+    * This is the FAISS-style `add()` path's monitoring view: adding a
+    * vector to an IVF index is a map-side broadcast argmax (zero
+    * global work — the property that makes IVF the 100 TB serving
+    * structure), and this profile is what tells a deployment when
+    * drift — delta mass concentrating in few cells — justifies the
+    * k~sqrt(n) retrain that [[cellOccupancy]] evaluates. Cells are
+    * k = round(sqrt(n_base)); the oracle derives the identical split
+    * point `(count*9)//10` and k in-SQL, so the profile stays
+    * hash-exact at every scale factor.
+    */
+  def s09IncrementalAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    val nBase = corpusCount(spark, dir) * 9 / 10
+    val cents = baseCentroids(spark, dir, nBase)
+    val ba = cellAssign(spark, e.filter($"vec_id" < nBase), cents)
+      .groupBy($"cell").agg(count(lit(1)).as("n_base"))
+    val da = cellAssign(spark, e.filter($"vec_id" >= nBase), cents)
+      .groupBy($"cell").agg(count(lit(1)).as("n_delta"))
+    cents.select($"cid".as("cell"))
+      .join(ba, Seq("cell"), "left")
+      .join(da, Seq("cell"), "left")
+      .select($"cell", coalesce($"n_base", lit(0L)).as("n_base"),
+        coalesce($"n_delta", lit(0L)).as("n_delta"))
+      .orderBy($"cell")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -598,6 +655,7 @@ object Similarity {
     "s06_cell_profile" -> s06CellProfile _,
     "s07_semantic_dedup" -> s07SemanticDedup _,
     "s08_sq8_rescore" -> s08Sq8Rescore _,
+    "s09_incremental_assign" -> s09IncrementalAssign _,
   )
 
   /** Inline sequential-fold cosine over two vector SQL expressions
@@ -675,6 +733,7 @@ object Similarity {
          |WHERE cosine >= $SemDedupTau
          |ORDER BY cell, a_id, b_id""".stripMargin,
     "s08_sq8_rescore" -> s08Sql,
+    "s09_incremental_assign" -> s09Sql,
     "s06_cell_profile" ->
       s"""WITH $VecCte,
          |$CellsCte,
@@ -689,6 +748,35 @@ object Similarity {
          |  (count(*) * (count(*) - 1)) // 2 AS self_join_pairs
          |FROM assign GROUP BY cell ORDER BY cell""".stripMargin,
   )
+
+  /** s09's oracle: `n` is rebound to the BASE 90% (so [[CellsCte]] and
+    * [[kmeansCtes]] train on the base unchanged), the delta is the
+    * remainder of `av` (all vectors), and both sides assign against
+    * the frozen `cents` with the shared argmax CTE shape.
+    */
+  private lazy val s09Sql =
+    s"""WITH av AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |nb AS (SELECT (count(*) * 9) // 10 AS nbase FROM av),
+       |n AS (SELECT * FROM av WHERE vec_id < (SELECT nbase FROM nb)),
+       |$CellsCte,
+       |${kmeansCtes(KmeansIters)},
+       |cents AS (SELECT cid, cv FROM cents$KmeansIters),
+       |ba AS (SELECT cell, count(*) AS nbase_cnt FROM (
+       |  SELECT x.vec_id, c.cid AS cell, row_number() OVER (
+       |    PARTITION BY x.vec_id
+       |    ORDER BY ${cosVSql("x.v", "c.cv")} DESC, c.cid) rn
+       |  FROM n x CROSS JOIN cents c) WHERE rn = 1 GROUP BY cell),
+       |delta AS (SELECT * FROM av WHERE vec_id >= (SELECT nbase FROM nb)),
+       |da AS (SELECT cell, count(*) AS ndelta_cnt FROM (
+       |  SELECT x.vec_id, c.cid AS cell, row_number() OVER (
+       |    PARTITION BY x.vec_id
+       |    ORDER BY ${cosVSql("x.v", "c.cv")} DESC, c.cid) rn
+       |  FROM delta x CROSS JOIN cents c) WHERE rn = 1 GROUP BY cell)
+       |SELECT c.cid AS cell, coalesce(ba.nbase_cnt, 0)::BIGINT AS n_base,
+       | coalesce(da.ndelta_cnt, 0)::BIGINT AS n_delta
+       |FROM cents c LEFT JOIN ba ON ba.cell = c.cid
+       |             LEFT JOIN da ON da.cell = c.cid
+       |ORDER BY cell""".stripMargin
 
   /** The k-means iterations as chained CTEs — the same quantized
     * integer dimension sums as [[kmeansCentroids]], so `cents<i>`

@@ -257,4 +257,18 @@ class SimilaritySpec extends SparkSpec {
     val overlap = sq8.intersect(flt).size.toDouble / flt.size
     assert(overlap >= 0.8, s"SQ8 rescore agreement with s02 is $overlap")
   }
+
+  test("s09 incremental assign partitions base and delta over k(base) cells") {
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    val nBase = n * 9 / 10
+    val rows = Similarity.s09IncrementalAssign(spark, sfDir).collect()
+    // one row per trained cell, k sized from the BASE corpus
+    assert(rows.length == Similarity.recommendedCells(nBase))
+    assert(rows.map(_.getAs[Long]("cell")).distinct.length == rows.length)
+    // every vector lands in exactly one cell, on the correct side
+    assert(rows.map(_.getAs[Long]("n_base")).sum == nBase)
+    assert(rows.map(_.getAs[Long]("n_delta")).sum == n - nBase)
+    // the delta actually exercised the frozen index (non-degenerate)
+    assert(rows.map(_.getAs[Long]("n_delta")).sum > 0)
+  }
 }
