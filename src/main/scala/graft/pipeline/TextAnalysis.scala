@@ -583,18 +583,24 @@ object TextAnalysis {
     * streaming guard ([[gramHashes]]), so "leakage" means one thing
     * everywhere.
     *
-    * Scale shape: the corpus reduces to DISTINCT (source, gram) pairs
-    * BEFORE any join — each gram then meets C(sources_with_gram, 2)
-    * matrix cells, bounded by the source count squared rather than by
-    * document volume; only 32-char digests shuffle (text never does),
-    * and the output is at most |sources|². A deployment facing hot
-    * boilerplate grams df-caps the gram side exactly like d02's
-    * shingle index.
+    * Scale shape: the gram side is the MEMOIZED 13-gram index p09/p10
+    * already materialize (the once-per-snapshot ingest artifact), with
+    * source attached by a broadcast-sized (doc_id, source) projection —
+    * re-deriving grams from raw text here cost 3.0 s vs 0.9 s at sf0.1
+    * and would have paid a second full-corpus tokenize at 100 TB. The
+    * corpus then reduces to DISTINCT (source, gram) pairs BEFORE any
+    * join — each gram meets C(sources_with_gram, 2) matrix cells,
+    * bounded by the source count squared rather than by document
+    * volume; only 32-char digests shuffle (text never does), and the
+    * output is at most |sources|². A deployment facing hot boilerplate
+    * grams df-caps the gram side exactly like d02's shingle index.
     */
   def p14CrossSourceLeakage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sg = Tables.documents(spark, dir)
-      .select($"source", explode(gramHashes($"text")).as("g"))
+    val sg = contamGrams(spark, dir)
+      .join(Tables.documents(spark, dir).select($"doc_id", $"source"),
+        "doc_id")
+      .select($"source", $"g")
       .distinct()
     sg.as("a")
       .join(sg.as("b"), $"a.g" === $"b.g" && $"a.source" < $"b.source")
