@@ -41,7 +41,8 @@ object Streams {
     "session_window" -> "relational.StarQueries.q20SessionWindowAgg (native session_window batch agg)",
     "stream_stream_join" -> "30-minute user_id range self-join over events",
     "dedup" -> "exact distinct-by-event_id over the replayed stream",
-    "contamination_guard" -> "p10 leaked-gram sweep (shared TextAnalysis.gramHashes)")
+    "contamination_guard" -> "p10 leaked-gram sweep (shared TextAnalysis.gramHashes)",
+    "ivf_ingest_assign" -> "nearest-frozen-centroid argmax (s09's index-add path)")
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
@@ -137,6 +138,43 @@ object Streams {
         explode(graft.pipeline.TextAnalysis.gramHashes(col("text"))).as("g"))
       .join(trainGrams.select(col("g")), Seq("g"), "inner")
       .select(col("doc_id"), col("g"))
+
+  /** Streaming IVF ingest assignment (the streaming face of batch
+    * s09's index-add): each arriving vector is assigned to its nearest
+    * FROZEN centroid as it lands — the `add()` path of a continuously
+    * ingesting vector store, as a stream. Stateless by construction:
+    * the centroid set rides in as ONE static row holding the
+    * cid-sorted centroid array ([[centroidsAsRow]]), the stream
+    * cross-joins that single broadcast row (stream-static, no state
+    * store, append mode), and the argmax is a per-row fold over the
+    * array — strict `>` over an ascending-cid array resolves cosine
+    * ties to the smallest cid, the identical order to the batch
+    * argmax (`max_by(cid, struct(cos, -cid))`). At scale: no shuffle,
+    * no state, one projection per arriving vector against a broadcast
+    * index; the assignment stream appends straight to the stored
+    * index's assign table and s09's profile is its monitoring view.
+    */
+  def ivfIngestAssign(vecs: DataFrame, centsRow: DataFrame): DataFrame = {
+    graft.rass.expressions.CosineSimilarity.register(vecs.sparkSession)
+    val best = aggregate(col("cents"),
+      struct(lit(-2.0).as("s"), lit(-1L).as("cell")),
+      (acc, c) => {
+        val s = call_function("cosine_sim", col("v"), c.getField("cv"))
+        when(s > acc.getField("s"),
+          struct(s.as("s"), c.getField("cid").as("cell"))).otherwise(acc)
+      })
+    vecs.crossJoin(centsRow)
+      .select(col("vec_id"), best.getField("cell").as("cell"))
+  }
+
+  /** The frozen centroid table collapsed to one broadcastable row
+    * holding the cid-sorted (cid, cv) array — the static side of
+    * [[ivfIngestAssign]]. array_sort on the struct orders by the
+    * leading cid field, which is what gives the fold its tie order.
+    */
+  def centroidsAsRow(cents: DataFrame): DataFrame =
+    cents.agg(
+      array_sort(collect_list(struct(col("cid"), col("cv")))).as("cents"))
 
   /** Stateful sessionization: 30-minute inactivity gap splits sessions.
     * One GroupState per user holding (last event time, counters). With

@@ -203,7 +203,51 @@ class StreamsSpec extends SparkSpec {
       "fixture must contain at least one train/test leak to make this real")
   }
 
+  private def ivfIngestAssignTwin(): Unit = {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // frozen centroids trained on the base 90%, exactly s09's setup
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val n = e.count(); val nBase = n * 9 / 10
+    val cents = graft.pipeline.Similarity.kmeansCentroids(spark,
+      e.filter($"vec_id" < nBase),
+      graft.pipeline.Similarity.recommendedCells(nBase), 2)
+    val centsRow = centroidsAsRow(cents)
+    val delta = e.filter($"vec_id" >= nBase)
+      .as[(Long, Seq[Double])].collect().toSeq
+    assert(delta.nonEmpty)
+
+    val input = MemoryStream[(Long, Seq[Double])]
+    val query = ivfIngestAssign(input.toDF().toDF("vec_id", "v"), centsRow)
+      .writeStream.format("memory").queryName("ivf_add")
+      .outputMode("append").start()
+    // two micro-batches: the assignment is stateless, so a vector's
+    // cell must not depend on which batch carried it
+    val (a, b) = delta.splitAt(delta.size / 2)
+    input.addData(a)
+    query.processAllAvailable()
+    input.addData(b)
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("ivf_add").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch argmax with the identical ordering (cos desc, cid asc)
+    graft.rass.expressions.CosineSimilarity.register(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id")
+      .orderBy(call_function("cosine_sim", $"v", $"cv").desc, $"cid")
+    val want = e.filter($"vec_id" >= nBase).crossJoin(cents)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    assert(got == want, "stream assignment diverges from the batch argmax")
+    assert(got.size == delta.size, "every arriving vector must be assigned")
+  }
+
   private val twinRunners: Map[String, () => Unit] = Map(
+    "ivf_ingest_assign" -> (ivfIngestAssignTwin _),
     "windowed_counts" -> (windowedCountsTwin _),
     "sessionize" -> (sessionizeTwin _),
     "session_window" -> (sessionWindowTwin _),
