@@ -116,7 +116,14 @@ object ScaleProbe {
       // one int8 pass over the candidates — expected to track s02's
       // shape, i.e. sub-linear in wall-clock at small R (probe cost is
       // dominated by the k=sqrt(n) index build, like s03)
-      "s08" -> SparkEntry.queries("s08_sq8_rescore"))
+      "s08" -> SparkEntry.queries("s08_sq8_rescore"),
+      // p14: distinct (source, gram) reduction + per-gram source
+      // self-join — gram volume scales linearly and the per-gram pair
+      // work is bounded by the (fixed) source count, so ~linear; the
+      // matrix keeps its |sources|^2 shape with cell counts scaling ~R
+      // (each replica contributes its own disjoint-vocabulary grams
+      // under the same source labels)
+      "p14" -> SparkEntry.queries("p14_cross_source_leakage"))
 
     def once(f: (SparkSession, String) => DataFrame, dir: String): Double = {
       val t0 = System.nanoTime()

@@ -344,6 +344,30 @@ object StarQueries {
       .orderBy($"l_returnflag", $"metric")
   }
 
+  /** Q23 — explicit GROUPING SETS (the literal operator, beyond q08's
+    * rollup and q16's cube): both one-dimensional status/priority
+    * margins plus the grand total in ONE aggregation pass — the
+    * Expand-based plan computes all three sets off a single scan,
+    * where three separate groupBys would read orders three times.
+    * `grouping()` flags travel in the output to disambiguate a margin
+    * row from a real NULL (the operator's contract, even though this
+    * data has no NULL keys); they also make the output sort total.
+    */
+  def q23GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority"), Seq.empty),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        (sumExact(cents($"o_totalprice")).cast(DoubleType) / 100.0)
+          .as("revenue"),
+        grouping($"o_orderstatus").cast(LongType).as("g_status"),
+        grouping($"o_orderpriority").cast(LongType).as("g_priority"))
+      .orderBy($"g_status", $"g_priority", $"o_orderstatus",
+        $"o_orderpriority")
+  }
+
   /** Release the memoized q14 ranged projection (and only it). */
   def invalidateCaches(): Unit = graft.RangedPrefix.invalidateCaches("q14:")
 
@@ -527,6 +551,7 @@ object StarQueries {
     "q20_session_window" -> q20SessionWindowAgg _,
     "q21_status_pivot" -> q21StatusPivot _,
     "q22_metrics_unpivot" -> q22MetricsUnpivot _,
+    "q23_grouping_sets" -> q23GroupingSets _,
   )
 
   private val DEC = "DECIMAL(18,2)"
@@ -726,5 +751,13 @@ object StarQueries {
          |UNION ALL
          |SELECT l_returnflag, 'qty_cents', qty_cents FROM w
          |ORDER BY l_returnflag, metric""".stripMargin,
+    "q23_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+         | CAST(SUM(${cts("o_totalprice")}) AS DOUBLE) / 100.0 AS revenue,
+         | CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+         | CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""".stripMargin,
   )
 }

@@ -178,4 +178,23 @@ class StarQueriesSpec extends SparkSpec {
       .map(_.getAs[Long]("value")).sum
     assert(nItems == graft.Tables.lineitem(spark, sfDir).count())
   }
+
+  test("q23 grouping sets: both margins partition the corpus, one total row") {
+    val rows = StarQueries.q23GroupingSets(spark, sfDir).collect()
+    val n = graft.Tables.orders(spark, sfDir).count()
+    def marginSum(gs: Long, gp: Long) = rows
+      .filter(r => r.getAs[Long]("g_status") == gs &&
+        r.getAs[Long]("g_priority") == gp)
+      .map(_.getAs[Long]("n_orders")).sum
+    // status margin (g=(0,1)) and priority margin (g=(1,0)) each cover
+    // every order exactly once; the grand-total set is one row with n
+    assert(marginSum(0, 1) == n, "status margin must partition orders")
+    assert(marginSum(1, 0) == n, "priority margin must partition orders")
+    val total = rows.filter(r => r.getAs[Long]("g_status") == 1 &&
+      r.getAs[Long]("g_priority") == 1)
+    assert(total.length == 1 && total.head.getAs[Long]("n_orders") == n)
+    // no (0,0) set was requested, so none may appear
+    assert(!rows.exists(r => r.getAs[Long]("g_status") == 0 &&
+      r.getAs[Long]("g_priority") == 0))
+  }
 }
