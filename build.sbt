@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout must reach the console RAW: the driver
+// archives a bounded stdout tail and parses the final line as JSON
+// (Bench's contract). sbt's default LoggedOutput prefixes every line
+// with "[info] " and appends a "[success] Total time" line after it,
+// which has broken that parse every round since r07 — StdoutOutput
+// inherits the console directly and showSuccess drops the trailer, so
+// the compact JSON line is the literal last line of output.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -67,9 +67,44 @@ object EmbeddingStats {
       .orderBy($"label")
   }
 
+  /** v03 — per-DIMENSION embedding QA profile: for each of the 64 vector
+    * dimensions, the component count, micro-quantized sum / min / max /
+    * absolute mass, and the zero-component count. This is the dead-dim /
+    * collapsed-dim check an embedding pipeline runs before committing a
+    * 100 TB vector store: a dimension whose absolute mass is ~0 carries
+    * no signal (wasted storage + ANN distance noise), and one whose
+    * min==max indicates a constant (bugged) projection.
+    *
+    * Scale shape: `posexplode` widens each row 64x, but the very next
+    * operator is a hash aggregation whose key domain is the 64 dim
+    * indices — partial (map-side) aggregation collapses every partition
+    * to <=64 rows before the shuffle, so the exchange carries
+    * |partitions| x 64 summary rows, never the widened data. Components
+    * are floor-quantized to integer micro-units per row first (the
+    * [[v01NormProfile]] determinism pattern): integer sums reproduce
+    * bit-for-bit across engines and cluster layouts, where a double SUM
+    * would be shuffle-order-dependent.
+    */
+  def v03DimStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select(posexplode($"embedding".cast("array<double>")).as(Seq("dim", "x")))
+      .select($"dim".cast("long").as("dim"),
+        floor($"x" * 1000000L).cast("long").as("x_micro"))
+      .groupBy($"dim")
+      .agg(count(lit(1)).as("n"),
+        sum($"x_micro").as("sum_micro"),
+        min($"x_micro").as("min_micro"),
+        max($"x_micro").as("max_micro"),
+        sum(abs($"x_micro")).as("abs_mass_micro"),
+        sum(when($"x_micro" === 0L, 1L).otherwise(0L)).as("n_zero"))
+      .orderBy($"dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_norm_profile" -> v01NormProfile _,
     "v02_quantize_profile" -> v02QuantizeProfile _,
+    "v03_dim_stats" -> v03DimStats _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -106,5 +141,16 @@ object EmbeddingStats {
         |  FROM embeddings)
         | WHERE maxabs > 0)
         |GROUP BY label ORDER BY label""".stripMargin,
+    "v03_dim_stats" ->
+      """SELECT dim, COUNT(*) AS n,
+        | CAST(SUM(x_micro) AS BIGINT) AS sum_micro,
+        | MIN(x_micro) AS min_micro, MAX(x_micro) AS max_micro,
+        | CAST(SUM(ABS(x_micro)) AS BIGINT) AS abs_mass_micro,
+        | CAST(SUM(CASE WHEN x_micro = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |FROM (SELECT CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
+        |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+        |    AS x_micro
+        | FROM embeddings)
+        |GROUP BY dim ORDER BY dim""".stripMargin,
   )
 }

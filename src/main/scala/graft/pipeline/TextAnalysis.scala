@@ -609,9 +609,50 @@ object TextAnalysis {
       .orderBy($"src_a", $"src_b")
   }
 
+  /** p15's low-diversity cut: a document whose unigram concentration
+    * `sum(c^2) / n^2` (the complement of Gini–Simpson diversity) is
+    * >= 1/20 flags as low-diversity. Calibrated to the measured corpus
+    * distribution (median concentration ~0.051 at every SF), so BOTH
+    * flag branches carry rows in every gate run.
+    */
+  private[pipeline] val DiversityCut = 20L
+
+  /** p15 — per-document lexical-diversity profile: token count, type
+    * (distinct-unigram) count, the concentration numerator
+    * `sum(c^2)` over per-doc unigram counts `c`, the modal-token count,
+    * and a low-diversity flag (`sum_c2 * DiversityCut >= n^2`, i.e.
+    * Gini–Simpson concentration >= 1/20). The unigram complement to
+    * p08's trigram repetition screen: "the the the…" and template-y
+    * low-vocabulary docs score high concentration even when no trigram
+    * literally repeats. Everything is integer arithmetic, so the
+    * profile hash-matches across engines.
+    *
+    * Scale shape: explode → count per (doc, token) → per-doc profile.
+    * Documents are contiguous within partitions, so the first hash
+    * aggregation collapses map-side to one row per (doc, type) before
+    * any exchange, and the exchange carries type counts, never text
+    * volume (same shape as p08's trigram profile). No driver state.
+    */
+  def p15LexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(toks($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum($"c" * $"c").as("sum_c2"),
+        max($"c").as("max_c"))
+      .withColumn("low_diversity",
+        when($"sum_c2" * DiversityCut >= $"n_tokens" * $"n_tokens", 1L)
+          .otherwise(0L))
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p15_lexical_diversity" -> p15LexicalDiversity _,
     "p14_cross_source_leakage" -> p14CrossSourceLeakage _,
     "p13_freq_quality" -> p13FreqQuality _,
     "p01_token_stats" -> p01TokenStats _,
@@ -652,6 +693,15 @@ object TextAnalysis {
       |    (h, c) -> h * 16 + c)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "p15_lexical_diversity" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),
+         |cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         | COUNT(*) AS n_types, CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+         | CAST(MAX(c) AS BIGINT) AS max_c,
+         | CAST(CASE WHEN SUM(c * c) * $DiversityCut >= SUM(c) * SUM(c)
+         |      THEN 1 ELSE 0 END AS BIGINT) AS low_diversity
+         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "p14_cross_source_leakage" ->
       s"""WITH tk AS (SELECT source, $TOKS t FROM documents),
          |gr AS (SELECT DISTINCT source, unnest(list_distinct(

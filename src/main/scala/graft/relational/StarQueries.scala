@@ -368,6 +368,48 @@ object StarQueries {
         $"o_orderpriority")
   }
 
+  /** q24's balance-band width (account-balance units per band). With
+    * the composite (nationkey, band) key, every full-outer branch is
+    * non-degenerate at every test scale factor (measured cells
+    * matched/customer-only/supplier-only: 1/22/9 at sf0.001, 50/127/31
+    * at sf0.01) — a single-column nation key degenerates because one
+    * side's nation set always covers the other's.
+    */
+  val ReconcileBandWidth = 1000.0
+
+  /** Full outer join: per-(nation, balance-band) reconciliation of the
+    * AUTOMOBILE customer base against the supplier base — which market
+    * cells have buyers but no local supplier presence, and vice versa.
+    * Aggregate-THEN-join: each side collapses to at most
+    * |nations| x |bands| summary rows before the join, so the
+    * full-outer shuffle carries group summaries, never fact rows (at
+    * 100 TB the join inputs are still a few hundred rows each). Spark
+    * has no broadcast full-outer equi-join, and none is needed at this
+    * size; null-extension on BOTH sides is the point of the operator,
+    * with `coalesce` folding the missing side to zero counts.
+    */
+  def q24FullOuterReconcile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def band(c: Column): Column =
+      floor(c / ReconcileBandWidth).cast(IntegerType)
+    val c = Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === "AUTOMOBILE")
+      .groupBy($"c_nationkey".as("ck"), band($"c_acctbal").as("cb"))
+      .agg(count(lit(1)).as("cn"), sum(cents($"c_acctbal")).as("cd"))
+    val s = Tables.supplier(spark, dir)
+      .groupBy($"s_nationkey".as("sk"), band($"s_acctbal").as("sb"))
+      .agg(count(lit(1)).as("sn"), sum(cents($"s_acctbal")).as("sd"))
+    c.join(s, $"ck" === $"sk" && $"cb" === $"sb", "full_outer")
+      .select(
+        coalesce($"ck", $"sk").as("nationkey"),
+        coalesce($"cb", $"sb").as("bal_band"),
+        coalesce($"cn", lit(0L)).as("n_cust"),
+        coalesce($"cd", lit(0L)).as("cust_bal_cents"),
+        coalesce($"sn", lit(0L)).as("n_supp"),
+        coalesce($"sd", lit(0L)).as("supp_bal_cents"))
+      .orderBy($"nationkey", $"bal_band")
+  }
+
   /** Release the memoized q14 ranged projection (and only it). */
   def invalidateCaches(): Unit = graft.RangedPrefix.invalidateCaches("q14:")
 
@@ -552,6 +594,7 @@ object StarQueries {
     "q21_status_pivot" -> q21StatusPivot _,
     "q22_metrics_unpivot" -> q22MetricsUnpivot _,
     "q23_grouping_sets" -> q23GroupingSets _,
+    "q24_full_outer_reconcile" -> q24FullOuterReconcile _,
   )
 
   private val DEC = "DECIMAL(18,2)"
@@ -759,5 +802,23 @@ object StarQueries {
          |FROM orders
          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          |ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""".stripMargin,
+    "q24_full_outer_reconcile" ->
+      s"""WITH c AS (SELECT c_nationkey AS ck,
+         |  CAST(floor(c_acctbal / $ReconcileBandWidth) AS INTEGER) AS cb,
+         |  COUNT(*) AS cn, CAST(SUM(${cts("c_acctbal")}) AS BIGINT) AS cd
+         | FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+         | GROUP BY 1, 2),
+         |s AS (SELECT s_nationkey AS sk,
+         |  CAST(floor(s_acctbal / $ReconcileBandWidth) AS INTEGER) AS sb,
+         |  COUNT(*) AS sn, CAST(SUM(${cts("s_acctbal")}) AS BIGINT) AS sd
+         | FROM supplier GROUP BY 1, 2)
+         |SELECT CAST(COALESCE(ck, sk) AS INTEGER) AS nationkey,
+         | CAST(COALESCE(cb, sb) AS INTEGER) AS bal_band,
+         | COALESCE(cn, 0) AS n_cust,
+         | COALESCE(cd, 0) AS cust_bal_cents,
+         | COALESCE(sn, 0) AS n_supp,
+         | COALESCE(sd, 0) AS supp_bal_cents
+         |FROM c FULL OUTER JOIN s ON ck = sk AND cb = sb
+         |ORDER BY nationkey, bal_band""".stripMargin,
   )
 }

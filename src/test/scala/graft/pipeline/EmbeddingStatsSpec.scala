@@ -18,4 +18,30 @@ class EmbeddingStatsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Long]("sum_q")) <= absSum)
     }
   }
+
+  test("v03 dim stats: one row per dimension, consistent with a direct fold") {
+    val rows = EmbeddingStats.v03DimStats(spark, sfDir).collect()
+    val nVecs = graft.Tables.embeddings(spark, sfDir).count()
+    val dims = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("max(size(embedding))").head().getInt(0)
+    assert(rows.length == dims)
+    assert(rows.map(_.getAs[Long]("dim")).toSeq == (0 until dims).map(_.toLong))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == nVecs)
+      assert(r.getAs[Long]("min_micro") <= r.getAs[Long]("max_micro"))
+      // |sum| <= abs mass, with equality only if the dim never changes sign
+      assert(math.abs(r.getAs[Long]("sum_micro")) <=
+        r.getAs[Long]("abs_mass_micro"))
+      assert(r.getAs[Long]("n_zero") >= 0 && r.getAs[Long]("n_zero") <= nVecs)
+    }
+    // cross-check dimension 0 against a driver-side fold over the raw rows
+    val xs = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("CAST(embedding[0] AS DOUBLE) AS x").collect()
+      .map(r => math.floor(r.getDouble(0) * 1000000L).toLong)
+    val d0 = rows.find(_.getAs[Long]("dim") == 0L).get
+    assert(d0.getAs[Long]("sum_micro") == xs.sum)
+    assert(d0.getAs[Long]("min_micro") == xs.min)
+    assert(d0.getAs[Long]("max_micro") == xs.max)
+    assert(d0.getAs[Long]("abs_mass_micro") == xs.map(math.abs).sum)
+  }
 }

@@ -418,4 +418,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == expected,
       s"missing ${expected -- got}, spurious ${got -- expected}")
   }
+
+  test("p15 diversity profile matches a brute-force per-doc count, both flags") {
+    import org.apache.spark.sql.functions.col
+    val rows = TextAnalysis.p15LexicalDiversity(spark, sfDir).collect()
+    val raw = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.split("\\s+").toSeq).toMap
+    assert(rows.length == raw.size)
+    rows.foreach { r =>
+      val counts = raw(r.getAs[Long]("doc_id")).groupBy(identity)
+        .map { case (_, g) => g.size.toLong }
+      val n = counts.sum
+      assert(r.getAs[Long]("n_tokens") == n)
+      assert(r.getAs[Long]("n_types") == counts.size.toLong)
+      assert(r.getAs[Long]("sum_c2") == counts.map(c => c * c).sum)
+      assert(r.getAs[Long]("max_c") == counts.max)
+      val expectFlag =
+        if (r.getAs[Long]("sum_c2") * TextAnalysis.DiversityCut >= n * n) 1L
+        else 0L
+      assert(r.getAs[Long]("low_diversity") == expectFlag)
+    }
+    // the cut sits at the corpus median by calibration: both branches live
+    assert(rows.exists(_.getAs[Long]("low_diversity") == 1L),
+      "low-diversity branch degenerate")
+    assert(rows.exists(_.getAs[Long]("low_diversity") == 0L),
+      "high-diversity branch degenerate")
+  }
 }

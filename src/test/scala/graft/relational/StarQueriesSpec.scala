@@ -197,4 +197,37 @@ class StarQueriesSpec extends SparkSpec {
     assert(!rows.exists(r => r.getAs[Long]("g_status") == 0 &&
       r.getAs[Long]("g_priority") == 0))
   }
+
+  test("q24 full outer: union of key cells, all three branches, side parity") {
+    import org.apache.spark.sql.functions._
+    val rows = StarQueries.q24FullOuterReconcile(spark, sfDir).collect()
+    def bandOf(v: Double): Int =
+      math.floor(v / StarQueries.ReconcileBandWidth).toInt
+    val cust = graft.Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_nationkey"), col("c_acctbal")).collect()
+      .groupBy(r => (r.getInt(0), bandOf(r.getDouble(1))))
+      .map { case (k, g) => k -> g.size.toLong }
+    val supp = graft.Tables.supplier(spark, sfDir)
+      .select(col("s_nationkey"), col("s_acctbal")).collect()
+      .groupBy(r => (r.getInt(0), bandOf(r.getDouble(1))))
+      .map { case (k, g) => k -> g.size.toLong }
+    // key-cell set is exactly the union, ordered by (nation, band)
+    assert(rows.map(r => (r.getAs[Int]("nationkey"), r.getAs[Int]("bal_band")))
+      .toSeq == (cust.keySet ++ supp.keySet).toSeq.sorted)
+    // per-cell counts match the independently computed sides (0 when absent)
+    rows.foreach { r =>
+      val k = (r.getAs[Int]("nationkey"), r.getAs[Int]("bal_band"))
+      assert(r.getAs[Long]("n_cust") == cust.getOrElse(k, 0L))
+      assert(r.getAs[Long]("n_supp") == supp.getOrElse(k, 0L))
+    }
+    // the band width must keep all three branches alive at the smoke SF —
+    // a key where one side covers the other never exercises null extension
+    assert(rows.exists(r => r.getAs[Long]("n_cust") > 0 &&
+      r.getAs[Long]("n_supp") > 0), "matched branch degenerate")
+    assert(rows.exists(_.getAs[Long]("n_supp") == 0),
+      "customer-only branch degenerate")
+    assert(rows.exists(_.getAs[Long]("n_cust") == 0),
+      "supplier-only branch degenerate")
+  }
 }
