@@ -126,7 +126,10 @@ object Multimodal {
   private val FrameLen = 32
   private val FrameStep = 4
 
-  def m03FrameSample(spark: SparkSession, dir: String): DataFrame = {
+  /** The sampled-frame digests every video contributes (shared by m03
+    * and m05 so both consume ONE frame definition).
+    */
+  private def videoFrames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val frames = expr(
       s"""transform(
@@ -141,7 +144,45 @@ object Multimodal {
       .select($"doc_id", posexplode(frames))
       .select($"doc_id", $"pos".cast("long").as("frame_idx"),
         $"col".as("frame_md5"))
-      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  def m03FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    videoFrames(spark, dir).orderBy($"doc_id", $"frame_idx")
+  }
+
+  /** m05 — media near-dup pairs by shared frame fingerprints: the video
+    * counterpart of d02's inverted-index text dedup. Videos sharing any
+    * sampled-frame digest pair up, with each side's total distinct-frame
+    * count carried so a consumer can threshold on overlap fraction
+    * (n_shared / min(nf_a, nf_b) — the containment coefficient used for
+    * clip-in-compilation detection).
+    *
+    * Scale shape: the self-join is an inverted index on frame_md5 — only
+    * (digest, doc_id) pairs shuffle, never payloads, and candidate
+    * volume is Σ df(g)² over shared digests, NOT |videos|². A production
+    * corpus df-caps hot digests first (black frames, intro cards — the
+    * exact d02 `JaccardDfCap` lever); this corpus has no such
+    * boilerplate, so the cap is omitted rather than dead-coded. Per-doc
+    * frame counts join back as a broadcast (they are pre-aggregated,
+    * dimension-sized).
+    */
+  def m05MediaNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fr = videoFrames(spark, dir)
+      .select($"doc_id", $"frame_md5").distinct()
+    val nf = fr.groupBy($"doc_id").agg(count(lit(1)).as("nf"))
+    fr.as("a").join(fr.as("b"),
+        $"a.frame_md5" === $"b.frame_md5" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_frames"))
+      .join(broadcast(nf).withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("nf", "n_frames_a"), "doc_a")
+      .join(broadcast(nf).withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("nf", "n_frames_b"), "doc_b")
+      .select($"doc_a", $"doc_b", $"n_shared_frames",
+        $"n_frames_a", $"n_frames_b")
+      .orderBy($"doc_a", $"doc_b")
   }
 
   /** m04 — resize planning: aspect-preserving fit of every image into
@@ -176,6 +217,7 @@ object Multimodal {
     "m02_decoded_features" -> m02DecodedFeatures _,
     "m03_frame_sample" -> m03FrameSample _,
     "m04_resize_plan" -> m04ResizePlan _,
+    "m05_media_neardup" -> m05MediaNearDup _,
   )
 
   // NOTE: the m02/m03 oracles equate UTF-8 bytes with characters
@@ -221,5 +263,21 @@ object Multimodal {
         |              64 + (doc_id % 48) * 16 AS height
         |       FROM documents WHERE doc_id % 3 = 0))
         |ORDER BY doc_id""".stripMargin,
+    "m05_media_neardup" ->
+      s"""WITH fr AS (SELECT DISTINCT doc_id,
+         |    md5(substr(text, (i * $FrameLen + 1)::BIGINT, $FrameLen)) AS g
+         |  FROM documents, unnest(range(0, (strlen(text) - 1) // $FrameLen + 1,
+         |                                $FrameStep)) t(i)
+         |  WHERE doc_id % 3 = 2 AND strlen(text) > 0),
+         |nf AS (SELECT doc_id, COUNT(*) AS nf FROM fr GROUP BY doc_id),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    COUNT(*) AS n_shared_frames
+         |  FROM fr a JOIN fr b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT pr.doc_a, pr.doc_b, pr.n_shared_frames,
+         | na.nf AS n_frames_a, nb.nf AS n_frames_b
+         |FROM pr JOIN nf na ON na.doc_id = pr.doc_a
+         |        JOIN nf nb ON nb.doc_id = pr.doc_b
+         |ORDER BY pr.doc_a, pr.doc_b""".stripMargin,
   )
 }

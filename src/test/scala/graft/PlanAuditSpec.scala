@@ -158,7 +158,12 @@ class PlanAuditSpec extends SparkSpec {
       "r02_semantic_knn" -> 0,    // one scan + broadcast + TakeOrdered
       "q21_status_pivot" -> 3,    // (prio,status) agg → pivot agg → sort
       "q22_metrics_unpivot" -> 3, // distinct partial → final agg → sort
-      "p13_freq_quality" -> 3)    // vocab agg, per-doc agg, output sort
+      "p13_freq_quality" -> 3,    // vocab agg, per-doc agg, output sort
+      "q24_full_outer_reconcile" -> 3, // one agg exchange per side (reused
+                                  // by the full-outer SMJ: join keys ==
+                                  // groupBy keys), output sort
+      "v03_dim_stats" -> 2,       // 64-key agg (map-side collapse), sort
+      "p15_lexical_diversity" -> 3) // (doc,tok) agg, per-doc agg, sort
       // (p13's text column itself never shuffles: the doc side joins the
       // broadcast vocab straight off the scan, asserted below)
     budgets.foreach { case (name, budget) =>

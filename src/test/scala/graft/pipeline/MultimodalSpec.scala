@@ -62,4 +62,35 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Long]("pad_y") == 224 - oh)
     }
   }
+
+  test("m05 near-dup pairs equal a brute-force frame-set intersection") {
+    import org.apache.spark.sql.functions.col
+    val rows = Multimodal.m05MediaNearDup(spark, sfDir).collect()
+    assert(rows.nonEmpty, "no shared frames — degenerate corpus")
+    // brute force: per-video distinct sampled-frame digest sets
+    val frames = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("text")).collect()
+      .filter(_.getAs[String]("text").nonEmpty)
+      .map { r =>
+        val bytes = r.getAs[String]("text").getBytes("UTF-8")
+        val digests = (0 to (bytes.length - 1) / 32 by 4).map { i =>
+          val from = i * 32
+          val chunk = bytes.slice(from, math.min(from + 32, bytes.length))
+          java.security.MessageDigest.getInstance("MD5").digest(chunk)
+            .map("%02x".format(_)).mkString
+        }.toSet
+        r.getAs[Long]("doc_id") -> digests
+      }.toMap
+    val expected = (for {
+      a <- frames.keys; b <- frames.keys; if a < b
+      n = frames(a).intersect(frames(b)).size
+      if n > 0
+    } yield (a, b, n.toLong, frames(a).size.toLong, frames(b).size.toLong)).toSet
+    val got = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+      r.getAs[Long]("n_shared_frames"), r.getAs[Long]("n_frames_a"),
+      r.getAs[Long]("n_frames_b"))).toSet
+    assert(got == expected,
+      s"missing ${expected -- got}, spurious ${got -- expected}")
+  }
 }
