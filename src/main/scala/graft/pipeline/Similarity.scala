@@ -644,6 +644,53 @@ object Similarity {
       .orderBy($"cell")
   }
 
+  /** s10 — filtered ANN / hard-negative mining: for each query vector,
+    * the top-[[TopK]] IVF candidates whose label DIFFERS from the
+    * query's. This is metadata-predicate vector search (the "filtered
+    * search" every production vector store serves) in its training-
+    * pipeline form: nearest OUT-OF-CLASS neighbors are exactly the hard
+    * negatives contrastive embedder training mines.
+    *
+    * The predicate applies at the candidate-ID stage — labels join onto
+    * (query_id, neighbor_id) pairs, with the 10-row query side
+    * broadcast — so rejected candidates are dropped BEFORE their
+    * vectors are loaded or scored. Pre-filter beats post-filter here
+    * for a correctness reason, not just cost: filtering s02's top-k
+    * AFTER ranking under-fills k whenever probed cells are dominated
+    * by same-class vectors (and at 100 TB, class-clustered cells are
+    * the norm — IVF cells correlate with labels by construction).
+    */
+  def s10FilteredKnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    val labels = Tables.embeddings(spark, dir).select($"vec_id", $"label")
+    val (cents, assign) = ivfIndex(spark, dir, SeedVariant,
+      corpusCells(spark, dir))
+    val q = e.filter($"vec_id" < NumQueries)
+    val qLabels = labels.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"label".as("q_label"))
+    val cand = topProbes(spark, q, cents).join(assign, "cell")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"))
+      .join(broadcast(qLabels), "query_id")
+      .join(labels.select($"vec_id".as("neighbor_id"),
+        $"label".as("n_label")), "neighbor_id")
+      .filter($"n_label" =!= $"q_label")
+      .select($"query_id", $"neighbor_id")
+    val scored = cand
+      .join(q.as("qq").select($"qq.vec_id".as("query_id"), $"qq.v".as("qv")),
+        "query_id")
+      .join(e.as("cc").select($"cc.vec_id".as("neighbor_id"), $"cc.v".as("nv")),
+        "neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        cosineCol(spark, $"qv", $"nv").as("cosine"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id"))
+        .cast("long"))
+      .filter($"rank" <= TopK)
+      .orderBy($"query_id", $"rank")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -656,6 +703,7 @@ object Similarity {
     "s07_semantic_dedup" -> s07SemanticDedup _,
     "s08_sq8_rescore" -> s08Sq8Rescore _,
     "s09_incremental_assign" -> s09IncrementalAssign _,
+    "s10_filtered_knn" -> s10FilteredKnn _,
   )
 
   /** Inline sequential-fold cosine over two vector SQL expressions
@@ -734,6 +782,22 @@ object Similarity {
          |ORDER BY cell, a_id, b_id""".stripMargin,
     "s08_sq8_rescore" -> s08Sql,
     "s09_incremental_assign" -> s09Sql,
+    "s10_filtered_knn" ->
+      s"""WITH ${ivfCandCtes(s"WHERE vec_id < $NumQueries",
+            s"SELECT vec_id cid, v AS cv FROM n WHERE vec_id < $CellsSub")},
+         |lbl AS (SELECT vec_id, label FROM embeddings),
+         |fcand AS (SELECT c.query_id, c.neighbor_id FROM cand c
+         |  JOIN lbl ql ON ql.vec_id = c.query_id
+         |  JOIN lbl nl ON nl.vec_id = c.neighbor_id
+         |  WHERE nl.label != ql.label),
+         |scored AS (SELECT d.query_id, d.neighbor_id,
+         |    ${cosVSql("q.v", "c.v")} AS cosine
+         |  FROM fcand d JOIN q ON q.vec_id = d.query_id
+         |              JOIN n c ON c.vec_id = d.neighbor_id)
+         |SELECT query_id, neighbor_id, cosine, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
     "s06_cell_profile" ->
       s"""WITH $VecCte,
          |$CellsCte,

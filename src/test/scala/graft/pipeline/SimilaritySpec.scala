@@ -271,4 +271,39 @@ class SimilaritySpec extends SparkSpec {
     // the delta actually exercised the frozen index (non-degenerate)
     assert(rows.map(_.getAs[Long]("n_delta")).sum > 0)
   }
+
+  test("s10 filtered ANN: no same-label neighbor, promotes s02's cross-label rows") {
+    val labels = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val s10 = Similarity.s10FilteredKnn(spark, sfDir).collect()
+    val s02 = Similarity.s02IvfKnn(spark, sfDir).collect()
+    assert(s10.nonEmpty)
+    // the predicate holds on every result row
+    s10.foreach { r =>
+      assert(labels(r.getAs[Long]("query_id")) !=
+        labels(r.getAs[Long]("neighbor_id")), "same-label neighbor leaked")
+    }
+    // ranks are contiguous from 1 per query
+    s10.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      assert(g.map(_.getAs[Long]("rank")).sorted.toSeq ==
+        (1L to g.length.toLong))
+    }
+    // same candidate pool, subset predicate: every cross-label row of
+    // s02's top-10 must survive into s10's top-10 (dropping same-label
+    // candidates can only promote the rest)
+    val s10Pairs = s10.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val s02Cross = s02.filter(r => labels(r.getAs[Long]("query_id")) !=
+      labels(r.getAs[Long]("neighbor_id")))
+    s02Cross.foreach { r =>
+      val p = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(s10Pairs.contains(p), s"s02 cross-label pair $p missing from s10")
+    }
+    // ... and the predicate must actually bind somewhere: if no s02
+    // top-10 ever contained a same-label neighbor, this operator would
+    // be testing nothing
+    assert(s02.length > s02Cross.length,
+      "s02 top-10s contain no same-label rows — filter never exercised")
+  }
 }
