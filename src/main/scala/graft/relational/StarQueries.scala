@@ -410,6 +410,58 @@ object StarQueries {
       .orderBy($"nationkey", $"bal_band")
   }
 
+  /** q25's per-step conversion horizon. 24 h is calibrated to this
+    * corpus's event density so every live funnel stage carries users at
+    * every SF (stage1/2/3 = 9/3/3 at sf0.001, 90/35/25 at sf0.01,
+    * 964/319/217 at sf0.1); shorter horizons empty stage 3, unbounded
+    * ones converge to everyone converting.
+    */
+  val FunnelStepHours = 24
+
+  /** q25 — conversion funnel (view → click → purchase): per user, the
+    * first view, the first click within [[FunnelStepHours]] of that
+    * view, the first purchase within the same horizon of that click,
+    * and the resulting funnel stage — the product-analytics operator
+    * class (ordered event-sequence matching) the session/window queries
+    * don't cover.
+    *
+    * Shape: a chain of filter → per-user min aggregations, each JOINED
+    * to the previous stage's (user, anchor-ts) summary — never a
+    * per-user event-list collect. Each aggregation partial-aggregates
+    * map-side to one row per user, every join is user-keyed and reuses
+    * the aggregation's hash partitioning, and each stage's input is
+    * pre-filtered to one event type — so the shuffled volume is
+    * |users| + the per-type event subsets, and a 100-stage funnel at
+    * 100 TB is 100 slim user-keyed passes, not a giant per-user state
+    * fold. Stage 0 (no view at all) is structurally present but empty
+    * on this corpus — every user views; the spec pins the stage
+    * assignment logic itself.
+    */
+  def q25Funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_type")
+    val h = expr(s"interval $FunnelStepHours hours")
+    val v = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val c = e.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"ts" > $"t_view" && $"ts" <= $"t_view" + h)
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val p = e.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"ts" > $"t_click" && $"ts" <= $"t_click" + h)
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    e.select($"user_id").distinct()
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .withColumn("stage",
+        when($"t_purchase".isNotNull, 3L)
+          .when($"t_click".isNotNull, 2L)
+          .when($"t_view".isNotNull, 1L)
+          .otherwise(0L))
+      .orderBy($"user_id")
+  }
+
   /** Release the memoized q14 ranged projection (and only it). */
   def invalidateCaches(): Unit = graft.RangedPrefix.invalidateCaches("q14:")
 
@@ -595,6 +647,7 @@ object StarQueries {
     "q22_metrics_unpivot" -> q22MetricsUnpivot _,
     "q23_grouping_sets" -> q23GroupingSets _,
     "q24_full_outer_reconcile" -> q24FullOuterReconcile _,
+    "q25_funnel" -> q25Funnel _,
   )
 
   private val DEC = "DECIMAL(18,2)"
@@ -820,5 +873,26 @@ object StarQueries {
          | COALESCE(sd, 0) AS supp_bal_cents
          |FROM c FULL OUTER JOIN s ON ck = sk AND cb = sb
          |ORDER BY nationkey, bal_band""".stripMargin,
+    "q25_funnel" ->
+      s"""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |c AS (SELECT e.user_id, min(e.ts) AS t_click
+         |  FROM events e JOIN v USING (user_id)
+         |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+         |    AND e.ts <= v.t_view + INTERVAL $FunnelStepHours HOUR
+         |  GROUP BY 1),
+         |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+         |  FROM events e JOIN c USING (user_id)
+         |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+         |    AND e.ts <= c.t_click + INTERVAL $FunnelStepHours HOUR
+         |  GROUP BY 1),
+         |u AS (SELECT DISTINCT user_id FROM events)
+         |SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+         | CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+         |      WHEN c.t_click IS NOT NULL THEN 2
+         |      WHEN v.t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+         |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+         |       LEFT JOIN p USING (user_id)
+         |ORDER BY u.user_id""".stripMargin,
   )
 }

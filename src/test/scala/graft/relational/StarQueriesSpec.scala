@@ -230,4 +230,40 @@ class StarQueriesSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("n_cust") == 0),
       "supplier-only branch degenerate")
   }
+
+  test("q25 funnel matches a brute-force per-user min-chain, stages 1-3 live") {
+    import org.apache.spark.sql.functions.col
+    val horizonUs = StarQueries.FunnelStepHours.toLong * 3600L * 1000000L
+    val events = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), org.apache.spark.sql.functions
+        .unix_micros(col("ts")).as("us"), col("event_type")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"),
+        r.getAs[String]("event_type")))
+    val byUser = events.groupBy(_._1)
+    val expected = byUser.map { case (u, evs) =>
+      def firstAfter(tpe: String, lo: Option[Long]): Option[Long] = lo.flatMap {
+        t => evs.filter(e => e._3 == tpe && e._2 > t && e._2 <= t + horizonUs)
+          .map(_._2).sorted.headOption
+      }
+      val tv = evs.filter(_._3 == "view").map(_._2).sorted.headOption
+      val tc = firstAfter("click", tv)
+      val tp = firstAfter("purchase", tc)
+      u -> (tv, tc, tp)
+    }
+    val rows = StarQueries.q25Funnel(spark, sfDir).collect()
+    assert(rows.length == byUser.size)
+    rows.foreach { r =>
+      val (tv, tc, tp) = expected(r.getAs[Long]("user_id"))
+      def us(c: String): Option[Long] = Option(r.getAs[java.sql.Timestamp](c))
+        .map(t => t.getTime * 1000L + (t.getNanos / 1000) % 1000)
+      assert(us("t_view") == tv); assert(us("t_click") == tc)
+      assert(us("t_purchase") == tp)
+      val stage = Seq(tv, tc, tp).takeWhile(_.isDefined).length.toLong
+      assert(r.getAs[Long]("stage") == stage)
+    }
+    // the calibrated horizon keeps every live stage populated
+    val stages = rows.groupBy(_.getAs[Long]("stage")).view.mapValues(_.length)
+    Seq(1L, 2L, 3L).foreach(s =>
+      assert(stages.getOrElse(s, 0) > 0, s"stage $s empty"))
+  }
 }
