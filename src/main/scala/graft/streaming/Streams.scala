@@ -42,7 +42,8 @@ object Streams {
     "stream_stream_join" -> "30-minute user_id range self-join over events",
     "dedup" -> "exact distinct-by-event_id over the replayed stream",
     "contamination_guard" -> "p10 leaked-gram sweep (shared TextAnalysis.gramHashes)",
-    "ivf_ingest_assign" -> "nearest-frozen-centroid argmax (s09's index-add path)")
+    "ivf_ingest_assign" -> "nearest-frozen-centroid argmax (s09's index-add path)",
+    "funnel" -> "relational.StarQueries.q25Funnel (view→click→purchase min-chain)")
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
@@ -209,6 +210,77 @@ object Streams {
             idleTimeout.foreach(state.setTimeoutDuration)
             Iterator(SessionSummary(uid, sessions, count))
           }
+      }
+  }
+
+  /** Streaming funnel output: q25's row with event times in integer
+    * microseconds (None = stage not reached).
+    */
+  final case class FunnelRow(user_id: Long, t_view: Option[Long],
+      t_click: Option[Long], t_purchase: Option[Long], stage: Long,
+      n_seen: Long)
+
+  /** q25's step horizon in microseconds, from the SAME constant the
+    * batch operator and its oracle interpolate.
+    */
+  private val FunnelHorizonUs =
+    graft.relational.StarQueries.FunnelStepHours.toLong * 3600L * 1000000L
+
+  /** Streaming conversion funnel (the streaming twin of the batch q25
+    * min-chain). Per user, state holds the minimum view time plus the
+    * click/purchase candidates that could still be chosen, and each
+    * trigger re-derives the chain from that state — so the emitted row
+    * always equals the batch q25 over the events seen so far, including
+    * out-of-order arrival (a late EARLIER view re-anchors the chain and
+    * a previously-rejected click can become the answer, which a
+    * commit-as-you-go state machine gets wrong).
+    *
+    * State stays bounded without a timeout because candidates are
+    * pruned by the chain's own reachability bound: once any view is
+    * seen (anchor v, only ever decreasing), no click above v+H and no
+    * purchase above v+2H can ever be selected, so the buffers hold at
+    * most one horizon's worth of per-user events — the same
+    * watermark-horizon boundedness argument as the stream-stream join;
+    * before the first view the buffer is bounded by the upstream
+    * watermark (events.ts is watermarked by callers that need eviction).
+    */
+  def funnel(events: Dataset[Event]): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    val H = FunnelHorizonUs
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, List[Long], List[Long], Long), FunnelRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state: GroupState[(Long, List[Long], List[Long], Long)]) =>
+          var (v, clicks, purchases, seen) =
+            state.getOption.getOrElse((Long.MaxValue, Nil, Nil, 0L))
+          it.foreach { e =>
+            val t = us(e.ts)
+            seen += 1 // monotone update counter: consumers (and the twin
+                      // spec) identify a user's LATEST row by max n_seen
+            e.event_type match {
+              case "view" => v = math.min(v, t)
+              case "click" => clicks ::= t
+              case "purchase" => purchases ::= t
+              case _ =>
+            }
+          }
+          // reachability pruning (guarded against the no-view sentinel)
+          if (v != Long.MaxValue) {
+            clicks = clicks.filter(_ <= v + H)
+            purchases = purchases.filter(_ <= v + 2 * H)
+          }
+          val tClick =
+            if (v == Long.MaxValue) None
+            else clicks.filter(c => c > v && c <= v + H)
+              .sorted.headOption
+          val tPurchase = tClick.flatMap(tc =>
+            purchases.filter(p => p > tc && p <= tc + H).sorted.headOption)
+          state.update((v, clicks, purchases, seen))
+          val tView = if (v == Long.MaxValue) None else Some(v)
+          val stage = Seq(tView, tClick, tPurchase).takeWhile(_.isDefined).length
+          Iterator(FunnelRow(uid, tView, tClick, tPurchase, stage.toLong, seen))
       }
   }
 }

@@ -246,8 +246,55 @@ class StreamsSpec extends SparkSpec {
     assert(got.size == delta.size, "every arriving vector must be assigned")
   }
 
+  private def funnelTwin(): Unit = {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val events = graft.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq
+    // two batches with the LATER half of every user's history arriving
+    // FIRST: a commit-as-you-go state machine would lock in a late
+    // click/purchase and get re-anchored by batch 2's earlier views —
+    // the candidate-buffer design must instead converge on the batch
+    // answer
+    val sorted = events.sortBy(e => (e.ts.getTime, e.event_id))
+    val (early, late) = sorted.splitAt(sorted.length / 2)
+
+    val input = MemoryStream[Event]
+    val query = funnel(input.toDS())
+      .writeStream.format("memory").queryName("funnel_rows")
+      .outputMode("update").start()
+    input.addData(late)
+    query.processAllAvailable()
+    input.addData(early)
+    query.processAllAvailable()
+    query.stop()
+
+    // a user's latest row carries the max monotone n_seen counter
+    val got = spark.table("funnel_rows").collect()
+      .groupBy(_.getAs[Long]("user_id")).map { case (u, rows) =>
+        val last = rows.maxBy(_.getAs[Long]("n_seen"))
+        u -> ((Option(last.getAs[java.lang.Long]("t_view")).map(_.toLong),
+          Option(last.getAs[java.lang.Long]("t_click")).map(_.toLong),
+          Option(last.getAs[java.lang.Long]("t_purchase")).map(_.toLong),
+          last.getAs[Long]("stage")))
+      }
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000L
+    val want = graft.relational.StarQueries.q25Funnel(spark, sfDir).collect()
+      .map { r =>
+        r.getAs[Long]("user_id") -> ((
+          Option(r.getAs[java.sql.Timestamp]("t_view")).map(us),
+          Option(r.getAs[java.sql.Timestamp]("t_click")).map(us),
+          Option(r.getAs[java.sql.Timestamp]("t_purchase")).map(us),
+          r.getAs[Long]("stage")))
+      }.toMap
+    assert(got == want)
+  }
+
   private val twinRunners: Map[String, () => Unit] = Map(
     "ivf_ingest_assign" -> (ivfIngestAssignTwin _),
+    "funnel" -> (funnelTwin _),
     "windowed_counts" -> (windowedCountsTwin _),
     "sessionize" -> (sessionizeTwin _),
     "session_window" -> (sessionWindowTwin _),
