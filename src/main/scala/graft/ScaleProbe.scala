@@ -87,6 +87,20 @@ object ScaleProbe {
           $"label")
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      // events: replica k offsets event_id and user_id into disjoint
+      // ranges with timestamps untouched — R independent user
+      // populations with identical per-user histories, so funnel/
+      // session work scales exactly R-fold with no cross-replica
+      // interaction
+      val ev = Tables.events(spark, base)
+      val maxEvent = ev.agg(max($"event_id")).head().getLong(0) + 1
+      val maxUser = ev.agg(max($"user_id")).head().getLong(0) + 1
+      ev.crossJoin(broadcast(ks))
+        .select(($"event_id" + $"k" * maxEvent).as("event_id"), $"ts",
+          ($"user_id" + $"k" * maxUser).as("user_id"),
+          $"event_type", $"value", $"props")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
       fs.create(new org.apache.hadoop.fs.Path(s"$out/_built"), true).close()
     }
 
@@ -123,7 +137,22 @@ object ScaleProbe {
       // matrix keeps its |sources|^2 shape with cell counts scaling ~R
       // (each replica contributes its own disjoint-vocabulary grams
       // under the same source labels)
-      "p14" -> SparkEntry.queries("p14_cross_source_leakage"))
+      "p14" -> SparkEntry.queries("p14_cross_source_leakage"),
+      // p15: explode → (doc, token) agg → per-doc agg; token volume and
+      // type volume both scale ~R with disjoint replica vocabularies,
+      // so ~linear
+      "p15" -> SparkEntry.queries("p15_lexical_diversity"),
+      // m05: inverted-index self-join on frame digests — candidate
+      // volume is Σ df(g)² over shared digests; replicas share no
+      // digests (suffixed tokens shift every 32-byte frame), so pair
+      // volume scales ~R and the probe should be ~linear
+      "m05" -> SparkEntry.queries("m05_media_neardup"),
+      // q25: three chained user-keyed min aggregations over per-type
+      // event subsets; the replica carries R disjoint user populations
+      // with identical histories, so the funnel's work is exactly R x
+      // the base — ~linear expected, superlinearity would mean the
+      // stage joins stopped reusing the user-keyed partitioning
+      "q25" -> SparkEntry.queries("q25_funnel"))
 
     def once(f: (SparkSession, String) => DataFrame, dir: String): Double = {
       val t0 = System.nanoTime()

@@ -317,6 +317,52 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("funnel stream converges to the batch answer under ANY batch partition") {
+    // property form of the funnel twin: events split into 3 micro-batches
+    // by a seeded random assignment (so arrival order is arbitrary with
+    // respect to event time), the final per-user row must still equal
+    // batch q25. Several seeds probe different interleavings; seed 0 is
+    // the degenerate all-in-one-batch case.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import Streams._
+    val events = graft.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000L
+    val want = graft.relational.StarQueries.q25Funnel(spark, sfDir).collect()
+      .map { r =>
+        r.getAs[Long]("user_id") -> ((
+          Option(r.getAs[java.sql.Timestamp]("t_view")).map(us),
+          Option(r.getAs[java.sql.Timestamp]("t_click")).map(us),
+          Option(r.getAs[java.sql.Timestamp]("t_purchase")).map(us),
+          r.getAs[Long]("stage")))
+      }.toMap
+    for (seed <- Seq(0, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val batches =
+        if (seed == 0) Seq(events)
+        else events.groupBy(_ => rnd.nextInt(3)).toSeq.sortBy(_._1).map(_._2)
+      val input = MemoryStream[Event]
+      val name = s"funnel_prop_$seed"
+      val query = funnel(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      batches.foreach { b => input.addData(b); query.processAllAvailable() }
+      query.stop()
+      val got = spark.table(name).collect()
+        .groupBy(_.getAs[Long]("user_id")).map { case (u, rows) =>
+          val last = rows.maxBy(_.getAs[Long]("n_seen"))
+          u -> ((Option(last.getAs[java.lang.Long]("t_view")).map(_.toLong),
+            Option(last.getAs[java.lang.Long]("t_click")).map(_.toLong),
+            Option(last.getAs[java.lang.Long]("t_purchase")).map(_.toLong),
+            last.getAs[Long]("stage")))
+        }
+      assert(got == want, s"seed $seed diverged from batch q25")
+    }
+  }
+
   test("auto-ingest picks up bundle files and upserts idempotently") {
     val watch = java.nio.file.Files.createTempDirectory("rasswatch")
     val table = watch.resolve("table").toString
