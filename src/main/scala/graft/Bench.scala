@@ -162,7 +162,17 @@ object Bench {
       ids.map { case (n, s) => n -> (if (dup(s)) n else s) }.toMap
     }
     val qsMin = jsonMap(results.map { case (n, v) => shortId(n) -> v }, 1000)
-    println(s"""{"metric":"total_min","value":${r4(total)},"unit":"sec","sf":"$sfDir","queries_min":$qsMin}""")
+    val compact =
+      s"""{"metric":"total_min","value":${r4(total)},"unit":"sec","sf":"$sfDir","queries_min":$qsMin}"""
+    println(compact)
+    // quiesce shutdown logging, stop Spark, then print the compact line
+    // ONCE MORE: spark.stop() can emit late stderr lines after the
+    // first print, and a harness that parses the LAST line of merged
+    // output would trip over them — after stop() nothing else writes,
+    // so this copy is guaranteed to be the final line
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(compact)
+    Console.out.flush()
   }
 }

@@ -163,7 +163,14 @@ class PlanAuditSpec extends SparkSpec {
                                   // by the full-outer SMJ: join keys ==
                                   // groupBy keys), output sort
       "v03_dim_stats" -> 2,       // 64-key agg (map-side collapse), sort
-      "p15_lexical_diversity" -> 3) // (doc,tok) agg, per-doc agg, sort
+      "p15_lexical_diversity" -> 3, // (doc,tok) agg, per-doc agg, sort
+      "m05_media_neardup" -> 8,   // frame-set distinct + counts recompute
+                                  // per join side (cheap at this size;
+                                  // d02's artifact policy is the lever
+                                  // if frames ever get expensive)
+      "q25_funnel" -> 7)          // distinct users + 3 stage aggs + sort;
+                                  // stage joins broadcast the per-user
+                                  // summaries at this scale
       // (p13's text column itself never shuffles: the doc side joins the
       // broadcast vocab straight off the scan, asserted below)
     budgets.foreach { case (name, budget) =>
