@@ -120,8 +120,10 @@ object Bench {
     // their group already built (the production shape for consumers of
     // stored artifacts); their cold cost includes that build
     val warm = Seq("x01_corpus_export", "x02_decontaminated_export",
-      "x03_packing_layout", "x04_mixture_plan", "s05_recall_profile",
-      "p10_leaked_grams")
+      "x03_packing_layout", "x04_mixture_plan", "x05_mixture_sample",
+      "x06_shard_manifest", "s05_recall_profile", "s08_sq8_rescore",
+      "s09_incremental_assign", "s10_filtered_knn", "p10_leaked_grams",
+      "p14_cross_source_leakage", "d07_minhash_calibration")
       .filter(names.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     val totalMax = maxes.map(_._2).filter(_ >= 0).sum
     // key order matters for archival, not parsing: the driver stores

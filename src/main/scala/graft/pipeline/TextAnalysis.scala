@@ -649,9 +649,88 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Number of BPE merge rules p16 learns. Small enough that the
+    * unrolled oracle SQL stays readable; large enough that composite
+    * symbols feed back into later merges (rank 6 on this corpus merges
+    * 'm'+'er', an earlier rule's output).
+    */
+  private[pipeline] val BpeMerges = 8
+
+  /** p16 — BPE merge-rule training (byte-pair encoding, the tokenizer-
+    * training step of every LLM data pipeline): the first [[BpeMerges]]
+    * merge rules learned from the corpus, each row (rank, left_sym,
+    * right_sym, merged, cnt).
+    *
+    * Scale shape — the reason BPE fits a 100 TB corpus at all: training
+    * runs on the WORD-FREQUENCY table, not the corpus. The single
+    * corpus-scale job is the word count (explode + hash agg, map-side
+    * combined); every merge iteration then runs on vocab-sized data
+    * (|distinct words| rows), so 8 — or 50k — merges cost 8 (50k) tiny
+    * jobs after ONE heavy aggregation. This is exactly how production
+    * tokenizer trainers (HF tokenizers, SentencePiece) are fed.
+    *
+    * Merge semantics: one rule application per iteration, applied
+    * left-to-right non-cascading via a string fold over the
+    * space-joined symbol sequence (merge = append WITHOUT the
+    * separator). The oracle mirrors the identical fold with DuckDB's
+    * `list_reduce`, so states — and therefore every later pair count —
+    * are bit-identical across engines. Ties on pair count break
+    * lexicographically, making rule selection deterministic.
+    */
+  def p16BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // the one corpus-scale job: word frequencies; state = chars joined
+    // by ' ' (corpus is ASCII words, asserted by MultimodalSpec)
+    val seed = Tables.documents(spark, dir)
+      .select(explode(toks($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+      .select(concat_ws(" ", split($"w", "")).as("s"), $"f")
+      // vocab-sized from here on: persist the seed so the 8 chained
+      // merge plans don't each re-run the corpus aggregation
+      .persist()
+    var state = seed
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    try {
+      for (k <- 1 to BpeMerges) {
+        val sy = split($"s", " ")
+        // single-symbol states contribute no pairs; the guard matters
+        // because Spark's sequence(1, 0) DESCENDS ([1, 0]) where the
+        // oracle's range(1, 1) is empty
+        val pairs = when(size(sy) >= 2,
+          transform(sequence(lit(1), size(sy) - 1),
+            i => struct(element_at(sy, i).as("a"),
+              element_at(sy, i + 1).as("b"))))
+          .otherwise(array())
+        val top = state
+          .select(explode(pairs).as("p"), $"f")
+          .groupBy($"p.a", $"p.b").agg(sum($"f").as("cnt"))
+          .orderBy($"cnt".desc, $"a", $"b").limit(1)
+          .head()
+        val (a, b) = (top.getAs[String]("a"), top.getAs[String]("b"))
+        rules += ((k, a, b, top.getAs[Long]("cnt")))
+        // fold-merge: leftmost, non-overlapping — identical to the
+        // oracle's list_reduce (seeded with the first symbol, so no
+        // empty-accumulator branch exists on either side)
+        val arr = split($"s", " ")
+        val merged = aggregate(
+          slice(arr, lit(2), size(arr) - 1), element_at(arr, 1),
+          (acc, x) => when(x === lit(b) &&
+              (acc === lit(a) || acc.endsWith(" " + a)), concat(acc, x))
+            .otherwise(concat(acc, lit(" "), x)))
+        state = state.select(merged.as("s"), $"f")
+      }
+    } finally seed.unpersist()
+    import spark.implicits._
+    rules.toSeq.toDF("rank", "left_sym", "right_sym", "cnt")
+      .select($"rank".cast("long").as("rank"), $"left_sym", $"right_sym",
+        concat($"left_sym", $"right_sym").as("merged"), $"cnt")
+      .orderBy($"rank")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p16_bpe_merges" -> p16BpeMerges _,
     "p15_lexical_diversity" -> p15LexicalDiversity _,
     "p14_cross_source_leakage" -> p14CrossSourceLeakage _,
     "p13_freq_quality" -> p13FreqQuality _,
@@ -692,7 +771,38 @@ object TextAnalysis {
       |      ch -> (instr('0123456789abcdef', ch) - 1)::BIGINT)),
       |    (h, c) -> h * 16 + c)""".stripMargin
 
+  /** p16's oracle: the merge loop unrolled into [[BpeMerges]] CTE
+    * pairs — p_k picks iteration k's top pair (same count-desc,
+    * lexicographic tie-break), w_k applies it with the identical
+    * leftmost non-cascading fold (`list_reduce` seeded with the first
+    * symbol, merge = append without separator).
+    */
+  private def bpeSql: String = {
+    val sb = new StringBuilder(
+      s"""WITH tk AS (SELECT unnest($TOKS) AS w FROM documents),
+         |w0 AS (SELECT array_to_string(string_split(w, ''), ' ') AS s,
+         |  COUNT(*) AS f FROM tk GROUP BY w)""".stripMargin)
+    for (k <- 1 to BpeMerges) {
+      sb ++= s""",
+         |p$k AS (SELECT sy[i] AS a, sy[i+1] AS b, CAST(SUM(f) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(s, ' ') AS sy, f FROM w${k - 1}),
+         |       unnest(range(1, len(sy))) t(i)
+         |  GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$k AS (SELECT list_reduce(string_split(w.s, ' '),
+         |    (acc, x) -> CASE WHEN x = p$k.b
+         |        AND (acc = p$k.a OR ends_with(acc, ' ' || p$k.a))
+         |      THEN acc || x ELSE acc || ' ' || x END) AS s, w.f
+         |  FROM w${k - 1} w CROSS JOIN p$k)""".stripMargin
+    }
+    sb ++= (1 to BpeMerges).map(k =>
+      s"\nSELECT CAST($k AS BIGINT) AS rank, a AS left_sym, b AS right_sym," +
+        s" a || b AS merged, cnt FROM p$k").mkString("", "\nUNION ALL", "")
+    sb ++= "\nORDER BY rank"
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "p16_bpe_merges" -> bpeSql,
     "p15_lexical_diversity" ->
       s"""WITH tk AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),
          |cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2)

@@ -446,4 +446,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("low_diversity") == 0L),
       "high-diversity branch degenerate")
   }
+
+  test("p16 BPE merges equal a reference driver-side trainer, counts non-increasing") {
+    import org.apache.spark.sql.functions.col
+    // reference trainer over the collected word-frequency table: greedy
+    // top-pair selection (count desc, lexicographic) + leftmost
+    // non-cascading merge — the textbook algorithm, independently coded
+    val freqs = scala.collection.mutable.Map.empty[Vector[String], Long]
+    graft.Tables.documents(spark, sfDir).select(col("text")).collect()
+      .flatMap(_.getString(0).trim.split("\\s+"))
+      .foreach { w =>
+        val k = w.split("").toVector
+        freqs(k) = freqs.getOrElse(k, 0L) + 1L
+      }
+    var state = freqs.toMap
+    val expected = (1 to 8).map { _ =>
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (sy, f) =>
+        sy.sliding(2).filter(_.size == 2).foreach { p =>
+          pairCounts((p(0), p(1))) = pairCounts.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      val ((a, b), cnt) = pairCounts.toSeq.sortBy { case ((x, y), c) => (-c, x, y) }.head
+      state = state.groupBy { case (sy, _) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        sy.foreach { x =>
+          if (out.nonEmpty && out.last == a && x == b)
+            out(out.length - 1) = a + b
+          else out += x
+        }
+        out.toVector
+      }.map { case (sy, g) => sy -> g.values.sum }
+      (a, b, cnt)
+    }
+    val rows = TextAnalysis.p16BpeMerges(spark, sfDir).collect()
+    assert(rows.length == 8)
+    rows.zip(expected).zipWithIndex.foreach { case ((r, (a, b, cnt)), i) =>
+      assert(r.getAs[Long]("rank") == i + 1)
+      assert(r.getAs[String]("left_sym") == a, s"rank ${i + 1} left")
+      assert(r.getAs[String]("right_sym") == b, s"rank ${i + 1} right")
+      assert(r.getAs[String]("merged") == a + b)
+      assert(r.getAs[Long]("cnt") == cnt, s"rank ${i + 1} count")
+    }
+    // the standard BPE monotonicity: a later rule's count can't exceed
+    // an earlier one's (any pair present earlier was choosable then)
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (x, y) => x >= y })
+  }
 }
