@@ -152,7 +152,12 @@ object ScaleProbe {
       // with identical histories, so the funnel's work is exactly R x
       // the base — ~linear expected, superlinearity would mean the
       // stage joins stopped reusing the user-keyed partitioning
-      "q25" -> SparkEntry.queries("q25_funnel"))
+      "q25" -> SparkEntry.queries("q25_funnel"),
+      // p16: ONE corpus-scale word count, then 8 vocab-sized merge
+      // iterations; replica vocabularies are disjoint (~k suffixes) so
+      // the vocab table scales ~R — ~linear overall, dominated by the
+      // word count
+      "p16" -> SparkEntry.queries("p16_bpe_merges"))
 
     def once(f: (SparkSession, String) => DataFrame, dir: String): Double = {
       val t0 = System.nanoTime()
