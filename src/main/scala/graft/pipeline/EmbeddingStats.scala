@@ -101,10 +101,49 @@ object EmbeddingStats {
       .orderBy($"dim")
   }
 
+  /** v04 — embedding drift profile: per dimension, the micro-quantized
+    * component sums and counts of the BASE population (first ~90% of
+    * vec_ids — s09's frozen-index split) against the DELTA (the newest
+    * ~10% an ingest batch appended), plus the cross-multiplied mean
+    * difference `drift_num = sum_delta*n_base - sum_base*n_delta`
+    * (integer, sign = direction of the per-dim mean shift; the exact
+    * numerator of mean_delta - mean_base over the common denominator
+    * n_base*n_delta). This is the drift monitor that tells a deployment
+    * WHEN s09's frozen-centroid index-add has diverged enough to justify
+    * the k~sqrt(n) retrain — s09 shows WHERE delta mass lands, v04 shows
+    * whether the underlying distribution moved.
+    *
+    * Same scale shape as [[v03DimStats]]: posexplode then a 64-key hash
+    * aggregation with map-side collapse; all outputs integer-exact
+    * (drift_num stays within Long while sum_micro * n < 2^63, i.e. to
+    * ~10^9 vectors of unit-norm 64-dim floats; beyond that widen the
+    * product to DECIMAL(38,0) — the [[graft.relational.StarQueries]]
+    * sumExact recombine pattern).
+    */
+  def v04DriftProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nBase = Tables.embeddings(spark, dir).count() * 9 / 10
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", posexplode($"embedding".cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .select(($"vec_id" < nBase).as("is_base"), $"dim".cast("long").as("dim"),
+        floor($"x" * 1000000L).cast("long").as("xm"))
+      .groupBy($"dim")
+      .agg(
+        sum(when($"is_base", 1L).otherwise(0L)).as("n_base"),
+        sum(when($"is_base", $"xm").otherwise(0L)).as("sum_base_micro"),
+        sum(when(!$"is_base", 1L).otherwise(0L)).as("n_delta"),
+        sum(when(!$"is_base", $"xm").otherwise(0L)).as("sum_delta_micro"))
+      .withColumn("drift_num",
+        $"sum_delta_micro" * $"n_base" - $"sum_base_micro" * $"n_delta")
+      .orderBy($"dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_norm_profile" -> v01NormProfile _,
     "v02_quantize_profile" -> v02QuantizeProfile _,
     "v03_dim_stats" -> v03DimStats _,
+    "v04_drift_profile" -> v04DriftProfile _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -152,5 +191,24 @@ object EmbeddingStats {
         |    AS x_micro
         | FROM embeddings)
         |GROUP BY dim ORDER BY dim""".stripMargin,
+    "v04_drift_profile" ->
+      """WITH cut AS (SELECT COUNT(*) * 9 // 10 AS nb FROM embeddings),
+        |x AS (SELECT vec_id < (SELECT nb FROM cut) AS is_base,
+        |  CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
+        |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+        |    AS xm
+        | FROM embeddings)
+        |SELECT dim,
+        | CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+        | CAST(SUM(CASE WHEN is_base THEN xm ELSE 0 END) AS BIGINT)
+        |   AS sum_base_micro,
+        | CAST(SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS n_delta,
+        | CAST(SUM(CASE WHEN is_base THEN 0 ELSE xm END) AS BIGINT)
+        |   AS sum_delta_micro,
+        | CAST(SUM(CASE WHEN is_base THEN 0 ELSE xm END)
+        |    * SUM(CASE WHEN is_base THEN 1 ELSE 0 END)
+        |  - SUM(CASE WHEN is_base THEN xm ELSE 0 END)
+        |    * SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS drift_num
+        |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
   )
 }

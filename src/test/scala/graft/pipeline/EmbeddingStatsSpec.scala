@@ -44,4 +44,29 @@ class EmbeddingStatsSpec extends SparkSpec {
     assert(d0.getAs[Long]("max_micro") == xs.max)
     assert(d0.getAs[Long]("abs_mass_micro") == xs.map(math.abs).sum)
   }
+
+  test("v04 drift profile partitions v03's totals and signs the mean shift") {
+    val drift = EmbeddingStats.v04DriftProfile(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("dim") -> r).toMap
+    val dims = EmbeddingStats.v03DimStats(spark, sfDir).collect()
+    assert(drift.size == dims.length)
+    dims.foreach { v3 =>
+      val r = drift(v3.getAs[Long]("dim"))
+      // base + delta partitions every component exactly
+      assert(r.getAs[Long]("n_base") + r.getAs[Long]("n_delta") ==
+        v3.getAs[Long]("n"))
+      assert(r.getAs[Long]("sum_base_micro") + r.getAs[Long]("sum_delta_micro")
+        == v3.getAs[Long]("sum_micro"))
+      // drift_num is the exact cross-multiplied mean difference
+      assert(r.getAs[Long]("drift_num") ==
+        r.getAs[Long]("sum_delta_micro") * r.getAs[Long]("n_base") -
+          r.getAs[Long]("sum_base_micro") * r.getAs[Long]("n_delta"))
+      // the split is the s09 base-90% cut, identical on every row
+      assert(r.getAs[Long]("n_base") ==
+        graft.Tables.embeddings(spark, sfDir).count() * 9 / 10)
+    }
+    // on an i.i.d. corpus drift must be small but NONZERO somewhere —
+    // an all-zero profile would mean the delta side never aggregated
+    assert(drift.values.exists(_.getAs[Long]("drift_num") != 0L))
+  }
 }
