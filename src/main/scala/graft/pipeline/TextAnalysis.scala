@@ -727,9 +727,61 @@ object TextAnalysis {
       .orderBy($"rank")
   }
 
+  /** p17's winnowing parameters: token [[WinnowK]]-gram hashes, window
+    * of [[WinnowW]] consecutive hashes. Guarantee (Schleimer, Wilkerson
+    * & Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2004): any shared substring of >= W+K-1 tokens produces at
+    * least one shared selected fingerprint, at expected density
+    * 2/(W+1) — the MOSS algorithm.
+    */
+  private[pipeline] val WinnowK = 4
+  private[pipeline] val WinnowW = 8
+
+  /** p17 — winnowed rolling-hash document fingerprints: per document,
+    * the count of token-4-gram hashes, the count of winnow-SELECTED
+    * fingerprints (rightmost minimum of each 8-hash window), their sum
+    * and minimum. These selected fingerprints are what a plagiarism /
+    * near-dup detector actually indexes: ~2/(W+1) of the grams, with
+    * the guarantee that any sufficiently long shared passage still
+    * collides — the published middle ground between p05's whole-doc
+    * bag fingerprint (order-blind, all-or-nothing) and p09's full
+    * 13-gram index (complete but W+1 times larger).
+    *
+    * Cross-engine determinism trick: each gram hash is packed as
+    * `h * 4096 + (4095 - pos)`, so ONE `array_min` per window selects
+    * the minimum hash with ties broken to the RIGHTMOST position
+    * (winnowing's tie rule) — no ordered fold needed, and Spark's
+    * `array_min`/DuckDB's `list_min` agree bit-for-bit on integers.
+    * Pure per-row columnar work: text never shuffles, only the
+    * four profile integers leave the scan.
+    */
+  def p17Winnowing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = toks($"text")
+    val m = size(t) - (WinnowK - 1)
+    // packed (hash, position) per gram: 32-bit hash from the md5 hex
+    // prefix (same conv pattern as the p10 shard router)
+    val cmb = transform(sequence(lit(1), m), i =>
+      conv(substring(md5(array_join(slice(t, i, lit(WinnowK)), " ")), 1, 8),
+        16, 10).cast("long") * 4096L + (lit(4095L) - i))
+    val nw = greatest(m - (WinnowW - 1), lit(1))
+    val sel = array_distinct(transform(sequence(lit(1), nw),
+      j => array_min(slice(cmb, j, lit(WinnowW)))))
+    Tables.documents(spark, dir)
+      .filter(size(toks($"text")) >= WinnowK)
+      .select($"doc_id", m.as("n_grams"), sel.as("sel"))
+      .select($"doc_id", $"n_grams".cast("long").as("n_grams"),
+        size($"sel").cast("long").as("n_selected"),
+        aggregate($"sel", lit(0L),
+          (a, e) => a + shiftright(e, 12)).as("fp_sum"),
+        shiftright(array_min($"sel"), 12).as("fp_min"))
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p17_winnowing" -> p17Winnowing _,
     "p16_bpe_merges" -> p16BpeMerges _,
     "p15_lexical_diversity" -> p15LexicalDiversity _,
     "p14_cross_source_leakage" -> p14CrossSourceLeakage _,
@@ -801,7 +853,33 @@ object TextAnalysis {
     sb.toString
   }
 
+  /** The p10 shard router's 32-bit hex-prefix hash, as a DuckDB fold
+    * (8-char extension of [[BUCKET]]'s 4-char fold).
+    */
+  private def hex32(x: String): String =
+    s"""list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(string_split(substr(md5($x), 1, 8), ''),
+       |      ch -> (instr('0123456789abcdef', ch) - 1)::BIGINT)),
+       |    (h, c) -> h * 16 + c)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "p17_winnowing" ->
+      s"""WITH tk AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |g AS (SELECT doc_id, len(t) - ${WinnowK - 1} AS m,
+         |  [${hex32(s"array_to_string(t[i:i+${WinnowK - 1}], ' ')")}
+         |     * 4096 + (4095 - i)
+         |   for i in range(1, len(t) - ${WinnowK - 1} + 1)] AS cmb
+         |  FROM tk WHERE len(t) >= $WinnowK),
+         |s AS (SELECT doc_id, m, list_distinct(
+         |  [list_min(cmb[j:j+${WinnowW - 1}])
+         |   for j in range(1, greatest(m - ${WinnowW - 1}, 1) + 1)]) AS sel
+         |  FROM g)
+         |SELECT doc_id, CAST(m AS BIGINT) AS n_grams,
+         | CAST(len(sel) AS BIGINT) AS n_selected,
+         | CAST(list_sum(list_transform(sel, e -> e // 4096)) AS BIGINT)
+         |   AS fp_sum,
+         | CAST(list_min(sel) // 4096 AS BIGINT) AS fp_min
+         |FROM s ORDER BY doc_id""".stripMargin,
     "p16_bpe_merges" -> bpeSql,
     "p15_lexical_diversity" ->
       s"""WITH tk AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),

@@ -493,4 +493,39 @@ class TextAnalysisSpec extends SparkSpec {
     val cnts = rows.map(_.getAs[Long]("cnt"))
     assert(cnts.zip(cnts.tail).forall { case (x, y) => x >= y })
   }
+
+  test("p17 winnowing equals a reference implementation, density in bounds") {
+    import org.apache.spark.sql.functions.col
+    val (k, w) = (TextAnalysis.WinnowK, TextAnalysis.WinnowW)
+    def h32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      hex.foldLeft(0L)((a, c) => a * 16 + "0123456789abcdef".indexOf(c))
+    }
+    val expected = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        val t = r.getString(1).trim.split("\\s+")
+        if (t.length < k) None else {
+          // packed (hash, rightmost-pos) grams; i is 1-based like the impl
+          val cmb = (1 to t.length - k + 1).map(i =>
+            h32(t.slice(i - 1, i - 1 + k).mkString(" ")) * 4096L + (4095L - i))
+          val sel = (1 to math.max(cmb.length - w + 1, 1))
+            .map(j => cmb.slice(j - 1, j - 1 + w).min).distinct
+          Some((r.getLong(0), cmb.length.toLong, sel.length.toLong,
+            sel.map(_ >> 12).sum, sel.min >> 12))
+        }
+      }.toSeq
+    val rows = TextAnalysis.p17Winnowing(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_selected"), r.getAs[Long]("fp_sum"),
+        r.getAs[Long]("fp_min"))).toSeq
+    assert(rows == expected)
+    // winnowing picks at most one fingerprint per window and at least
+    // one per ceil(m/w) disjoint windows — density sits in (1/w, 1]
+    rows.foreach { case (_, m, nSel, _, _) =>
+      assert(nSel >= 1 && nSel <= math.max(m - w + 1, 1))
+      assert(nSel * w >= m - w + 1, "window coverage violated")
+    }
+  }
 }
