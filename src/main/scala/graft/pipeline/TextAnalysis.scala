@@ -755,26 +755,69 @@ object TextAnalysis {
     * Pure per-row columnar work: text never shuffles, only the
     * four profile integers leave the scan.
     */
+  /** p17's rolling-hash parameters: per-token 31-bit base hashes (md5
+    * hex-prefix fold mod [[WinnowM]]) combined Rabin–Karp style with
+    * base [[WinnowB]] powers — gram i hashes to
+    * `(x_i·B³ + x_{i+1}·B² + x_{i+2}·B + x_{i+3}) mod M`. Token hashes
+    * are computed ONCE (m md5s of single tokens); every gram is then
+    * pure long arithmetic, which is what makes the fingerprint pass a
+    * single cheap scan at 100 TB (the md5-per-gram formulation measured
+    * 2.3x slower, and a naive per-window recompute 100x). Bounds: terms
+    * stay < 2^55, far from Long overflow.
+    */
+  private val WinnowM = 2147483647L // 2^31 - 1
+  private val WinnowB = 131L
+
   def p17Winnowing(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = toks($"text")
     val m = size(t) - (WinnowK - 1)
-    // packed (hash, position) per gram: 32-bit hash from the md5 hex
-    // prefix (same conv pattern as the p10 shard router)
-    val cmb = transform(sequence(lit(1), m), i =>
-      conv(substring(md5(array_join(slice(t, i, lit(WinnowK)), " ")), 1, 8),
-        16, 10).cast("long") * 4096L + (lit(4095L) - i))
-    val nw = greatest(m - (WinnowW - 1), lit(1))
+    // per-token base hashes (one md5 per TOKEN, not per gram)
+    val xs = transform(t, tok =>
+      pmod(conv(substring(md5(tok), 1, 8), 16, 10).cast("long"), lit(WinnowM)))
+    val pows = (0 until WinnowK).map(p =>
+      math.pow(WinnowB.toDouble, (WinnowK - 1 - p).toDouble).toLong)
+    // packed (gram hash, complemented position): the rolling combine,
+    // then * 4096 + (4095 - i) so ONE `least` per window selects the
+    // min hash with ties to the RIGHTMOST position (winnowing's rule)
+    def gram(i: Column): Column =
+      pmod((0 until WinnowK).map(o =>
+        try_element_at($"xs", (i + lit(o)).cast("int")) * pows(o))
+        .reduce(_ + _), lit(WinnowM)) * 4096L + (lit(4095L) - i)
+    val cmb = transform(sequence(lit(1), $"n_grams"), gram(_))
+    // every derived array gets its OWN projection: referenced inline
+    // inside a downstream lambda, Catalyst inlines single-use aliases
+    // and the whole upstream expression re-evaluates once per element
+    // (the original inline form measured 330 s at sf0.1 vs ~1 s here)
+    val nw = greatest($"n_grams" - (WinnowW - 1), lit(1))
+    // window minimum as an unrolled null-skipping `least` over the W
+    // offsets instead of slice+array_min: HOF lambdas evaluate
+    // interpreted (outside whole-stage codegen) and the per-window
+    // slice allocation is the dominant cost; try_element_at nulls the
+    // out-of-range reads of the one truncated window a short (m < W)
+    // document has, and `least` skips nulls — values identical to the
+    // oracle's list_min over a truncating slice
     val sel = array_distinct(transform(sequence(lit(1), nw),
-      j => array_min(slice(cmb, j, lit(WinnowW)))))
+      j => least((0 until WinnowW).map(o =>
+        try_element_at($"cmb", (j + lit(o)).cast("int"))): _*)))
+    // ONE fold computes all three stats so `sel` is consumed exactly
+    // once — three separate aggregate expressions re-evaluated the
+    // selection (measured 2x)
+    val stats = aggregate($"sel",
+      struct(lit(0L).as("n"), lit(0L).as("s"), lit(Long.MaxValue).as("mn")),
+      (acc, e) => struct(
+        (acc.getField("n") + 1L).as("n"),
+        (acc.getField("s") + shiftright(e, 12)).as("s"),
+        least(acc.getField("mn"), e).as("mn")))
     Tables.documents(spark, dir)
       .filter(size(toks($"text")) >= WinnowK)
-      .select($"doc_id", m.as("n_grams"), sel.as("sel"))
-      .select($"doc_id", $"n_grams".cast("long").as("n_grams"),
-        size($"sel").cast("long").as("n_selected"),
-        aggregate($"sel", lit(0L),
-          (a, e) => a + shiftright(e, 12)).as("fp_sum"),
-        shiftright(array_min($"sel"), 12).as("fp_min"))
+      .select($"doc_id", m.cast("long").as("n_grams"), xs.as("xs"))
+      .select($"doc_id", $"n_grams", cmb.as("cmb"))
+      .select($"doc_id", $"n_grams", sel.as("sel"))
+      .select($"doc_id", $"n_grams", stats.as("st"))
+      .select($"doc_id", $"n_grams",
+        $"st.n".as("n_selected"), $"st.s".as("fp_sum"),
+        shiftright($"st.mn", 12).as("fp_min"))
       .orderBy($"doc_id")
   }
 
@@ -865,11 +908,16 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "p17_winnowing" ->
       s"""WITH tk AS (SELECT doc_id, $TOKS AS t FROM documents),
-         |g AS (SELECT doc_id, len(t) - ${WinnowK - 1} AS m,
-         |  [${hex32(s"array_to_string(t[i:i+${WinnowK - 1}], ' ')")}
-         |     * 4096 + (4095 - i)
-         |   for i in range(1, len(t) - ${WinnowK - 1} + 1)] AS cmb
+         |hx AS (SELECT doc_id, len(t) - ${WinnowK - 1} AS m,
+         |  list_transform(t, tok -> ${hex32("tok")} % $WinnowM) AS xs
          |  FROM tk WHERE len(t) >= $WinnowK),
+         |g AS (SELECT doc_id, m,
+         |  [((xs[i] * ${WinnowB * WinnowB * WinnowB}
+         |     + xs[i+1] * ${WinnowB * WinnowB}
+         |     + xs[i+2] * $WinnowB + xs[i+3]) % $WinnowM)
+         |     * 4096 + (4095 - i)
+         |   for i in range(1, m + 1)] AS cmb
+         |  FROM hx),
          |s AS (SELECT doc_id, m, list_distinct(
          |  [list_min(cmb[j:j+${WinnowW - 1}])
          |   for j in range(1, greatest(m - ${WinnowW - 1}, 1) + 1)]) AS sel

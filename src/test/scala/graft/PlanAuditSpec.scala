@@ -164,6 +164,7 @@ class PlanAuditSpec extends SparkSpec {
                                   // groupBy keys), output sort
       "v03_dim_stats" -> 2,       // 64-key agg (map-side collapse), sort
       "p15_lexical_diversity" -> 3, // (doc,tok) agg, per-doc agg, sort
+      "p17_winnowing" -> 1,       // pure per-row projection, output sort
       "m05_media_neardup" -> 8,   // frame-set distinct + counts recompute
                                   // per join side (cheap at this size;
                                   // d02's artifact policy is the lever

@@ -497,6 +497,7 @@ class TextAnalysisSpec extends SparkSpec {
   test("p17 winnowing equals a reference implementation, density in bounds") {
     import org.apache.spark.sql.functions.col
     val (k, w) = (TextAnalysis.WinnowK, TextAnalysis.WinnowW)
+    val (bigM, bigB) = (2147483647L, 131L)
     def h32(s: String): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
@@ -507,9 +508,14 @@ class TextAnalysisSpec extends SparkSpec {
       .flatMap { r =>
         val t = r.getString(1).trim.split("\\s+")
         if (t.length < k) None else {
-          // packed (hash, rightmost-pos) grams; i is 1-based like the impl
+          // packed (hash, rightmost-pos) grams; i is 1-based like the
+          // impl; gram hash = Rabin-Karp combine of per-token hashes
+          val xs = t.map(tok => h32(tok) % bigM)
+          val pows = (0 until k).map(p => math.pow(bigB.toDouble,
+            (k - 1 - p).toDouble).toLong)
           val cmb = (1 to t.length - k + 1).map(i =>
-            h32(t.slice(i - 1, i - 1 + k).mkString(" ")) * 4096L + (4095L - i))
+            ((0 until k).map(o => xs(i - 1 + o) * pows(o)).sum % bigM)
+              * 4096L + (4095L - i))
           val sel = (1 to math.max(cmb.length - w + 1, 1))
             .map(j => cmb.slice(j - 1, j - 1 + w).min).distinct
           Some((r.getLong(0), cmb.length.toLong, sel.length.toLong,
