@@ -193,7 +193,12 @@ object Dedup {
     * calibration profile, so the two can never drift on what counts
     * as a candidate.
     */
-  private def minhashBandCand(spark: SparkSession, dir: String): DataFrame = {
+  /** The exploded (doc_id, band, bucket) rows over the stored signature
+    * table — one definition feeds the d03/d07 self-join AND d08's
+    * batch-vs-corpus delta join, so the two can never drift on what a
+    * band bucket is.
+    */
+  private def bandRows(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sig = minhashSig(spark, dir)
     val bucketArr = array((0 until Bands).map { b =>
@@ -201,8 +206,12 @@ object Dedup {
         .map(i => col(s"h$i"))
       md5(concat(cols: _*))
     }: _*)
-    val bands = sig.select($"doc_id",
-      posexplode(bucketArr).as(Seq("band", "bucket")))
+    sig.select($"doc_id", posexplode(bucketArr).as(Seq("band", "bucket")))
+  }
+
+  private def minhashBandCand(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = bandRows(spark, dir)
     bands.as("x")
       .join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.bucket" === $"y.bucket" &&
@@ -280,6 +289,80 @@ object Dedup {
         when(jaccardAtLeast08($"inter", $"za.n", $"zb.n"), 1L)
           .otherwise(0L).as("is_dup"))
       .orderBy($"a_id", $"b_id")
+  }
+
+  /** d08's deterministic delta split: docs with
+    * `doc_id % DeltaMod == DeltaRem` play the incoming batch, the rest
+    * the already-indexed corpus. A real deployment splits by arrival
+    * partition (ingest date), not id arithmetic; the modulus stands in
+    * for it reproducibly on a static test corpus.
+    */
+  private[pipeline] val DeltaMod = 10L
+  private[pipeline] val DeltaRem = 7L
+
+  /** d08 — incremental (delta) dedup: the admit/reject decision a
+    * 100 TB deployment actually runs daily. Corpus-wide re-dedup
+    * (d03's self-join) is an ingest-time build; steady state
+    * deduplicates only the incoming BATCH against the stored corpus
+    * signatures: batch band rows join corpus band rows (batch x corpus,
+    * never corpus x corpus), candidates are verified by exact Jaccard,
+    * and each batch document gets a keep/drop verdict plus its best
+    * corpus match.
+    *
+    * Scale shape: the corpus side reads the STORED signature/band
+    * artifact ([[minhashSig]] — at 100 TB a bucket-partitioned table,
+    * so the band join partition-prunes to the batch's buckets); the
+    * verify join touches only candidate documents' shingles; candidate
+    * volume is batch-size x collision rate, independent of corpus
+    * pair count. Per-doc decision windows partition by batch doc —
+    * batch-sized parallelism, no global funnel.
+    *
+    * Output per batch doc: candidate/duplicate counts, the best
+    * verified match (highest intersection, ties to the lowest corpus
+    * id), and the verdict — all integers/strings, hash-exact vs the
+    * oracle.
+    */
+  def d08DeltaDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingleRows(spark, dir)
+    val bands = bandRows(spark, dir)
+    val isBatch = col("doc_id") % DeltaMod === DeltaRem
+    val cand = bands.filter(isBatch).as("x")
+      .join(bands.filter(!isBatch).as("y"),
+        $"x.band" === $"y.band" && $"x.bucket" === $"y.bucket")
+      .select($"x.doc_id".as("b_id"), $"y.doc_id".as("c_id"))
+      .distinct()
+    val inter = cand
+      .join(sh.as("sa"), $"b_id" === $"sa.doc_id")
+      .join(sh.as("sb"),
+        $"c_id" === $"sb.doc_id" && $"sa.shingle" === $"sb.shingle")
+      .groupBy($"b_id", $"c_id")
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val verified = inter
+      .join(sizes.as("za"), $"b_id" === $"za.doc_id")
+      .join(sizes.as("zb"), $"c_id" === $"zb.doc_id")
+      .select($"b_id", $"c_id", $"inter",
+        when(jaccardAtLeast08($"inter", $"za.n", $"zb.n"), 1L)
+          .otherwise(0L).as("is_dup"))
+    val agg = verified.groupBy($"b_id")
+      .agg(count(lit(1)).as("n_cand"), sum($"is_dup").as("n_dup"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"b_id").orderBy($"inter".desc, $"c_id")
+    val best = verified.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"b_id", $"c_id".as("best_id"), $"inter".as("best_inter"))
+    Tables.documents(spark, dir)
+      .filter(isBatch).select($"doc_id".as("b_id"))
+      .join(agg, Seq("b_id"), "left")
+      .join(best, Seq("b_id"), "left")
+      .select($"b_id".as("doc_id"),
+        coalesce($"n_cand", lit(0L)).as("n_cand"),
+        coalesce($"n_dup", lit(0L)).as("n_dup"),
+        $"best_id", $"best_inter",
+        when(coalesce($"n_dup", lit(0L)) > 0, "drop")
+          .otherwise("keep").as("verdict"))
+      .orderBy($"doc_id")
   }
 
   /** SimHash: 56-bit signature over distinct tokens. Token hash = the
@@ -812,6 +895,7 @@ object Dedup {
     "d02_ngram_jaccard_pairs" -> d02NgramJaccardPairs _,
     "d03_minhash_lsh_pairs" -> d03MinhashLshPairs _,
     "d07_minhash_calibration" -> d07MinhashCalibration _,
+    "d08_delta_dedup" -> d08DeltaDedup _,
     "d04_simhash_pairs" -> d04SimhashPairs _,
     "d05_embedding_neardup" -> d05EmbeddingNearDup _,
     "d06_neardup_clusters" -> d06NeardupClusters _,
@@ -923,6 +1007,40 @@ object Dedup {
          |           JOIN sizes zb ON b_id = zb.doc_id
          |WHERE inter * 5 >= (za.n + zb.n - inter) * 4
          |ORDER BY a_id, b_id""".stripMargin,
+    "d08_delta_dedup" ->
+      s"""WITH $ShingleCte,
+         |sig AS ($minhashSigSql),
+         |bands AS ($minhashBandsSql),
+         |cand AS (SELECT DISTINCT x.doc_id b_id, y.doc_id c_id
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket
+         |  WHERE x.doc_id % $DeltaMod = $DeltaRem
+         |    AND y.doc_id % $DeltaMod != $DeltaRem),
+         |pairs AS (SELECT c.b_id, c.c_id, count(*) inter
+         |  FROM cand c JOIN sh sa ON sa.doc_id = c.b_id
+         |              JOIN sh sb ON sb.doc_id = c.c_id
+         |                        AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2),
+         |ver AS (SELECT b_id, c_id, inter,
+         |    CASE WHEN inter * 5 >= (za.n + zb.n - inter) * 4
+         |         THEN 1 ELSE 0 END AS is_dup
+         |  FROM pairs JOIN sizes za ON b_id = za.doc_id
+         |             JOIN sizes zb ON c_id = zb.doc_id),
+         |agg AS (SELECT b_id, count(*) n_cand, sum(is_dup) n_dup
+         |  FROM ver GROUP BY 1),
+         |best AS (SELECT b_id, c_id AS best_id, inter AS best_inter FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY b_id
+         |    ORDER BY inter DESC, c_id) rn FROM ver) WHERE rn = 1)
+         |SELECT d.doc_id,
+         | CAST(coalesce(a.n_cand, 0) AS BIGINT) AS n_cand,
+         | CAST(coalesce(a.n_dup, 0) AS BIGINT) AS n_dup,
+         | b.best_id, b.best_inter,
+         | CASE WHEN coalesce(a.n_dup, 0) > 0 THEN 'drop' ELSE 'keep' END
+         |   AS verdict
+         |FROM documents d LEFT JOIN agg a ON a.b_id = d.doc_id
+         |                 LEFT JOIN best b ON b.b_id = d.doc_id
+         |WHERE d.doc_id % $DeltaMod = $DeltaRem
+         |ORDER BY d.doc_id""".stripMargin,
     "d07_minhash_calibration" -> {
       val matchSum = (0 until NumHashes)
         .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")

@@ -377,26 +377,27 @@ object Similarity {
     * and SQ8-rescore (s08) paths so they probe identically.
     */
   private def topProbes(spark: SparkSession, q: DataFrame,
-      cents: DataFrame): DataFrame = {
+      cents: DataFrame, nprobe: Int = NProbe): DataFrame = {
     import spark.implicits._
     q.as("q").join(broadcast(cents))
       .select($"q.vec_id".as("query_id"), $"cid",
         cosineCol(spark, $"q.v", $"cv").as("ccos"))
       .groupBy($"query_id")
       .agg(slice(array_sort(collect_list(
-        struct((-$"ccos").as("nc"), $"cid"))), 1, NProbe).as("top"))
+        struct((-$"ccos").as("nc"), $"cid"))), 1, nprobe).as("top"))
       .select($"query_id", explode($"top.cid").as("cell"))
   }
 
   private def ivfKnn(spark: SparkSession, dir: String,
       queryLimit: Option[Int], k: Int,
       variant: String = SeedVariant,
-      cells: Int = NumCentroids): DataFrame = {
+      cells: Int = NumCentroids,
+      nprobe: Int = NProbe): DataFrame = {
     import spark.implicits._
     val e = vectors(spark, dir)
     val (cents, assign) = ivfIndex(spark, dir, variant, cells)
     val q = queryLimit.map(n => e.filter($"vec_id" < n)).getOrElse(e)
-    val probes = topProbes(spark, q, cents)
+    val probes = topProbes(spark, q, cents, nprobe)
     val cand = probes.join(assign, "cell")
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"))
@@ -431,6 +432,42 @@ object Similarity {
       .select($"query_id", $"n_exact",
         coalesce($"n_overlap", lit(0L)).as("n_overlap"))
       .orderBy($"query_id")
+  }
+
+  /** s11's probe sweep — the nprobe values the tuning curve evaluates.
+    * NProbe (= 4) must be a member so the curve brackets the production
+    * setting from both sides.
+    */
+  private[pipeline] val ProbeSweep = Seq(1, 2, 4, 8)
+
+  /** s11 — recall-vs-nprobe tuning curve: suite-level recall of the
+    * seed IVF index at each probe count in [[ProbeSweep]]. s05 profiles
+    * the production nprobe per query; THIS is the evaluation that
+    * justifies the setting — the knee of this curve is where a
+    * deployment pins nprobe, and a drift of the curve at larger k
+    * (the risk [[NProbe]]'s doc pins) shows up here as the knee moving
+    * right. Candidate volume per sweep point is (nprobe/k)·n per
+    * query over the SHARED session index (the sweep re-probes, it
+    * never re-trains or re-assigns), and the exact side is the stored
+    * brute-force eval artifact — so the whole curve costs four probe
+    * passes, not four index builds.
+    *
+    * Output: one row per nprobe with suite totals (integer overlap
+    * counts, hash-exact vs the oracle's identical four-way sweep).
+    */
+  def s11NprobeCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = exactTopK(spark, dir).select($"query_id", $"neighbor_id")
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    ProbeSweep.map { np =>
+      val approx = ivfKnn(spark, dir, Some(NumQueries), TopK,
+        SeedVariant, corpusCells(spark, dir), np)
+        .select($"query_id", $"neighbor_id")
+      exact.intersect(approx)
+        .agg(count(lit(1)).as("n_overlap"))
+        .crossJoin(broadcast(nExact)) // one-row scalar frame
+        .select(lit(np.toLong).as("nprobe"), $"n_exact", $"n_overlap")
+    }.reduce(_.union(_)).orderBy($"nprobe")
   }
 
   /** s06 — IVF cell-occupancy profile over the trained (s04) index:
@@ -704,6 +741,7 @@ object Similarity {
     "s08_sq8_rescore" -> s08Sq8Rescore _,
     "s09_incremental_assign" -> s09IncrementalAssign _,
     "s10_filtered_knn" -> s10FilteredKnn _,
+    "s11_nprobe_curve" -> s11NprobeCurve _,
   )
 
   /** Inline sequential-fold cosine over two vector SQL expressions
@@ -757,6 +795,22 @@ object Similarity {
          |  coalesce(min(ov.n_overlap), 0) AS n_overlap
          |FROM exact e LEFT JOIN ov ON ov.query_id = e.query_id
          |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
+    "s11_nprobe_curve" -> {
+      val perNp = ProbeSweep.map { np =>
+        val approxSql = ivfSql(s"WHERE vec_id < $NumQueries", TopK,
+          s"SELECT vec_id cid, v AS cv FROM n WHERE vec_id < $CellsSub",
+          "", np)
+        s"""SELECT CAST($np AS BIGINT) AS nprobe,
+           |  (SELECT count(*) FROM exact) AS n_exact,
+           |  (SELECT count(*) FROM (
+           |     SELECT query_id, neighbor_id FROM ($approxSql)
+           |     INTERSECT SELECT query_id, neighbor_id FROM exact))
+           |    AS n_overlap""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($s01Sql))
+         |$perNp
+         |ORDER BY nprobe""".stripMargin
+    },
     "s03_knn_join" -> ivfSql("", 3,
       s"SELECT vec_id cid, v AS cv FROM n WHERE vec_id < $CellsSub"),
     "s04_ivf_kmeans" -> ivfSql(s"WHERE vec_id < $NumQueries", TopK,
@@ -879,7 +933,7 @@ object Similarity {
     * shared on the Spark side.
     */
   private def ivfCandCtes(queryWhere: String, centsSelect: String,
-      extraCtes: String = ""): String = {
+      extraCtes: String = "", nprobe: Int = NProbe): String = {
     val extra = if (extraCtes.isEmpty) "" else s"$extraCtes,\n"
     s"""$VecCte,
        |$CellsCte,
@@ -892,15 +946,15 @@ object Similarity {
        |probes AS (SELECT query_id, cell FROM (
        |  SELECT q.vec_id query_id, c.cid AS cell, row_number() OVER (
        |    PARTITION BY q.vec_id ORDER BY ${cosVSql("q.v", "c.cv")} DESC, c.cid) rn
-       |  FROM q CROSS JOIN cents c) WHERE rn <= $NProbe),
+       |  FROM q CROSS JOIN cents c) WHERE rn <= $nprobe),
        |cand AS (SELECT p.query_id, a.vec_id neighbor_id
        |  FROM probes p JOIN assign a ON a.cell = p.cell
        |  WHERE a.vec_id != p.query_id)""".stripMargin
   }
 
   private def ivfSql(queryWhere: String, k: Int, centsSelect: String,
-      extraCtes: String = ""): String = {
-    s"""WITH ${ivfCandCtes(queryWhere, centsSelect, extraCtes)},
+      extraCtes: String = "", nprobe: Int = NProbe): String = {
+    s"""WITH ${ivfCandCtes(queryWhere, centsSelect, extraCtes, nprobe)},
        |scored AS (SELECT d.query_id, d.neighbor_id,
        |    ${cosVSql("q.v", "c.v")} AS cosine
        |  FROM cand d JOIN q ON q.vec_id = d.query_id

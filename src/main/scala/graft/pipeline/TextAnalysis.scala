@@ -768,7 +768,13 @@ object TextAnalysis {
   private val WinnowM = 2147483647L // 2^31 - 1
   private val WinnowB = 131L
 
-  def p17Winnowing(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-document winnow selection — (doc_id, n_grams, sel) with
+    * `sel` the distinct PACKED (hash*4096 + complemented position)
+    * fingerprints — one definition shared by p17's stats and p18's
+    * overlap index so the two can never drift on what a selected
+    * fingerprint is.
+    */
+  private def winnowSelected(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = toks($"text")
     val m = size(t) - (WinnowK - 1)
@@ -800,6 +806,15 @@ object TextAnalysis {
     val sel = array_distinct(transform(sequence(lit(1), nw),
       j => least((0 until WinnowW).map(o =>
         try_element_at($"cmb", (j + lit(o)).cast("int"))): _*)))
+    Tables.documents(spark, dir)
+      .filter(size(toks($"text")) >= WinnowK)
+      .select($"doc_id", m.cast("long").as("n_grams"), xs.as("xs"))
+      .select($"doc_id", $"n_grams", cmb.as("cmb"))
+      .select($"doc_id", $"n_grams", sel.as("sel"))
+  }
+
+  def p17Winnowing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     // ONE fold computes all three stats so `sel` is consumed exactly
     // once — three separate aggregate expressions re-evaluated the
     // selection (measured 2x)
@@ -809,11 +824,7 @@ object TextAnalysis {
         (acc.getField("n") + 1L).as("n"),
         (acc.getField("s") + shiftright(e, 12)).as("s"),
         least(acc.getField("mn"), e).as("mn")))
-    Tables.documents(spark, dir)
-      .filter(size(toks($"text")) >= WinnowK)
-      .select($"doc_id", m.cast("long").as("n_grams"), xs.as("xs"))
-      .select($"doc_id", $"n_grams", cmb.as("cmb"))
-      .select($"doc_id", $"n_grams", sel.as("sel"))
+    winnowSelected(spark, dir)
       .select($"doc_id", $"n_grams", stats.as("st"))
       .select($"doc_id", $"n_grams",
         $"st.n".as("n_selected"), $"st.s".as("fp_sum"),
@@ -821,10 +832,70 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Document-frequency cap for p18's fingerprint index — the same
+    * quadratic-blow-up guard as d02's [[Dedup.ShingleDfCap]]: a
+    * fingerprint shared by thousands of documents (boilerplate, license
+    * headers) contributes C(df, 2) candidate pairs and no match signal;
+    * MOSS drops high-frequency fingerprints for exactly this reason
+    * (Schleimer et al. 2004 §5, reference `main.py` has no analogue —
+    * this is the north-star pipeline family). On the test corpus the
+    * max df is 3, so the cap never binds; the oracle filters
+    * identically so the gate holds whether it binds or not.
+    */
+  private[pipeline] val FpDfCap = 50
+
+  /** p18's minimum shared-fingerprint count: one collision in a 31-bit
+    * space can be chance; two selected fingerprints in common is the
+    * MOSS report threshold for a match worth listing.
+    */
+  private[pipeline] val FpMinShared = 2
+
+  /** p18 — fingerprint-overlap pairs, the MOSS report: document pairs
+    * ranked by how many winnow-SELECTED fingerprints (p17's selection)
+    * they share. This is what the ~2/(W+1)-density index is FOR:
+    * any shared passage of >= W+K-1 tokens forces >= 1 shared selected
+    * fingerprint, so near-dup / plagiarism pairs surface from an index
+    * W+1 times smaller than p09's full gram index.
+    *
+    * Scale shape: inverted-index self-join on the fingerprint VALUE
+    * (d02's pattern) — candidate volume bounded by cap x df per
+    * fingerprint, never corpus²; the per-doc fingerprint sets are
+    * ~2/(W+1) of the grams so the index is an order of magnitude
+    * smaller than a shingle index; only (doc_id, fp) longs shuffle,
+    * text never leaves the scan.
+    */
+  def p18FingerprintOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // distinct HASHES per doc: the packed sel dedupes (hash, pos)
+    // pairs, so the same hash selected at two positions must collapse
+    val fps = winnowSelected(spark, dir)
+      .select($"doc_id",
+        explode(array_distinct(transform($"sel", e => shiftright(e, 12))))
+          .as("fp"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
+    val capped = fps
+      .withColumn("df_", count(lit(1)).over(w))
+      .filter($"df_" <= FpDfCap)
+      .select($"doc_id", $"fp")
+    val sizes = capped.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    capped.as("a")
+      .join(capped.as("b"),
+        $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter($"shared" >= FpMinShared)
+      .join(sizes.as("sa"), $"a_id" === $"sa.doc_id")
+      .join(sizes.as("sb"), $"b_id" === $"sb.doc_id")
+      .select($"a_id", $"b_id", $"shared",
+        $"sa.n".as("na"), $"sb.n".as("nb"))
+      .orderBy($"a_id", $"b_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p17_winnowing" -> p17Winnowing _,
+    "p18_fingerprint_overlap" -> p18FingerprintOverlap _,
     "p16_bpe_merges" -> p16BpeMerges _,
     "p15_lexical_diversity" -> p15LexicalDiversity _,
     "p14_cross_source_leakage" -> p14CrossSourceLeakage _,
@@ -905,29 +976,53 @@ object TextAnalysis {
        |      ch -> (instr('0123456789abcdef', ch) - 1)::BIGINT)),
        |    (h, c) -> h * 16 + c)""".stripMargin
 
+  /** The winnow-selection CTEs (through `s` = (doc_id, m, packed sel))
+    * — shared by the p17 and p18 oracles exactly as [[winnowSelected]]
+    * is shared on the Spark side.
+    */
+  private lazy val WinnowCte: String =
+    s"""tk AS (SELECT doc_id, $TOKS AS t FROM documents),
+       |hx AS (SELECT doc_id, len(t) - ${WinnowK - 1} AS m,
+       |  list_transform(t, tok -> ${hex32("tok")} % $WinnowM) AS xs
+       |  FROM tk WHERE len(t) >= $WinnowK),
+       |g AS (SELECT doc_id, m,
+       |  [((xs[i] * ${WinnowB * WinnowB * WinnowB}
+       |     + xs[i+1] * ${WinnowB * WinnowB}
+       |     + xs[i+2] * $WinnowB + xs[i+3]) % $WinnowM)
+       |     * 4096 + (4095 - i)
+       |   for i in range(1, m + 1)] AS cmb
+       |  FROM hx),
+       |s AS (SELECT doc_id, m, list_distinct(
+       |  [list_min(cmb[j:j+${WinnowW - 1}])
+       |   for j in range(1, greatest(m - ${WinnowW - 1}, 1) + 1)]) AS sel
+       |  FROM g)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "p17_winnowing" ->
-      s"""WITH tk AS (SELECT doc_id, $TOKS AS t FROM documents),
-         |hx AS (SELECT doc_id, len(t) - ${WinnowK - 1} AS m,
-         |  list_transform(t, tok -> ${hex32("tok")} % $WinnowM) AS xs
-         |  FROM tk WHERE len(t) >= $WinnowK),
-         |g AS (SELECT doc_id, m,
-         |  [((xs[i] * ${WinnowB * WinnowB * WinnowB}
-         |     + xs[i+1] * ${WinnowB * WinnowB}
-         |     + xs[i+2] * $WinnowB + xs[i+3]) % $WinnowM)
-         |     * 4096 + (4095 - i)
-         |   for i in range(1, m + 1)] AS cmb
-         |  FROM hx),
-         |s AS (SELECT doc_id, m, list_distinct(
-         |  [list_min(cmb[j:j+${WinnowW - 1}])
-         |   for j in range(1, greatest(m - ${WinnowW - 1}, 1) + 1)]) AS sel
-         |  FROM g)
+      s"""WITH $WinnowCte
          |SELECT doc_id, CAST(m AS BIGINT) AS n_grams,
          | CAST(len(sel) AS BIGINT) AS n_selected,
          | CAST(list_sum(list_transform(sel, e -> e // 4096)) AS BIGINT)
          |   AS fp_sum,
          | CAST(list_min(sel) // 4096 AS BIGINT) AS fp_min
          |FROM s ORDER BY doc_id""".stripMargin,
+    "p18_fingerprint_overlap" ->
+      s"""WITH $WinnowCte,
+         |fps AS (SELECT doc_id, unnest(list_distinct(
+         |    list_transform(sel, e -> e // 4096))) AS fp FROM s),
+         |capped AS (SELECT doc_id, fp FROM fps
+         |  WHERE fp IN (SELECT fp FROM fps
+         |               GROUP BY fp HAVING count(*) <= $FpDfCap)),
+         |sizes AS (SELECT doc_id, count(*) n FROM capped GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) shared
+         |  FROM capped a JOIN capped b
+         |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id, shared, sa.n AS na, sb.n AS nb
+         |FROM pairs JOIN sizes sa ON a_id = sa.doc_id
+         |           JOIN sizes sb ON b_id = sb.doc_id
+         |WHERE shared >= $FpMinShared
+         |ORDER BY a_id, b_id""".stripMargin,
     "p16_bpe_merges" -> bpeSql,
     "p15_lexical_diversity" ->
       s"""WITH tk AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),

@@ -226,4 +226,40 @@ class DedupSpec extends SparkSpec {
     assert(flagged == d03,
       s"calibration verdicts diverge from d03: missing ${d03 -- flagged}, spurious ${flagged -- d03}")
   }
+
+  test("d08 delta dedup: one row per batch doc, verdicts consistent, drops cover d03's batch-corpus pairs") {
+    import org.apache.spark.sql.functions.col
+    val out = Dedup.d08DeltaDedup(spark, sfDir).collect()
+    // exactly the batch split, once each
+    val batchIds = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % Dedup.DeltaMod === Dedup.DeltaRem)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == batchIds)
+    assert(out.length == batchIds.size)
+    out.foreach { r =>
+      val (nc, nd) = (r.getAs[Long]("n_cand"), r.getAs[Long]("n_dup"))
+      assert(nd <= nc)
+      assert(r.getAs[String]("verdict") == (if (nd > 0) "drop" else "keep"))
+      if (nc == 0) {
+        assert(r.isNullAt(r.fieldIndex("best_id")), "no candidates => no best match")
+      } else {
+        assert(!r.isNullAt(r.fieldIndex("best_id")))
+        assert(r.getAs[Long]("best_inter") >= 1,
+          "a band collision implies a shared argmin shingle")
+      }
+    }
+    // a d03 near-dup pair with exactly one batch-side doc MUST make the
+    // batch doc a drop: the delta join sees the same band buckets
+    val drops = out.filter(_.getAs[String]("verdict") == "drop")
+      .map(_.getAs[Long]("doc_id")).toSet
+    val crossPairs = Dedup.d03MinhashLshPairs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .filter { case (a, b) => batchIds.contains(a) ^ batchIds.contains(b) }
+    assert(crossPairs.nonEmpty, "fixture has no batch-corpus dup pair — split degenerate")
+    crossPairs.foreach { case (a, b) =>
+      val batchDoc = if (batchIds.contains(a)) a else b
+      assert(drops.contains(batchDoc),
+        s"d03 pair ($a,$b) not reflected in d08's verdict for $batchDoc")
+    }
+  }
 }

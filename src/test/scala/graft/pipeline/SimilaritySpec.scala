@@ -69,6 +69,30 @@ class SimilaritySpec extends SparkSpec {
       "derives from the same constant)")
   }
 
+  test("s11 curve: monotone in nprobe, bracketed, and agrees with s05 at the production point") {
+    val rows = Similarity.s11NprobeCurve(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq ==
+      Similarity.ProbeSweep.map(_.toLong))
+    val nExact = rows.head.getAs[Long]("n_exact")
+    assert(rows.forall(_.getAs[Long]("n_exact") == nExact),
+      "the exact side is one artifact — every sweep point shares it")
+    val overlaps = rows.map(_.getAs[Long]("n_overlap")).toSeq
+    overlaps.foreach(o => assert(o >= 0 && o <= nExact))
+    // more probed cells can only widen the candidate set
+    assert(overlaps == overlaps.sorted,
+      s"recall not monotone in nprobe: $overlaps")
+    // the production point (nprobe=4) must be the same measurement s05
+    // reports per query — one definition of recall across the suite
+    val s05 = Similarity.s05RecallProfile(spark, sfDir).collect()
+    val at4 = rows.find(_.getAs[Long]("nprobe") == 4L).get
+    assert(at4.getAs[Long]("n_overlap") == s05.map(_.getAs[Long]("n_overlap")).sum)
+    assert(at4.getAs[Long]("n_exact") == s05.map(_.getAs[Long]("n_exact")).sum)
+    // the knee justification: the full sweep's top point should reach
+    // the production floor too (8 probes never below 4's 0.8 floor)
+    val top = overlaps.last.toDouble / nExact
+    assert(top >= 0.8, f"nprobe=8 recall $top%.2f below the production floor")
+  }
+
   test("doubling the trained cell count shrinks the max cell share on a skewed corpus") {
     import spark.implicits._
     // skewed fixture: one dominant blob (160 vectors) plus three small

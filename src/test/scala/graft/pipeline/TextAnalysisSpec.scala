@@ -534,4 +534,56 @@ class TextAnalysisSpec extends SparkSpec {
       assert(nSel * w >= m - w + 1, "window coverage violated")
     }
   }
+
+  test("p18 overlap pairs equal a brute-force intersect of p17's selections") {
+    val out = TextAnalysis.p18FingerprintOverlap(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+      val sh = r.getAs[Long]("shared")
+      assert(sh >= TextAnalysis.FpMinShared)
+      assert(sh <= math.min(r.getAs[Long]("na"), r.getAs[Long]("nb")))
+    }
+    // reference: per-doc distinct selected HASH sets recomputed from
+    // p17's spec-verified selection rule, then all-pairs intersection
+    // (corpus is test-sized; the query must agree with brute force)
+    import org.apache.spark.sql.functions.col
+    val (k, w) = (TextAnalysis.WinnowK, TextAnalysis.WinnowW)
+    val (bigM, bigB) = (2147483647L, 131L)
+    def h32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      hex.foldLeft(0L)((a, c) => a * 16 + "0123456789abcdef".indexOf(c))
+    }
+    val fpSets = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        val t = r.getString(1).trim.split("\\s+")
+        if (t.length < k) None else {
+          val xs = t.map(tok => h32(tok) % bigM)
+          val pows = (0 until k).map(p => math.pow(bigB.toDouble,
+            (k - 1 - p).toDouble).toLong)
+          val cmb = (1 to t.length - k + 1).map(i =>
+            ((0 until k).map(o => xs(i - 1 + o) * pows(o)).sum % bigM)
+              * 4096L + (4095L - i))
+          val sel = (1 to math.max(cmb.length - w + 1, 1))
+            .map(j => cmb.slice(j - 1, j - 1 + w).min).distinct
+          Some(r.getLong(0) -> sel.map(_ >> 12).toSet)
+        }
+      }.toSeq
+    // df cap never binds on the fixture corpus — assert that premise
+    val dfs = fpSets.flatMap { case (_, s) => s }
+      .groupBy(identity).map(_._2.size)
+    assert(dfs.max <= TextAnalysis.FpDfCap,
+      "fixture grew a hot fingerprint; cap now binds and this reference must apply it")
+    val expected = (for {
+      (a, sa) <- fpSets; (b, sb) <- fpSets if a < b
+      shared = (sa & sb).size
+      if shared >= TextAnalysis.FpMinShared
+    } yield (a, b, shared.toLong, sa.size.toLong, sb.size.toLong)).toSet
+    val got = out.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+      r.getAs[Long]("shared"), r.getAs[Long]("na"), r.getAs[Long]("nb"))).toSet
+    assert(got == expected,
+      s"missing ${expected -- got}, spurious ${got -- expected}")
+  }
 }
