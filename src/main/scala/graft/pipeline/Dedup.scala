@@ -291,14 +291,39 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Per-ROW band buckets over arriving (doc_id, text) rows — the
+    * STREAM-side formulation of [[bandRows]]: a single document's
+    * MinHash signature needs no aggregation (the shingle set is one
+    * row's array, each h_i an `array_min` over it), so a streaming
+    * ingest can band-bucket documents statelessly as they arrive.
+    * Same constants, same md5 formulas as the aggregate path; the
+    * streaming twin spec proves the two produce identical candidate
+    * sets. Staged projections for the same Catalyst-inlining reason as
+    * p17: the shingle array and the signature each materialize once.
+    */
+  private[graft] def rowBands(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), array_distinct(
+        transform(sequence(lit(1), size(col("t")) - 2),
+          i => array_join(slice(col("t"), i, lit(3)), " "))).as("sh"))
+      .select(col("doc_id"), array((0 until NumHashes).map(i =>
+        array_min(transform(col("sh"),
+          s => md5(concat(lit(s"$i|"), s))))): _*).as("hs"))
+      .select(col("doc_id"), array((0 until Bands).map { b =>
+        md5(concat((b * RowsPerBand until (b + 1) * RowsPerBand)
+          .map(i => col("hs").getItem(i)): _*))
+      }: _*).as("bks"))
+      .select(col("doc_id"), posexplode(col("bks")).as(Seq("band", "bucket")))
+
   /** d08's deterministic delta split: docs with
     * `doc_id % DeltaMod == DeltaRem` play the incoming batch, the rest
     * the already-indexed corpus. A real deployment splits by arrival
     * partition (ingest date), not id arithmetic; the modulus stands in
     * for it reproducibly on a static test corpus.
     */
-  private[pipeline] val DeltaMod = 10L
-  private[pipeline] val DeltaRem = 7L
+  private[graft] val DeltaMod = 10L
+  private[graft] val DeltaRem = 7L
 
   /** d08 — incremental (delta) dedup: the admit/reject decision a
     * 100 TB deployment actually runs daily. Corpus-wide re-dedup
@@ -322,16 +347,37 @@ object Dedup {
     * id), and the verdict — all integers/strings, hash-exact vs the
     * oracle.
     */
+  private def isBatchDoc = col("doc_id") % DeltaMod === DeltaRem
+
+  /** The stored corpus side's (c_id, band, bucket) table — d08's join
+    * target, and the STATIC side of the streaming delta-dedup guard.
+    * At 100 TB this is a bucket-partitioned artifact next to the
+    * signature table.
+    */
+  private[graft] def corpusBandTable(spark: SparkSession,
+      dir: String): DataFrame =
+    bandRows(spark, dir).filter(!isBatchDoc)
+      .select(col("doc_id").as("c_id"), col("band"), col("bucket"))
+
+  /** d08's candidate pairs — batch band rows joined against the stored
+    * corpus band table, distinct over (b_id, c_id). Shared with the
+    * streaming twin's equivalence proof.
+    */
+  private[graft] def deltaCandidates(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    bandRows(spark, dir).filter(isBatchDoc).as("x")
+      .join(corpusBandTable(spark, dir).as("y"),
+        $"x.band" === $"y.band" && $"x.bucket" === $"y.bucket")
+      .select($"x.doc_id".as("b_id"), $"y.c_id".as("c_id"))
+      .distinct()
+  }
+
   def d08DeltaDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = shingleRows(spark, dir)
-    val bands = bandRows(spark, dir)
-    val isBatch = col("doc_id") % DeltaMod === DeltaRem
-    val cand = bands.filter(isBatch).as("x")
-      .join(bands.filter(!isBatch).as("y"),
-        $"x.band" === $"y.band" && $"x.bucket" === $"y.bucket")
-      .select($"x.doc_id".as("b_id"), $"y.doc_id".as("c_id"))
-      .distinct()
+    val isBatch = isBatchDoc
+    val cand = deltaCandidates(spark, dir)
     val inter = cand
       .join(sh.as("sa"), $"b_id" === $"sa.doc_id")
       .join(sh.as("sb"),

@@ -43,7 +43,8 @@ object Streams {
     "dedup" -> "exact distinct-by-event_id over the replayed stream",
     "contamination_guard" -> "p10 leaked-gram sweep (shared TextAnalysis.gramHashes)",
     "ivf_ingest_assign" -> "nearest-frozen-centroid argmax (s09's index-add path)",
-    "funnel" -> "relational.StarQueries.q25Funnel (view→click→purchase min-chain)")
+    "funnel" -> "relational.StarQueries.q25Funnel (view→click→purchase min-chain)",
+    "delta_dedup_guard" -> "pipeline.Dedup.deltaCandidates (d08's batch x corpus LSH banding)")
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
@@ -139,6 +140,28 @@ object Streams {
         explode(graft.pipeline.TextAnalysis.gramHashes(col("text"))).as("g"))
       .join(trainGrams.select(col("g")), Seq("g"), "inner")
       .select(col("doc_id"), col("g"))
+
+  /** Streaming delta-dedup guard (the streaming face of batch d08's
+    * candidate generation): each arriving document is MinHash-banded
+    * PER ROW ([[graft.pipeline.Dedup.rowBands]] — one document's
+    * signature needs no aggregation) and its buckets joined against
+    * the STATIC corpus band table; every (doc_id, corpus c_id, band)
+    * collision is emitted as it arrives. A consumer routes collided
+    * docs to the exact-Jaccard verifier (d08's verify join) before
+    * admitting them to the corpus — the same two-phase shape as the
+    * contamination guard: cheap stateless screen in-stream, exact
+    * confirm out-of-band.
+    *
+    * Scale shape: stateless stream-static inner join, no watermark, no
+    * state store, append mode. The static side is the stored corpus
+    * band artifact (ingest-time, bucket-partitioned at scale), and the
+    * band definition is shared with the batch path so the two can
+    * never drift (the twin spec proves candidate-set equality).
+    */
+  def deltaDedupGuard(docs: DataFrame, corpusBands: DataFrame): DataFrame =
+    graft.pipeline.Dedup.rowBands(docs)
+      .join(corpusBands, Seq("band", "bucket"))
+      .select(col("doc_id"), col("c_id"), col("band"))
 
   /** Streaming IVF ingest assignment (the streaming face of batch
     * s09's index-add): each arriving vector is assigned to its nearest

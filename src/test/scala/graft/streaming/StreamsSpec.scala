@@ -292,7 +292,45 @@ class StreamsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  private def deltaDedupGuardTwin(): Unit = {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // static corpus band table + arriving batch docs, split exactly as
+    // d08 splits them — so the batch twin is d08's candidate set
+    // (whose downstream verdicts the sf0.01 oracle gate verifies)
+    val corpusBands = graft.pipeline.Dedup.corpusBandTable(spark, sfDir)
+    val arriving = graft.Tables.documents(spark, sfDir)
+      .filter($"doc_id" % graft.pipeline.Dedup.DeltaMod ===
+        graft.pipeline.Dedup.DeltaRem)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    assert(arriving.nonEmpty)
+
+    val input = MemoryStream[(Long, String)]
+    val query = deltaDedupGuard(
+      input.toDF().toDF("doc_id", "text"), corpusBands)
+      .writeStream.format("memory").queryName("delta_guard")
+      .outputMode("append").start()
+    // two batches: the guard is stateless, so a doc's collisions must
+    // not depend on which micro-batch carried it
+    val (first, rest) = arriving.splitAt(arriving.size / 2)
+    input.addData(first)
+    query.processAllAvailable()
+    input.addData(rest)
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("delta_guard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.pipeline.Dedup.deltaCandidates(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want,
+      s"stream candidates diverge from d08's banding: missing ${want -- got}, spurious ${got -- want}")
+    assert(want.nonEmpty,
+      "fixture must contain at least one batch-corpus band collision to make this real")
+  }
+
   private val twinRunners: Map[String, () => Unit] = Map(
+    "delta_dedup_guard" -> (deltaDedupGuardTwin _),
     "ivf_ingest_assign" -> (ivfIngestAssignTwin _),
     "funnel" -> (funnelTwin _),
     "windowed_counts" -> (windowedCountsTwin _),
