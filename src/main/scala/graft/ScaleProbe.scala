@@ -157,7 +157,21 @@ object ScaleProbe {
       // iterations; replica vocabularies are disjoint (~k suffixes) so
       // the vocab table scales ~R — ~linear overall, dominated by the
       // word count
-      "p16" -> SparkEntry.queries("p16_bpe_merges"))
+      "p16" -> SparkEntry.queries("p16_bpe_merges"),
+      // p17: pure per-row fingerprint pass + output sort — ~linear
+      "p17" -> SparkEntry.queries("p17_winnowing"),
+      // d08: batch band rows join the corpus band table; both sides
+      // scale ~R and replicas share no buckets (disjoint vocabulary),
+      // so candidate volume — and the verify join behind it — is ~R x
+      // the base: ~linear
+      "d08" -> SparkEntry.queries("d08_delta_dedup"),
+      // p18: winnowed-fingerprint inverted-index self-join; replicas
+      // share no fingerprints, so pair volume scales ~R — ~linear
+      "p18" -> SparkEntry.queries("p18_fingerprint_overlap"),
+      // s11: four probe passes over one shared k=sqrt(n) index; cost is
+      // dominated by the corpus cell assignment (n x sqrt(n) cosines)
+      // like s03 — allow ~n^1.5
+      "s11" -> SparkEntry.queries("s11_nprobe_curve"))
 
     def once(f: (SparkSession, String) => DataFrame, dir: String): Double = {
       val t0 = System.nanoTime()

@@ -130,7 +130,11 @@ object Dedup {
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), DataFrame]
 
-  def d02NgramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** The UNFILTERED candidate-pair stats over the capped inverted
+    * index — (a_id, b_id, inter, na, nb) for every pair sharing >= 1
+    * capped shingle. d02 cuts it at Jaccard 0.8; d09 sweeps the cut.
+    */
+  private def cappedPairStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = cappedShingles(spark, dir)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
@@ -146,8 +150,13 @@ object Dedup {
     inter
       .join(sizes.as("sa"), $"a_id" === $"sa.doc_id")
       .join(sizes.as("sb"), $"b_id" === $"sb.doc_id")
-      .filter(jaccardAtLeast08($"inter", $"sa.n", $"sb.n"))
       .select($"a_id", $"b_id", $"inter", $"sa.n".as("na"), $"sb.n".as("nb"))
+  }
+
+  def d02NgramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    cappedPairStats(spark, dir)
+      .filter(jaccardAtLeast08($"inter", $"na", $"nb"))
       .orderBy($"a_id", $"b_id")
   }
 
@@ -409,6 +418,44 @@ object Dedup {
         when(coalesce($"n_dup", lit(0L)) > 0, "drop")
           .otherwise("keep").as("verdict"))
       .orderBy($"doc_id")
+  }
+
+  /** d09's Jaccard thresholds, in percent. 80 must be a member so the
+    * curve brackets the production cut ([[jaccardAtLeast08]]) from
+    * both sides.
+    */
+  private[pipeline] val ThresholdSweep = Seq(50, 60, 70, 80, 90)
+
+  /** d09 — dedup threshold sensitivity curve: for each Jaccard cut in
+    * [[ThresholdSweep]], how many candidate pairs the capped inverted
+    * index would collapse and how many documents the keep-lowest-id
+    * policy would drop (distinct higher-id sides of qualifying pairs).
+    * This is the evaluation a deployment runs before pinning the 0.8
+    * production threshold — d07 calibrates the ESTIMATOR against exact
+    * Jaccard; this prices the CUT — and it is s11's role for the
+    * lexical dedup family.
+    *
+    * Scale shape: the candidate stats are d02's (cap x df bounded);
+    * the sweep is ONE conditional aggregation pass over them — five
+    * thresholds cost five counters, not five joins. Integer outputs,
+    * hash-exact vs the oracle's identical conditional sums.
+    */
+  def d09ThresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def qualifies(t: Int): Column =
+      $"inter" * 100 >= ($"na" + $"nb" - $"inter") * t
+    val aggs = ThresholdSweep.flatMap { t =>
+      Seq(sum(when(qualifies(t), 1L).otherwise(0L)).as(s"np_$t"),
+        countDistinct(when(qualifies(t), $"b_id")).as(s"nd_$t"))
+    }
+    val stackExpr = s"stack(${ThresholdSweep.size}, " +
+      ThresholdSweep.map(t => s"CAST($t AS BIGINT), np_$t, nd_$t")
+        .mkString(", ") +
+      ") AS (threshold_pct, n_pairs, n_docs_dropped)"
+    cappedPairStats(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(stackExpr))
+      .orderBy($"threshold_pct")
   }
 
   /** SimHash: 56-bit signature over distinct tokens. Token hash = the
@@ -942,6 +989,7 @@ object Dedup {
     "d03_minhash_lsh_pairs" -> d03MinhashLshPairs _,
     "d07_minhash_calibration" -> d07MinhashCalibration _,
     "d08_delta_dedup" -> d08DeltaDedup _,
+    "d09_threshold_curve" -> d09ThresholdCurve _,
     "d04_simhash_pairs" -> d04SimhashPairs _,
     "d05_embedding_neardup" -> d05EmbeddingNearDup _,
     "d06_neardup_clusters" -> d06NeardupClusters _,
@@ -1053,6 +1101,31 @@ object Dedup {
          |           JOIN sizes zb ON b_id = zb.doc_id
          |WHERE inter * 5 >= (za.n + zb.n - inter) * 4
          |ORDER BY a_id, b_id""".stripMargin,
+    "d09_threshold_curve" -> {
+      val perT = ThresholdSweep.map { t =>
+        s"""SELECT CAST($t AS BIGINT) AS threshold_pct,
+           | CAST(sum(CASE WHEN inter * 100 >= (na + nb - inter) * $t
+           |          THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+           | CAST(count(DISTINCT CASE WHEN inter * 100 >= (na + nb - inter) * $t
+           |            THEN b_id END) AS BIGINT) AS n_docs_dropped
+           |FROM pstats""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $ShingleCte,
+         |capped AS (SELECT doc_id, shingle FROM sh
+         |  WHERE shingle IN (SELECT shingle FROM sh
+         |                    GROUP BY shingle HAVING count(*) <= $ShingleDfCap)),
+         |csizes AS (SELECT doc_id, count(*) n FROM capped GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id a_id, b.doc_id b_id, count(*) inter
+         |  FROM capped a JOIN capped b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pstats AS (SELECT a_id, b_id, inter, sa.n AS na, sb.n AS nb
+         |  FROM pairs JOIN csizes sa ON a_id = sa.doc_id
+         |             JOIN csizes sb ON b_id = sb.doc_id)
+         |$perT
+         |ORDER BY threshold_pct""".stripMargin
+    },
     "d08_delta_dedup" ->
       s"""WITH $ShingleCte,
          |sig AS ($minhashSigSql),

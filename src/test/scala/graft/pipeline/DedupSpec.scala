@@ -227,6 +227,27 @@ class DedupSpec extends SparkSpec {
       s"calibration verdicts diverge from d03: missing ${d03 -- flagged}, spurious ${flagged -- d03}")
   }
 
+  test("d09 curve: monotone in the threshold and anchored to d02 at 80") {
+    val rows = Dedup.d09ThresholdCurve(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("threshold_pct")).toSeq ==
+      Dedup.ThresholdSweep.map(_.toLong))
+    val np = rows.map(_.getAs[Long]("n_pairs")).toSeq
+    val nd = rows.map(_.getAs[Long]("n_docs_dropped")).toSeq
+    // a higher cut can only shrink the qualifying set
+    assert(np == np.sorted.reverse, s"n_pairs not monotone: $np")
+    assert(nd == nd.sorted.reverse, s"n_docs_dropped not monotone: $nd")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs_dropped") <= r.getAs[Long]("n_pairs"))
+    }
+    // the production point (80) prices exactly d02's output
+    val at80 = rows.find(_.getAs[Long]("threshold_pct") == 80L).get
+    val d02 = Dedup.d02NgramJaccardPairs(spark, sfDir).collect()
+    assert(at80.getAs[Long]("n_pairs") == d02.length)
+    assert(at80.getAs[Long]("n_docs_dropped") ==
+      d02.map(_.getAs[Long]("b_id")).distinct.length)
+    assert(np.head > np.last, "sweep is flat — fixture degenerate for tuning")
+  }
+
   test("d08 delta dedup: one row per batch doc, verdicts consistent, drops cover d03's batch-corpus pairs") {
     import org.apache.spark.sql.functions.col
     val out = Dedup.d08DeltaDedup(spark, sfDir).collect()
