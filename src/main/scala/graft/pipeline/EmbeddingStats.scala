@@ -139,14 +139,138 @@ object EmbeddingStats {
       .orderBy($"dim")
   }
 
+  /** v05's power-iteration count and product quantizer. Three
+    * iterations from the all-ones start separate the top direction
+    * well enough for a monitoring profile (the gap ratio decides the
+    * asymptotic rate; the spec checks the Rayleigh quotient is already
+    * stationary to ~1e-3 on the fixture corpus). [[PowerQuant]] is the
+    * k-means trainer's 2^20 quantizer: per-(row, dim) products round to
+    * integer ticks so the per-dimension sums COMMUTE — bit-identical
+    * across engines and shuffle layouts, where raw double sums would
+    * depend on reduction order.
+    */
+  private[pipeline] val PowerIters = 3
+  private val PowerQuant = 1L << 20
+
+  /** v05 — top principal component by distributed power iteration: the
+    * leading eigenvector of the (mean-centered) embedding covariance,
+    * computed WITHOUT materializing the covariance matrix. Each
+    * iteration is matrix-free: one scan computes s_i = (x_i - mu) . v
+    * per row and accumulates w = sum_i s_i (x_i - mu) as per-dimension
+    * quantized-integer sums; the driver holds only the d-vector
+    * (collect of 64 longs — the bounded-collect pattern of RangedPrefix
+    * offsets), normalizes, and feeds the next pass. This is the
+    * embedding-collapse monitor a vector pipeline runs beside v03/v04:
+    * a dominant PC1 share (lambda vs the norm mass) means the space is
+    * degenerating toward a line — anisotropy that silently breaks
+    * cosine ANN.
+    *
+    * Scale shape: per iteration ONE corpus scan + a 64-key map-side-
+    * collapsed aggregation (v03's shape); nothing corpus-sized ever
+    * reaches the driver, and O(d) state rides in the closure exactly
+    * like broadcast centroids. Covariance would be d^2 accumulators —
+    * also fine at d=64, but the matrix-free form scales to the d where
+    * that stops being true.
+    *
+    * Output: per dimension, the micro-quantized PC1 component and the
+    * micro-quantized Rayleigh eigenvalue estimate (same value each
+    * row) — integers, hash-exact vs the oracle's identical chained-CTE
+    * iterations.
+    */
+  def v05Pc1Profile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val n = e.count()
+    val d = e.select(size($"v")).head().getInt(0)
+    // exact per-dim micro sums -> the centering means (driver d-vector)
+    val sums = e.select(posexplode($"v").as(Seq("dim", "x")))
+      .select($"dim", floor($"x" * 1000000L).cast("long").as("xm"))
+      .groupBy($"dim").agg(sum($"xm").as("s"))
+      .collect().map(r => r.getAs[Int]("dim") -> r.getAs[Long]("s")).toMap
+    val mu = (0 until d).map(j => sums(j).toDouble / 1000000.0 / n.toDouble)
+    var vv = Array.fill(d)(1.0)
+    var lambdaMicro = 0L
+    var pc = Array.fill(d)(0.0)
+    for (_ <- 1 to PowerIters) {
+      val sCol = (0 until d).map(j =>
+        (element_at($"v", j + 1) - lit(mu(j))) * lit(vv(j))).reduce(_ + _)
+      val terms = array((0 until d).map(j =>
+        round(($"s" * (element_at($"v", j + 1) - lit(mu(j)))) * PowerQuant)
+          .cast("long")): _*)
+      val w = e.select($"v", sCol.as("s"))
+        .select(posexplode(terms).as(Seq("dim", "t")))
+        .groupBy($"dim").agg(sum($"t").as("w"))
+        .collect().map(r => r.getAs[Int]("dim") -> r.getAs[Long]("w")).toMap
+      val warr = (0 until d).map(w(_)).toArray
+      // exact integer norm^2 (BigInt: w ~ n*Q overflows Long when
+      // squared), ONE double conversion — same value as the oracle's
+      // HUGEINT SUM(w*w) cast
+      val norm = math.sqrt(warr.map(x => BigInt(x) * BigInt(x)).sum.toDouble)
+      vv = warr.map(_.toDouble / norm)
+      pc = vv
+      lambdaMicro =
+        math.floor(norm / PowerQuant.toDouble / n.toDouble * 1000000.0).toLong
+    }
+    val rows = (0 until d).map(j =>
+      (j.toLong, math.floor(pc(j) * 1000000.0).toLong, lambdaMicro))
+    spark.createDataFrame(rows).toDF("dim", "pc1_micro", "lambda_micro")
+      .orderBy($"dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_norm_profile" -> v01NormProfile _,
     "v02_quantize_profile" -> v02QuantizeProfile _,
     "v03_dim_stats" -> v03DimStats _,
     "v04_drift_profile" -> v04DriftProfile _,
+    "v05_pc1_profile" -> v05Pc1Profile _,
   )
 
+  /** v05's oracle: the power iterations as chained CTEs (the
+    * [[graft.pipeline.Similarity]] kmeansCtes pattern) — every double
+    * op in the same association order as the Spark side, every
+    * cross-engine accumulation an integer sum.
+    */
+  private lazy val v05Sql: String = {
+    val sb = new StringBuilder(
+      """WITH n0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |cnt AS (SELECT CAST(count(*) AS DOUBLE) c FROM n0),
+        |mu AS (SELECT list(CAST(s AS DOUBLE) / 1000000.0 / (SELECT c FROM cnt)
+        |    ORDER BY dim) m
+        |  FROM (SELECT u.pos AS dim, SUM(CAST(floor(u.x * 1000000) AS BIGINT)) s
+        |        FROM (SELECT unnest(list_transform(range(len(v)),
+        |                j -> {'pos': j, 'x': v[j+1]})) u FROM n0)
+        |        GROUP BY u.pos)),
+        |v0 AS (SELECT list_transform(range((SELECT len(v) FROM n0 LIMIT 1)),
+        |  j -> 1.0) vv)""".stripMargin)
+    for (i <- 1 to PowerIters) {
+      val prev = s"v${i - 1}"
+      sb.append(s""",
+        |s$i AS (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(range(len(v)), j -> (v[j+1] - m[j+1]) * vv[j+1])),
+        |    (a, x) -> a + x) AS s, v, m
+        |  FROM n0, mu, $prev),
+        |w$i AS (SELECT u.pos AS dim,
+        |    SUM(CAST(round((s * u.xc) * 1048576) AS BIGINT)) w
+        |  FROM (SELECT s, unnest(list_transform(range(len(v)),
+        |          j -> {'pos': j, 'xc': v[j+1] - m[j+1]})) u FROM s$i)
+        |  GROUP BY u.pos),
+        |nrm$i AS (SELECT sqrt(CAST(SUM(w * w) AS DOUBLE)) nr FROM w$i),
+        |v$i AS (SELECT list(CAST(w AS DOUBLE) / (SELECT nr FROM nrm$i)
+        |  ORDER BY dim) vv FROM w$i)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT CAST(dim AS BIGINT) AS dim,
+      | CAST(floor(CAST(w AS DOUBLE) / (SELECT nr FROM nrm$PowerIters)
+      |   * 1000000) AS BIGINT) AS pc1_micro,
+      | CAST(floor((SELECT nr FROM nrm$PowerIters) / 1048576.0
+      |   / (SELECT c FROM cnt) * 1000000) AS BIGINT) AS lambda_micro
+      |FROM w$PowerIters ORDER BY dim""".stripMargin)
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "v05_pc1_profile" -> v05Sql,
     "v01_norm_profile" ->
       """SELECT label, COUNT(*) AS n_vecs,
         | COUNT(DISTINCT len(embedding)) AS n_dims,

@@ -462,6 +462,45 @@ object StarQueries {
       .orderBy($"user_id")
   }
 
+  /** q26 — weekly cohort retention segmented by acquisition event: each
+    * user's cohort is their FIRST event's type (ties broken by
+    * (ts, event_id)) and first-activity week; for every (cohort type,
+    * week offset) the count of users still active that week against the
+    * cohort size — the retention triangle of product analytics,
+    * segmented the way an acquisition-channel report segments it.
+    *
+    * Scale shape: the first-event pick is a per-user window (user-sized
+    * partitions, never global); activity collapses to DISTINCT
+    * (user, week) before any join — one row per user-week, not per
+    * event — and both joins key on user_id so they reuse the same
+    * hash partitioning; the cohort-size side is |event types| rows and
+    * broadcasts. Integer counts only, hash-exact vs the oracle.
+    */
+  def q26CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val firstEv = e.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type".as("cohort_type"),
+        date_trunc("week", $"ts").cast("date").as("first_week"))
+    val uw = e
+      .select($"user_id", date_trunc("week", $"ts").cast("date").as("wk"))
+      .distinct()
+    val active = uw.join(firstEv, "user_id")
+      .select($"cohort_type",
+        (datediff($"wk", $"first_week") / 7).cast("long").as("week_offset"),
+        $"user_id")
+      .groupBy($"cohort_type", $"week_offset")
+      .agg(countDistinct($"user_id").as("n_active"))
+    val sizes = firstEv.groupBy($"cohort_type")
+      .agg(count(lit(1)).as("n_cohort"))
+    active.join(broadcast(sizes), "cohort_type")
+      .select($"cohort_type", $"week_offset", $"n_cohort", $"n_active")
+      .orderBy($"cohort_type", $"week_offset")
+  }
+
   /** Release the memoized q14 ranged projection (and only it). */
   def invalidateCaches(): Unit = graft.RangedPrefix.invalidateCaches("q14:")
 
@@ -648,6 +687,7 @@ object StarQueries {
     "q23_grouping_sets" -> q23GroupingSets _,
     "q24_full_outer_reconcile" -> q24FullOuterReconcile _,
     "q25_funnel" -> q25Funnel _,
+    "q26_cohort_retention" -> q26CohortRetention _,
   )
 
   private val DEC = "DECIMAL(18,2)"
@@ -894,5 +934,23 @@ object StarQueries {
          |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
          |       LEFT JOIN p USING (user_id)
          |ORDER BY u.user_id""".stripMargin,
+    "q26_cohort_retention" ->
+      """WITH fe AS (SELECT user_id, event_type AS cohort_type,
+        |    date_trunc('week', ts)::DATE AS first_week
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY user_id ORDER BY ts, event_id) rn
+        |        FROM events) WHERE rn = 1),
+        |uw AS (SELECT DISTINCT user_id,
+        |    date_trunc('week', ts)::DATE AS wk FROM events),
+        |act AS (SELECT cohort_type,
+        |    CAST((wk - first_week) // 7 AS BIGINT) AS week_offset,
+        |    count(DISTINCT u.user_id) AS n_active
+        |  FROM uw u JOIN fe USING (user_id) GROUP BY 1, 2),
+        |sz AS (SELECT cohort_type, count(*) AS n_cohort FROM fe GROUP BY 1)
+        |SELECT a.cohort_type, a.week_offset,
+        | CAST(s.n_cohort AS BIGINT) AS n_cohort,
+        | CAST(a.n_active AS BIGINT) AS n_active
+        |FROM act a JOIN sz s USING (cohort_type)
+        |ORDER BY cohort_type, week_offset""".stripMargin,
   )
 }

@@ -266,4 +266,30 @@ class StarQueriesSpec extends SparkSpec {
     Seq(1L, 2L, 3L).foreach(s =>
       assert(stages.getOrElse(s, 0) > 0, s"stage $s empty"))
   }
+
+  test("q26 retention: offset-0 full, cohorts partition users, activity bounded") {
+    import org.apache.spark.sql.functions.col
+    val rows = StarQueries.q26CohortRetention(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("week_offset") >= 0,
+        "no activity precedes a user's first week")
+      assert(r.getAs[Long]("n_active") <= r.getAs[Long]("n_cohort"))
+      assert(r.getAs[Long]("n_active") >= 1, "empty cells must not be emitted")
+    }
+    // at offset 0 every cohort member is active by definition of cohort
+    rows.filter(_.getAs[Long]("week_offset") == 0L).foreach { r =>
+      assert(r.getAs[Long]("n_active") == r.getAs[Long]("n_cohort"),
+        s"cohort ${r.getAs[String]("cohort_type")} not full at offset 0")
+    }
+    // cohort sizes partition the distinct-user population
+    val cohortSizes = rows.groupBy(_.getAs[String]("cohort_type"))
+      .view.mapValues(_.head.getAs[Long]("n_cohort"))
+    val nUsers = graft.Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    assert(cohortSizes.values.sum == nUsers,
+      "first-event cohorts must partition the user population")
+    assert(cohortSizes.size > 1,
+      "fixture degenerate: a single acquisition cohort proves no segmentation")
+  }
 }
