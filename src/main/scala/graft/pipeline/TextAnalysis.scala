@@ -321,6 +321,7 @@ object TextAnalysis {
     gramCache.keys.foreach(k => gramCache.remove(k).foreach(_.unpersist()))
     contamDocsCache.keys.foreach(k =>
       contamDocsCache.remove(k).foreach(_.unpersist()))
+    bpeRulesCache.clear()
   }
 
   /** The contaminated-doc LIST p09 implies — the test-split doc_ids
@@ -677,7 +678,29 @@ object TextAnalysis {
     * are bit-identical across engines. Ties on pair count break
     * lexicographically, making rule selection deterministic.
     */
-  def p16BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+  /** One fold-merge pass: apply merge rule (a, b) -> ab to a
+    * space-joined symbol string, leftmost non-overlapping — identical
+    * to the oracle's list_reduce (seeded with the first symbol, so no
+    * empty-accumulator branch exists on either side). Shared by the
+    * p16 trainer and the p19 encoder so train and apply can never
+    * disagree on merge semantics.
+    */
+  private def foldMerge(sCol: Column, a: String, b: String): Column = {
+    val arr = split(sCol, " ")
+    aggregate(
+      slice(arr, lit(2), size(arr) - 1), element_at(arr, 1),
+      (acc, x) => when(x === lit(b) &&
+          (acc === lit(a) || acc.endsWith(" " + a)), concat(acc, x))
+        .otherwise(concat(acc, lit(" "), x)))
+  }
+
+  /** The BPE training loop — p16's body, extracted so [[bpeRules]] can
+    * memoize the trained rule list for consumers (p19's encoder)
+    * while p16-the-query keeps benchmarking the training itself
+    * (the p09/contaminatedDocs policy).
+    */
+  private def trainBpe(spark: SparkSession,
+      dir: String): Seq[(Int, String, String, Long)] = {
     import spark.implicits._
     // the one corpus-scale job: word frequencies; state = chars joined
     // by ' ' (corpus is ASCII words, asserted by MultimodalSpec)
@@ -708,23 +731,60 @@ object TextAnalysis {
           .head()
         val (a, b) = (top.getAs[String]("a"), top.getAs[String]("b"))
         rules += ((k, a, b, top.getAs[Long]("cnt")))
-        // fold-merge: leftmost, non-overlapping — identical to the
-        // oracle's list_reduce (seeded with the first symbol, so no
-        // empty-accumulator branch exists on either side)
-        val arr = split($"s", " ")
-        val merged = aggregate(
-          slice(arr, lit(2), size(arr) - 1), element_at(arr, 1),
-          (acc, x) => when(x === lit(b) &&
-              (acc === lit(a) || acc.endsWith(" " + a)), concat(acc, x))
-            .otherwise(concat(acc, lit(" "), x)))
-        state = state.select(merged.as("s"), $"f")
+        state = state.select(foldMerge($"s", a, b).as("s"), $"f")
       }
     } finally seed.unpersist()
+    rules.toSeq
+  }
+
+  /** The trained rule list as an ingest artifact (session-memoized):
+    * a deployment trains the tokenizer once per corpus snapshot and
+    * every encode pass reads the stored rules. Driver-held — 8 rules,
+    * the bounded-collect pattern.
+    */
+  private def bpeRules(spark: SparkSession,
+      dir: String): Seq[(Int, String, String, Long)] =
+    bpeRulesCache.getOrElseUpdate((spark, dir), trainBpe(spark, dir))
+
+  private val bpeRulesCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Int, String, String, Long)]]
+
+  def p16BpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    rules.toSeq.toDF("rank", "left_sym", "right_sym", "cnt")
+    trainBpe(spark, dir).toDF("rank", "left_sym", "right_sym", "cnt")
       .select($"rank".cast("long").as("rank"), $"left_sym", $"right_sym",
         concat($"left_sym", $"right_sym").as("merged"), $"cnt")
       .orderBy($"rank")
+  }
+
+  /** p19 — BPE encoding profile: the trained p16 merges APPLIED to the
+    * corpus — per document, the whitespace word count and the BPE
+    * token count under the learned tokenizer. This is the
+    * train-then-apply loop every tokenizer deployment runs, and the
+    * number that prices a training run (token budget per document).
+    *
+    * Scale shape: the merges are applied to the DISTINCT word
+    * vocabulary (vocab-sized work, 8 chained per-row folds), and the
+    * corpus pass is a broadcast join of that encoded vocabulary
+    * against the exploded words — the text never shuffles, and the
+    * encode table is exactly what a production tokenizer caches.
+    * Integer outputs, hash-exact vs the oracle's identical CTE chain.
+    */
+  def p19BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rules = bpeRules(spark, dir)
+    var vocab = Tables.documents(spark, dir)
+      .select(explode(toks($"text")).as("w")).distinct()
+      .select($"w", concat_ws(" ", split($"w", "")).as("s"))
+    for ((_, a, b, _) <- rules)
+      vocab = vocab.select($"w", foldMerge($"s", a, b).as("s"))
+    val enc = vocab.select($"w", size(split($"s", " ")).cast("long").as("nt"))
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(toks($"text")).as("w"))
+      .join(broadcast(enc), "w")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"), sum($"nt").as("n_bpe_tokens"))
+      .orderBy($"doc_id")
   }
 
   /** p17's winnowing parameters: token [[WinnowK]]-gram hashes, window
@@ -896,6 +956,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p17_winnowing" -> p17Winnowing _,
     "p18_fingerprint_overlap" -> p18FingerprintOverlap _,
+    "p19_bpe_encode" -> p19BpeEncode _,
     "p16_bpe_merges" -> p16BpeMerges _,
     "p15_lexical_diversity" -> p15LexicalDiversity _,
     "p14_cross_source_leakage" -> p14CrossSourceLeakage _,
@@ -943,7 +1004,11 @@ object TextAnalysis {
     * leftmost non-cascading fold (`list_reduce` seeded with the first
     * symbol, merge = append without separator).
     */
-  private def bpeSql: String = {
+  /** The BPE training CTE chain (through `p1..pN`, `w1..wN`) — shared
+    * by the p16 (rule list) and p19 (encode) oracles exactly as
+    * [[trainBpe]] feeds both Spark sides.
+    */
+  private def bpeCtePrefix: String = {
     val sb = new StringBuilder(
       s"""WITH tk AS (SELECT unnest($TOKS) AS w FROM documents),
          |w0 AS (SELECT array_to_string(string_split(w, ''), ' ') AS s,
@@ -960,10 +1025,43 @@ object TextAnalysis {
          |      THEN acc || x ELSE acc || ' ' || x END) AS s, w.f
          |  FROM w${k - 1} w CROSS JOIN p$k)""".stripMargin
     }
+    sb.toString
+  }
+
+  private def bpeSql: String = {
+    val sb = new StringBuilder(bpeCtePrefix)
     sb ++= (1 to BpeMerges).map(k =>
       s"\nSELECT CAST($k AS BIGINT) AS rank, a AS left_sym, b AS right_sym," +
         s" a || b AS merged, cnt FROM p$k").mkString("", "\nUNION ALL", "")
     sb ++= "\nORDER BY rank"
+    sb.toString
+  }
+
+  /** p19's oracle: the shared training chain, then the encode chain —
+    * the distinct vocabulary folded through each learned rule in rank
+    * order, joined back to the exploded corpus words.
+    */
+  private def bpeEncodeSql: String = {
+    val sb = new StringBuilder(bpeCtePrefix)
+    sb ++= s""",
+      |e0 AS (SELECT DISTINCT w,
+      |  array_to_string(string_split(w, ''), ' ') AS s FROM tk)""".stripMargin
+    for (k <- 1 to BpeMerges) {
+      sb ++= s""",
+        |e$k AS (SELECT e.w, list_reduce(string_split(e.s, ' '),
+        |    (acc, x) -> CASE WHEN x = p$k.b
+        |        AND (acc = p$k.a OR ends_with(acc, ' ' || p$k.a))
+        |      THEN acc || x ELSE acc || ' ' || x END) AS s
+        |  FROM e${k - 1} e CROSS JOIN p$k)""".stripMargin
+    }
+    sb ++= s""",
+      |enc AS (SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS nt
+      |  FROM e$BpeMerges),
+      |dt AS (SELECT doc_id, unnest($TOKS) AS w FROM documents)
+      |SELECT d.doc_id, COUNT(*) AS n_words,
+      | CAST(SUM(enc.nt) AS BIGINT) AS n_bpe_tokens
+      |FROM dt d JOIN enc USING (w)
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
     sb.toString
   }
 
@@ -1024,6 +1122,7 @@ object TextAnalysis {
          |WHERE shared >= $FpMinShared
          |ORDER BY a_id, b_id""".stripMargin,
     "p16_bpe_merges" -> bpeSql,
+    "p19_bpe_encode" -> bpeEncodeSql,
     "p15_lexical_diversity" ->
       s"""WITH tk AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),
          |cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2)

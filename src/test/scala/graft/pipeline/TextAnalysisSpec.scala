@@ -535,6 +535,27 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("p19 encode: bounded by chars and words, consistent with p01, merges bite") {
+    val enc = TextAnalysis.p19BpeEncode(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens"))).toMap
+    val p01 = TextAnalysis.p01TokenStats(spark, sfDir).collect()
+    assert(enc.size == p01.length, "every document must encode")
+    var anyCompressed = false
+    p01.foreach { r =>
+      val (nw, nb) = enc(r.getAs[Long]("doc_id"))
+      assert(nw == r.getAs[Long]("n_tokens"),
+        "p19's word count must agree with p01's tokenizer")
+      // each word is >= 1 symbol; starting state is one symbol per char
+      // (chars = n_chars - separators = n_chars - (n_tokens - 1))
+      val chars = r.getAs[Long]("n_chars") - (nw - 1)
+      assert(nb >= nw && nb <= chars, s"n_bpe_tokens $nb outside [$nw, $chars]")
+      if (nb < chars) anyCompressed = true
+    }
+    assert(anyCompressed,
+      "no document compressed — the learned merges never applied")
+  }
+
   test("p18 overlap pairs equal a brute-force intersect of p17's selections") {
     val out = TextAnalysis.p18FingerprintOverlap(spark, sfDir).collect()
     assert(out.nonEmpty)
