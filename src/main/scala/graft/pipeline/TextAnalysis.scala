@@ -321,6 +321,8 @@ object TextAnalysis {
     gramCache.keys.foreach(k => gramCache.remove(k).foreach(_.unpersist()))
     contamDocsCache.keys.foreach(k =>
       contamDocsCache.remove(k).foreach(_.unpersist()))
+    winnowFpCache.keys.foreach(k =>
+      winnowFpCache.remove(k).foreach(_.unpersist()))
     bpeRulesCache.clear()
   }
 
@@ -924,19 +926,38 @@ object TextAnalysis {
     * smaller than a shingle index; only (doc_id, fp) longs shuffle,
     * text never leaves the scan.
     */
+  /** The df-capped winnow-fingerprint INDEX — memoized + persisted
+    * under the same ingest-artifact policy (and for the same measured
+    * reason) as [[Dedup]]'s capped shingle index: p18 consumes it three
+    * ways (self-join a-side, b-side, per-doc sizes), and without the
+    * persist each consumer re-ran the whole winnow selection (md5 per
+    * token + rolling combine + window minima) — p18 measured 1.63 s at
+    * sf0.1 recomputing vs ~0.6 reading the stored index. p17 stays
+    * un-memoized: it IS the benchmark of the fingerprint pass.
+    */
+  private def winnowFpIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.getOrBuild(winnowFpCache, (spark, dir)) {
+      import spark.implicits._
+      // distinct HASHES per doc: the packed sel dedupes (hash, pos)
+      // pairs, so the same hash selected at two positions must collapse
+      val fps = winnowSelected(spark, dir)
+        .select($"doc_id",
+          explode(array_distinct(transform($"sel", e => shiftright(e, 12))))
+            .as("fp"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
+      fps
+        .withColumn("df_", count(lit(1)).over(w))
+        .filter($"df_" <= FpDfCap)
+        .select($"doc_id", $"fp")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private val winnowFpCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
   def p18FingerprintOverlap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // distinct HASHES per doc: the packed sel dedupes (hash, pos)
-    // pairs, so the same hash selected at two positions must collapse
-    val fps = winnowSelected(spark, dir)
-      .select($"doc_id",
-        explode(array_distinct(transform($"sel", e => shiftright(e, 12))))
-          .as("fp"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
-    val capped = fps
-      .withColumn("df_", count(lit(1)).over(w))
-      .filter($"df_" <= FpDfCap)
-      .select($"doc_id", $"fp")
+    val capped = winnowFpIndex(spark, dir)
     val sizes = capped.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     capped.as("a")
       .join(capped.as("b"),
