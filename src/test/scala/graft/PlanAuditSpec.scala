@@ -35,11 +35,26 @@ class PlanAuditSpec extends SparkSpec {
   test("IVF centroid assignment aggregates map-side — no extra Window") {
     // the one Window left in an IVF plan is the final per-query top-k
     // (sort-based = spill-safe over unbounded candidate sets); cell
-    // assignment and probe selection must stay hash aggregates
+    // assignment and probe selection must stay hash aggregates. s11's
+    // whole four-point sweep shares that ONE window too (per-row
+    // conditional running counts over a single sort) — a regression to
+    // per-sweep-point windows or intersects would show up here as >1.
     Seq("s02_ivf_knn", "s03_knn_join", "s04_ivf_kmeans").foreach { name =>
       val n = "\\bWindow\\b".r.findAllIn(plan(name)).size
       assert(n == 1, s"$name plans $n Window nodes, expected exactly 1")
     }
+    // s11's plan composes the memoized exact/index ARTIFACTS, whose
+    // cached build plans print inside InMemoryRelation and would skew
+    // a text count — count the physical WindowExec nodes of the outer
+    // plan instead (stops at InMemoryTableScan, per the same Spark 4.1
+    // behavior the artifact specs rely on)
+    val s11Windows = SparkEntry.queries("s11_nprobe_curve")(spark, sfDir)
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.size
+    assert(s11Windows == 1,
+      s"s11 plans $s11Windows Window nodes, expected exactly 1 — " +
+        "the four-point sweep must share one conditional-count window")
   }
 
   test("no registered query plans an unpartitioned Window") {
