@@ -168,10 +168,21 @@ object ScaleProbe {
       // p18: winnowed-fingerprint inverted-index self-join; replicas
       // share no fingerprints, so pair volume scales ~R — ~linear
       "p18" -> SparkEntry.queries("p18_fingerprint_overlap"),
-      // s11: four probe passes over one shared k=sqrt(n) index; cost is
+      // s11: one shared-window sweep over the k=sqrt(n) index; cost is
       // dominated by the corpus cell assignment (n x sqrt(n) cosines)
       // like s03 — allow ~n^1.5
-      "s11" -> SparkEntry.queries("s11_nprobe_curve"))
+      "s11" -> SparkEntry.queries("s11_nprobe_curve"),
+      // d09: one conditional-agg pass over d02's cap x df bounded pair
+      // stats — same ~linear envelope as d02
+      "d09" -> SparkEntry.queries("d09_threshold_curve"),
+      // p19: corpus word count + vocab-sized encode chain + broadcast
+      // join — ~linear, dominated by the word count like p16
+      "p19" -> SparkEntry.queries("p19_bpe_encode"),
+      // q26: per-user window + distinct (user, week) + user-keyed
+      // joins; replicas are disjoint user populations — ~linear
+      "q26" -> SparkEntry.queries("q26_cohort_retention"),
+      // v05: four fixed passes, each a scan + 64-key agg — ~linear
+      "v05" -> SparkEntry.queries("v05_pc1_profile"))
 
     def once(f: (SparkSession, String) => DataFrame, dir: String): Double = {
       val t0 = System.nanoTime()

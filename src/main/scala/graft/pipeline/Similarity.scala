@@ -310,6 +310,8 @@ object Similarity {
       exactCache.remove(k).foreach(_.unpersist()))
     baseCentCache.keys.foreach(k =>
       baseCentCache.remove(k).foreach(_.unpersist()))
+    pqCache.keys.foreach(k =>
+      pqCache.remove(k).foreach(_.unpersist()))
   }
 
   /** Deterministic Lloyd k-means over (vec_id, v) rows — the IVF
@@ -516,6 +518,127 @@ object Similarity {
       .select(expr(stackExpr), $"n_exact")
       .select($"nprobe", $"n_exact", $"n_overlap")
       .orderBy($"nprobe")
+  }
+
+  /** s12's product-quantization geometry: [[PqSubspaces]] x
+    * [[PqSubDim]] must equal the embedding dimension (64 — pinned by
+    * v03's QA profile); [[PqCodes]] centroids per subspace give
+    * 8-byte codes, the 32x compression IVF-PQ runs at 100 TB.
+    * [[PqIters]] matches [[KmeansIters]].
+    */
+  private[pipeline] val PqSubspaces = 8
+  private[pipeline] val PqSubDim = 8
+  private[pipeline] val PqCodes = 16
+  private[pipeline] val PqIters = 2
+
+  /** s12 — product-quantization codebook profile: per (subspace, code),
+    * the assigned-vector count and the summed micro-quantized squared
+    * reconstruction error, after [[PqIters]] rounds of per-subspace
+    * Lloyd training (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011 — the IVF-PQ half s08's SQ8 doesn't
+    * cover: PQ quantizes the SPACE per subvector, SQ8 the scalars).
+    * This is the codebook-quality evaluation a deployment runs before
+    * committing a PQ index: a subspace whose error mass concentrates
+    * in few codes needs more codes or a rotation.
+    *
+    * Distributed shape: ALL subspaces train in the SAME jobs — the
+    * corpus explodes once per pass into (vec_id, sub, 8-dim slice)
+    * rows and every aggregation keys on (sub, ...), so one scan + one
+    * (sub x code x dim)-key aggregation per iteration covers all 8
+    * codebooks (8 separate kmeans runs would pay 8x the scans).
+    * Assignment is the map-side argmin (max_by) of [[cellAssign]];
+    * centroid updates use the same 2^20-quantized commuting integer
+    * sums as [[kmeansCentroids]], so codebooks are bit-identical
+    * across engines and shuffle layouts; squared distances fold
+    * left like every vector op here. Euclidean, not cosine — PQ
+    * minimizes L2 reconstruction error.
+    */
+  /** The (vec_id, sub, subvector) explosion — one row per vector per
+    * subspace.
+    */
+  private def subVectors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    vectors(spark, dir)
+      .select($"vec_id", explode(array((0 until PqSubspaces).map(s =>
+        struct(lit(s.toLong).as("sub"),
+          slice($"v", s * PqSubDim + 1, PqSubDim).as("x"))): _*)).as("t"))
+      .select($"vec_id", $"t.sub".as("sub"), $"t.x".as("x"))
+  }
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (p, q) => (p - q) * (p - q)),
+      lit(0.0), (s, t) => s + t)
+
+  /** The trained PQ codebook — (sub, cid, cv) after [[PqIters]] Lloyd
+    * rounds — memoized + persisted per (session, dir) under exactly
+    * the [[ivfIndex]] artifact policy: a deployment trains the
+    * codebook once per corpus snapshot and every encode/evaluate pass
+    * reads it; the bench releases the memo between groups so the
+    * build cost stays measured. Package-visible so the spec can
+    * verify s12's assignments are exactly the argmin against these
+    * centroids. The training subvector explosion is persisted for the
+    * build's passes (2 per iteration) and released once the codebook
+    * is materialized.
+    */
+  private[pipeline] def pqTrain(spark: SparkSession, dir: String): DataFrame =
+    Memo.getOrBuild(pqCache, (spark, dir)) {
+      val sv = subVectors(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cents = trainPqCodebook(spark, sv)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cents.count() // materialize: consumers read the codebook, not the lineage
+      sv.unpersist()
+      cents
+    }
+
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def trainPqCodebook(spark: SparkSession, sv: DataFrame): DataFrame = {
+    import spark.implicits._
+    var cents = sv.filter($"vec_id" < PqCodes)
+      .select($"sub", $"vec_id".as("cid"), $"x".as("cv"))
+    for (_ <- 1 to PqIters) {
+      val assign = sv.join(broadcast(cents), "sub")
+        .select($"vec_id", $"sub", $"cid", sqDist($"x", $"cv").as("dist"))
+        .groupBy($"vec_id", $"sub")
+        // min distance, ties to the smallest cid — same order as the
+        // oracle's row_number (dist ASC, cid)
+        .agg(max_by($"cid",
+          struct((-$"dist").as("nd"), (-$"cid").as("nc"))).as("cell"))
+      val sums = sv.join(assign, Seq("vec_id", "sub"))
+        .select($"sub", $"cell", posexplode($"x").as(Seq("pos", "xv")))
+        .groupBy($"sub", $"cell", $"pos")
+        .agg(sum(round($"xv" * Quant).cast("long")).as("sx"),
+          count(lit(1)).as("cn"))
+        .withColumn("m", $"sx".cast("double") / Quant / $"cn".cast("double"))
+      val newc = sums.groupBy($"sub", $"cell")
+        .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+        .select($"sub", $"cell".as("cid"),
+          transform($"pm", r => r.getField("m")).as("cv"))
+      cents = cents.as("old")
+        .join(newc.as("nw"),
+          $"old.sub" === $"nw.sub" && $"old.cid" === $"nw.cid", "left")
+        .select($"old.sub".as("sub"), $"old.cid".as("cid"),
+          coalesce($"nw.cv", $"old.cv").as("cv"))
+    }
+    cents
+  }
+
+  def s12PqProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sv = subVectors(spark, dir)
+    val cents = pqTrain(spark, dir)
+    sv.join(broadcast(cents), "sub")
+      .select($"vec_id", $"sub", $"cid", sqDist($"x", $"cv").as("dist"))
+      .groupBy($"vec_id", $"sub")
+      .agg(max_by(struct($"cid".as("code"), $"dist"),
+        struct((-$"dist").as("nd"), (-$"cid").as("nc"))).as("best"))
+      .select($"sub", $"best.code".as("code"),
+        floor($"best.dist" * 1000000L).cast("long").as("em"))
+      .groupBy($"sub", $"code")
+      .agg(count(lit(1)).as("n_vectors"), sum($"em").as("err_micro"))
+      .orderBy($"sub", $"code")
   }
 
   /** s06 — IVF cell-occupancy profile over the trained (s04) index:
@@ -790,6 +913,7 @@ object Similarity {
     "s09_incremental_assign" -> s09IncrementalAssign _,
     "s10_filtered_knn" -> s10FilteredKnn _,
     "s11_nprobe_curve" -> s11NprobeCurve _,
+    "s12_pq_profile" -> s12PqProfile _,
   )
 
   /** Inline sequential-fold cosine over two vector SQL expressions
@@ -830,7 +954,59 @@ object Similarity {
   private lazy val s02Sql = ivfSql(s"WHERE vec_id < $NumQueries", TopK,
     s"SELECT vec_id cid, v AS cv FROM n WHERE vec_id < $CellsSub")
 
+  /** s12's oracle: the per-subspace Lloyd iterations as chained CTEs
+    * (kmeansCtes with the extra `sub` key and Euclidean distance),
+    * identical quantized means and tie order.
+    */
+  private lazy val s12Sql: String = {
+    def sqd(x: String, c: String): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
+        s"list_zip($x, $c), p -> (p[1]-p[2])*(p[1]-p[2]))), (s, t) -> s + t)"
+    val sb = new StringBuilder(
+      s"""WITH $VecCte,
+         |sv AS (SELECT vec_id, s AS sub,
+         |  v[(s*$PqSubDim+1):(s*$PqSubDim+$PqSubDim)] AS x
+         |  FROM n, unnest(range($PqSubspaces)) t(s)),
+         |c0 AS (SELECT sub, vec_id AS cid, x AS cv FROM sv
+         |  WHERE vec_id < $PqCodes)""".stripMargin)
+    for (i <- 1 to PqIters) {
+      val p = s"c${i - 1}"
+      sb.append(s""",
+        |a$i AS (SELECT vec_id, sub, cell FROM (
+        |  SELECT sv.vec_id, sv.sub, c.cid AS cell, row_number() OVER (
+        |    PARTITION BY sv.vec_id, sv.sub
+        |    ORDER BY ${sqd("sv.x", "c.cv")} ASC, c.cid) rn
+        |  FROM sv JOIN $p c ON c.sub = sv.sub) WHERE rn = 1),
+        |s$i AS (SELECT a.sub, a.cell, u.pos,
+        |    SUM(CAST(round(u.x * $Quant) AS BIGINT)) sx, COUNT(*) cn
+        |  FROM (SELECT sv.vec_id, sv.sub, unnest(list_transform(
+        |          range(len(sv.x)), j -> {'pos': j, 'x': sv.x[j+1]})) u
+        |        FROM sv) q
+        |  JOIN a$i a ON a.vec_id = q.vec_id AND a.sub = q.sub
+        |  GROUP BY 1, 2, u.pos),
+        |c$i AS (SELECT o.sub, o.cid, coalesce(nw.cv, o.cv) cv
+        |  FROM $p o LEFT JOIN
+        |    (SELECT sub, cell AS cid,
+        |       list(CAST(sx AS DOUBLE) / $Quant / CAST(cn AS DOUBLE)
+        |            ORDER BY pos) cv
+        |     FROM s$i GROUP BY 1, 2) nw
+        |  ON nw.sub = o.sub AND nw.cid = o.cid)""".stripMargin)
+    }
+    sb.append(s""",
+      |fin AS (SELECT sub, cell AS code, dist FROM (
+      |  SELECT sv.sub, c.cid AS cell, ${sqd("sv.x", "c.cv")} AS dist,
+      |    row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+      |      ORDER BY ${sqd("sv.x", "c.cv")} ASC, c.cid) rn
+      |  FROM sv JOIN c$PqIters c ON c.sub = sv.sub) WHERE rn = 1)
+      |SELECT sub, code, COUNT(*) AS n_vectors,
+      | CAST(SUM(CAST(floor(dist * 1000000) AS BIGINT)) AS BIGINT)
+      |   AS err_micro
+      |FROM fin GROUP BY 1, 2 ORDER BY sub, code""".stripMargin)
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "s12_pq_profile" -> s12Sql,
     "s01_knn_bruteforce" -> s01Sql,
     "s02_ivf_knn" -> s02Sql,
     "s05_recall_profile" ->

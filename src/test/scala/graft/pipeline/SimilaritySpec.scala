@@ -93,6 +93,47 @@ class SimilaritySpec extends SparkSpec {
     assert(top >= 0.8, f"nprobe=8 recall $top%.2f below the production floor")
   }
 
+  test("s12 PQ profile equals a driver-side argmin over the trained codebook") {
+    val prof = Similarity.s12PqProfile(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("sub"), r.getAs[Long]("code")) ->
+        (r.getAs[Long]("n_vectors"), r.getAs[Long]("err_micro"))).toMap
+    // every vector contributes exactly one code per subspace
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    (0L until Similarity.PqSubspaces).foreach { s =>
+      val inSub = prof.filter(_._1._1 == s).values
+      assert(inSub.map(_._1).sum == n, s"subspace $s does not partition the corpus")
+      inSub.foreach { case (_, err) => assert(err >= 0) }
+    }
+    // reference: collect the trained codebook + vectors, recompute the
+    // argmin assignment and floor-micro error sums in plain Scala
+    val cents = Similarity.pqTrain(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("sub"), r.getAs[Long]("cid")) ->
+        r.getSeq[Double](r.fieldIndex("cv")).toArray).toMap
+    assert(cents.size == Similarity.PqSubspaces * Similarity.PqCodes)
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val want = scala.collection.mutable.Map
+      .empty[(Long, Long), (Long, Long)].withDefaultValue((0L, 0L))
+    vecs.foreach { case (_, v) =>
+      for (s <- 0 until Similarity.PqSubspaces) {
+        val x = v.slice(s * Similarity.PqSubDim, (s + 1) * Similarity.PqSubDim)
+        // same fold order as the engines: left fold seeded with 0.0
+        def d2(c: Array[Double]): Double =
+          x.indices.foldLeft(0.0)((a, j) =>
+            a + (x(j) - c(j)) * (x(j) - c(j)))
+        val (bestCid, bestDist) = (0L until Similarity.PqCodes)
+          .map(c => c -> d2(cents((s.toLong, c))))
+          .minBy { case (c, d) => (d, c) }
+        val k = (s.toLong, bestCid)
+        val (cnt, err) = want(k)
+        want(k) = (cnt + 1, err + math.floor(bestDist * 1000000.0).toLong)
+      }
+    }
+    assert(prof == want.toMap,
+      "distributed PQ assignment/error diverges from the driver reference")
+  }
+
   test("doubling the trained cell count shrinks the max cell share on a skewed corpus") {
     import spark.implicits._
     // skewed fixture: one dominant blob (160 vectors) plus three small
