@@ -311,7 +311,9 @@ object Similarity {
     baseCentCache.keys.foreach(k =>
       baseCentCache.remove(k).foreach(_.unpersist()))
     pqCache.keys.foreach(k =>
-      pqCache.remove(k).foreach(_.unpersist()))
+      pqCache.remove(k).foreach { case (c, a) =>
+        c.unpersist(); a.unpersist()
+      })
   }
 
   /** Deterministic Lloyd k-means over (vec_id, v) rows — the IVF
@@ -581,18 +583,36 @@ object Similarity {
     * is materialized.
     */
   private[pipeline] def pqTrain(spark: SparkSession, dir: String): DataFrame =
+    pqIndex(spark, dir)._1
+
+  /** The full PQ INDEX — (codebook, per-vector codes). The code table
+    * is what a deployment stores (8 bytes a vector); s12 profiles its
+    * quality, s13 searches it. Same memo+persist artifact policy as
+    * [[ivfIndex]].
+    */
+  private[pipeline] def pqIndex(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) =
     Memo.getOrBuild(pqCache, (spark, dir)) {
-      val sv = subVectors(spark, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cents = trainPqCodebook(spark, sv)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      import spark.implicits._
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val sv = subVectors(spark, dir).persist(lvl)
+      val cents = trainPqCodebook(spark, sv).persist(lvl)
       cents.count() // materialize: consumers read the codebook, not the lineage
+      val codes = sv.join(broadcast(cents), "sub")
+        .select($"vec_id", $"sub", $"cid", sqDist($"x", $"cv").as("dist"))
+        .groupBy($"vec_id", $"sub")
+        .agg(max_by(struct($"cid".as("code"), $"dist"),
+          struct((-$"dist").as("nd"), (-$"cid").as("nc"))).as("best"))
+        .select($"vec_id", $"sub", $"best.code".as("code"),
+          $"best.dist".as("dist"))
+        .persist(lvl)
+      codes.count()
       sv.unpersist()
-      cents
+      (cents, codes)
     }
 
   private val pqCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
 
   private def trainPqCodebook(spark: SparkSession, sv: DataFrame): DataFrame = {
     import spark.implicits._
@@ -627,18 +647,50 @@ object Similarity {
 
   def s12PqProfile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sv = subVectors(spark, dir)
-    val cents = pqTrain(spark, dir)
-    sv.join(broadcast(cents), "sub")
-      .select($"vec_id", $"sub", $"cid", sqDist($"x", $"cv").as("dist"))
-      .groupBy($"vec_id", $"sub")
-      .agg(max_by(struct($"cid".as("code"), $"dist"),
-        struct((-$"dist").as("nd"), (-$"cid").as("nc"))).as("best"))
-      .select($"sub", $"best.code".as("code"),
-        floor($"best.dist" * 1000000L).cast("long").as("em"))
+    val (_, codes) = pqIndex(spark, dir)
+    codes
+      .select($"sub", $"code",
+        floor($"dist" * 1000000L).cast("long").as("em"))
       .groupBy($"sub", $"code")
       .agg(count(lit(1)).as("n_vectors"), sum($"em").as("err_micro"))
       .orderBy($"sub", $"code")
+  }
+
+  /** s13 — PQ search by asymmetric distance computation (ADC; Jégou
+    * et al. 2011 §IV): each query computes its distance TABLE to all
+    * [[PqCodes]] centroids per subspace (a broadcast-sized
+    * queries x 8 x 16 frame), and every stored vector's approximate
+    * distance is the SUM of table lookups at its 8 codes — the
+    * stored vectors themselves are never read, only their codes.
+    * This is the scan that makes PQ the 100 TB ANN memory layout: 8
+    * bytes + 8 adds per candidate.
+    *
+    * Per-subspace distances are floor-micro-quantized BEFORE the sum
+    * so the per-candidate total is an integer (commuting, hash-exact
+    * across engines and shuffle layouts — a double sum over the
+    * groupBy would be reduction-order-dependent). Top-k per query by
+    * (adc ASC, neighbor) over the stored code table; self-matches
+    * excluded like every KNN here.
+    */
+  def s13PqAdc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (cents, codes) = pqIndex(spark, dir)
+    val qsv = subVectors(spark, dir).filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"sub", $"x")
+    val dt = qsv.join(broadcast(cents), "sub")
+      .select($"query_id", $"sub", $"cid",
+        floor(sqDist($"x", $"cv") * 1000000L).cast("long").as("dm"))
+    val adc = codes.join(broadcast(dt),
+        codes("sub") === dt("sub") && codes("code") === dt("cid") &&
+          codes("vec_id") =!= dt("query_id"))
+      .select(dt("query_id"), codes("vec_id").as("neighbor_id"), dt("dm"))
+      .groupBy($"query_id", $"neighbor_id")
+      .agg(sum($"dm").as("adc_micro"))
+    adc.withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id")
+          .orderBy($"adc_micro", $"neighbor_id")).cast("long"))
+      .filter($"rank" <= TopK)
+      .orderBy($"query_id", $"rank")
   }
 
   /** s06 — IVF cell-occupancy profile over the trained (s04) index:
@@ -914,6 +966,7 @@ object Similarity {
     "s10_filtered_knn" -> s10FilteredKnn _,
     "s11_nprobe_curve" -> s11NprobeCurve _,
     "s12_pq_profile" -> s12PqProfile _,
+    "s13_pq_adc" -> s13PqAdc _,
   )
 
   /** Inline sequential-fold cosine over two vector SQL expressions
@@ -958,12 +1011,17 @@ object Similarity {
     * (kmeansCtes with the extra `sub` key and Euclidean distance),
     * identical quantized means and tie order.
     */
-  private lazy val s12Sql: String = {
-    def sqd(x: String, c: String): String =
-      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
-        s"list_zip($x, $c), p -> (p[1]-p[2])*(p[1]-p[2]))), (s, t) -> s + t)"
+  private def pqSqd(x: String, c: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
+      s"list_zip($x, $c), p -> (p[1]-p[2])*(p[1]-p[2]))), (s, t) -> s + t)"
+
+  /** The PQ training + encode CTE chain (through `codes` =
+    * (vec_id, sub, code, dist)) — shared by the s12 and s13 oracles
+    * exactly as [[pqIndex]] feeds both Spark sides.
+    */
+  private lazy val pqCteChain: String = {
     val sb = new StringBuilder(
-      s"""WITH $VecCte,
+      s"""$VecCte,
          |sv AS (SELECT vec_id, s AS sub,
          |  v[(s*$PqSubDim+1):(s*$PqSubDim+$PqSubDim)] AS x
          |  FROM n, unnest(range($PqSubspaces)) t(s)),
@@ -975,7 +1033,7 @@ object Similarity {
         |a$i AS (SELECT vec_id, sub, cell FROM (
         |  SELECT sv.vec_id, sv.sub, c.cid AS cell, row_number() OVER (
         |    PARTITION BY sv.vec_id, sv.sub
-        |    ORDER BY ${sqd("sv.x", "c.cv")} ASC, c.cid) rn
+        |    ORDER BY ${pqSqd("sv.x", "c.cv")} ASC, c.cid) rn
         |  FROM sv JOIN $p c ON c.sub = sv.sub) WHERE rn = 1),
         |s$i AS (SELECT a.sub, a.cell, u.pos,
         |    SUM(CAST(round(u.x * $Quant) AS BIGINT)) sx, COUNT(*) cn
@@ -993,20 +1051,42 @@ object Similarity {
         |  ON nw.sub = o.sub AND nw.cid = o.cid)""".stripMargin)
     }
     sb.append(s""",
-      |fin AS (SELECT sub, cell AS code, dist FROM (
-      |  SELECT sv.sub, c.cid AS cell, ${sqd("sv.x", "c.cv")} AS dist,
+      |codes AS (SELECT vec_id, sub, cell AS code, dist FROM (
+      |  SELECT sv.vec_id, sv.sub, c.cid AS cell,
+      |    ${pqSqd("sv.x", "c.cv")} AS dist,
       |    row_number() OVER (PARTITION BY sv.vec_id, sv.sub
-      |      ORDER BY ${sqd("sv.x", "c.cv")} ASC, c.cid) rn
-      |  FROM sv JOIN c$PqIters c ON c.sub = sv.sub) WHERE rn = 1)
-      |SELECT sub, code, COUNT(*) AS n_vectors,
-      | CAST(SUM(CAST(floor(dist * 1000000) AS BIGINT)) AS BIGINT)
-      |   AS err_micro
-      |FROM fin GROUP BY 1, 2 ORDER BY sub, code""".stripMargin)
+      |      ORDER BY ${pqSqd("sv.x", "c.cv")} ASC, c.cid) rn
+      |  FROM sv JOIN c$PqIters c ON c.sub = sv.sub) WHERE rn = 1)""".stripMargin)
     sb.toString
   }
 
+  private lazy val s12Sql: String =
+    s"""WITH $pqCteChain
+       |SELECT sub, code, COUNT(*) AS n_vectors,
+       | CAST(SUM(CAST(floor(dist * 1000000) AS BIGINT)) AS BIGINT)
+       |   AS err_micro
+       |FROM codes GROUP BY 1, 2 ORDER BY sub, code""".stripMargin
+
+  private lazy val s13Sql: String =
+    s"""WITH $pqCteChain,
+       |qsv AS (SELECT vec_id AS query_id, sub, x FROM sv
+       |  WHERE vec_id < $NumQueries),
+       |dtab AS (SELECT q.query_id, q.sub, c.cid,
+       |    CAST(floor(${pqSqd("q.x", "c.cv")} * 1000000) AS BIGINT) dm
+       |  FROM qsv q JOIN c$PqIters c ON c.sub = q.sub),
+       |adc AS (SELECT d.query_id, k.vec_id AS neighbor_id,
+       |    CAST(SUM(d.dm) AS BIGINT) adc_micro
+       |  FROM codes k JOIN dtab d
+       |    ON d.sub = k.sub AND d.cid = k.code AND k.vec_id != d.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, adc_micro, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_micro, neighbor_id) AS rank FROM adc)
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "s12_pq_profile" -> s12Sql,
+    "s13_pq_adc" -> s13Sql,
     "s01_knn_bruteforce" -> s01Sql,
     "s02_ivf_knn" -> s02Sql,
     "s05_recall_profile" ->

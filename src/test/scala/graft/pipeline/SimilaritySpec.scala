@@ -134,6 +134,55 @@ class SimilaritySpec extends SparkSpec {
       "distributed PQ assignment/error diverges from the driver reference")
   }
 
+  test("s13 ADC search equals a driver-side table-lookup scan over the stored codes") {
+    val got = Similarity.s13PqAdc(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_micro"))).toMap
+    val cents = Similarity.pqTrain(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("sub"), r.getAs[Long]("cid")) ->
+        r.getSeq[Double](r.fieldIndex("cv")).toArray).toMap
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val (m, sd) = (Similarity.PqSubspaces, Similarity.PqSubDim)
+    def d2(x: Array[Double], c: Array[Double]): Double =
+      x.indices.foldLeft(0.0)((a, j) => a + (x(j) - c(j)) * (x(j) - c(j)))
+    // stored codes: argmin per (vec, sub) — spec-verified in the s12 test
+    val codes = vecs.map { case (id, v) =>
+      id -> (0 until m).map { s =>
+        val x = v.slice(s * sd, (s + 1) * sd)
+        (0L until Similarity.PqCodes)
+          .map(c => c -> d2(x, cents((s.toLong, c)))).minBy { case (c, d) => (d, c) }._1
+      }
+    }.toMap
+    val queries = vecs.filter(_._1 < 10)
+    val want = queries.flatMap { case (q, qv) =>
+      // the query's distance table, micro-floored BEFORE summation
+      val dt = (0 until m).map { s =>
+        val x = qv.slice(s * sd, (s + 1) * sd)
+        (0L until Similarity.PqCodes).map(c =>
+          c -> math.floor(d2(x, cents((s.toLong, c))) * 1000000.0).toLong).toMap
+      }
+      val scoredAll = vecs.filter(_._1 != q).map { case (id, _) =>
+        id -> (0 until m).map(s => dt(s)(codes(id)(s))).sum
+      }
+      scoredAll.sortBy { case (id, adc) => (adc, id) }.take(10)
+        .zipWithIndex.map { case ((id, adc), i) =>
+          (q, (i + 1).toLong) -> (id, adc)
+        }
+    }.toMap
+    assert(got == want, "distributed ADC diverges from the driver reference")
+    // sanity: ADC's top-10 must overlap the exact top-10 far above chance
+    val exact = Similarity.s01KnnBruteForce(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet)
+    val overlap = got.groupBy(_._1._1).map { case (q, rows) =>
+      rows.values.map(_._1).toSet.intersect(exact(q)).size
+    }.sum
+    assert(overlap >= 10,
+      s"ADC overlap with exact KNN is $overlap/100 — below sanity (chance ~0.2)")
+  }
+
   test("doubling the trained cell count shrinks the max cell share on a skewed corpus") {
     import spark.implicits._
     // skewed fixture: one dominant blob (160 vectors) plus three small
