@@ -528,8 +528,8 @@ object Similarity {
     * 8-byte codes, the 32x compression IVF-PQ runs at 100 TB.
     * [[PqIters]] matches [[KmeansIters]].
     */
-  private[pipeline] val PqSubspaces = 8
-  private[pipeline] val PqSubDim = 8
+  private[graft] val PqSubspaces = 8
+  private[graft] val PqSubDim = 8
   private[pipeline] val PqCodes = 16
   private[pipeline] val PqIters = 2
 
@@ -590,7 +590,7 @@ object Similarity {
     * quality, s13 searches it. Same memo+persist artifact policy as
     * [[ivfIndex]].
     */
-  private[pipeline] def pqIndex(spark: SparkSession,
+  private[graft] def pqIndex(spark: SparkSession,
       dir: String): (DataFrame, DataFrame) =
     Memo.getOrBuild(pqCache, (spark, dir)) {
       import spark.implicits._

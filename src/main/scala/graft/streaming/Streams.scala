@@ -44,7 +44,8 @@ object Streams {
     "contamination_guard" -> "p10 leaked-gram sweep (shared TextAnalysis.gramHashes)",
     "ivf_ingest_assign" -> "nearest-frozen-centroid argmax (s09's index-add path)",
     "funnel" -> "relational.StarQueries.q25Funnel (view→click→purchase min-chain)",
-    "delta_dedup_guard" -> "pipeline.Dedup.deltaCandidates (d08's batch x corpus LSH banding)")
+    "delta_dedup_guard" -> "pipeline.Dedup.deltaCandidates (d08's batch x corpus LSH banding)",
+    "pq_encode" -> "pipeline.Similarity.pqIndex code table (s12/s13's stored 8-byte codes)")
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
@@ -199,6 +200,46 @@ object Streams {
   def centroidsAsRow(cents: DataFrame): DataFrame =
     cents.agg(
       array_sort(collect_list(struct(col("cid"), col("cv")))).as("cents"))
+
+  /** Streaming PQ encode (the streaming face of the batch PQ index's
+    * code table): each arriving vector is quantized to its 8 subspace
+    * codes against the FROZEN codebook as it lands — the `add()` path
+    * of a PQ-compressed vector store (s13 searches exactly these
+    * codes). Stateless: the codebook rides in as ONE static row
+    * holding the (sub, cid)-sorted centroid array, the stream
+    * cross-joins that broadcast row, and each code is a per-row
+    * argmin fold over the centroids of its subspace — strict `<` over
+    * the sorted array resolves distance ties to the smallest cid, the
+    * identical order to the batch argmin (`max_by(cid,
+    * struct(-dist, -cid))`). No shuffle, no state store, append mode.
+    */
+  def pqEncodeStream(vecs: DataFrame, codebookRow: DataFrame): DataFrame = {
+    val (m, sd) = (graft.pipeline.Similarity.PqSubspaces,
+      graft.pipeline.Similarity.PqSubDim)
+    val codes = transform(sequence(lit(0), lit(m - 1)), s => {
+      val sub = slice(col("v"), s * sd + 1, lit(sd))
+      aggregate(
+        filter(col("cb"), e => e.getField("sub") === s),
+        struct(lit(Double.MaxValue).as("d"), lit(-1L).as("cid")),
+        (acc, e) => {
+          val d = aggregate(
+            zip_with(sub, e.getField("cv"), (p, q) => (p - q) * (p - q)),
+            lit(0.0), (a, b) => a + b)
+          when(d < acc.getField("d"),
+            struct(d.as("d"), e.getField("cid").as("cid"))).otherwise(acc)
+        }).getField("cid")
+    })
+    vecs.crossJoin(codebookRow)
+      .select(col("vec_id"), posexplode(codes).as(Seq("sub", "code")))
+  }
+
+  /** The frozen PQ codebook collapsed to one broadcastable row — the
+    * static side of [[pqEncodeStream]]; (sub, cid) sort order gives
+    * the fold its tie order.
+    */
+  def pqCodebookAsRow(cents: DataFrame): DataFrame =
+    cents.agg(array_sort(
+      collect_list(struct(col("sub"), col("cid"), col("cv")))).as("cb"))
 
   /** Stateful sessionization: 30-minute inactivity gap splits sessions.
     * One GroupState per user holding (last event time, counters). With

@@ -329,7 +329,43 @@ class StreamsSpec extends SparkSpec {
       "fixture must contain at least one batch-corpus band collision to make this real")
   }
 
+  private def pqEncodeTwin(): Unit = {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // frozen codebook from the batch trainer; stream = every vector,
+    // so the batch twin is exactly the stored code table s13 searches
+    val (cents, batchCodes) = graft.pipeline.Similarity.pqIndex(spark, sfDir)
+    val cbRow = pqCodebookAsRow(cents)
+    val arriving = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) v")
+      .as[(Long, Seq[Double])].collect().toSeq
+    assert(arriving.nonEmpty)
+
+    val input = MemoryStream[(Long, Seq[Double])]
+    val query = pqEncodeStream(input.toDF().toDF("vec_id", "v"), cbRow)
+      .writeStream.format("memory").queryName("pq_add")
+      .outputMode("append").start()
+    // two micro-batches: the encode is stateless, so a vector's codes
+    // must not depend on which batch carried it
+    val (a, b) = arriving.splitAt(arriving.size / 2)
+    input.addData(a)
+    query.processAllAvailable()
+    input.addData(b)
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("pq_add").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong) -> r.getLong(2)).toMap
+    val want = batchCodes.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sub")) ->
+        r.getAs[Long]("code")).toMap
+    assert(got == want, "stream PQ codes diverge from the stored code table")
+    assert(got.size == arriving.size * graft.pipeline.Similarity.PqSubspaces,
+      "every arriving vector must encode all subspaces")
+  }
+
   private val twinRunners: Map[String, () => Unit] = Map(
+    "pq_encode" -> (pqEncodeTwin _),
     "delta_dedup_guard" -> (deltaDedupGuardTwin _),
     "ivf_ingest_assign" -> (ivfIngestAssignTwin _),
     "funnel" -> (funnelTwin _),
