@@ -182,7 +182,13 @@ object ScaleProbe {
       // joins; replicas are disjoint user populations — ~linear
       "q26" -> SparkEntry.queries("q26_cohort_retention"),
       // v05: four fixed passes, each a scan + 64-key agg — ~linear
-      "v05" -> SparkEntry.queries("v05_pc1_profile"))
+      "v05" -> SparkEntry.queries("v05_pc1_profile"),
+      // s12: subvector explosion x fixed 16-candidate argmin per
+      // iteration — ~linear (codebook size fixed)
+      "s12" -> SparkEntry.queries("s12_pq_profile"),
+      // s13: fixed query set; candidate volume = n x 8 code rows
+      // against a broadcast table — ~linear
+      "s13" -> SparkEntry.queries("s13_pq_adc"))
 
     def once(f: (SparkSession, String) => DataFrame, dir: String): Double = {
       val t0 = System.nanoTime()
