@@ -179,6 +179,63 @@ object Export {
     * Scale shape: a single map-side projection + hash aggregate over
     * x03's memoized prefix-sum output; no new shuffle of the corpus.
     */
+  /** x07 — the dataset card: the per-(split, language) accounting a
+    * training-data RELEASE ships alongside its shards (Gebru et al.,
+    * "Datasheets for Datasets", CACM 2021 — the quantitative half).
+    * Every document lands in exactly ONE status bucket, in the same
+    * filter order the export pipeline applies: quality-filtered
+    * (x01's length/stopword cut), dup-dropped (the stored d06 drop
+    * list), contaminated (the stored p09 list — test split by
+    * construction), else published. The card rolls these up with the
+    * published token mass, so the release's composition and every
+    * drop channel reconcile against the corpus total (the spec pins
+    * the reconciliation against x02's manifest row-for-row).
+    *
+    * Scale shape: one corpus scan computes the quality stats; both
+    * drop lists are broadcast-sized stored artifacts (anti-join
+    * inputs x01/x02 already read); the rollup keys on
+    * (split, lang) — a handful of cells with map-side collapse.
+    */
+  def x07DatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = TextAnalysis.toks($"text")
+    val stats = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        size(t).cast("long").as("n_tokens"),
+        size(filter(t, tok => tok.isInCollection(TextAnalysis.Stopwords)))
+          .cast("long").as("n_stop"),
+        TextAnalysis.SplitBucket.as("b"))
+      .withColumn("split",
+        when($"b" < TextAnalysis.TrainMax, "train")
+          .when($"b" < TextAnalysis.ValMax, "val")
+          .otherwise("test"))
+    val drops = Dedup.clusterDropList(spark, dir)
+      .withColumn("is_dup", lit(true))
+    val contam = TextAnalysis.contaminatedDocs(spark, dir)
+      .withColumn("is_contam", lit(true))
+    stats
+      .join(broadcast(drops), Seq("doc_id"), "left")
+      .join(broadcast(contam), Seq("doc_id"), "left")
+      .withColumn("status",
+        when($"n_tokens" < 30 || $"n_stop" * 5 >= $"n_tokens", "quality")
+          .when($"is_dup", "dup")
+          .when($"is_contam", "contaminated")
+          .otherwise("published"))
+      .groupBy($"split", $"lang")
+      .agg(
+        sum(when($"status" === "published", 1L).otherwise(0L))
+          .as("n_published"),
+        sum(when($"status" === "published", $"n_tokens").otherwise(0L))
+          .as("n_tokens_published"),
+        sum(when($"status" === "quality", 1L).otherwise(0L))
+          .as("n_quality_filtered"),
+        sum(when($"status" === "dup", 1L).otherwise(0L))
+          .as("n_dup_dropped"),
+        sum(when($"status" === "contaminated", 1L).otherwise(0L))
+          .as("n_contaminated"))
+      .orderBy($"split", $"lang")
+  }
+
   def x06ShardManifest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     x03PackingLayout(spark, dir)
@@ -248,6 +305,7 @@ object Export {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_corpus_export" -> x01CorpusExport _,
     "x02_decontaminated_export" -> x02DecontaminatedExport _,
+    "x07_dataset_card" -> x07DatasetCard _,
     "x03_packing_layout" -> x03PackingLayout _,
     "x04_mixture_plan" -> x04MixturePlan _,
     "x05_mixture_sample" -> x05MixtureSample _,
@@ -294,6 +352,45 @@ object Export {
   val oracles: Map[String, String] = Map(
     "x01_corpus_export" -> exportSql(""),
     "x02_decontaminated_export" -> exportSql(decontamWhere),
+    "x07_dataset_card" -> {
+      val toks = raw"regexp_split_to_array(trim(text), '\s+')"
+      val stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+      s"""WITH stats AS (SELECT doc_id, lang, len($toks) AS n_tokens,
+         |    len(list_filter($toks, t -> t IN ($stop))) AS n_stop
+         |  FROM documents),
+         |drops AS (SELECT doc_id FROM
+         |  (${Dedup.oracles("d06_neardup_clusters")}) WHERE keep = 0),
+         |contam AS (SELECT doc_id FROM
+         |  (${TextAnalysis.oracles("p09_contamination")})
+         |  WHERE contaminated = 1),
+         |b AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(string_split(substr(md5(doc_id::VARCHAR), 1, 4), ''),
+         |      ch -> (instr('0123456789abcdef', ch) - 1)::BIGINT)),
+         |    (h, c) -> h * 16 + c) AS b FROM documents),
+         |st AS (SELECT s.doc_id, s.lang, s.n_tokens,
+         |   CASE WHEN b.b < ${TextAnalysis.TrainMax} THEN 'train'
+         |        WHEN b.b < ${TextAnalysis.ValMax} THEN 'val'
+         |        ELSE 'test' END AS split,
+         |   CASE WHEN s.n_tokens < 30 OR s.n_stop * 5 >= s.n_tokens
+         |          THEN 'quality'
+         |        WHEN s.doc_id IN (SELECT doc_id FROM drops) THEN 'dup'
+         |        WHEN s.doc_id IN (SELECT doc_id FROM contam)
+         |          THEN 'contaminated'
+         |        ELSE 'published' END AS status
+         |  FROM stats s JOIN b USING (doc_id))
+         |SELECT split, lang,
+         | CAST(SUM(CASE WHEN status = 'published' THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_published,
+         | CAST(SUM(CASE WHEN status = 'published' THEN n_tokens ELSE 0 END)
+         |   AS BIGINT) AS n_tokens_published,
+         | CAST(SUM(CASE WHEN status = 'quality' THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_quality_filtered,
+         | CAST(SUM(CASE WHEN status = 'dup' THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_dup_dropped,
+         | CAST(SUM(CASE WHEN status = 'contaminated' THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_contaminated
+         |FROM st GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+    },
     // the running sum is over the SAME manifest SQL x02 publishes; the
     // window form here is the oracle-side equivalent of the engine's
     // range-partition + base-offset formulation

@@ -169,4 +169,39 @@ class ExportSpec extends SparkSpec {
     val ids = shards.map(_.getAs[Long]("shard_id")).sorted.toSeq
     assert(ids == (0L until ids.length.toLong))
   }
+
+  test("x07 card reconciles the corpus total and x02's published set exactly") {
+    val card = Export.x07DatasetCard(spark, sfDir).collect()
+    assert(card.nonEmpty)
+    def col(n: String) = card.map(_.getAs[Long](n)).sum
+    // every document is accounted in exactly one status bucket
+    val accounted = col("n_published") + col("n_quality_filtered") +
+      col("n_dup_dropped") + col("n_contaminated")
+    assert(accounted == graft.Tables.documents(spark, sfDir).count())
+    // the published cells ARE x02's manifest, split & token mass included
+    val x02 = Export.x02DecontaminatedExport(spark, sfDir).collect()
+    assert(col("n_published") == x02.length)
+    assert(col("n_tokens_published") ==
+      x02.map(_.getAs[Long]("n_tokens")).sum)
+    val bySplit = x02.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.length.toLong)
+    card.groupBy(_.getAs[String]("split"))
+      .foreach { case (s, rows) =>
+        assert(rows.map(_.getAs[Long]("n_published")).sum ==
+          bySplit.getOrElse(s, 0L), s"split $s published count mismatch")
+      }
+    // the quality and dup channels are live on the fixture corpus;
+    // the contamination channel equals EXACTLY the x01-to-x02
+    // difference (a contaminated doc already dropped as quality/dup is
+    // NOT the card's contamination — at sf0.001 the one planted
+    // contaminated doc is also a dup, so this cell is legitimately 0)
+    assert(col("n_quality_filtered") > 0)
+    assert(col("n_dup_dropped") > 0)
+    assert(col("n_contaminated") ==
+      Export.x01CorpusExport(spark, sfDir).count() - x02.length)
+    card.filter(_.getAs[String]("split") != "test").foreach { r =>
+      assert(r.getAs[Long]("n_contaminated") == 0L,
+        "contaminated docs outside the test split — p09 semantics broken")
+    }
+  }
 }
