@@ -863,9 +863,19 @@ object Dedup {
     */
   private val LoopRowsPerPartition = 1000000L
 
-  private def buildClusterLabels(spark: SparkSession, dir: String): DataFrame = {
+  private def buildClusterLabels(spark: SparkSession, dir: String): DataFrame =
+    propagateLabels(spark, dupPairs(spark, dir), "d06")
+
+  /** Distributed min-label propagation over ANY (a_id, b_id) pair
+    * frame — the connected-components engine behind d06, factored so
+    * other dup families (m06's media clusters) reuse the identical
+    * convergence/accumulator machinery instead of growing a second
+    * loop. `tag` names the accumulators and the non-convergence error.
+    */
+  private[graft] def propagateLabels(spark: SparkSession, pairsIn: DataFrame,
+      tag: String): DataFrame = {
     import spark.implicits._
-    val pairs = dupPairs(spark, dir)
+    val pairs = pairsIn.toDF("a_id", "b_id")
     val maxParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val loopParts = math.max(2, math.min(maxParts,
       (2 * pairs.count() / LoopRowsPerPartition + 1).toInt))
@@ -898,7 +908,7 @@ object Dedup {
       // deciding convergence. With one shared instance, that stale
       // recomputation could keep the counter nonzero forever and turn a
       // correctly-converged propagation into the MaxCcIterations error.
-      val changedAcc = spark.sparkContext.longAccumulator(s"d06_changed_labels_r$iter")
+      val changedAcc = spark.sparkContext.longAccumulator(s"${tag}_changed_labels_r$iter")
       val next = pin(labels.select($"id", $"label", $"label".as("old"))
         .union(edges.join(labels, $"src" === $"id")
           .select($"dst".as("id"), $"label", lit(null).cast("long").as("old")))
@@ -920,7 +930,7 @@ object Dedup {
       edges.unpersist()
       cached.unpersist()
       throw new IllegalStateException(
-        s"d06 label propagation did not converge in $MaxCcIterations rounds " +
+        s"$tag label propagation did not converge in $MaxCcIterations rounds " +
           s"($lastChanged labels still changing): component diameter exceeds the cap")
     }
     edges.unpersist()

@@ -185,6 +185,39 @@ object Multimodal {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** m06's duplicate criterion over m05's pairs: containment >= 1/2 —
+    * the shared frames cover at least half of the smaller video's
+    * sampled frames (clip-in-compilation). Integer arithmetic.
+    */
+  private def mediaDup(shared: org.apache.spark.sql.Column,
+      nfa: org.apache.spark.sql.Column,
+      nfb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    shared * 2 >= least(nfa, nfb)
+
+  /** m06 — media near-dup CLUSTERS: connected components over m05's
+    * containment-qualified pairs, each cluster keeping its lowest id —
+    * the collapse step that turns pairwise frame overlap into the
+    * actual drop decision, exactly as d06 collapses d03's pairs for
+    * text. Reuses [[graft.pipeline.Dedup.propagateLabels]] — ONE
+    * propagation engine (per-round single-shuffle min-label, bounded
+    * rounds, accumulator convergence) serves both dup families.
+    *
+    * Scale shape: inherits m05's inverted-index candidate volume and
+    * the propagation's dup-volume-sized parallelism; nothing here
+    * touches payloads.
+    */
+  def m06MediaClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dup = m05MediaNearDup(spark, dir)
+      .filter(mediaDup($"n_shared_frames", $"n_frames_a", $"n_frames_b"))
+      .select($"doc_a", $"doc_b")
+    graft.pipeline.Dedup.propagateLabels(spark, dup, "m06")
+      .select($"label".as("cluster_id"), $"id".as("doc_id"))
+      .withColumn("keep",
+        when($"doc_id" === $"cluster_id", 1L).otherwise(0L))
+      .orderBy($"cluster_id", $"doc_id")
+  }
+
   /** m04 — resize planning: aspect-preserving fit of every image into
     * [[ResizeTarget]]² plus letterbox padding, from metadata alone. The
     * geometry is the columnar, exact-integer part of a resize pipeline
@@ -218,6 +251,7 @@ object Multimodal {
     "m03_frame_sample" -> m03FrameSample _,
     "m04_resize_plan" -> m04ResizePlan _,
     "m05_media_neardup" -> m05MediaNearDup _,
+    "m06_media_clusters" -> m06MediaClusters _,
   )
 
   // NOTE: the m02/m03 oracles equate UTF-8 bytes with characters
@@ -279,5 +313,29 @@ object Multimodal {
          |FROM pr JOIN nf na ON na.doc_id = pr.doc_a
          |        JOIN nf nb ON nb.doc_id = pr.doc_b
          |ORDER BY pr.doc_a, pr.doc_b""".stripMargin,
+    "m06_media_clusters" ->
+      s"""WITH RECURSIVE fr AS (SELECT DISTINCT doc_id,
+         |    md5(substr(text, (i * $FrameLen + 1)::BIGINT, $FrameLen)) AS g
+         |  FROM documents, unnest(range(0, (strlen(text) - 1) // $FrameLen + 1,
+         |                                $FrameStep)) t(i)
+         |  WHERE doc_id % 3 = 2 AND strlen(text) > 0),
+         |nf AS (SELECT doc_id, COUNT(*) AS nf FROM fr GROUP BY doc_id),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    COUNT(*) AS n_shared_frames
+         |  FROM fr a JOIN fr b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |dup AS (SELECT pr.doc_a a_id, pr.doc_b b_id FROM pr
+         |  JOIN nf na ON na.doc_id = pr.doc_a
+         |  JOIN nf nb ON nb.doc_id = pr.doc_b
+         |  WHERE pr.n_shared_frames * 2 >= least(na.nf, nb.nf)),
+         |edges AS (SELECT a_id s, b_id d FROM dup
+         |          UNION ALL SELECT b_id, a_id FROM dup),
+         |reach(id, lab) AS (
+         |  SELECT DISTINCT s, s FROM edges
+         |  UNION
+         |  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id)
+         |SELECT min(lab) AS cluster_id, id AS doc_id,
+         |  (CASE WHEN min(lab) = id THEN 1 ELSE 0 END)::BIGINT AS keep
+         |FROM reach GROUP BY id ORDER BY cluster_id, doc_id""".stripMargin,
   )
 }

@@ -257,6 +257,27 @@ object StarQueries {
       .orderBy($"window_start", $"event_type")
   }
 
+  /** q27 — HOPPING (sliding) windows: 30-minute windows advancing
+    * every 15 — the overlap mode q11's tumbling windows can't express
+    * (each event lands in exactly two windows; a rolling rate monitor
+    * reads this, a batch report reads q11). Spark's `window(ts, len,
+    * slide)` emits the epoch-aligned starts; the oracle derives the
+    * same two starts per event arithmetically (its 15-minute bucket
+    * and the one before). DECIMAL value sums, double only at output —
+    * the q01/q11 money-parity rule.
+    */
+  def q27EventHopping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(
+        window($"ts", "30 minutes", "15 minutes").getField("start")
+          .as("window_start"),
+        $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(money($"value")).cast(DoubleType).as("total_value"))
+      .orderBy($"window_start", $"event_type")
+  }
+
   /** Semi-structured extraction: pull `k` out of the JSON props column. */
   def q12EventProps(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -673,6 +694,7 @@ object StarQueries {
     "q09_set_ops" -> q09SetOps _,
     "q10_monthly_revenue" -> q10MonthlyRevenue _,
     "q11_event_tumbling" -> q11EventTumbling _,
+    "q27_event_hopping" -> q27EventHopping _,
     "q12_event_props" -> q12EventProps _,
     "q13_sessionize" -> q13Sessionize _,
     "q14_balance_deciles" -> q14BalanceDeciles _,
@@ -777,6 +799,14 @@ object StarQueries {
          | event_type, COUNT(*) AS n_events,
          | CAST(SUM(${m("value")}) AS DOUBLE) AS total_value
          |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q27_event_hopping" ->
+      s"""SELECT date_trunc('hour', ts)
+         |   + (CAST(FLOOR(minute(ts)/15) AS INT) * INTERVAL 15 MINUTE)
+         |   - (o * INTERVAL 15 MINUTE) AS window_start,
+         | event_type, COUNT(*) AS n_events,
+         | CAST(SUM(${m("value")}) AS DOUBLE) AS total_value
+         |FROM events, unnest([0, 1]) t(o)
+         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "q12_event_props" ->
       """SELECT event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,

@@ -37,6 +37,7 @@ object Streams {
     */
   val twinRegistry: Map[String, String] = Map(
     "windowed_counts" -> "tumbling 15-min groupBy over events (q11's shape)",
+    "hopping_counts" -> "hopping 30/15-min groupBy over events (q27's shape)",
     "sessionize" -> "relational.StarQueries.q13Sessionize (lag-based batch sessionizer)",
     "session_window" -> "relational.StarQueries.q20SessionWindowAgg (native session_window batch agg)",
     "stream_stream_join" -> "30-minute user_id range self-join over events",
@@ -59,6 +60,20 @@ object Streams {
   def windowedEventCounts(events: DataFrame): DataFrame =
     events.withWatermark("ts", "30 minutes")
       .groupBy(window(col("ts"), "15 minutes").getField("start").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** HOPPING 30-minute windows advancing every 15 (q27's twin): each
+    * event updates exactly two overlapping window states; the
+    * watermark finalizes a window once event time passes its end + the
+    * horizon, so open state is bounded by (len/slide) x the active key
+    * volume inside the horizon — the overlap factor is a constant 2.
+    */
+  def hoppingEventCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .groupBy(
+        window(col("ts"), "30 minutes", "15 minutes").getField("start")
+          .as("window_start"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"))
 

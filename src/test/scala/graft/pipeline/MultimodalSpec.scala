@@ -93,4 +93,35 @@ class MultimodalSpec extends SparkSpec {
     assert(got == expected,
       s"missing ${expected -- got}, spurious ${got -- expected}")
   }
+
+  test("m06 clusters are the connected components of the containment pairs") {
+    val rows = Multimodal.m06MediaClusters(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val pairs = Multimodal.m05MediaNearDup(spark, sfDir).collect()
+      .filter(r => r.getAs[Long]("n_shared_frames") * 2 >=
+        math.min(r.getAs[Long]("n_frames_a"), r.getAs[Long]("n_frames_b")))
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    // driver-side union-find as the reference
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+      .groupBy(_._2).flatMap { case (_, m) =>
+        val min = m.keys.min
+        m.keys.map(id => id -> min)
+      }
+    val got = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got == want, "clusters diverge from driver-side union-find")
+    rows.foreach { r =>
+      assert((r.getAs[Long]("keep") == 1L) ==
+        (r.getAs[Long]("doc_id") == r.getAs[Long]("cluster_id")))
+    }
+  }
 }

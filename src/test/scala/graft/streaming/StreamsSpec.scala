@@ -364,7 +364,39 @@ class StreamsSpec extends SparkSpec {
       "every arriving vector must encode all subspaces")
   }
 
+  private def hoppingCountsTwin(): Unit = {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val events = graft.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq
+
+    val input = MemoryStream[Event]
+    val query = hoppingEventCounts(input.toDF())
+      .writeStream.format("memory").queryName("hop_counts")
+      .outputMode("update").start()
+    input.addData(events)
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("hop_counts")
+      .groupBy("window_start", "event_type")
+      .agg(max("n_events").as("n_events")) // update mode: take latest per key
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = graft.Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "30 minutes", "15 minutes").getField("start").as("ws"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    // the overlap factor is exactly 2: total windowed mass is twice the
+    // event count (every event lands in two hopping windows)
+    assert(got.values.sum == 2L * events.size)
+  }
+
   private val twinRunners: Map[String, () => Unit] = Map(
+    "hopping_counts" -> (hoppingCountsTwin _),
     "pq_encode" -> (pqEncodeTwin _),
     "delta_dedup_guard" -> (deltaDedupGuardTwin _),
     "ivf_ingest_assign" -> (ivfIngestAssignTwin _),
