@@ -204,6 +204,22 @@ class PlanAuditSpec extends SparkSpec {
       s"p13 lost its broadcast vocabulary join:\n$p")
   }
 
+  test("s13's distance table and x07's artifact lists join as broadcasts") {
+    // s13's whole point is that candidates meet a BROADCAST lookup
+    // table (queries x 8 x 16 rows) — if the dt join ever degrades to
+    // a shuffle, the 8-bytes-per-candidate scan property is gone
+    val s13 = plan("s13_pq_adc")
+    assert(s13.contains("BroadcastHashJoin"),
+      s"s13 lost its broadcast distance-table join:\n$s13")
+    // x07's drop lists are broadcast-sized stored artifacts; the card
+    // must never shuffle the corpus against them
+    val x07 = plan("x07_dataset_card")
+    assert(x07.contains("BroadcastHashJoin"),
+      s"x07 lost its broadcast artifact joins:\n$x07")
+    assert(!x07.contains("SortMergeJoin"),
+      s"x07 shuffles the corpus against a drop list:\n$x07")
+  }
+
   test("star-schema dimension joins stay broadcast") {
     val p = plan("q04_region_revenue")
     assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")
