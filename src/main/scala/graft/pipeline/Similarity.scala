@@ -522,6 +522,28 @@ object Similarity {
       .orderBy($"nprobe")
   }
 
+  /** s14 — semantic dedup CLUSTERS: connected components over s07's
+    * within-cell cosine pairs, each cluster keeping its lowest vec_id
+    * — the prune step SemDeDup (Abbas et al. 2023) actually applies
+    * after finding pairs, exactly as d06 collapses d03's lexical
+    * pairs and m06 collapses m05's frame pairs. One shared
+    * [[graft.pipeline.Dedup.propagateLabels]] engine serves all
+    * three dup families.
+    *
+    * Scale shape: inherits s07's cluster-pruned pair volume (pairs
+    * only within k-means cells, never corpus²) and the propagation's
+    * dup-volume-sized parallelism.
+    */
+  def s14SemanticClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = s07SemanticDedup(spark, dir).select($"a_id", $"b_id")
+    graft.pipeline.Dedup.propagateLabels(spark, pairs, "s14")
+      .select($"label".as("cluster_id"), $"id".as("vec_id"))
+      .withColumn("keep",
+        when($"vec_id" === $"cluster_id", 1L).otherwise(0L))
+      .orderBy($"cluster_id", $"vec_id")
+  }
+
   /** s12's product-quantization geometry: [[PqSubspaces]] x
     * [[PqSubDim]] must equal the embedding dimension (64 — pinned by
     * v03's QA profile); [[PqCodes]] centroids per subspace give
@@ -967,6 +989,7 @@ object Similarity {
     "s11_nprobe_curve" -> s11NprobeCurve _,
     "s12_pq_profile" -> s12PqProfile _,
     "s13_pq_adc" -> s13PqAdc _,
+    "s14_semantic_clusters" -> s14SemanticClusters _,
   )
 
   /** Inline sequential-fold cosine over two vector SQL expressions
@@ -1084,9 +1107,44 @@ object Similarity {
        |    ORDER BY adc_micro, neighbor_id) AS rank FROM adc)
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
+  /** s07's oracle SQL, named so the s14 cluster oracle can embed
+    * the identical pair derivation.
+    */
+  private lazy val s07Sql: String =
+    s"""WITH $VecCte,
+         |$CellsCte,
+         |${kmeansCtes(KmeansIters)},
+         |cents AS (SELECT cid, cv FROM cents$KmeansIters),
+         |assign AS (SELECT vec_id, cell FROM (
+         |  SELECT x.vec_id, c.cid AS cell, row_number() OVER (
+         |    PARTITION BY x.vec_id
+         |    ORDER BY ${cosVSql("x.v", "c.cv")} DESC, c.cid) rn
+         |  FROM n x CROSS JOIN cents c) WHERE rn = 1)
+         |SELECT * FROM (
+         |  SELECT a.cell AS cell, a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${cosVSql("x.v", "y.v")} AS cosine
+         |  FROM assign a JOIN assign b
+         |    ON b.cell = a.cell AND a.vec_id < b.vec_id
+         |  JOIN n x ON x.vec_id = a.vec_id
+         |  JOIN n y ON y.vec_id = b.vec_id)
+         |WHERE cosine >= $SemDedupTau
+         |ORDER BY cell, a_id, b_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "s12_pq_profile" -> s12Sql,
     "s13_pq_adc" -> s13Sql,
+    "s14_semantic_clusters" ->
+      s"""WITH RECURSIVE dup AS (
+         |  SELECT a_id, b_id FROM ($s07Sql)),
+         |edges AS (SELECT a_id s, b_id d FROM dup
+         |          UNION ALL SELECT b_id, a_id FROM dup),
+         |reach(id, lab) AS (
+         |  SELECT DISTINCT s, s FROM edges
+         |  UNION
+         |  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id)
+         |SELECT min(lab) AS cluster_id, id AS vec_id,
+         |  (CASE WHEN min(lab) = id THEN 1 ELSE 0 END)::BIGINT AS keep
+         |FROM reach GROUP BY id ORDER BY cluster_id, vec_id""".stripMargin,
     "s01_knn_bruteforce" -> s01Sql,
     "s02_ivf_knn" -> s02Sql,
     "s05_recall_profile" ->
@@ -1119,25 +1177,7 @@ object Similarity {
       s"SELECT vec_id cid, v AS cv FROM n WHERE vec_id < $CellsSub"),
     "s04_ivf_kmeans" -> ivfSql(s"WHERE vec_id < $NumQueries", TopK,
       s"SELECT cid, cv FROM cents$KmeansIters", kmeansCtes(KmeansIters)),
-    "s07_semantic_dedup" ->
-      s"""WITH $VecCte,
-         |$CellsCte,
-         |${kmeansCtes(KmeansIters)},
-         |cents AS (SELECT cid, cv FROM cents$KmeansIters),
-         |assign AS (SELECT vec_id, cell FROM (
-         |  SELECT x.vec_id, c.cid AS cell, row_number() OVER (
-         |    PARTITION BY x.vec_id
-         |    ORDER BY ${cosVSql("x.v", "c.cv")} DESC, c.cid) rn
-         |  FROM n x CROSS JOIN cents c) WHERE rn = 1)
-         |SELECT * FROM (
-         |  SELECT a.cell AS cell, a.vec_id AS a_id, b.vec_id AS b_id,
-         |    ${cosVSql("x.v", "y.v")} AS cosine
-         |  FROM assign a JOIN assign b
-         |    ON b.cell = a.cell AND a.vec_id < b.vec_id
-         |  JOIN n x ON x.vec_id = a.vec_id
-         |  JOIN n y ON y.vec_id = b.vec_id)
-         |WHERE cosine >= $SemDedupTau
-         |ORDER BY cell, a_id, b_id""".stripMargin,
+    "s07_semantic_dedup" -> s07Sql,
     "s08_sq8_rescore" -> s08Sql,
     "s09_incremental_assign" -> s09Sql,
     "s10_filtered_knn" ->

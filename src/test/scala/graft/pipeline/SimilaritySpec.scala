@@ -183,6 +183,34 @@ class SimilaritySpec extends SparkSpec {
       s"ADC overlap with exact KNN is $overlap/100 — below sanity (chance ~0.2)")
   }
 
+  test("s14 clusters are the connected components of s07's pairs") {
+    val rows = Similarity.s14SemanticClusters(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val pairs = Similarity.s07SemanticDedup(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+      .groupBy(_._2).flatMap { case (_, m) =>
+        val min = m.keys.min
+        m.keys.map(id => id -> min)
+      }
+    val got = rows.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got == want, "clusters diverge from driver-side union-find")
+    rows.foreach { r =>
+      assert((r.getAs[Long]("keep") == 1L) ==
+        (r.getAs[Long]("vec_id") == r.getAs[Long]("cluster_id")))
+    }
+  }
+
   test("doubling the trained cell count shrinks the max cell share on a skewed corpus") {
     import spark.implicits._
     // skewed fixture: one dominant blob (160 vectors) plus three small
