@@ -188,7 +188,14 @@ object ScaleProbe {
       "s12" -> SparkEntry.queries("s12_pq_profile"),
       // s13: fixed query set; candidate volume = n x 8 code rows
       // against a broadcast table — ~linear
-      "s13" -> SparkEntry.queries("s13_pq_adc"))
+      "s13" -> SparkEntry.queries("s13_pq_adc"),
+      // m06: m05's ~linear pair volume + label propagation whose rounds
+      // are bounded by component diameter (replica components are copies
+      // of the base's, so diameter is unchanged) — ~linear
+      "m06" -> SparkEntry.queries("m06_media_clusters"),
+      // s14: s07's cell-pruned pair volume (assignment-dominated like
+      // s03/s11, ~n^1.5 allowance) + diameter-bounded propagation
+      "s14" -> SparkEntry.queries("s14_semantic_clusters"))
 
     def once(f: (SparkSession, String) => DataFrame, dir: String): Double = {
       val t0 = System.nanoTime()

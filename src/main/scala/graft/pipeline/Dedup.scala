@@ -875,7 +875,20 @@ object Dedup {
   private[graft] def propagateLabels(spark: SparkSession, pairsIn: DataFrame,
       tag: String): DataFrame = {
     import spark.implicits._
-    val pairs = pairsIn.toDF("a_id", "b_id")
+    // persist BEFORE the sizing count(): the caller's pair-finding plan
+    // (s07's cell self-join + cosine, m05's frame self-join) is the
+    // expensive stage, and without this it runs twice — once for the
+    // count, again when round 1 materializes `edges`. Skipped when the
+    // caller already hands in a persisted memo (d06's dupPairs) — a
+    // second cache layer over it would only re-serialize the pair list.
+    val ownCache = pairsIn.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE
+    val pairs = {
+      val p = pairsIn.toDF("a_id", "b_id")
+      if (ownCache)
+        p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else p
+    }
     val maxParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val loopParts = math.max(2, math.min(maxParts,
       (2 * pairs.count() / LoopRowsPerPartition + 1).toInt))
@@ -927,12 +940,14 @@ object Dedup {
     // component with diameter > MaxCcIterations needs the O(log n)
     // star-contraction variant, not a higher cap
     if (!converged) {
+      if (ownCache) pairs.unpersist()
       edges.unpersist()
       cached.unpersist()
       throw new IllegalStateException(
         s"$tag label propagation did not converge in $MaxCcIterations rounds " +
           s"($lastChanged labels still changing): component diameter exceeds the cap")
     }
+    if (ownCache) pairs.unpersist()
     edges.unpersist()
     cached
   }

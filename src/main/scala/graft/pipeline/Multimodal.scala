@@ -169,6 +169,15 @@ object Multimodal {
     */
   def m05MediaNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    m05Pairs(spark, dir).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** m05's pair derivation WITHOUT the presentation sort — m06's
+    * propagation input (same split as s07Pairs/s14: no global sort
+    * of the pair set before a clustering pass).
+    */
+  private def m05Pairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val fr = videoFrames(spark, dir)
       .select($"doc_id", $"frame_md5").distinct()
     val nf = fr.groupBy($"doc_id").agg(count(lit(1)).as("nf"))
@@ -182,7 +191,6 @@ object Multimodal {
         .withColumnRenamed("nf", "n_frames_b"), "doc_b")
       .select($"doc_a", $"doc_b", $"n_shared_frames",
         $"n_frames_a", $"n_frames_b")
-      .orderBy($"doc_a", $"doc_b")
   }
 
   /** m06's duplicate criterion over m05's pairs: containment >= 1/2 —
@@ -208,7 +216,7 @@ object Multimodal {
     */
   def m06MediaClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val dup = m05MediaNearDup(spark, dir)
+    val dup = m05Pairs(spark, dir)
       .filter(mediaDup($"n_shared_frames", $"n_frames_a", $"n_frames_b"))
       .select($"doc_a", $"doc_b")
     graft.pipeline.Dedup.propagateLabels(spark, dup, "m06")

@@ -536,7 +536,7 @@ object Similarity {
     */
   def s14SemanticClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = s07SemanticDedup(spark, dir).select($"a_id", $"b_id")
+    val pairs = s07Pairs(spark, dir).select($"a_id", $"b_id")
     graft.pipeline.Dedup.propagateLabels(spark, pairs, "s14")
       .select($"label".as("cluster_id"), $"id".as("vec_id"))
       .withColumn("keep",
@@ -781,6 +781,16 @@ object Similarity {
     */
   def s07SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    s07Pairs(spark, dir).orderBy($"cell", $"a_id", $"b_id")
+  }
+
+  /** s07's pair derivation WITHOUT the presentation sort — s14's
+    * propagation input: a global sort of the pair set buys nothing
+    * before a clustering pass, and persisting it would materialize the
+    * range-partition exchange into the cache.
+    */
+  private def s07Pairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val e = vectors(spark, dir)
     val (_, assign) = ivfIndex(spark, dir, TrainedVariant,
       corpusCells(spark, dir))
@@ -794,7 +804,6 @@ object Similarity {
       .select($"cell", $"a_id", $"b_id",
         cosineCol(spark, $"av", $"bv").as("cosine"))
       .filter($"cosine" >= SemDedupTau)
-      .orderBy($"cell", $"a_id", $"b_id")
   }
 
   /** SQ8 rescore-pool size: how many int8-ranked candidates per query
