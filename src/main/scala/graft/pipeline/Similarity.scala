@@ -544,6 +544,66 @@ object Similarity {
       .orderBy($"cluster_id", $"vec_id")
   }
 
+  /** The p07 split-bucket fold applied to `vec_id` — the first 16 bits
+    * of md5(vec_id) as a long, the SAME deterministic content-hash
+    * split [[graft.pipeline.TextAnalysis.SplitBucket]] applies to
+    * documents, so the vector corpus carries a train/val/test split
+    * consistent with the text pipeline's policy.
+    */
+  private val VecBucket = expr(
+    """aggregate(split(substring(md5(cast(vec_id as string)), 1, 4), ''),
+      | CAST(0 AS BIGINT),
+      | (h, ch) -> h * 16 + instr('0123456789abcdef', ch) - 1)""".stripMargin)
+
+  /** s15 — semantic DECONTAMINATION: for every TEST-split vector, its
+    * best TRAIN-split match under the trained IVF index, with a
+    * contaminated verdict at [[SemDedupTau]]. p09 catches verbatim
+    * 13-gram leakage; this is its embedding-space counterpart — the
+    * paraphrase-level test-set leakage a lexical sweep cannot see
+    * (the check model releases run before publishing eval numbers).
+    *
+    * Shape: s10's pre-filtered candidate generation (the split
+    * predicate drops non-train candidates at the ID stage, before any
+    * vector loads) over the FULL test split as the query side (s03's
+    * corpus-wide volume, not s02's 10-query probe), then a per-test
+    * argmax and threshold verdict. Test vectors whose probed cells
+    * hold no train vector keep a row (null match, verdict 0) so the
+    * output accounts for every test vector.
+    *
+    * Scale shape: query side is the ~5% test split; candidates are
+    * (nprobe/k)·|test|·(n/k)-sized, co-partitioned on cell; the split
+    * predicate is a cheap md5 fold evaluated on IDs, never a
+    * broadcast list.
+    */
+  def s15SemanticDecontam(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    val (cents, assign) = ivfIndex(spark, dir, TrainedVariant,
+      corpusCells(spark, dir))
+    val test = e.filter(VecBucket >= graft.pipeline.TextAnalysis.ValMax)
+    val trainAssign = assign.filter(
+      VecBucket < graft.pipeline.TextAnalysis.TrainMax)
+    val cand = topProbes(spark, test, cents).join(trainAssign, "cell")
+      .select($"query_id", $"vec_id".as("train_id"))
+    val scored = cand
+      .join(test.select($"vec_id".as("query_id"), $"v".as("qv")),
+        "query_id")
+      .join(e.select($"vec_id".as("train_id"), $"v".as("tv")), "train_id")
+      .select($"query_id", $"train_id",
+        cosineCol(spark, $"qv", $"tv").as("cosine"))
+    val best = scored.withColumn("rn", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cosine".desc, $"train_id")))
+      .filter($"rn" === 1)
+      .select($"query_id".as("test_id"), $"train_id".as("best_train_id"),
+        $"cosine".as("best_cosine"))
+    test.select($"vec_id".as("test_id"))
+      .join(best, Seq("test_id"), "left")
+      .select($"test_id", $"best_train_id", $"best_cosine",
+        when($"best_cosine" >= SemDedupTau, lit(1L)).otherwise(0L)
+          .as("contaminated"))
+      .orderBy($"test_id")
+  }
+
   /** s12's product-quantization geometry: [[PqSubspaces]] x
     * [[PqSubDim]] must equal the embedding dimension (64 — pinned by
     * v03's QA profile); [[PqCodes]] centroids per subspace give
@@ -999,6 +1059,7 @@ object Similarity {
     "s12_pq_profile" -> s12PqProfile _,
     "s13_pq_adc" -> s13PqAdc _,
     "s14_semantic_clusters" -> s14SemanticClusters _,
+    "s15_semantic_decontam" -> s15SemanticDecontam _,
   )
 
   /** Inline sequential-fold cosine over two vector SQL expressions
@@ -1015,6 +1076,16 @@ object Similarity {
 
   private val VecCte =
     "n AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)"
+
+  /** [[VecBucket]] in DuckDB SQL, parameterized by the id column —
+    * the identical 16-bit md5-prefix fold TextAnalysis's BUCKET runs
+    * on doc_id.
+    */
+  private def bucketSql(col: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, " +
+      s"list_transform(string_split(substr(md5($col::VARCHAR), 1, 4), ''), " +
+      s"ch -> (instr('0123456789abcdef', ch) - 1)::BIGINT)), " +
+      s"(h, c) -> h * 16 + c)"
 
   /** The oracle's cell count: `round(sqrt(count(*)))` over the same
     * table [[corpusCells]] counts — both sides derive k from the
@@ -1142,6 +1213,27 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "s12_pq_profile" -> s12Sql,
     "s13_pq_adc" -> s13Sql,
+    "s15_semantic_decontam" ->
+      s"""WITH ${ivfCandCtes(
+            s"WHERE ${bucketSql("vec_id")} >= ${TextAnalysis.ValMax}",
+            s"SELECT cid, cv FROM cents$KmeansIters",
+            kmeansCtes(KmeansIters))},
+         |tcand AS (SELECT query_id, neighbor_id FROM cand
+         |  WHERE ${bucketSql("neighbor_id")} < ${TextAnalysis.TrainMax}),
+         |scored AS (SELECT d.query_id, d.neighbor_id,
+         |    ${cosVSql("q.v", "c.v")} AS cosine
+         |  FROM tcand d JOIN q ON q.vec_id = d.query_id
+         |               JOIN n c ON c.vec_id = d.neighbor_id),
+         |best AS (SELECT query_id, neighbor_id, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id) rn FROM scored)
+         |  WHERE rn = 1)
+         |SELECT q.vec_id AS test_id, b.neighbor_id AS best_train_id,
+         |  b.cosine AS best_cosine,
+         |  CAST(CASE WHEN b.cosine >= $SemDedupTau THEN 1 ELSE 0 END
+         |    AS BIGINT) AS contaminated
+         |FROM q LEFT JOIN best b ON b.query_id = q.vec_id
+         |ORDER BY test_id""".stripMargin,
     "s14_semantic_clusters" ->
       s"""WITH RECURSIVE dup AS (
          |  SELECT a_id, b_id FROM ($s07Sql)),

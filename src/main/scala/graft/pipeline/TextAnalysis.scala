@@ -789,6 +789,69 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** p20 — duplicated-substring SPANS (the exact-substring dedup of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): every maximal per-document token range covered
+    * by [[ContamN]]-gram windows that also occur in ANOTHER document.
+    * p09 asks "does test share a gram with train?"; this is the
+    * train-side editing counterpart — the spans a pipeline would cut
+    * out of the documents themselves. Cross-document only: a gram
+    * repeated solely within one document is p08's repetition signal,
+    * not a dup span.
+    *
+    * Derivation: positional gram hashes (same tokenize + md5 fold as
+    * [[gramHashes]], WITHOUT the distinct — positions matter here),
+    * hashes narrowed to those spanning >1 distinct doc, then a
+    * per-doc gaps-and-islands merge: window starts within [[ContamN]]
+    * tokens overlap or touch, so `start - lag(start) > ContamN` opens
+    * a new island and a running sum numbers them.
+    *
+    * Scale shape: the positional gram table is ~token volume (the
+    * corpus itself, once), the dup-hash narrowing is a partial-agg
+    * groupBy + co-partitioned self-join on the hash — no broadcast of
+    * an unbounded set — and the island merge runs under a doc-keyed
+    * window at full parallelism. Output is dup-volume-sized.
+    */
+  def p20DupSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // stage the token array in its OWN projection (the p17 lesson:
+    // Catalyst inlines single-use aliases into HOF lambdas and
+    // re-evaluates the split per element)
+    val grams = Tables.documents(spark, dir)
+      .select($"doc_id", toks($"text").as("t"))
+      .filter(size($"t") >= ContamN)
+      .select($"doc_id", explode(transform(
+        sequence(lit(1), greatest(size($"t") - (ContamN - 1), lit(1))),
+        i => struct(i.cast("long").as("i"),
+          md5(array_join(slice($"t", i, lit(ContamN)), " ")).as("g"))))
+        .as("e"))
+      .select($"doc_id", $"e.i".as("i"), $"e.g".as("g"))
+    // cross-doc duplication without a groupBy + join-back (which would
+    // shuffle the token-volume gram table TWICE on g): a gram spans >1
+    // distinct doc iff min(doc_id) != max(doc_id) over its occurrences
+    // — one hash-partitioned window pass on g
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy($"g")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"i")
+    grams
+      .withColumn("d0", min($"doc_id").over(wg))
+      .withColumn("d1", max($"doc_id").over(wg))
+      .filter($"d0" =!= $"d1")
+      .select($"doc_id", $"i")
+      .withColumn("f",
+        when(lag($"i", 1).over(w).isNull ||
+          $"i" - lag($"i", 1).over(w) > ContamN, 1L).otherwise(0L))
+      .withColumn("island", sum($"f").over(w))
+      .groupBy($"doc_id", $"island")
+      .agg(min($"i").as("span_start"),
+        (max($"i") + (ContamN - 1)).as("span_end"),
+        (max($"i") + (ContamN - 1) - min($"i") + 1).as("n_tokens"),
+        count(lit(1)).as("n_windows"))
+      .select($"doc_id", $"span_start", $"span_end", $"n_tokens",
+        $"n_windows")
+      .orderBy($"doc_id", $"span_start")
+  }
+
   /** p17's winnowing parameters: token [[WinnowK]]-gram hashes, window
     * of [[WinnowW]] consecutive hashes. Guarantee (Schleimer, Wilkerson
     * & Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
@@ -978,6 +1041,7 @@ object TextAnalysis {
     "p17_winnowing" -> p17Winnowing _,
     "p18_fingerprint_overlap" -> p18FingerprintOverlap _,
     "p19_bpe_encode" -> p19BpeEncode _,
+    "p20_dup_spans" -> p20DupSpans _,
     "p16_bpe_merges" -> p16BpeMerges _,
     "p15_lexical_diversity" -> p15LexicalDiversity _,
     "p14_cross_source_leakage" -> p14CrossSourceLeakage _,
@@ -1144,6 +1208,29 @@ object TextAnalysis {
          |ORDER BY a_id, b_id""".stripMargin,
     "p16_bpe_merges" -> bpeSql,
     "p19_bpe_encode" -> bpeEncodeSql,
+    "p20_dup_spans" ->
+      s"""WITH tk AS (SELECT doc_id, $TOKS t FROM documents),
+         |gr AS (SELECT doc_id, u.i, md5(array_to_string(
+         |    t[u.i:u.i+${ContamN - 1}], ' ')) AS g
+         |  FROM tk CROSS JOIN LATERAL
+         |    unnest(range(1, len(t) - ${ContamN - 2})) u(i)
+         |  WHERE len(t) >= $ContamN),
+         |dup AS (SELECT g FROM (SELECT DISTINCT g, doc_id FROM gr)
+         |  GROUP BY g HAVING COUNT(*) > 1),
+         |pos AS (SELECT gr.doc_id, gr.i FROM gr JOIN dup USING (g)),
+         |fl AS (SELECT doc_id, i, CASE WHEN
+         |    lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL OR
+         |    i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > $ContamN
+         |  THEN 1 ELSE 0 END AS f FROM pos),
+         |il AS (SELECT doc_id, i,
+         |    SUM(f) OVER (PARTITION BY doc_id ORDER BY i) AS island
+         |  FROM fl)
+         |SELECT doc_id, MIN(i) AS span_start,
+         |  MAX(i) + ${ContamN - 1} AS span_end,
+         |  MAX(i) + ${ContamN - 1} - MIN(i) + 1 AS n_tokens,
+         |  COUNT(*)::BIGINT AS n_windows
+         |FROM il GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin,
     "p15_lexical_diversity" ->
       s"""WITH tk AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),
          |cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2)

@@ -211,6 +211,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s15 accounts for every test vector; matches are train-split; verdict = tau cut") {
+    import spark.implicits._
+    val rows = Similarity.s15SemanticDecontam(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // the same 16-bit md5-prefix fold, driver-side
+    def bucket(id: Long): Long =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(2).foldLeft(0L)((h, b) => h * 256 + (b & 0xff))
+    val allIds = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0))
+    val testIds = allIds.filter(bucket(_) >= 62259).toSet
+    assert(rows.map(_.getAs[Long]("test_id")).toSet == testIds,
+      "output must hold exactly one row per test-split vector")
+    assert(rows.length == testIds.size)
+    rows.foreach { r =>
+      val c = r.getAs[Long]("contaminated")
+      if (r.isNullAt(r.fieldIndex("best_train_id"))) {
+        assert(c == 0L, "a matchless test vector cannot be contaminated")
+      } else {
+        assert(bucket(r.getAs[Long]("best_train_id")) < 58982,
+          "best match must come from the train split")
+        assert((c == 1L) ==
+          (r.getAs[Double]("best_cosine") >= Similarity.SemDedupTau))
+      }
+    }
+  }
+
   test("doubling the trained cell count shrinks the max cell share on a skewed corpus") {
     import spark.implicits._
     // skewed fixture: one dominant blob (160 vectors) plus three small

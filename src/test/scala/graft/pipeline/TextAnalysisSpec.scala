@@ -607,4 +607,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == expected,
       s"missing ${expected -- got}, spurious ${got -- expected}")
   }
+
+  test("p20 merges overlapping windows, splits on gaps, ignores within-doc repeats") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{length, lit}
+    // the oracle corpus only ever yields one span per doc, so the
+    // island-SPLIT branch (gap > 13) and the within-doc-only exclusion
+    // never fire in any gate — plant a fixture corpus that exercises
+    // every branch, with hand-computed expected spans
+    val s1 = (1 to 20).map(i => s"s$i")   // 20-token shared run: 8 windows, ONE merged span
+    val s2 = (1 to 13).map(i => s"t$i")   // 13-token shared run: exactly one window
+    val u = (1 to 13).map(i => s"u$i")    // repeated WITHIN doc 3 only
+    def w(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val docs = Seq(
+      // doc 0: s1 at positions 6..25 (windows 6..13), s2 at 46..58
+      // (window 46); gap 46-13=33 > 13 → two islands
+      (0L, (w("a", 5) ++ s1 ++ w("b", 20) ++ s2 ++ w("c", 5)).mkString(" ")),
+      // doc 1: s2 at 4..16 (window 4), s1 at 27..46 (windows 27..34);
+      // gap 23 > 13 → two islands, reversed order vs doc 0
+      (1L, (w("d", 3) ++ s2 ++ w("e", 10) ++ s1).mkString(" ")),
+      // doc 2: nothing shared → no rows
+      (2L, w("x", 30).mkString(" ")),
+      // doc 3: u repeated twice within the SAME doc only → cross-doc
+      // rule excludes it entirely
+      (3L, (w("f", 5) ++ u ++ w("g", 5) ++ u ++ w("h", 5)).mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("p20fix").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fix"))
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.p20DupSpans(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_windows")))
+    val expected = Seq(
+      (0L, 6L, 25L, 20L, 8L), (0L, 46L, 58L, 13L, 1L),
+      (1L, 4L, 16L, 13L, 1L), (1L, 27L, 46L, 20L, 8L))
+    assert(got.toSeq == expected,
+      s"spans diverge: got ${got.toSeq}, want $expected")
+  }
 }
