@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -237,12 +237,84 @@ object EmbeddingStats {
     } finally e.unpersist()
   }
 
+  /** v06 — class-separation profile: per label, the member count, the
+    * micro-quantized centroid norm, the summed member-to-own-centroid
+    * cosine (micro-quantized per row, then integer-summed — exact),
+    * and the nearest OTHER label's centroid with its cosine. This is
+    * the labeled-embedding QA a pipeline runs before trusting s10's
+    * hard negatives or a classifier head: a label whose centroid norm
+    * approaches its members' norms has collapsed to a point, and two
+    * labels with near-parallel centroids are entangled (s10's
+    * "out-of-class" filter stops meaning anything for that pair).
+    *
+    * Determinism: per-(label, dim) component sums are v03's integer
+    * micro-sums; centroids derive from those integers; every
+    * dot/norm is the sequential in-order fold the s-family cosine
+    * uses; and each member cosine is floor-micro-quantized BEFORE
+    * the per-label sum so the only cross-row double reduction is an
+    * integer sum.
+    *
+    * Scale shape: one posexplode + 64·|labels|-key hash aggregation
+    * with map-side collapse (v03's shape), one corpus scan joined
+    * against the broadcast |labels|-row centroid table, and a
+    * |labels|²-row centroid self-join — nothing grows with n except
+    * the two scans.
+    */
+  def v06ClassSeparation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    def nrm(a: Column): Column =
+      sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val e = Tables.embeddings(spark, dir)
+      .select($"label".cast("long").as("label"),
+        $"embedding".cast("array<double>").as("v"))
+    val cents = e
+      .select($"label", posexplode($"v").as(Seq("dim", "x")))
+      .select($"label", $"dim".cast("long").as("dim"),
+        floor($"x" * 1000000L).cast("long").as("xm"))
+      .groupBy($"label", $"dim")
+      .agg(count(lit(1)).as("n"), sum($"xm").as("s"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"dim", $"s", $"n"))).as("sd"))
+      .select($"label", element_at($"sd", 1).getField("n").as("n_vecs"),
+        transform($"sd",
+          t => t.getField("s").cast("double") / 1000000.0 /
+            t.getField("n")).as("c"))
+    val intra = e.join(broadcast(cents.select($"label", $"c")), "label")
+      .select($"label", dot($"v", $"c").as("d"),
+        nrm($"v").as("nv"), nrm($"c").as("nc"))
+      .select($"label", when($"nv" * $"nc" === 0.0, 0.0)
+        .otherwise($"d" / ($"nv" * $"nc")).as("cos"))
+      .select($"label", floor($"cos" * 1000000L).cast("long").as("cm"))
+      .groupBy($"label").agg(sum($"cm").as("intra_cos_sum_micro"))
+    val pairs = cents.select($"label".as("la"), $"c".as("ca"))
+      .join(broadcast(cents.select($"label".as("lb"), $"c".as("cb"))),
+        $"la" =!= $"lb")
+      .select($"la", $"lb", dot($"ca", $"cb").as("d"),
+        nrm($"ca").as("na"), nrm($"cb").as("nb"))
+      .select($"la", $"lb", when($"na" * $"nb" === 0.0, 0.0)
+        .otherwise($"d" / ($"na" * $"nb")).as("cos"))
+    val nearest = pairs.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"la").orderBy($"cos".desc, $"lb")))
+      .filter($"rn" === 1)
+      .select($"la".as("label"), $"lb".as("nearest_label"),
+        floor($"cos" * 1000000L).cast("long").as("nearest_cos_micro"))
+    cents.select($"label", $"n_vecs",
+        floor(nrm($"c") * 1000000L).cast("long").as("centroid_norm_micro"))
+      .join(intra, "label")
+      .join(nearest, "label")
+      .orderBy($"label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_norm_profile" -> v01NormProfile _,
     "v02_quantize_profile" -> v02QuantizeProfile _,
     "v03_dim_stats" -> v03DimStats _,
     "v04_drift_profile" -> v04DriftProfile _,
     "v05_pc1_profile" -> v05Pc1Profile _,
+    "v06_class_separation" -> v06ClassSeparation _,
   )
 
   /** v05's oracle: the power iterations as chained CTEs (the
@@ -288,8 +360,59 @@ object EmbeddingStats {
     sb.toString
   }
 
+  /** DuckDB sequential-fold dot / norm over list expressions — the
+    * same left-fold-from-0.0 association order as v06's Spark-side
+    * `aggregate` folds (and the s-family cosVSql).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(" +
+      s"list_zip($a, $b), p -> p[1] * p[2])), (acc, x) -> acc + x)"
+  private def nrmSql(a: String): String =
+    s"sqrt(list_reduce(list_prepend(0.0::DOUBLE, " +
+      s"list_transform($a, t -> t * t)), (acc, x) -> acc + x))"
+
+  private lazy val v06Sql: String =
+    s"""WITH s0 AS (SELECT CAST(label AS BIGINT) AS label,
+       |    CAST(unnest(range(len(embedding))) AS BIGINT) dim,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+       |      xm
+       |  FROM embeddings),
+       |sums AS (SELECT label, dim, COUNT(*) n, CAST(SUM(xm) AS BIGINT) s
+       |  FROM s0 GROUP BY 1, 2),
+       |cents AS (SELECT label, MIN(n) AS n_vecs,
+       |    list(CAST(s AS DOUBLE) / 1000000.0 / n ORDER BY dim) c
+       |  FROM sums GROUP BY label),
+       |ev AS (SELECT CAST(label AS BIGINT) AS label, embedding::DOUBLE[] v
+       |  FROM embeddings),
+       |ic AS (SELECT label, CASE WHEN nv * nc = 0 THEN 0.0
+       |    ELSE d / (nv * nc) END AS cos
+       |  FROM (SELECT e.label, ${dotSql("e.v", "ct.c")} d,
+       |        ${nrmSql("e.v")} nv, ${nrmSql("ct.c")} nc
+       |      FROM ev e JOIN cents ct ON ct.label = e.label)),
+       |intra AS (SELECT label, CAST(SUM(CAST(floor(cos * 1000000) AS BIGINT))
+       |    AS BIGINT) AS intra_cos_sum_micro
+       |  FROM ic GROUP BY label),
+       |pr AS (SELECT la, lb, CASE WHEN na * nb = 0 THEN 0.0
+       |    ELSE d / (na * nb) END AS cos
+       |  FROM (SELECT a.label la, b.label lb, ${dotSql("a.c", "b.c")} d,
+       |        ${nrmSql("a.c")} na, ${nrmSql("b.c")} nb
+       |      FROM cents a JOIN cents b ON a.label != b.label)),
+       |near AS (SELECT la AS label, lb AS nearest_label,
+       |    CAST(floor(cos * 1000000) AS BIGINT) AS nearest_cos_micro
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY la
+       |      ORDER BY cos DESC, lb) rn FROM pr)
+       |  WHERE rn = 1)
+       |SELECT c.label, c.n_vecs,
+       |  CAST(floor(${nrmSql("c.c")} * 1000000) AS BIGINT)
+       |    AS centroid_norm_micro,
+       |  i.intra_cos_sum_micro, near.nearest_label, near.nearest_cos_micro
+       |FROM cents c JOIN intra i ON i.label = c.label
+       |             JOIN near ON near.label = c.label
+       |ORDER BY c.label""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "v05_pc1_profile" -> v05Sql,
+    "v06_class_separation" -> v06Sql,
     "v01_norm_profile" ->
       """SELECT label, COUNT(*) AS n_vecs,
         | COUNT(DISTINCT len(embedding)) AS n_dims,

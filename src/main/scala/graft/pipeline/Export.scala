@@ -110,12 +110,60 @@ object Export {
       .orderBy($"doc_id")
   }
 
-  /** Release x03's and x05's memoized ranged projections (and only
-    * them).
+  /** Release x03's, x05's and x08's memoized ranged projections (and
+    * only them).
     */
   def invalidateCaches(): Unit = {
     graft.RangedPrefix.invalidateCaches("x03:")
     graft.RangedPrefix.invalidateCaches("x05:")
+    graft.RangedPrefix.invalidateCaches("x08:")
+  }
+
+  /** Epochs the shuffle plan covers — enough to show the per-epoch
+    * orders are distinct; a training run extends the range, nothing
+    * else changes.
+    */
+  private[pipeline] val ShuffleEpochs = 3L
+
+  /** x08 — deterministic epoch shuffle: for every training epoch, the
+    * pseudo-random order in which a loader consumes x03's packed
+    * blocks. Key = md5(epoch ':' block_id), so the permutation is (a)
+    * different every epoch — repeating one data order across epochs
+    * measurably hurts LM convergence — and (b) reproducible from
+    * (corpus, epoch) alone: any worker can recompute its slice with no
+    * coordination, and a resumed run sees the identical order. This is
+    * the "global shuffle" step every pretraining loader needs and
+    * naive pipelines implement as an actual shuffle of the data;
+    * here it is a rank over hashes — the BLOCKS never move.
+    *
+    * Scale shape: the block-id universe (total_tokens / 2048) is
+    * generated by `spark.range` (parallel, no scan), keyed per epoch,
+    * and ranked by ONE global [[graft.RangedPrefix.runningSum]] over
+    * (epoch, hkey, block_id) — no global window funnel; the per-epoch
+    * rank is the global rank minus epoch x n_blocks, since every
+    * epoch carries exactly the full block set.
+    */
+  def x08EpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // total packed tokens = the last doc's end position; one-row
+    // driver read (the sanctioned stats-collect shape)
+    val end = x03PackingLayout(spark, dir)
+      .agg(max(shiftleft($"start_block", BlockShift) +
+        $"start_offset" + $"n_tokens"))
+      .head()
+    val total = if (end.isNullAt(0)) 0L else end.getLong(0)
+    val nBlocks = (total + BlockTokens - 1) / BlockTokens
+    val keyed = spark.range(nBlocks).toDF("block_id")
+      .crossJoin(broadcast(spark.range(ShuffleEpochs).toDF("epoch")))
+      .select($"epoch", $"block_id",
+        substring(md5(concat($"epoch".cast("string"), lit(":"),
+          $"block_id".cast("string")).cast("binary")), 1, 8).as("hkey"))
+    val (ranked, _) = graft.RangedPrefix.runningSum(spark, s"x08:$dir",
+      keyed, Seq($"epoch", $"hkey", $"block_id"), lit(1L), "grank")
+    ranked
+      .select($"epoch", $"block_id",
+        ($"grank" - $"epoch" * nBlocks).as("shuffle_rank"))
+      .orderBy($"epoch", $"shuffle_rank")
   }
 
   /** x04's target mixture, in integer parts (out of 10): the dominant
@@ -310,6 +358,7 @@ object Export {
     "x04_mixture_plan" -> x04MixturePlan _,
     "x05_mixture_sample" -> x05MixtureSample _,
     "x06_shard_manifest" -> x06ShardManifest _,
+    "x08_epoch_shuffle" -> x08EpochShuffle _,
   )
 
   /** The oracle composes the published d06 clustering SQL as a
@@ -442,5 +491,22 @@ object Export {
          |     SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c
          |    FROM (${exportSql(decontamWhere)}) WHERE split = 'train'))
          |GROUP BY 1 ORDER BY shard_id""".stripMargin,
+    // blocks never move: the shuffle is a rank over md5(epoch:block)
+    "x08_epoch_shuffle" ->
+      s"""WITH man AS (${exportSql(decontamWhere)}),
+         |tot AS (SELECT COALESCE(SUM(n_tokens), 0)::BIGINT t
+         |  FROM man WHERE split = 'train'),
+         |nb AS (SELECT (t + ${BlockTokens - 1}) // $BlockTokens AS n
+         |  FROM tot),
+         |bl AS (SELECT unnest(range((SELECT n FROM nb))) AS block_id),
+         |ep AS (SELECT unnest(range($ShuffleEpochs)) AS epoch),
+         |keyed AS (SELECT epoch, block_id,
+         |    substr(md5(epoch::VARCHAR || ':' || block_id::VARCHAR), 1, 8)
+         |      AS hkey
+         |  FROM bl CROSS JOIN ep)
+         |SELECT epoch, block_id, CAST(row_number() OVER (
+         |    PARTITION BY epoch ORDER BY hkey, block_id) AS BIGINT)
+         |  AS shuffle_rank
+         |FROM keyed ORDER BY epoch, shuffle_rank""".stripMargin,
   )
 }

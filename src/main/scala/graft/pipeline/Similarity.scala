@@ -50,7 +50,7 @@ object Similarity {
     * this same constant into its `rn <=` bound, so one edit updates
     * both sides and the hash-match survives by construction.
     */
-  private val NProbe = 4
+  private[graft] val NProbe = 4
   private val KmeansIters = 2
 
   /** Quantization factor for k-means dimension sums: 2^20 micro-units
@@ -578,19 +578,8 @@ object Similarity {
   def s15SemanticDecontam(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = vectors(spark, dir)
-    val (cents, assign) = ivfIndex(spark, dir, TrainedVariant,
-      corpusCells(spark, dir))
     val test = e.filter(VecBucket >= graft.pipeline.TextAnalysis.ValMax)
-    val trainAssign = assign.filter(
-      VecBucket < graft.pipeline.TextAnalysis.TrainMax)
-    val cand = topProbes(spark, test, cents).join(trainAssign, "cell")
-      .select($"query_id", $"vec_id".as("train_id"))
-    val scored = cand
-      .join(test.select($"vec_id".as("query_id"), $"v".as("qv")),
-        "query_id")
-      .join(e.select($"vec_id".as("train_id"), $"v".as("tv")), "train_id")
-      .select($"query_id", $"train_id",
-        cosineCol(spark, $"qv", $"tv").as("cosine"))
+    val scored = s15Scored(spark, dir)
     val best = scored.withColumn("rn", row_number().over(
         Window.partitionBy($"query_id").orderBy($"cosine".desc, $"train_id")))
       .filter($"rn" === 1)
@@ -603,6 +592,49 @@ object Similarity {
           .as("contaminated"))
       .orderBy($"test_id")
   }
+
+  /** s15's scored candidate set — every (test vector, probed-cell
+    * train vector) pair with its cosine, BEFORE the per-test argmax.
+    * Named so the streaming semantic-decontamination guard's twin spec
+    * can prove the stream's tau-screen equals the batch screen
+    * (`s15Scored.filter(cosine >= tau)`).
+    */
+  private[graft] def s15Scored(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    val (cents, _) = ivfIndex(spark, dir, TrainedVariant,
+      corpusCells(spark, dir))
+    val test = e.filter(VecBucket >= graft.pipeline.TextAnalysis.ValMax)
+    topProbes(spark, test, cents).join(s15TrainTable(spark, dir), "cell")
+      .select($"query_id", $"train_id")
+      .join(test.select($"vec_id".as("query_id"), $"v".as("qv")),
+        "query_id")
+      .join(e.select($"vec_id".as("train_id"), $"v".as("tv")), "train_id")
+      .select($"query_id", $"train_id",
+        cosineCol(spark, $"qv", $"tv").as("cosine"))
+  }
+
+  /** The TRAIN-split side of s15's screen — (cell, train_id, tv), the
+    * static table the streaming guard joins arriving vectors against.
+    */
+  private[graft] def s15TrainTable(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    val (_, assign) = ivfIndex(spark, dir, TrainedVariant,
+      corpusCells(spark, dir))
+    assign.filter(VecBucket < graft.pipeline.TextAnalysis.TrainMax)
+      .select($"cell", $"vec_id".as("train_id"))
+      .join(e.select($"vec_id".as("train_id"), $"v".as("tv")), "train_id")
+  }
+
+  /** The trained-centroid table for [[graft.streaming.Streams]]'
+    * semantic guard (cid, cv) — s15's index, exposed for the
+    * stream-static side.
+    */
+  private[graft] def trainedCentroids(spark: SparkSession,
+      dir: String): DataFrame =
+    ivfIndex(spark, dir, TrainedVariant, corpusCells(spark, dir))._1
 
   /** s12's product-quantization geometry: [[PqSubspaces]] x
     * [[PqSubDim]] must equal the embedding dimension (64 — pinned by
@@ -818,7 +850,7 @@ object Similarity {
     * setting as d05's sign-LSH verifier (a production SemDeDup run uses
     * ~0.95+ on real embeddings; the knob is this one constant).
     */
-  private[pipeline] val SemDedupTau = 0.4
+  private[graft] val SemDedupTau = 0.4
 
   /** s07 — semantic dedup pairs, SemDeDup-style (Abbas et al. 2023,
     * arXiv:2303.09540): candidate near-duplicates are only sought

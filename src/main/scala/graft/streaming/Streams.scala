@@ -46,7 +46,8 @@ object Streams {
     "ivf_ingest_assign" -> "nearest-frozen-centroid argmax (s09's index-add path)",
     "funnel" -> "relational.StarQueries.q25Funnel (view→click→purchase min-chain)",
     "delta_dedup_guard" -> "pipeline.Dedup.deltaCandidates (d08's batch x corpus LSH banding)",
-    "pq_encode" -> "pipeline.Similarity.pqIndex code table (s12/s13's stored 8-byte codes)")
+    "pq_encode" -> "pipeline.Similarity.pqIndex code table (s12/s13's stored 8-byte codes)",
+    "semantic_decontam_guard" -> "pipeline.Similarity.s15Scored tau-screen (s15's batch candidate set at cosine >= tau)")
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
@@ -178,6 +179,38 @@ object Streams {
     graft.pipeline.Dedup.rowBands(docs)
       .join(corpusBands, Seq("band", "bucket"))
       .select(col("doc_id"), col("c_id"), col("band"))
+
+  /** Streaming semantic-decontamination guard (the streaming face of
+    * batch s15's candidate screen): each arriving vector — a candidate
+    * eval/test sample — probes its [[graft.pipeline.Similarity.NProbe]]
+    * nearest FROZEN centroids with a per-row sort over the broadcast
+    * centroid row (struct(-cos, cid) ordering, the identical tie rule
+    * to the batch `topProbes`), joins the STATIC train-split vector
+    * table keyed by cell, and emits every tau-exceeding
+    * (vec_id, train_id) collision as it arrives. A consumer routes
+    * collided vectors to s15's exact per-test argmax before admitting
+    * the sample to an eval set — the same two-phase shape as the
+    * lexical contamination guard: cheap stateless screen in-stream,
+    * exact confirm out-of-band. Stateless stream-static join, no
+    * watermark, no state store, append mode; the static side is the
+    * stored train-side index (cell-partitioned at scale).
+    */
+  def semanticDecontamGuard(vecs: DataFrame, centsRow: DataFrame,
+      trainVecs: DataFrame): DataFrame = {
+    graft.rass.expressions.CosineSimilarity.register(vecs.sparkSession)
+    val probes = slice(array_sort(transform(col("cents"), c =>
+      struct((-call_function("cosine_sim", col("v"), c.getField("cv")))
+        .as("nc"), c.getField("cid").as("cid")))),
+      1, graft.pipeline.Similarity.NProbe)
+    vecs.crossJoin(centsRow)
+      .select(col("vec_id"), col("v"), explode(probes).as("p"))
+      .select(col("vec_id"), col("v"), col("p").getField("cid").as("cell"))
+      .join(trainVecs, Seq("cell"))
+      .select(col("vec_id"), col("train_id"),
+        call_function("cosine_sim", col("v"), col("tv")).as("cosine"))
+      .filter(col("cosine") >= graft.pipeline.Similarity.SemDedupTau)
+      .select(col("vec_id"), col("train_id"))
+  }
 
   /** Streaming IVF ingest assignment (the streaming face of batch
     * s09's index-add): each arriving vector is assigned to its nearest

@@ -135,4 +135,49 @@ class EmbeddingStatsSpec extends SparkSpec {
     assert(math.abs(rq2 - rq1) / rq2 < 0.05,
       s"Rayleigh quotient still moving after 3 iterations: $rq1 -> $rq2")
   }
+
+  test("v06 matches a driver-side exact-integer reference") {
+    val out = EmbeddingStats.v06ClassSeparation(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("label") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Long]("centroid_norm_micro"),
+          r.getAs[Long]("intra_cos_sum_micro"),
+          r.getAs[Long]("nearest_label"), r.getAs[Long]("nearest_cos_micro")))
+      .toMap
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("CAST(label AS BIGINT) label",
+        "CAST(embedding AS ARRAY<DOUBLE>) v")
+      .collect()
+      .map(r => (r.getAs[Long]("label"), r.getSeq[Double](1).toArray))
+    // the same micro-sum -> centroid -> sequential-fold math, in order
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, j) => s + a(j) * b(j))
+    def nrm(a: Array[Double]): Double =
+      math.sqrt(a.foldLeft(0.0)((s, x) => s + x * x))
+    val byLabel = vecs.groupBy(_._1)
+    val cents = byLabel.map { case (l, vs) =>
+      val d = vs.head._2.length
+      val c = (0 until d).map { j =>
+        vs.map(v => math.floor(v._2(j) * 1000000.0).toLong).sum
+          .toDouble / 1000000.0 / vs.length
+      }.toArray
+      l -> (vs.length.toLong, c)
+    }
+    cents.foreach { case (l, (n, c)) =>
+      val (gn, gnorm, gintra, gnl, gnc) = out(l)
+      assert(gn == n, s"label $l n_vecs")
+      assert(gnorm == math.floor(nrm(c) * 1000000.0).toLong,
+        s"label $l centroid norm")
+      val intra = byLabel(l).map { case (_, v) =>
+        val nn = nrm(v) * nrm(c)
+        math.floor((if (nn == 0.0) 0.0 else dot(v, c) / nn) * 1000000.0).toLong
+      }.sum
+      assert(gintra == intra, s"label $l intra sum: got $gintra want $intra")
+      val (bl, bc) = cents.filter(_._1 != l).map { case (o, (_, oc)) =>
+        val nn = nrm(c) * nrm(oc)
+        (o, if (nn == 0.0) 0.0 else dot(c, oc) / nn)
+      }.toSeq.sortBy { case (o, cos) => (-cos, o) }.head
+      assert(gnl == bl && gnc == math.floor(bc * 1000000.0).toLong,
+        s"label $l nearest: got ($gnl,$gnc) want ($bl,${math.floor(bc * 1e6).toLong})")
+    }
+  }
 }

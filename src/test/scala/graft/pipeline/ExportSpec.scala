@@ -204,4 +204,34 @@ class ExportSpec extends SparkSpec {
         "contaminated docs outside the test split — p09 semantics broken")
     }
   }
+
+  test("x08 is a per-epoch permutation matching the md5 draw order, distinct across epochs") {
+    val rows = Export.x08EpochShuffle(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("block_id"),
+        r.getAs[Long]("shuffle_rank")))
+    assert(rows.nonEmpty)
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == (0L until Export.ShuffleEpochs).toSet)
+    val nBlocks = rows.map(_._2).max + 1
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    byEpoch.foreach { case (e, rs) =>
+      // every epoch covers every block exactly once, ranks 1..n
+      assert(rs.map(_._2).sorted.toSeq == (0L until nBlocks).toSeq)
+      assert(rs.map(_._3).sorted.toSeq == (1L to nBlocks).toSeq)
+      // the order IS the md5 draw order
+      val want = (0L until nBlocks)
+        .sortBy(b => (md5hex(s"$e:$b").take(8), b))
+        .zipWithIndex.map { case (b, i) => b -> (i + 1L) }.toMap
+      rs.foreach { case (_, b, rk) =>
+        assert(rk == want(b), s"epoch $e block $b rank $rk != ${want(b)}")
+      }
+    }
+    // epochs draw DIFFERENT orders (the whole point of re-shuffling)
+    val orders = byEpoch.values
+      .map(_.sortBy(_._3).map(_._2).toSeq).toSet
+    assert(orders.size == byEpoch.size,
+      "two epochs produced the identical block order")
+  }
 }

@@ -364,6 +364,52 @@ class StreamsSpec extends SparkSpec {
       "every arriving vector must encode all subspaces")
   }
 
+  private def semanticDecontamGuardTwin(): Unit = {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // frozen index + train table from the batch side; the stream is
+    // the TEST split arriving, so the batch twin is s15's candidate
+    // screen at tau (whose downstream argmax the oracle gate verifies)
+    def bucket(id: Long): Long =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(2).foldLeft(0L)((h, b) => h * 256 + (b & 0xff))
+    val centsRow = centroidsAsRow(
+      graft.pipeline.Similarity.trainedCentroids(spark, sfDir))
+    val trainVecs = graft.pipeline.Similarity.s15TrainTable(spark, sfDir)
+    val arriving = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) v")
+      .as[(Long, Seq[Double])].collect().toSeq
+      .filter(v => bucket(v._1) >= 62259)
+    assert(arriving.nonEmpty)
+
+    val input = MemoryStream[(Long, Seq[Double])]
+    val query = semanticDecontamGuard(
+      input.toDF().toDF("vec_id", "v"), centsRow, trainVecs)
+      .writeStream.format("memory").queryName("sem_guard")
+      .outputMode("append").start()
+    // two micro-batches: the screen is stateless, so a vector's
+    // collisions must not depend on which batch carried it
+    val (a, b) = arriving.splitAt(arriving.size / 2)
+    input.addData(a)
+    query.processAllAvailable()
+    input.addData(b)
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("sem_guard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.pipeline.Similarity.s15Scored(spark, sfDir)
+      .filter($"cosine" >= graft.pipeline.Similarity.SemDedupTau)
+      .select($"query_id", $"train_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want,
+      s"stream screen diverges from s15's batch screen: " +
+        s"missing ${want -- got}, spurious ${got -- want}")
+    assert(want.nonEmpty,
+      "fixture must contain at least one tau collision to make this real")
+  }
+
   private def hoppingCountsTwin(): Unit = {
     import spark.implicits._
     implicit val sc = spark.sqlContext
@@ -398,6 +444,7 @@ class StreamsSpec extends SparkSpec {
   private val twinRunners: Map[String, () => Unit] = Map(
     "hopping_counts" -> (hoppingCountsTwin _),
     "pq_encode" -> (pqEncodeTwin _),
+    "semantic_decontam_guard" -> (semanticDecontamGuardTwin _),
     "delta_dedup_guard" -> (deltaDedupGuardTwin _),
     "ivf_ingest_assign" -> (ivfIngestAssignTwin _),
     "funnel" -> (funnelTwin _),
