@@ -269,6 +269,10 @@ object EmbeddingStats {
     val e = Tables.embeddings(spark, dir)
       .select($"label".cast("long").as("label"),
         $"embedding".cast("array<double>").as("v"))
+    // the centroid table is consumed by FOUR downstream joins; left as
+    // a plan subtree each would re-run the corpus scan + aggregation,
+    // so the |labels|-row result rides the driver instead (v05's
+    // sanctioned stats-collect shape — |labels| x dim doubles)
     val cents = e
       .select($"label", posexplode($"v").as(Seq("dim", "x")))
       .select($"label", $"dim".cast("long").as("dim"),
@@ -281,6 +285,10 @@ object EmbeddingStats {
         transform($"sd",
           t => t.getField("s").cast("double") / 1000000.0 /
             t.getField("n")).as("c"))
+      .collect().toSeq
+      .map(r => (r.getAs[Long]("label"), r.getAs[Long]("n_vecs"),
+        r.getSeq[Double](2)))
+      .toDF("label", "n_vecs", "c")
     val intra = e.join(broadcast(cents.select($"label", $"c")), "label")
       .select($"label", dot($"v", $"c").as("d"),
         nrm($"v").as("nv"), nrm($"c").as("nc"))

@@ -605,11 +605,12 @@ object Similarity {
     val (cents, _) = ivfIndex(spark, dir, TrainedVariant,
       corpusCells(spark, dir))
     val test = e.filter(VecBucket >= graft.pipeline.TextAnalysis.ValMax)
+    // the train table already carries tv — no second join against the
+    // vector store for the candidate side
     topProbes(spark, test, cents).join(s15TrainTable(spark, dir), "cell")
-      .select($"query_id", $"train_id")
+      .select($"query_id", $"train_id", $"tv")
       .join(test.select($"vec_id".as("query_id"), $"v".as("qv")),
         "query_id")
-      .join(e.select($"vec_id".as("train_id"), $"v".as("tv")), "train_id")
       .select($"query_id", $"train_id",
         cosineCol(spark, $"qv", $"tv").as("cosine"))
   }
