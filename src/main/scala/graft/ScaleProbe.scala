@@ -195,7 +195,14 @@ object ScaleProbe {
       "m06" -> SparkEntry.queries("m06_media_clusters"),
       // s14: s07's cell-pruned pair volume (assignment-dominated like
       // s03/s11, ~n^1.5 allowance) + diameter-bounded propagation
-      "s14" -> SparkEntry.queries("s14_semantic_clusters"))
+      "s14" -> SparkEntry.queries("s14_semantic_clusters"),
+      // p20: positional gram table ~token volume through one window
+      // shuffle on the hash; replica vocabularies are disjoint, so
+      // dup-gram volume scales ~R — ~linear
+      "p20" -> SparkEntry.queries("p20_dup_spans"),
+      // s15: the ~5% test split probes nprobe of k=sqrt(n) cells over
+      // the 90% train side — candidate volume ~n^1.5 like s03/s11
+      "s15" -> SparkEntry.queries("s15_semantic_decontam"))
 
     def once(f: (SparkSession, String) => DataFrame, dir: String): Double = {
       val t0 = System.nanoTime()
