@@ -323,6 +323,8 @@ object TextAnalysis {
       contamDocsCache.remove(k).foreach(_.unpersist()))
     winnowFpCache.keys.foreach(k =>
       winnowFpCache.remove(k).foreach(_.unpersist()))
+    dupSpanCache.keys.foreach(k =>
+      dupSpanCache.remove(k).foreach(_.unpersist()))
     bpeRulesCache.clear()
   }
 
@@ -814,6 +816,27 @@ object TextAnalysis {
     */
   def p20DupSpans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    dupSpanIndex(spark, dir).orderBy($"doc_id", $"span_start")
+  }
+
+  /** The duplicated-span table, memoized + persisted per (session,
+    * dir) under the winnowFpIndex policy: p20 presents it and p21
+    * excises with it, and without the memo p21 re-ran the whole gram
+    * sweep (measured 1.60 s vs ~1.2 for p20 alone at sf0.1). A
+    * pipeline materializes spans once per corpus snapshot, not per
+    * consumer.
+    */
+  private def dupSpanIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.getOrBuild(dupSpanCache, (spark, dir)) {
+      dupSpansPlan(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private val dupSpanCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def dupSpansPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     // stage the token array in its OWN projection (the p17 lesson:
     // Catalyst inlines single-use aliases into HOF lambdas and
     // re-evaluates the split per element)
@@ -849,7 +872,44 @@ object TextAnalysis {
         count(lit(1)).as("n_windows"))
       .select($"doc_id", $"span_start", $"span_end", $"n_tokens",
         $"n_windows")
-      .orderBy($"doc_id", $"span_start")
+  }
+
+  /** p21 — dup-span EXCISION: p20's spans APPLIED. Per document, the
+    * token counts before/after cutting every duplicated span and the
+    * md5 of the cleaned token sequence — the edit step of Lee et al.
+    * 2022 (find duplicated substrings, then REMOVE them from the
+    * train set), with the hash standing in for the cleaned text so
+    * the gate verifies the exact edit without shipping strings.
+    *
+    * Scale shape: p20's span table (dup-volume-sized) aggregates to
+    * one small range-list per affected doc and joins the corpus scan
+    * doc-keyed; the cut itself is a per-row indexed `filter` over the
+    * token array (tokens x spans-per-doc comparisons, spans-per-doc
+    * tiny) — text never shuffles.
+    */
+  def p21SpanExcision(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spans = dupSpanIndex(spark, dir)
+      .groupBy($"doc_id")
+      .agg(collect_list(
+        struct($"span_start".as("a"), $"span_end".as("b"))).as("sl"))
+    Tables.documents(spark, dir)
+      .select($"doc_id", toks($"text").as("t"))
+      .join(spans, Seq("doc_id"), "left")
+      .select($"doc_id", $"t",
+        coalesce($"sl", array().cast("array<struct<a:bigint,b:bigint>>"))
+          .as("sl"))
+      // Spark's filter index is 0-based; span positions are 1-based
+      .select($"doc_id", $"t", $"sl",
+        filter($"t", (x, i) => !exists($"sl",
+          r => (i + 1) >= r.getField("a") && (i + 1) <= r.getField("b")))
+          .as("kept"))
+      .select($"doc_id",
+        size($"t").cast("long").as("n_tokens_before"),
+        size($"kept").cast("long").as("n_tokens_kept"),
+        size($"sl").cast("long").as("n_spans"),
+        md5(concat_ws(" ", $"kept").cast("binary")).as("cleaned_md5"))
+      .orderBy($"doc_id")
   }
 
   /** p17's winnowing parameters: token [[WinnowK]]-gram hashes, window
@@ -1042,6 +1102,7 @@ object TextAnalysis {
     "p18_fingerprint_overlap" -> p18FingerprintOverlap _,
     "p19_bpe_encode" -> p19BpeEncode _,
     "p20_dup_spans" -> p20DupSpans _,
+    "p21_span_excision" -> p21SpanExcision _,
     "p16_bpe_merges" -> p16BpeMerges _,
     "p15_lexical_diversity" -> p15LexicalDiversity _,
     "p14_cross_source_leakage" -> p14CrossSourceLeakage _,
@@ -1180,6 +1241,33 @@ object TextAnalysis {
        |   for j in range(1, greatest(m - ${WinnowW - 1}, 1) + 1)]) AS sel
        |  FROM g)""".stripMargin
 
+  /** p20's oracle, named so p21's excision oracle embeds the
+    * identical span derivation.
+    */
+  private lazy val p20Sql: String =
+    s"""WITH tk AS (SELECT doc_id, $TOKS t FROM documents),
+       |gr AS (SELECT doc_id, u.i, md5(array_to_string(
+       |    t[u.i:u.i+${ContamN - 1}], ' ')) AS g
+       |  FROM tk CROSS JOIN LATERAL
+       |    unnest(range(1, len(t) - ${ContamN - 2})) u(i)
+       |  WHERE len(t) >= $ContamN),
+       |dup AS (SELECT g FROM (SELECT DISTINCT g, doc_id FROM gr)
+       |  GROUP BY g HAVING COUNT(*) > 1),
+       |pos AS (SELECT gr.doc_id, gr.i FROM gr JOIN dup USING (g)),
+       |fl AS (SELECT doc_id, i, CASE WHEN
+       |    lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL OR
+       |    i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > $ContamN
+       |  THEN 1 ELSE 0 END AS f FROM pos),
+       |il AS (SELECT doc_id, i,
+       |    SUM(f) OVER (PARTITION BY doc_id ORDER BY i) AS island
+       |  FROM fl)
+       |SELECT doc_id, MIN(i) AS span_start,
+       |  MAX(i) + ${ContamN - 1} AS span_end,
+       |  MAX(i) + ${ContamN - 1} - MIN(i) + 1 AS n_tokens,
+       |  COUNT(*)::BIGINT AS n_windows
+       |FROM il GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "p17_winnowing" ->
       s"""WITH $WinnowCte
@@ -1208,29 +1296,25 @@ object TextAnalysis {
          |ORDER BY a_id, b_id""".stripMargin,
     "p16_bpe_merges" -> bpeSql,
     "p19_bpe_encode" -> bpeEncodeSql,
-    "p20_dup_spans" ->
-      s"""WITH tk AS (SELECT doc_id, $TOKS t FROM documents),
-         |gr AS (SELECT doc_id, u.i, md5(array_to_string(
-         |    t[u.i:u.i+${ContamN - 1}], ' ')) AS g
-         |  FROM tk CROSS JOIN LATERAL
-         |    unnest(range(1, len(t) - ${ContamN - 2})) u(i)
-         |  WHERE len(t) >= $ContamN),
-         |dup AS (SELECT g FROM (SELECT DISTINCT g, doc_id FROM gr)
-         |  GROUP BY g HAVING COUNT(*) > 1),
-         |pos AS (SELECT gr.doc_id, gr.i FROM gr JOIN dup USING (g)),
-         |fl AS (SELECT doc_id, i, CASE WHEN
-         |    lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL OR
-         |    i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > $ContamN
-         |  THEN 1 ELSE 0 END AS f FROM pos),
-         |il AS (SELECT doc_id, i,
-         |    SUM(f) OVER (PARTITION BY doc_id ORDER BY i) AS island
-         |  FROM fl)
-         |SELECT doc_id, MIN(i) AS span_start,
-         |  MAX(i) + ${ContamN - 1} AS span_end,
-         |  MAX(i) + ${ContamN - 1} - MIN(i) + 1 AS n_tokens,
-         |  COUNT(*)::BIGINT AS n_windows
-         |FROM il GROUP BY doc_id, island
-         |ORDER BY doc_id, span_start""".stripMargin,
+    "p20_dup_spans" -> p20Sql,
+    "p21_span_excision" ->
+      s"""WITH spans AS (SELECT doc_id, span_start, span_end
+         |  FROM ($p20Sql)),
+         |tk AS (SELECT doc_id, $TOKS t FROM documents),
+         |sp AS (SELECT doc_id,
+         |    list({'a': span_start, 'b': span_end}) AS sl
+         |  FROM spans GROUP BY doc_id),
+         |j AS (SELECT tk.doc_id, t, COALESCE(sl, []) AS sl
+         |  FROM tk LEFT JOIN sp USING (doc_id)),
+         |k AS (SELECT doc_id, t, sl, list_filter(t, (x, i) ->
+         |    NOT len(list_filter(sl, r -> i >= r.a AND i <= r.b)) > 0)
+         |  AS kept FROM j)
+         |SELECT doc_id, len(t)::BIGINT AS n_tokens_before,
+         |  len(kept)::BIGINT AS n_tokens_kept,
+         |  len(sl)::BIGINT AS n_spans,
+         |  md5(COALESCE(array_to_string(kept, ' '), ''))
+         |    AS cleaned_md5
+         |FROM k ORDER BY doc_id""".stripMargin,
     "p15_lexical_diversity" ->
       s"""WITH tk AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),
          |cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2)

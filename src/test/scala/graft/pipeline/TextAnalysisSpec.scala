@@ -645,5 +645,29 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, 4L, 16L, 13L, 1L), (1L, 27L, 46L, 20L, 8L))
     assert(got.toSeq == expected,
       s"spans diverge: got ${got.toSeq}, want $expected")
+
+    // p21 applies exactly those spans: hand-computed survivors per doc
+    def hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val excised = TextAnalysis.p21SpanExcision(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens_before"), r.getAs[Long]("n_tokens_kept"),
+          r.getAs[Long]("n_spans"), r.getAs[String]("cleaned_md5"))).toMap
+    val allToks = docs.map { case (id, text) => id -> text.split(" ").toSeq }
+      .toMap
+    val spansBy = expected.groupBy(_._1)
+    docs.foreach { case (id, _) =>
+      val t = allToks(id)
+      val cut = spansBy.getOrElse(id, Seq()).map(s => (s._2, s._3))
+      val kept = t.zipWithIndex.collect {
+        case (tok, i0) if !cut.exists(c => i0 + 1 >= c._1 && i0 + 1 <= c._2) =>
+          tok
+      }
+      val (b, k, ns, m) = excised(id)
+      assert(b == t.length && k == kept.length && ns == cut.length,
+        s"doc $id counts: got ($b,$k,$ns), want (${t.length},${kept.length},${cut.length})")
+      assert(m == hex(kept.mkString(" ")), s"doc $id cleaned md5 diverges")
+    }
   }
 }
