@@ -202,7 +202,11 @@ object ScaleProbe {
       "p20" -> SparkEntry.queries("p20_dup_spans"),
       // s15: the ~5% test split probes nprobe of k=sqrt(n) cells over
       // the 90% train side — candidate volume ~n^1.5 like s03/s11
-      "s15" -> SparkEntry.queries("s15_semantic_decontam"))
+      "s15" -> SparkEntry.queries("s15_semantic_decontam"),
+      // s16: fixed query set; candidate code-rows (nprobe/k)·n per
+      // query, but the trained-assignment build is n·sqrt(n) cosines
+      // — allow ~n^1.5 like s03/s11
+      "s16" -> SparkEntry.queries("s16_ivfpq_search"))
 
     def once(f: (SparkSession, String) => DataFrame, dir: String): Double = {
       val t0 = System.nanoTime()

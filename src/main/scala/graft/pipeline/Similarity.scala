@@ -808,6 +808,52 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** s16 — IVF-PQ search: the two index halves COMBINED, exactly the
+    * production FAISS `IndexIVFPQ` shape. s02 prunes candidates with
+    * the coarse IVF (nprobe of k cells) but scores full-precision
+    * vectors; s13 scores 8-byte PQ codes but scans EVERY code. s16
+    * does both: candidates come from the probed cells, and only those
+    * candidates' stored codes are scored by the broadcast per-query
+    * distance tables — (nprobe/k)·n code-rows per query, 8 integer
+    * adds each, vectors never read. At 100 TB this is the ANN
+    * configuration that actually ships: the coarse quantizer bounds
+    * the scan, PQ bounds the bytes.
+    *
+    * Determinism is s13's: per-subspace distances floor-micro-
+    * quantized before the commuting integer sum; ties break to the
+    * smaller neighbor id.
+    */
+  def s16IvfPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    val (ivfCents, assign) = ivfIndex(spark, dir, TrainedVariant,
+      corpusCells(spark, dir))
+    val (pqCents, codes) = pqIndex(spark, dir)
+    val q = e.filter($"vec_id" < NumQueries)
+    val cand = topProbes(spark, q, ivfCents).join(assign, "cell")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"))
+    val dt = subVectors(spark, dir).filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"sub", $"x")
+      .join(broadcast(pqCents), "sub")
+      .select($"query_id", $"sub", $"cid",
+        floor(sqDist($"x", $"cv") * 1000000L).cast("long").as("dm"))
+    val adc = cand.as("c")
+      .join(codes.select($"vec_id".as("neighbor_id"), $"sub".as("ksub"),
+        $"code"), "neighbor_id")
+      .join(broadcast(dt.as("d")),
+        $"c.query_id" === $"d.query_id" && $"ksub" === $"d.sub" &&
+          $"code" === $"d.cid")
+      .select($"c.query_id".as("query_id"), $"neighbor_id", $"dm")
+      .groupBy($"query_id", $"neighbor_id")
+      .agg(sum($"dm").as("adc_micro"))
+    adc.withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id")
+          .orderBy($"adc_micro", $"neighbor_id")).cast("long"))
+      .filter($"rank" <= TopK)
+      .orderBy($"query_id", $"rank")
+  }
+
   /** s06 — IVF cell-occupancy profile over the trained (s04) index:
     * vectors and candidate-pair volume per cell. This is the monitor
     * for s03's residual hotspot — a corpus-wide IVF knn-join pays
@@ -1093,6 +1139,7 @@ object Similarity {
     "s13_pq_adc" -> s13PqAdc _,
     "s14_semantic_clusters" -> s14SemanticClusters _,
     "s15_semantic_decontam" -> s15SemanticDecontam _,
+    "s16_ivfpq_search" -> s16IvfPqSearch _,
   )
 
   /** Inline sequential-fold cosine over two vector SQL expressions
@@ -1155,10 +1202,15 @@ object Similarity {
     * (vec_id, sub, code, dist)) — shared by the s12 and s13 oracles
     * exactly as [[pqIndex]] feeds both Spark sides.
     */
-  private lazy val pqCteChain: String = {
+  private lazy val pqCteChain: String = s"$VecCte,\n$pqCtesAfterVec"
+
+  /** The PQ training + encode chain WITHOUT the leading vector CTE —
+    * composable after [[ivfCandCtes]] (which already defines `n`) for
+    * s16's combined IVF-PQ oracle.
+    */
+  private lazy val pqCtesAfterVec: String = {
     val sb = new StringBuilder(
-      s"""$VecCte,
-         |sv AS (SELECT vec_id, s AS sub,
+      s"""sv AS (SELECT vec_id, s AS sub,
          |  v[(s*$PqSubDim+1):(s*$PqSubDim+$PqSubDim)] AS x
          |  FROM n, unnest(range($PqSubspaces)) t(s)),
          |c0 AS (SELECT sub, vec_id AS cid, x AS cv FROM sv
@@ -1246,6 +1298,26 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "s12_pq_profile" -> s12Sql,
     "s13_pq_adc" -> s13Sql,
+    "s16_ivfpq_search" ->
+      s"""WITH ${ivfCandCtes(s"WHERE vec_id < $NumQueries",
+            s"SELECT cid, cv FROM cents$KmeansIters",
+            kmeansCtes(KmeansIters))},
+         |$pqCtesAfterVec,
+         |qsv AS (SELECT vec_id AS query_id, sub, x FROM sv
+         |  WHERE vec_id < $NumQueries),
+         |dtab AS (SELECT q2.query_id, q2.sub, c.cid,
+         |    CAST(floor(${pqSqd("q2.x", "c.cv")} * 1000000) AS BIGINT) dm
+         |  FROM qsv q2 JOIN c$PqIters c ON c.sub = q2.sub),
+         |adc AS (SELECT d.query_id, k.vec_id AS neighbor_id,
+         |    CAST(SUM(d.dm) AS BIGINT) adc_micro
+         |  FROM cand x JOIN codes k ON k.vec_id = x.neighbor_id
+         |    JOIN dtab d ON d.query_id = x.query_id
+         |      AND d.sub = k.sub AND d.cid = k.code
+         |  GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, adc_micro, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_micro, neighbor_id) AS rank FROM adc)
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
     "s15_semantic_decontam" ->
       s"""WITH ${ivfCandCtes(
             s"WHERE ${bucketSql("vec_id")} >= ${TextAnalysis.ValMax}",

@@ -211,6 +211,43 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s16 scores candidates with s13's exact metric and can only lose, never beat, the full scan") {
+    val full = Similarity.s13PqAdc(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Long]("adc_micro")).toMap
+    val ivfpq = Similarity.s16IvfPqSearch(spark, sfDir).collect()
+    assert(ivfpq.nonEmpty)
+    // same metric: any (query, neighbor) present in both rankings must
+    // carry the identical micro-quantized ADC distance
+    var shared = 0
+    ivfpq.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      full.get(key).foreach { dm =>
+        shared += 1
+        assert(r.getAs[Long]("adc_micro") == dm,
+          s"$key scores differently under IVF-PQ vs full PQ scan")
+      }
+    }
+    assert(shared > 0, "no overlap with the full scan — probes look broken")
+    ivfpq.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to rs.length).toSeq, s"query $q ranks not contiguous")
+      assert(rs.length <= 10)
+      assert(sorted.map(r => (r.getAs[Long]("adc_micro"),
+        r.getAs[Long]("neighbor_id"))).toSeq ==
+        sorted.map(r => (r.getAs[Long]("adc_micro"),
+          r.getAs[Long]("neighbor_id"))).sortBy(identity).toSeq,
+        s"query $q not ordered by (adc, neighbor)")
+      // pruning can only LOSE the global best (strictly better adc
+      // exists outside the probed cells), never invent a better one
+      val fullBest = full.collect { case ((fq, _), dm) if fq == q => dm }
+      if (fullBest.nonEmpty)
+        assert(sorted.head.getAs[Long]("adc_micro") >= fullBest.min,
+          s"query $q: IVF-PQ found a distance below the full scan's best")
+    }
+  }
+
   test("s15 accounts for every test vector; matches are train-split; verdict = tau cut") {
     import spark.implicits._
     val rows = Similarity.s15SemanticDecontam(spark, sfDir).collect()
