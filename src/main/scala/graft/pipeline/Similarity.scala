@@ -854,6 +854,29 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** s17 — IVF-PQ recall profile: per query, s16's top-k overlap with
+    * s01's exact scan — s05's acceptance eval applied to the
+    * COMPRESSED serving path. s05 answers "is nprobe enough?"; this
+    * answers the question that actually gates a PQ rollout: "do the
+    * 8-byte codes still retrieve the true neighbors?" — recall lost
+    * HERE is quantization error (per-subspace distortion, s12's
+    * err_micro), not probe shortfall, and the two evals separate the
+    * causes. Reads the memoized exact artifact like s05.
+    */
+  def s17IvfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = exactTopK(spark, dir).select($"query_id", $"neighbor_id")
+    val approx = s16IvfPqSearch(spark, dir)
+      .select($"query_id", $"neighbor_id")
+    val ov = exact.intersect(approx)
+      .groupBy($"query_id").agg(count(lit(1)).as("n_overlap"))
+    exact.groupBy($"query_id").agg(count(lit(1)).as("n_exact"))
+      .join(ov, Seq("query_id"), "left")
+      .select($"query_id", $"n_exact",
+        coalesce($"n_overlap", lit(0L)).as("n_overlap"))
+      .orderBy($"query_id")
+  }
+
   /** s06 — IVF cell-occupancy profile over the trained (s04) index:
     * vectors and candidate-pair volume per cell. This is the monitor
     * for s03's residual hotspot — a corpus-wide IVF knn-join pays
@@ -1140,6 +1163,7 @@ object Similarity {
     "s14_semantic_clusters" -> s14SemanticClusters _,
     "s15_semantic_decontam" -> s15SemanticDecontam _,
     "s16_ivfpq_search" -> s16IvfPqSearch _,
+    "s17_ivfpq_recall" -> s17IvfPqRecall _,
   )
 
   /** Inline sequential-fold cosine over two vector SQL expressions
@@ -1275,6 +1299,30 @@ object Similarity {
   /** s07's oracle SQL, named so the s14 cluster oracle can embed
     * the identical pair derivation.
     */
+  /** s16's oracle, named so the s17 recall oracle embeds the
+    * identical IVF-PQ ranking.
+    */
+  private lazy val s16Sql: String =
+    s"""WITH ${ivfCandCtes(s"WHERE vec_id < $NumQueries",
+          s"SELECT cid, cv FROM cents$KmeansIters",
+          kmeansCtes(KmeansIters))},
+       |$pqCtesAfterVec,
+       |qsv AS (SELECT vec_id AS query_id, sub, x FROM sv
+       |  WHERE vec_id < $NumQueries),
+       |dtab AS (SELECT q2.query_id, q2.sub, c.cid,
+       |    CAST(floor(${pqSqd("q2.x", "c.cv")} * 1000000) AS BIGINT) dm
+       |  FROM qsv q2 JOIN c$PqIters c ON c.sub = q2.sub),
+       |adc AS (SELECT d.query_id, k.vec_id AS neighbor_id,
+       |    CAST(SUM(d.dm) AS BIGINT) adc_micro
+       |  FROM cand x JOIN codes k ON k.vec_id = x.neighbor_id
+       |    JOIN dtab d ON d.query_id = x.query_id
+       |      AND d.sub = k.sub AND d.cid = k.code
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, adc_micro, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_micro, neighbor_id) AS rank FROM adc)
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
   private lazy val s07Sql: String =
     s"""WITH $VecCte,
          |$CellsCte,
@@ -1298,26 +1346,17 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "s12_pq_profile" -> s12Sql,
     "s13_pq_adc" -> s13Sql,
-    "s16_ivfpq_search" ->
-      s"""WITH ${ivfCandCtes(s"WHERE vec_id < $NumQueries",
-            s"SELECT cid, cv FROM cents$KmeansIters",
-            kmeansCtes(KmeansIters))},
-         |$pqCtesAfterVec,
-         |qsv AS (SELECT vec_id AS query_id, sub, x FROM sv
-         |  WHERE vec_id < $NumQueries),
-         |dtab AS (SELECT q2.query_id, q2.sub, c.cid,
-         |    CAST(floor(${pqSqd("q2.x", "c.cv")} * 1000000) AS BIGINT) dm
-         |  FROM qsv q2 JOIN c$PqIters c ON c.sub = q2.sub),
-         |adc AS (SELECT d.query_id, k.vec_id AS neighbor_id,
-         |    CAST(SUM(d.dm) AS BIGINT) adc_micro
-         |  FROM cand x JOIN codes k ON k.vec_id = x.neighbor_id
-         |    JOIN dtab d ON d.query_id = x.query_id
-         |      AND d.sub = k.sub AND d.cid = k.code
-         |  GROUP BY 1, 2)
-         |SELECT query_id, neighbor_id, adc_micro, rank FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY adc_micro, neighbor_id) AS rank FROM adc)
-         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    "s16_ivfpq_search" -> s16Sql,
+    "s17_ivfpq_recall" ->
+      s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($s01Sql)),
+         |approx AS (SELECT query_id, neighbor_id FROM ($s16Sql)),
+         |ov AS (SELECT query_id, count(*) n_overlap FROM
+         |  (SELECT * FROM exact INTERSECT SELECT * FROM approx)
+         |  GROUP BY query_id)
+         |SELECT e.query_id, count(*) AS n_exact,
+         |  coalesce(min(ov.n_overlap), 0) AS n_overlap
+         |FROM exact e LEFT JOIN ov ON ov.query_id = e.query_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
     "s15_semantic_decontam" ->
       s"""WITH ${ivfCandCtes(
             s"WHERE ${bucketSql("vec_id")} >= ${TextAnalysis.ValMax}",

@@ -248,6 +248,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s17 recall equals the driver-computed s01/s16 overlap, one row per query") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val exact = pairs(Similarity.s01KnnBruteForce(spark, sfDir))
+    val approx = pairs(Similarity.s16IvfPqSearch(spark, sfDir))
+    val got = Similarity.s17IvfPqRecall(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("n_overlap"))).toMap
+    assert(got.keySet == exact.map(_._1),
+      "one recall row per exact query, no more, no fewer")
+    got.foreach { case (q, (ne, no)) =>
+      assert(ne == exact.count(_._1 == q), s"query $q n_exact")
+      assert(no == (exact & approx).count(_._1 == q), s"query $q n_overlap")
+    }
+  }
+
   test("s15 accounts for every test vector; matches are train-split; verdict = tau cut") {
     import spark.implicits._
     val rows = Similarity.s15SemanticDecontam(spark, sfDir).collect()
