@@ -836,6 +836,41 @@ object Dedup {
       .filter($"id" =!= $"label").select($"id".as("doc_id"))
   }
 
+  /** d10 — keep-LONGEST survivor selection: per d06 cluster, the
+    * member a production pipeline would actually keep. d06's keep
+    * flag marks the lowest doc_id (the deterministic default); the
+    * published cleaning pipelines (C4, RefinedWeb, CCNet) keep the
+    * longest duplicate instead — the copy most likely to be the
+    * complete original rather than a truncated scrape. One row per
+    * cluster: the (n_tokens desc, doc_id) argmax, the member count,
+    * and whether the policy agrees with d06's min-id choice — the
+    * disagreement column is what a migration between policies
+    * reviews.
+    *
+    * Scale shape: reads the durable cluster artifact (never re-runs
+    * propagation), joins per-doc token counts doc-keyed, and the
+    * window + groupBy share one cluster_id shuffle.
+    */
+  def d10LongestSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nt = Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(TextAnalysis.toks($"text")).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster_id").orderBy($"n_tokens".desc, $"doc_id")
+    clusterLabels(spark, dir)
+      .select($"label".as("cluster_id"), $"id".as("doc_id"))
+      .join(nt, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(when($"rn" === 1, $"doc_id")).as("survivor_doc_id"),
+        max(when($"rn" === 1, $"n_tokens")).as("survivor_n_tokens"))
+      .withColumn("same_as_min_id",
+        when($"survivor_doc_id" === $"cluster_id", 1L).otherwise(0L))
+      .orderBy($"cluster_id")
+  }
+
   /** Distributed min-label propagation over the stored d03 pairs;
     * returns the converged, persisted (id, label) table.
     *
@@ -1018,6 +1053,7 @@ object Dedup {
     "d04_simhash_pairs" -> d04SimhashPairs _,
     "d05_embedding_neardup" -> d05EmbeddingNearDup _,
     "d06_neardup_clusters" -> d06NeardupClusters _,
+    "d10_longest_survivors" -> d10LongestSurvivors _,
   )
 
   // Shared oracle CTEs (DuckDB SQL mirroring the Spark expressions).
@@ -1088,7 +1124,50 @@ object Dedup {
         s"(sig >> ${b * PlaneBits}) & ${(1L << PlaneBits) - 1} AS bv FROM sig"
     }.mkString(" UNION ALL ")
 
+  /** d06's oracle, named so d10's survivor oracle embeds the
+    * identical transitive closure.
+    */
+  private lazy val d06Sql: String =
+    s"""WITH RECURSIVE $ShingleCte,
+       |sig AS ($minhashSigSql),
+       |bands AS ($minhashBandsSql),
+       |cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |pairs AS (SELECT c.a_id, c.b_id, count(*) inter
+       |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+       |              JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2),
+       |dup AS (SELECT a_id, b_id FROM pairs
+       |  JOIN sizes za ON a_id = za.doc_id
+       |  JOIN sizes zb ON b_id = zb.doc_id
+       |  WHERE inter * 5 >= (za.n + zb.n - inter) * 4),
+       |edges AS (SELECT a_id s, b_id d FROM dup
+       |          UNION ALL SELECT b_id, a_id FROM dup),
+       |reach(id, lab) AS (
+       |  SELECT DISTINCT s, s FROM edges
+       |  UNION
+       |  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id)
+       |SELECT min(lab) AS cluster_id, id AS doc_id,
+       |  (CASE WHEN min(lab) = id THEN 1 ELSE 0 END)::BIGINT AS keep
+       |FROM reach GROUP BY id ORDER BY cluster_id, doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "d10_longest_survivors" ->
+      raw"""WITH cl AS (SELECT cluster_id, doc_id FROM
+         |  ($d06Sql)),
+         |nt AS (SELECT doc_id,
+         |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n
+         |  FROM documents),
+         |r AS (SELECT cl.cluster_id, cl.doc_id, nt.n, row_number() OVER (
+         |    PARTITION BY cl.cluster_id ORDER BY nt.n DESC, cl.doc_id) rn
+         |  FROM cl JOIN nt USING (doc_id))
+         |SELECT cluster_id, COUNT(*) AS n_members,
+         |  MAX(CASE WHEN rn = 1 THEN doc_id END) AS survivor_doc_id,
+         |  MAX(CASE WHEN rn = 1 THEN n END) AS survivor_n_tokens,
+         |  CAST(CASE WHEN MAX(CASE WHEN rn = 1 THEN doc_id END) = cluster_id
+         |    THEN 1 ELSE 0 END AS BIGINT) AS same_as_min_id
+         |FROM r GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT source, COUNT(*) AS n_docs,
         | COUNT(DISTINCT md5(text)) AS n_uniq_texts,
@@ -1217,30 +1296,7 @@ object Dedup {
          |FROM simhash a JOIN simhash b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sim, b.sim)) <= 3
          |ORDER BY a_id, b_id""".stripMargin,
-    "d06_neardup_clusters" ->
-      s"""WITH RECURSIVE $ShingleCte,
-         |sig AS ($minhashSigSql),
-         |bands AS ($minhashBandsSql),
-         |cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
-         |pairs AS (SELECT c.a_id, c.b_id, count(*) inter
-         |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
-         |              JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
-         |  GROUP BY 1, 2),
-         |dup AS (SELECT a_id, b_id FROM pairs
-         |  JOIN sizes za ON a_id = za.doc_id
-         |  JOIN sizes zb ON b_id = zb.doc_id
-         |  WHERE inter * 5 >= (za.n + zb.n - inter) * 4),
-         |edges AS (SELECT a_id s, b_id d FROM dup
-         |          UNION ALL SELECT b_id, a_id FROM dup),
-         |reach(id, lab) AS (
-         |  SELECT DISTINCT s, s FROM edges
-         |  UNION
-         |  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id)
-         |SELECT min(lab) AS cluster_id, id AS doc_id,
-         |  (CASE WHEN min(lab) = id THEN 1 ELSE 0 END)::BIGINT AS keep
-         |FROM reach GROUP BY id ORDER BY cluster_id, doc_id""".stripMargin,
+    "d06_neardup_clusters" -> d06Sql,
     "d05_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
          |n AS (SELECT vec_id, v,

@@ -283,4 +283,28 @@ class DedupSpec extends SparkSpec {
         s"d03 pair ($a,$b) not reflected in d08's verdict for $batchDoc")
     }
   }
+
+  test("d10 picks each cluster's true longest member, flagging policy disagreements") {
+    import spark.implicits._
+    val ntok = graft.Tables.documents(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").trim.split("\\s+").length.toLong).toMap
+    val members = Dedup.d06NeardupClusters(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("doc_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val got = Dedup.d10LongestSurvivors(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("survivor_doc_id"),
+          r.getAs[Long]("survivor_n_tokens"), r.getAs[Long]("same_as_min_id")))
+      .toMap
+    assert(got.keySet == members.keySet, "one row per d06 cluster")
+    got.foreach { case (c, (n, sid, stok, same)) =>
+      val ms = members(c)
+      assert(n == ms.length, s"cluster $c member count")
+      val want = ms.sortBy(d => (-ntok(d), d)).head
+      assert(sid == want && stok == ntok(want),
+        s"cluster $c survivor: got $sid, want $want")
+      assert((same == 1L) == (sid == c), s"cluster $c disagreement flag")
+    }
+  }
 }
