@@ -206,7 +206,12 @@ object ScaleProbe {
       // s16: fixed query set; candidate code-rows (nprobe/k)·n per
       // query, but the trained-assignment build is n·sqrt(n) cosines
       // — allow ~n^1.5 like s03/s11
-      "s16" -> SparkEntry.queries("s16_ivfpq_search"))
+      "s16" -> SparkEntry.queries("s16_ivfpq_search"),
+      // d10: cluster-artifact read + doc-keyed token-count join + one
+      // cluster_id window/agg; cluster rows and the token scan both
+      // scale ~R (replica components are copies of the base's) —
+      // ~linear, dominated by the documents scan
+      "d10" -> SparkEntry.queries("d10_longest_survivors"))
 
     def once(f: (SparkSession, String) => DataFrame, dir: String): Double = {
       val t0 = System.nanoTime()

@@ -871,6 +871,41 @@ object Dedup {
       .orderBy($"cluster_id")
   }
 
+  /** d11 — the detector-overlap audit: which near-dup detector is
+    * load-bearing. A production pipeline typically ships ONE detector
+    * and assumes coverage; this audit takes every verified pair from
+    * the three lexical detectors — exact 3-gram Jaccard over the
+    * df-capped index (d02, the reference), MinHash/LSH's banded
+    * estimate (d03), and SimHash's 56-bit pigeonhole (d04) — and
+    * counts pairs by WHICH subset of detectors caught them. Rows
+    * where the reference flag is set but a detector's is not are that
+    * detector's recall gaps; detector-only rows are its spurious
+    * catches. This is the ensemble evaluation that justifies (or
+    * retires) each detector — d07 prices MinHash's estimator
+    * pair-by-pair; d11 prices the detector LINEUP.
+    *
+    * Scale shape: each detector's verified pair set is dup-fraction
+    * sized (orders of magnitude below the corpus); the union flows
+    * through one pair-keyed aggregation and collapses to at most
+    * seven rows map-side. The detectors' own memoized ingest
+    * artifacts (shingle index, band tables) are reused, not rebuilt.
+    */
+  def d11DetectorOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def flagged(df: DataFrame, fn: Long, fm: Long, fs: Long): DataFrame =
+      df.select($"a_id", $"b_id",
+        lit(fn).as("fn"), lit(fm).as("fm"), lit(fs).as("fs"))
+    flagged(d02NgramJaccardPairs(spark, dir), 1L, 0L, 0L)
+      .unionAll(flagged(d03MinhashLshPairs(spark, dir), 0L, 1L, 0L))
+      .unionAll(flagged(d04SimhashPairs(spark, dir), 0L, 0L, 1L))
+      .groupBy($"a_id", $"b_id")
+      .agg(max($"fn").as("in_ngram"), max($"fm").as("in_minhash"),
+        max($"fs").as("in_simhash"))
+      .groupBy($"in_ngram", $"in_minhash", $"in_simhash")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"in_ngram", $"in_minhash", $"in_simhash")
+  }
+
   /** Distributed min-label propagation over the stored d03 pairs;
     * returns the converged, persisted (id, label) table.
     *
@@ -1054,6 +1089,7 @@ object Dedup {
     "d05_embedding_neardup" -> d05EmbeddingNearDup _,
     "d06_neardup_clusters" -> d06NeardupClusters _,
     "d10_longest_survivors" -> d10LongestSurvivors _,
+    "d11_detector_overlap" -> d11DetectorOverlap _,
   )
 
   // Shared oracle CTEs (DuckDB SQL mirroring the Spark expressions).
@@ -1153,6 +1189,51 @@ object Dedup {
        |FROM reach GROUP BY id ORDER BY cluster_id, doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // one WITH chain computes all three detectors' verified pair sets
+    // from the same shared CTE building blocks the individual oracles
+    // use (shingles + df cap for d02, minhash sig/bands for d03, the
+    // simhash CTE for d04 — their CTE names are disjoint), then
+    // overlays them exactly as the engine's union + max-flag agg does
+    "d11_detector_overlap" ->
+      s"""WITH $ShingleCte,
+         |capped AS (SELECT doc_id, shingle FROM sh
+         |  WHERE shingle IN (SELECT shingle FROM sh
+         |                    GROUP BY shingle HAVING count(*) <= $ShingleDfCap)),
+         |csizes AS (SELECT doc_id, count(*) n FROM capped GROUP BY doc_id),
+         |np AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) inter
+         |  FROM capped a JOIN capped b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |ng AS (SELECT a_id, b_id FROM np
+         |  JOIN csizes sa ON a_id = sa.doc_id
+         |  JOIN csizes sb ON b_id = sb.doc_id
+         |  WHERE inter * 5 >= (sa.n + sb.n - inter) * 4),
+         |sig AS ($minhashSigSql),
+         |bands AS ($minhashBandsSql),
+         |cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |mp AS (SELECT c.a_id, c.b_id, count(*) inter
+         |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+         |              JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2),
+         |mh AS (SELECT a_id, b_id FROM mp
+         |  JOIN sizes za ON a_id = za.doc_id
+         |  JOIN sizes zb ON b_id = zb.doc_id
+         |  WHERE inter * 5 >= (za.n + zb.n - inter) * 4),
+         |$simhashCte,
+         |sp AS (SELECT a.doc_id a_id, b.doc_id b_id
+         |  FROM simhash a JOIN simhash b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sim, b.sim)) <= 3),
+         |u AS (SELECT a_id, b_id, 1 AS fn, 0 AS fm, 0 AS fs FROM ng
+         |  UNION ALL SELECT a_id, b_id, 0, 1, 0 FROM mh
+         |  UNION ALL SELECT a_id, b_id, 0, 0, 1 FROM sp),
+         |g AS (SELECT a_id, b_id, MAX(fn) fn, MAX(fm) fm, MAX(fs) fs
+         |  FROM u GROUP BY 1, 2)
+         |SELECT fn::BIGINT AS in_ngram, fm::BIGINT AS in_minhash,
+         |  fs::BIGINT AS in_simhash, COUNT(*)::BIGINT AS n_pairs
+         |FROM g GROUP BY 1, 2, 3
+         |ORDER BY in_ngram, in_minhash, in_simhash""".stripMargin,
     "d10_longest_survivors" ->
       raw"""WITH cl AS (SELECT cluster_id, doc_id FROM
          |  ($d06Sql)),

@@ -206,6 +206,89 @@ object Export {
       .orderBy($"lang")
   }
 
+  /** x09's repeat-value horizon: epochs past this cap contribute
+    * nothing (the published data-constrained scaling result — value
+    * of repeated data decays rapidly and is ~exhausted by the mid
+    * teens of epochs; Muennighoff et al., NeurIPS 2023). A plan that
+    * needs more than [[EpochCap]] passes over a stratum is marked
+    * saturated: its budget share cannot be usefully filled from that
+    * stratum's unique data.
+    */
+  val EpochCap = 16L
+
+  /** x09's total training budget, as a multiple of the corpus's
+    * unique published train tokens — 4x forces multi-epoch planning
+    * on every stratum (the data-constrained regime the plan exists
+    * for) while keeping all shift arithmetic far inside 63 bits.
+    */
+  val BudgetMultiple = 4L
+
+  /** x09 — the data-constrained epoch plan: given a training token
+    * budget of [[BudgetMultiple]] x the corpus's unique published
+    * train tokens, split across language strata by x04's mixture
+    * parts, how many PASSES over each stratum's unique data the run
+    * needs, and what those repeated tokens are actually worth.
+    * Repeating data is the defining move of data-constrained
+    * pretraining (Muennighoff et al. 2023: repeated epochs carry
+    * rapidly diminishing value), so the plan prices each stratum's
+    * budget share under a geometric half-value surrogate of the
+    * paper's fitted decay — epoch k of unique mass U contributes
+    * U >> (k-1) effective tokens (exact BIGINT shifts, so both
+    * engines agree bit-for-bit; the fitted exponential would drag
+    * transcendentals into the hash gate for no planning insight).
+    * Per stratum: unique tokens, budget share (integer parts of the
+    * 6:1 recipe), exact epochs needed (ceil), epochs planned under
+    * [[EpochCap]], plannable tokens, their effective value, and the
+    * saturation flag — the column a mixture designer reads to see
+    * which stratum's data shortage caps the whole run.
+    *
+    * Scale shape: the corpus reduces to ONE row per language stratum
+    * (map-side collapse over the x02 manifest join), the corpus
+    * totals arrive as a broadcast one-row frame (the Bm25-stats
+    * pattern), and every budget/epoch/value column is row-local
+    * BIGINT arithmetic on that stats-sized frame — the plan costs
+    * one manifest pass at any corpus size.
+    */
+  def x09EpochPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lang = Tables.documents(spark, dir).select($"doc_id", $"lang")
+    // a stratum with zero published train tokens cannot participate
+    // in an epoch plan (no unique data to repeat) — dropped, not
+    // divided by
+    val uniq = x02DecontaminatedExport(spark, dir)
+      .filter($"split" === "train")
+      .join(lang, "doc_id")
+      .groupBy($"lang").agg(sum($"n_tokens").as("n_tokens_unique"))
+      .filter($"n_tokens_unique" > 0L)
+      .withColumn("parts", mixtureParts($"lang"))
+    val tot = uniq.agg(sum($"n_tokens_unique").as("tu"),
+      sum($"parts").as("tp"))
+    uniq.crossJoin(broadcast(tot))
+      .withColumn("budget_tokens",
+        expr(s"($BudgetMultiple * tu * parts) div tp"))
+      .withColumn("f", expr("budget_tokens div n_tokens_unique"))
+      .withColumn("r", $"budget_tokens" - $"f" * $"n_tokens_unique")
+      .withColumn("epochs_needed",
+        $"f" + when($"r" > 0L, 1L).otherwise(0L))
+      // sequence() only under f >= 1 (Spark's sequence(1, 0) DESCENDS
+      // where the oracle's range(1, 1) is empty)
+      .withColumn("eff_full", when($"f" >= 1L, expr(
+        s"aggregate(sequence(1L, least(f, $EpochCap)), 0L, " +
+          "(acc, k) -> acc + shiftright(n_tokens_unique, cast(k - 1 as int)))"))
+        .otherwise(0L))
+      .select($"lang", $"parts", $"n_tokens_unique", $"budget_tokens",
+        $"epochs_needed",
+        least($"epochs_needed", lit(EpochCap)).as("epochs_planned"),
+        least($"budget_tokens", lit(EpochCap) * $"n_tokens_unique")
+          .as("planned_tokens"),
+        ($"eff_full" + when($"f" < EpochCap,
+          expr("shiftright(r, cast(f as int))")).otherwise(0L))
+          .as("effective_tokens"),
+        when($"budget_tokens" > lit(EpochCap) * $"n_tokens_unique", 1L)
+          .otherwise(0L).as("saturated"))
+      .orderBy($"lang")
+  }
+
   /** Blocks per training shard file — with [[BlockTokens]] = 2048 this
     * is 8 x 2048 = 16Ki tokens per shard. Production deployments shard
     * far coarser (the parameter is a free knob; the manifest math is
@@ -359,6 +442,7 @@ object Export {
     "x05_mixture_sample" -> x05MixtureSample _,
     "x06_shard_manifest" -> x06ShardManifest _,
     "x08_epoch_shuffle" -> x08EpochShuffle _,
+    "x09_epoch_plan" -> x09EpochPlan _,
   )
 
   /** The oracle composes the published d06 clustering SQL as a
@@ -491,6 +575,40 @@ object Export {
          |     SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c
          |    FROM (${exportSql(decontamWhere)}) WHERE split = 'train'))
          |GROUP BY 1 ORDER BY shard_id""".stripMargin,
+    // the same publishable manifest reduced to per-stratum unique
+    // token mass; budget, epoch, and geometric-value math mirror the
+    // engine's BIGINT div/shift expressions exactly (DuckDB's
+    // range(1, n+1) and COALESCE stand in for Spark's guarded
+    // sequence + aggregate)
+    "x09_epoch_plan" ->
+      s"""WITH man AS (${exportSql(decontamWhere)}),
+         |uq AS (SELECT d.lang AS lang, SUM(m.n_tokens)::BIGINT AS u,
+         |    (CASE WHEN d.lang = 'en' THEN 6 ELSE 1 END)::BIGINT AS parts
+         |  FROM man m JOIN documents d USING (doc_id)
+         |  WHERE m.split = 'train'
+         |  GROUP BY d.lang HAVING SUM(m.n_tokens) > 0),
+         |t AS (SELECT SUM(u)::BIGINT AS tu, SUM(parts)::BIGINT AS tp
+         |  FROM uq),
+         |b AS (SELECT uq.lang, uq.u, uq.parts,
+         |    (($BudgetMultiple * t.tu * uq.parts) // t.tp)::BIGINT
+         |      AS budget
+         |  FROM uq, t),
+         |c AS (SELECT lang, u, parts, budget,
+         |    (budget // u)::BIGINT AS f, (budget % u)::BIGINT AS r
+         |  FROM b)
+         |SELECT lang, parts, u AS n_tokens_unique, budget AS budget_tokens,
+         |  (f + CASE WHEN r > 0 THEN 1 ELSE 0 END)::BIGINT AS epochs_needed,
+         |  LEAST(f + CASE WHEN r > 0 THEN 1 ELSE 0 END, $EpochCap)::BIGINT
+         |    AS epochs_planned,
+         |  LEAST(budget, $EpochCap * u)::BIGINT AS planned_tokens,
+         |  (COALESCE(CASE WHEN f >= 1 THEN list_sum(list_transform(
+         |      range(1, LEAST(f, $EpochCap) + 1), k -> u >> (k - 1))) END,
+         |    0)
+         |   + CASE WHEN f < $EpochCap THEN r >> f ELSE 0 END)::BIGINT
+         |    AS effective_tokens,
+         |  (CASE WHEN budget > $EpochCap * u THEN 1 ELSE 0 END)::BIGINT
+         |    AS saturated
+         |FROM c ORDER BY lang""".stripMargin,
     // blocks never move: the shuffle is a rank over md5(epoch:block)
     "x08_epoch_shuffle" ->
       s"""WITH man AS (${exportSql(decontamWhere)}),

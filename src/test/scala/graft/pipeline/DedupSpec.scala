@@ -284,6 +284,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d11 overlays the three lexical detectors' verified pair sets exactly") {
+    import spark.implicits._
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect()
+        .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val ng = pairSet(Dedup.d02NgramJaccardPairs(spark, sfDir))
+    val mh = pairSet(Dedup.d03MinhashLshPairs(spark, sfDir))
+    val sh = pairSet(Dedup.d04SimhashPairs(spark, sfDir))
+    val want = (ng ++ mh ++ sh).toSeq
+      .map(p => (if (ng(p)) 1L else 0L, if (mh(p)) 1L else 0L,
+        if (sh(p)) 1L else 0L))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Dedup.d11DetectorOverlap(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("in_ngram"), r.getAs[Long]("in_minhash"),
+        r.getAs[Long]("in_simhash")) -> r.getAs[Long]("n_pairs")).toMap
+    assert(got == want, s"overlap matrix: $got != $want")
+    // the audit must account for every pair exactly once
+    assert(got.values.sum == (ng ++ mh ++ sh).size)
+    // (0,0,0) is unrepresentable: a row exists only if some detector fired
+    assert(!got.contains((0L, 0L, 0L)))
+    // the corpus has actual dups, so the reference detector fires
+    assert(got.filter(_._1._1 == 1L).values.sum == ng.size)
+  }
+
   test("d10 picks each cluster's true longest member, flagging policy disagreements") {
     import spark.implicits._
     val ntok = graft.Tables.documents(spark, sfDir).collect()

@@ -234,4 +234,50 @@ class ExportSpec extends SparkSpec {
     assert(orders.size == byEpoch.size,
       "two epochs produced the identical block order")
   }
+
+  test("x09 epoch plan matches a first-principles replay of the budget math") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // independent reference: per-lang unique published train tokens
+    val lang = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    val uniq = Export.x02DecontaminatedExport(spark, sfDir)
+      .filter($"split" === "train").collect()
+      .groupBy(r => lang(r.getAs[Long]("doc_id")))
+      .view.mapValues(_.map(_.getAs[Long]("n_tokens")).sum)
+      .filter(_._2 > 0L).toMap
+    assert(uniq.nonEmpty, "no published train tokens — fixture broken")
+    def parts(l: String): Long = if (l == "en") 6L else 1L
+    val tu = uniq.values.sum
+    val tp = uniq.keys.map(parts).sum
+    val C = Export.EpochCap
+    val want = uniq.map { case (l, u) =>
+      val budget = Export.BudgetMultiple * tu * parts(l) / tp
+      val f = budget / u
+      val r = budget - f * u
+      val needed = f + (if (r > 0) 1L else 0L)
+      val effFull = (1L to math.min(f, C)).map(k => u >> (k - 1).toInt).sum
+      val eff = effFull + (if (f < C) r >> f.toInt else 0L)
+      l -> (parts(l), u, budget, needed, math.min(needed, C),
+        math.min(budget, C * u), eff,
+        if (budget > C * u) 1L else 0L)
+    }
+    val got = Export.x09EpochPlan(spark, sfDir).collect()
+      .map(r => r.getAs[String]("lang") -> (
+        r.getAs[Long]("parts"), r.getAs[Long]("n_tokens_unique"),
+        r.getAs[Long]("budget_tokens"), r.getAs[Long]("epochs_needed"),
+        r.getAs[Long]("epochs_planned"), r.getAs[Long]("planned_tokens"),
+        r.getAs[Long]("effective_tokens"), r.getAs[Long]("saturated")))
+      .toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (l, w) => assert(got(l) == w, s"stratum $l: ${got(l)} != $w") }
+    // plan invariants: value never exceeds what is planned, the plan
+    // never exceeds the budget, and a 4x budget over a 6:1 recipe must
+    // put at least one stratum into the multi-epoch regime
+    got.values.foreach { case (_, _, budget, _, _, planned, eff, _) =>
+      assert(eff <= planned && planned <= budget)
+    }
+    assert(got.values.exists(_._4 > 1L), "no stratum needed a repeat epoch")
+  }
 }
