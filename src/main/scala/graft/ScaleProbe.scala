@@ -211,7 +211,16 @@ object ScaleProbe {
       // cluster_id window/agg; cluster rows and the token scan both
       // scale ~R (replica components are copies of the base's) —
       // ~linear, dominated by the documents scan
-      "d10" -> SparkEntry.queries("d10_longest_survivors"))
+      "d10" -> SparkEntry.queries("d10_longest_survivors"),
+      // d11: the union of three dup-fraction-sized verified pair sets
+      // (d02/d03/d04 — each probed individually above) through one
+      // pair-keyed agg + a 7-row collapse; expected to track the MAX
+      // of its three inputs — ~linear
+      "d11" -> SparkEntry.queries("d11_detector_overlap"),
+      // x09: x02's manifest aggregated to one row per (lang) stratum,
+      // then per-stratum arithmetic on broadcast one-row totals —
+      // ~linear, dominated by the export scan
+      "x09" -> SparkEntry.queries("x09_epoch_plan"))
 
     def once(f: (SparkSession, String) => DataFrame, dir: String): Double = {
       val t0 = System.nanoTime()

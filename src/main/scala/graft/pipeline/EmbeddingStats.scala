@@ -224,7 +224,9 @@ object EmbeddingStats {
       val warr = (0 until d).map(w(_)).toArray
       // exact integer norm^2 (BigInt: w ~ n*Q overflows Long when
       // squared), ONE double conversion — same value as the oracle's
-      // HUGEINT SUM(w*w) cast
+      // SUM(w::HUGEINT * w): the promotion must happen BEFORE the
+      // multiply, or DuckDB's checked int64 product overflows once
+      // |w| exceeds ~3.04e9
       val norm = math.sqrt(warr.map(x => BigInt(x) * BigInt(x)).sum.toDouble)
       vv = warr.map(_.toDouble / norm)
       lambdaMicro =
@@ -354,7 +356,7 @@ object EmbeddingStats {
         |  FROM (SELECT s, unnest(list_transform(range(len(v)),
         |          j -> {'pos': j, 'xc': v[j+1] - m[j+1]})) u FROM s$i)
         |  GROUP BY u.pos),
-        |nrm$i AS (SELECT sqrt(CAST(SUM(w * w) AS DOUBLE)) nr FROM w$i),
+        |nrm$i AS (SELECT sqrt(CAST(SUM(w::HUGEINT * w) AS DOUBLE)) nr FROM w$i),
         |v$i AS (SELECT list(CAST(w AS DOUBLE) / (SELECT nr FROM nrm$i)
         |  ORDER BY dim) vv FROM w$i)""".stripMargin)
     }

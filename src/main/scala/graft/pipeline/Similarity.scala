@@ -877,6 +877,28 @@ object Similarity {
       .orderBy($"query_id")
   }
 
+  /** The rollout rule s17 exists to drive: the minimum acceptable
+    * mean recall@10 for serving through the compressed IVF-PQ path
+    * (s16). A deployment reads s17's profile after (re)training the
+    * codebooks; below this floor it does NOT ship the 8-byte codes —
+    * it serves through s08's SQ8 rescore path (int8 candidates,
+    * full-precision top-k) or retrains with more codes per subspace
+    * (nbits) until the profile clears. 0.7 sits between s05's 0.8
+    * probe-recall floor (the uncompressed bound no PQ can beat) and
+    * uselessness; on this corpus's 16-code codebooks s17 reads ~0.4,
+    * so the documented decision HERE is the SQ8 fallback — recall
+    * lost to PQ distortion (s12's err_micro), not probe shortfall.
+    */
+  val IvfPqRecallFloor: Double = 0.7
+
+  /** The serving-path decision gated by s17's reading: "ivfpq" when
+    * the profiled mean recall@10 clears [[IvfPqRecallFloor]], else
+    * "sq8_rescore" (s08's path). Pure so the boundary is
+    * spec-testable; the corpus-level decision feeds it s17's output.
+    */
+  def ivfPqServingDecision(meanRecall: Double): String =
+    if (meanRecall >= IvfPqRecallFloor) "ivfpq" else "sq8_rescore"
+
   /** s06 — IVF cell-occupancy profile over the trained (s04) index:
     * vectors and candidate-pair volume per cell. This is the monitor
     * for s03's residual hotspot — a corpus-wide IVF knn-join pays

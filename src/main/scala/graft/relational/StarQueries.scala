@@ -895,13 +895,13 @@ object StarQueries {
     // combination with no rows
     "q21_status_pivot" ->
       s"""SELECT o_orderpriority,
-         | SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F_orders,
+         | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F_orders,
          | CAST(SUM(CASE WHEN o_orderstatus = 'F'
          |   THEN ${cts("o_totalprice")} END) AS DOUBLE) / 100.0 AS F_revenue,
-         | SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O_orders,
+         | CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O_orders,
          | CAST(SUM(CASE WHEN o_orderstatus = 'O'
          |   THEN ${cts("o_totalprice")} END) AS DOUBLE) / 100.0 AS O_revenue,
-         | SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P_orders,
+         | CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P_orders,
          | CAST(SUM(CASE WHEN o_orderstatus = 'P'
          |   THEN ${cts("o_totalprice")} END) AS DOUBLE) / 100.0 AS P_revenue
          |FROM orders GROUP BY o_orderpriority

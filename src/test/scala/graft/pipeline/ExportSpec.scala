@@ -250,7 +250,7 @@ class ExportSpec extends SparkSpec {
     assert(uniq.nonEmpty, "no published train tokens — fixture broken")
     def parts(l: String): Long = if (l == "en") 6L else 1L
     val tu = uniq.values.sum
-    val tp = uniq.keys.map(parts).sum
+    val tp = uniq.keys.toSeq.map(parts).sum
     val C = Export.EpochCap
     val want = uniq.map { case (l, u) =>
       val budget = Export.BudgetMultiple * tu * parts(l) / tp

@@ -265,6 +265,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s17 acceptance rule: this corpus's PQ recall routes serving to the SQ8 rescore path") {
+    // the rule's boundary, independent of any corpus
+    assert(Similarity.ivfPqServingDecision(Similarity.IvfPqRecallFloor) == "ivfpq")
+    assert(Similarity.ivfPqServingDecision(Similarity.IvfPqRecallFloor - 1e-9) == "sq8_rescore")
+    // the corpus decision, fed by s17's own output: 16-code codebooks
+    // lose too much here (s17 ~0.4 vs s05's 0.86+ probe recall on the
+    // SAME index — the loss is PQ distortion, not probe shortfall), so
+    // the documented rollout decision is s08's SQ8 rescore path. If a
+    // future codebook change clears the floor, this pin flips with it —
+    // deliberately, so the decision is re-made, not silently inherited.
+    val rows = Similarity.s17IvfPqRecall(spark, sfDir).collect()
+    val mean = rows.map(r =>
+      r.getAs[Long]("n_overlap").toDouble / r.getAs[Long]("n_exact"))
+      .sum / rows.length
+    assert(Similarity.ivfPqServingDecision(mean) == "sq8_rescore",
+      f"mean PQ recall@10 $mean%.2f now clears the ${Similarity.IvfPqRecallFloor}%.2f floor — " +
+        "revisit the s17 rollout decision (serve IVF-PQ?) and update this pin")
+  }
+
   test("s15 accounts for every test vector; matches are train-split; verdict = tau cut") {
     import spark.implicits._
     val rows = Similarity.s15SemanticDecontam(spark, sfDir).collect()
