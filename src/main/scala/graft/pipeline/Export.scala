@@ -289,6 +289,57 @@ object Export {
       .orderBy($"lang")
   }
 
+  /** x10's sampling temperature (the exponent alpha): multilingual
+    * pretraining's standard rebalancing knob — XLM-R (Conneau et al.,
+    * ACL 2020) samples languages with p_l proportional to n_l^alpha,
+    * alpha = 0.3, which flattens the size distribution so head
+    * languages stop drowning the tail without sampling tiny strata
+    * uniformly.
+    */
+  val TempAlpha = 0.3
+
+  /** x10 — the temperature-scaled language sampling plan: per
+    * stratum of the publishable TRAIN manifest, the n^alpha-scaled
+    * sampling mass, its exact parts-per-billion share, the per-epoch
+    * token draw that share implies at the corpus's own size, and the
+    * upsampled flag (share above natural frequency — the tail
+    * stratum a temperature sampler repeats). The scaled masses are
+    * 2^20-quantized BIGINTs (the p22/s12/v05 grid), and the share /
+    * draw columns are exact integer division over DECIMAL(38,0)
+    * products — q * 1e9 and q * total_tokens both clear 2^63 at
+    * 100 TB corpus sizes, so the widening is load-bearing, not
+    * defensive (DuckDB mirrors it in HUGEINT).
+    *
+    * Scale shape: identical to x09 — the corpus collapses map-side
+    * to one row per language off x02's manifest join, totals ride a
+    * one-row broadcast frame, and everything after is row-local
+    * integer arithmetic on a stats-sized frame.
+    */
+  def x10TemperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lang = Tables.documents(spark, dir).select($"doc_id", $"lang")
+    val mass = x02DecontaminatedExport(spark, dir)
+      .filter($"split" === "train")
+      .join(lang, "doc_id")
+      .groupBy($"lang").agg(sum($"n_tokens").as("n_tokens"))
+      .filter($"n_tokens" > 0L)
+      .withColumn("q_temp",
+        floor(lit(1048576.0) *
+          pow($"n_tokens".cast("double"), lit(TempAlpha))))
+    val tot = mass.agg(sum($"q_temp").as("sq"), sum($"n_tokens").as("nt"))
+    mass.crossJoin(broadcast(tot))
+      .select($"lang", $"n_tokens", $"q_temp",
+        expr("CAST((CAST(q_temp AS DECIMAL(38,0)) * 1000000000) DIV sq AS BIGINT)")
+          .as("share_ppb"),
+        expr("CAST((CAST(q_temp AS DECIMAL(38,0)) * nt) DIV sq AS BIGINT)")
+          .as("planned_tokens"),
+        expr("""CASE WHEN CAST(q_temp AS DECIMAL(38,0)) * nt >
+                CAST(sq AS DECIMAL(38,0)) * n_tokens
+              THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END""")
+          .as("upsampled"))
+      .orderBy($"lang")
+  }
+
   /** Blocks per training shard file — with [[BlockTokens]] = 2048 this
     * is 8 x 2048 = 16Ki tokens per shard. Production deployments shard
     * far coarser (the parameter is a free knob; the manifest math is
@@ -443,6 +494,7 @@ object Export {
     "x06_shard_manifest" -> x06ShardManifest _,
     "x08_epoch_shuffle" -> x08EpochShuffle _,
     "x09_epoch_plan" -> x09EpochPlan _,
+    "x10_temperature_mixture" -> x10TemperatureMixture _,
   )
 
   /** The oracle composes the published d06 clustering SQL as a
@@ -626,5 +678,25 @@ object Export {
          |    PARTITION BY epoch ORDER BY hkey, block_id) AS BIGINT)
          |  AS shuffle_rank
          |FROM keyed ORDER BY epoch, shuffle_rank""".stripMargin,
+    "x10_temperature_mixture" ->
+      s"""WITH man AS (${exportSql(decontamWhere)}),
+         |g AS (SELECT d.lang AS lang, SUM(m.n_tokens)::BIGINT AS n_tokens
+         |  FROM man m JOIN documents d USING (doc_id)
+         |  WHERE m.split = 'train'
+         |  GROUP BY d.lang HAVING SUM(m.n_tokens) > 0),
+         |q AS (SELECT lang, n_tokens,
+         |    CAST(floor(1048576 * pow(n_tokens, $TempAlpha)) AS BIGINT)
+         |      AS q_temp
+         |  FROM g),
+         |t AS (SELECT SUM(q_temp)::HUGEINT AS sq,
+         |    SUM(n_tokens)::HUGEINT AS nt FROM q)
+         |SELECT lang, n_tokens, q_temp,
+         |  CAST((q_temp::HUGEINT * 1000000000) // t.sq AS BIGINT)
+         |    AS share_ppb,
+         |  CAST((q_temp::HUGEINT * t.nt) // t.sq AS BIGINT)
+         |    AS planned_tokens,
+         |  CAST(CASE WHEN q_temp::HUGEINT * t.nt > t.sq * n_tokens
+         |    THEN 1 ELSE 0 END AS BIGINT) AS upsampled
+         |FROM q, t ORDER BY lang""".stripMargin,
   )
 }

@@ -1095,9 +1095,153 @@ object TextAnalysis {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** p22's log-probability quantum: surprisals are priced in integer
+    * micro-nats, floor(2^20 * ln p) — the same 2^20 quantization the
+    * PQ codebooks (s12) and power iteration (v05) use to keep
+    * transcendental-valued pipelines inside the exact-BIGINT hash
+    * gate. ln of a non-unit rational is irrational, so the floor is
+    * mathematically well-defined; the ~1-ulp libm slack sits ~9
+    * orders of magnitude below the 2^-20 grid spacing.
+    */
+  private[pipeline] val PplScale = 1048576L
+
+  /** p22's head/middle/tail cutpoints in micro-nats of average
+    * bigram surprisal — the trained constants of this corpus release
+    * (≈ its terciles), fixed like [[SampleEnMax]] so scoring stays a
+    * single corpus pass with no quantile job. CCNet buckets documents
+    * by LM perplexity terciles; lower surprisal (closer to zero) =
+    * more fluent = head.
+    */
+  private[pipeline] val PplHeadMin = -3537000L
+  private[pipeline] val PplTailMax = -3566000L
+
+  /** p22 — CCNet-style LM perplexity quality filter (Wenzek et al.,
+    * LREC 2020): an add-one bigram LM trained on the p07 TRAIN split
+    * scores every document, and documents land in head / middle /
+    * tail buckets by average surprisal against the release cutpoints
+    * — the standard "keep the head, audit the tail" pretraining
+    * quality gate, with the LM trained on the pipeline's own curated
+    * split the way CCNet trains on Wikipedia. All surprisals are
+    * [[PplScale]]-quantized integers, so per-doc sums are exact
+    * BIGINTs in any summation order and both engines agree
+    * bit-for-bit.
+    *
+    * Scale shape: text leaves the scan only as bigram keys; the
+    * document side pre-collapses to distinct (doc, bigram, k) before
+    * the LM join (map-side combine); the LM itself is two count
+    * tables partitioned by their join keys — built once, joined by
+    * hash, never collected — and the vocabulary size travels as a
+    * one-row broadcast frame (the Bm25-stats pattern). Scoring is
+    * one linear pass at any corpus size; the cutpoints are constants,
+    * so there is no quantile barrier between training and scoring.
+    */
+  def p22PerplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tk = Tables.documents(spark, dir)
+      .select($"doc_id", toks($"text").as("t"), SplitBucket.as("b"))
+      .filter(size($"t") >= 2)
+    val pairs = tk.select($"doc_id", $"b", explode(
+        transform(sequence(lit(1), size($"t") - 1),
+          i => struct(element_at($"t", i).as("w1"),
+            element_at($"t", i + 1).as("w2")))).as("g"))
+      .select($"doc_id", $"b", $"g.w1", $"g.w2")
+    val train = pairs.filter($"b" < TrainMax)
+    val c12 = train.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
+    val vocab = tk.filter($"b" < TrainMax)
+      .select(explode($"t").as("tok"))
+      .agg(count_distinct($"tok").as("v"))
+    val occ = pairs.groupBy($"doc_id", $"w1", $"w2")
+      .agg(count(lit(1)).as("k"))
+    occ
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select($"doc_id", $"k",
+        floor(lit(PplScale.toDouble) * log(
+          (coalesce($"c12", lit(0L)) + 1L).cast("double") /
+            (coalesce($"c1", lit(0L)) + $"v").cast("double"))).as("q"))
+      .groupBy($"doc_id")
+      .agg(sum($"k").as("n_bigrams"), sum($"k" * $"q").as("sum_qll"))
+      .withColumn("ppl_bucket",
+        when($"sum_qll" >= lit(PplHeadMin) * $"n_bigrams", "head")
+          .when($"sum_qll" < lit(PplTailMax) * $"n_bigrams", "tail")
+          .otherwise("middle"))
+      .orderBy($"doc_id")
+  }
+
+  /** p23's hashed-feature space: bigrams hash into a FIXED 4096
+    * buckets (first 3 md5 hex chars — the engine-portable fold the
+    * split/sample buckets already use), which is the load-bearing
+    * DSIR move: the importance model's size is constant in the corpus
+    * size, so both distribution tables broadcast at 100 TB exactly as
+    * they do at test scale.
+    */
+  private[pipeline] val DsirBuckets = 4096L
+
+  /** p23's target domain: the curated source whose distribution the
+    * selection is steered toward (DSIR's "target" corpus — Wikipedia
+    * in the paper; the release's first source here).
+    */
+  private[pipeline] val DsirTarget = "src0"
+
+  /** p23 — DSIR importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): every
+    * document's hashed-bigram features are priced by the
+    * log-likelihood ratio between a target-domain bag-of-features
+    * model ([[DsirTarget]]) and the raw-pool model, both add-one
+    * smoothed over the [[DsirBuckets]]-bucket hashed space. A
+    * positive log-weight means the document looks more like the
+    * curated target than like the raw pool — `selected` is that sign,
+    * the deterministic core of DSIR's resampling decision. Both
+    * per-bucket log-probabilities are [[PplScale]]-quantized integers
+    * (same grid as p22), so document weights are exact BIGINT sums.
+    *
+    * Scale shape: text reduces to integer feature buckets inside the
+    * scan projection and never shuffles; the per-doc side collapses
+    * map-side to (doc, bucket, k) with at most 4096 distinct buckets
+    * per doc; both distribution tables are ≤4096 rows BY CONSTRUCTION
+    * and broadcast to the scoring join; the two corpus totals ride a
+    * one-row broadcast frame. One linear pass over the corpus at any
+    * scale.
+    */
+  def p23DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tk = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", toks($"text").as("t"))
+      .filter(size($"t") >= 2)
+    val feats = tk.select($"doc_id", $"source", explode(
+        transform(sequence(lit(1), size($"t") - 1),
+          i => conv(substring(md5(concat_ws(" ",
+            element_at($"t", i), element_at($"t", i + 1))), 1, 3),
+            16, 10).cast("long"))).as("bkt"))
+    val tgt = feats.filter($"source" === DsirTarget)
+      .groupBy($"bkt").agg(count(lit(1)).as("ct"))
+    val raw = feats.filter($"source" =!= DsirTarget)
+      .groupBy($"bkt").agg(count(lit(1)).as("cr"))
+    val tot = tgt.agg(sum($"ct").as("nt"))
+      .crossJoin(raw.agg(sum($"cr").as("nr")))
+    def qlp(c: Column, n: Column): Column =
+      floor(lit(PplScale.toDouble) * log(
+        (c + 1L).cast("double") / (n + DsirBuckets).cast("double")))
+    feats.groupBy($"doc_id", $"bkt").agg(count(lit(1)).as("k"))
+      .join(broadcast(tgt), Seq("bkt"), "left")
+      .join(broadcast(raw), Seq("bkt"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"doc_id", $"k",
+        (qlp(coalesce($"ct", lit(0L)), $"nt") -
+          qlp(coalesce($"cr", lit(0L)), $"nr")).as("q"))
+      .groupBy($"doc_id")
+      .agg(sum($"k").as("n_feats"), sum($"k" * $"q").as("qlw"))
+      .withColumn("selected", when($"qlw" > 0L, 1L).otherwise(0L))
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p22_perplexity_buckets" -> p22PerplexityBuckets _,
+    "p23_dsir_weights" -> p23DsirWeights _,
     "p17_winnowing" -> p17Winnowing _,
     "p18_fingerprint_overlap" -> p18FingerprintOverlap _,
     "p19_bpe_encode" -> p19BpeEncode _,
@@ -1268,7 +1412,64 @@ object TextAnalysis {
        |FROM il GROUP BY doc_id, island
        |ORDER BY doc_id, span_start""".stripMargin
 
+  /** The p23 feature bucket in DuckDB SQL — the [[BUCKET]] fold over
+    * the first 3 md5 hex chars of a bigram (0..4095), identical to
+    * the Spark side's `conv(substring(md5(...), 1, 3), 16, 10)`.
+    */
+  private def bkt3(x: String): String =
+    s"""list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(string_split(substr(md5($x), 1, 3), ''),
+       |      ch -> (instr('0123456789abcdef', ch) - 1)::BIGINT)),
+       |    (h, c) -> h * 16 + c)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "p22_perplexity_buckets" ->
+      s"""WITH tk AS (SELECT doc_id, t, b FROM
+         |    (SELECT doc_id, $TOKS t, $BUCKET b FROM documents)
+         |  WHERE len(t) >= 2),
+         |bg AS (SELECT doc_id, b, t[u.i] w1, t[u.i+1] w2 FROM tk
+         |  CROSS JOIN LATERAL unnest(range(1, len(t))) u(i)),
+         |c12 AS (SELECT w1, w2, COUNT(*) c12 FROM bg
+         |  WHERE b < $TrainMax GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) c1 FROM c12 GROUP BY 1),
+         |sc AS (SELECT bg.doc_id, CAST(floor($PplScale * ln(
+         |    (COALESCE(c12.c12, 0) + 1) / CAST(COALESCE(c1.c1, 0) +
+         |      (SELECT COUNT(DISTINCT tok) FROM
+         |        (SELECT unnest(t) tok FROM tk WHERE b < $TrainMax))
+         |      AS DOUBLE))) AS BIGINT) q
+         |  FROM bg LEFT JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+         |          LEFT JOIN c1 ON bg.w1 = c1.w1),
+         |d AS (SELECT doc_id, COUNT(*) n_bigrams,
+         |  CAST(SUM(q) AS BIGINT) sum_qll FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, sum_qll,
+         | CASE WHEN sum_qll >= $PplHeadMin * n_bigrams THEN 'head'
+         |      WHEN sum_qll < $PplTailMax * n_bigrams THEN 'tail'
+         |      ELSE 'middle' END AS ppl_bucket
+         |FROM d ORDER BY doc_id""".stripMargin,
+    "p23_dsir_weights" ->
+      s"""WITH tk AS (SELECT doc_id, source, t FROM
+         |    (SELECT doc_id, source, $TOKS t FROM documents)
+         |  WHERE len(t) >= 2),
+         |ft AS (SELECT doc_id, source,
+         |    ${bkt3("t[u.i] || ' ' || t[u.i+1]")} bkt FROM tk
+         |  CROSS JOIN LATERAL unnest(range(1, len(t))) u(i)),
+         |tgt AS (SELECT bkt, COUNT(*) ct FROM ft
+         |  WHERE source = '$DsirTarget' GROUP BY 1),
+         |rw AS (SELECT bkt, COUNT(*) cr FROM ft
+         |  WHERE source <> '$DsirTarget' GROUP BY 1),
+         |sc AS (SELECT ft.doc_id,
+         |    CAST(floor($PplScale * ln((COALESCE(tgt.ct, 0) + 1) /
+         |      CAST((SELECT SUM(ct) FROM tgt) + $DsirBuckets AS DOUBLE)))
+         |      AS BIGINT)
+         |  - CAST(floor($PplScale * ln((COALESCE(rw.cr, 0) + 1) /
+         |      CAST((SELECT SUM(cr) FROM rw) + $DsirBuckets AS DOUBLE)))
+         |      AS BIGINT) q
+         |  FROM ft LEFT JOIN tgt USING (bkt) LEFT JOIN rw USING (bkt)),
+         |d AS (SELECT doc_id, COUNT(*) n_feats,
+         |  CAST(SUM(q) AS BIGINT) qlw FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_feats, qlw,
+         | CAST(CASE WHEN qlw > 0 THEN 1 ELSE 0 END AS BIGINT) AS selected
+         |FROM d ORDER BY doc_id""".stripMargin,
     "p17_winnowing" ->
       s"""WITH $WinnowCte
          |SELECT doc_id, CAST(m AS BIGINT) AS n_grams,

@@ -280,4 +280,45 @@ class ExportSpec extends SparkSpec {
     }
     assert(got.values.exists(_._4 > 1L), "no stratum needed a repeat epoch")
   }
+
+  test("x10 temperature mixture matches a first-principles replay off x02") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val lang = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    val mass = Export.x02DecontaminatedExport(spark, sfDir).collect()
+      .filter(_.getAs[String]("split") == "train")
+      .map(r => (lang(r.getAs[Long]("doc_id")), r.getAs[Long]("n_tokens")))
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sum }
+      .filter(_._2 > 0L)
+    val q = mass.map { case (l, n) =>
+      l -> ((n, math.floor(1048576.0 *
+        math.pow(n.toDouble, Export.TempAlpha)).toLong))
+    }
+    val sq = BigInt(q.values.map(_._2).sum)
+    val nt = BigInt(q.values.map(_._1).sum)
+    val got = Export.x10TemperatureMixture(spark, sfDir).collect()
+    assert(got.map(_.getAs[String]("lang")).toSet == q.keySet)
+    got.foreach { r =>
+      val l = r.getAs[String]("lang")
+      val (n, qt) = q(l)
+      assert(r.getAs[Long]("n_tokens") == n, s"$l n_tokens")
+      assert(r.getAs[Long]("q_temp") == qt, s"$l q_temp")
+      assert(r.getAs[Long]("share_ppb") ==
+        (BigInt(qt) * 1000000000L / sq).toLong, s"$l share_ppb")
+      assert(r.getAs[Long]("planned_tokens") ==
+        (BigInt(qt) * nt / sq).toLong, s"$l planned_tokens")
+      assert(r.getAs[Long]("upsampled") ==
+        (if (BigInt(qt) * nt > sq * BigInt(n)) 1L else 0L), s"$l upsampled")
+    }
+    // floors lose at most one ppb per stratum
+    val shares = got.map(_.getAs[Long]("share_ppb")).sum
+    assert(shares <= 1000000000L && shares > 1000000000L - got.length)
+    // alpha < 1 flattens: the mixture must upsample some tail stratum
+    // AND downsample some head stratum (otherwise it's a no-op knob)
+    assert(got.exists(_.getAs[Long]("upsampled") == 1L))
+    assert(got.exists(_.getAs[Long]("upsampled") == 0L))
+    // planned per-epoch draw never exceeds the corpus total
+    assert(got.map(_.getAs[Long]("planned_tokens")).sum <= nt.toLong)
+  }
 }

@@ -670,4 +670,105 @@ class TextAnalysisSpec extends SparkSpec {
       assert(m == hex(kept.mkString(" ")), s"doc $id cleaned md5 diverges")
     }
   }
+
+  test("p22 perplexity buckets match a first-principles bigram-LM replay") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", TextAnalysis.SplitBucket.as("b"), $"text")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("b"),
+        r.getAs[String]("text").trim.split("\\s+").toSeq))
+      .filter(_._3.size >= 2)
+    val train = docs.filter(_._2 < TextAnalysis.TrainMax)
+    val c12 = scala.collection.mutable.Map.empty[(String, String), Long]
+    val c1 = scala.collection.mutable.Map.empty[String, Long]
+    train.foreach { case (_, _, t) =>
+      t.sliding(2).foreach { case Seq(a, w) =>
+        c12((a, w)) = c12.getOrElse((a, w), 0L) + 1
+        c1(a) = c1.getOrElse(a, 0L) + 1
+      }
+    }
+    val v = train.flatMap(_._3).distinct.size
+    val exp = docs.map { case (id, _, t) =>
+      val qs = t.sliding(2).toSeq.map { case Seq(a, w) =>
+        math.floor(TextAnalysis.PplScale.toDouble * math.log(
+          (c12.getOrElse((a, w), 0L) + 1).toDouble /
+            (c1.getOrElse(a, 0L) + v).toDouble)).toLong
+      }
+      id -> ((qs.size.toLong, qs.sum))
+    }.toMap
+    val got = TextAnalysis.p22PerplexityBuckets(spark, sfDir).collect()
+    assert(got.length == exp.size)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (n, s) = exp(id)
+      assert(r.getAs[Long]("n_bigrams") == n, s"doc $id n_bigrams")
+      assert(r.getAs[Long]("sum_qll") == s, s"doc $id sum_qll")
+      assert(s < 0L, "surprisal sums are negative by construction")
+      val bk = if (s >= TextAnalysis.PplHeadMin * n) "head"
+      else if (s < TextAnalysis.PplTailMax * n) "tail" else "middle"
+      assert(r.getAs[String]("ppl_bucket") == bk, s"doc $id bucket")
+    }
+    // the release cutpoints actually split this corpus (a filter whose
+    // head or tail is empty is a broken quality gate)
+    val buckets = got.map(_.getAs[String]("ppl_bucket")).toSet
+    assert(buckets.contains("head") && buckets.contains("tail"))
+  }
+
+  test("p23 DSIR weights match a first-principles hashed-bigram replay") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bkt(a: String, w: String): Long =
+      java.lang.Long.parseLong(md5hex(a + " " + w).substring(0, 3), 16)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text").trim.split("\\s+").toSeq))
+      .filter(_._3.size >= 2)
+    val feats = docs.map { case (id, src, t) =>
+      (id, src, t.sliding(2).toSeq.map { case Seq(a, w) => bkt(a, w) })
+    }
+    val tgtCnt = scala.collection.mutable.Map.empty[Long, Long]
+    val rawCnt = scala.collection.mutable.Map.empty[Long, Long]
+    feats.foreach { case (_, src, bs) =>
+      val m = if (src == TextAnalysis.DsirTarget) tgtCnt else rawCnt
+      bs.foreach(b => m(b) = m.getOrElse(b, 0L) + 1)
+    }
+    val (nt, nr) = (tgtCnt.values.sum, rawCnt.values.sum)
+    def qlp(c: Long, n: Long): Long =
+      math.floor(TextAnalysis.PplScale.toDouble * math.log(
+        (c + 1).toDouble / (n + TextAnalysis.DsirBuckets).toDouble)).toLong
+    val exp = feats.map { case (id, _, bs) =>
+      id -> ((bs.size.toLong, bs.map(b =>
+        qlp(tgtCnt.getOrElse(b, 0L), nt) -
+          qlp(rawCnt.getOrElse(b, 0L), nr)).sum))
+    }.toMap
+    val got = TextAnalysis.p23DsirWeights(spark, sfDir).collect()
+    assert(got.length == exp.size)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (n, w) = exp(id)
+      assert(r.getAs[Long]("n_feats") == n, s"doc $id n_feats")
+      assert(r.getAs[Long]("qlw") == w, s"doc $id qlw")
+      assert(r.getAs[Long]("selected") == (if (w > 0L) 1L else 0L))
+    }
+    // the importance model must separate its own target domain: the
+    // target source's MEAN per-feature weight exceeds the raw pool's
+    // (each model overweights the sample it was fit on)
+    val (tw, tn) = got.filter(r => docs.exists(d =>
+      d._1 == r.getAs[Long]("doc_id") && d._2 == TextAnalysis.DsirTarget))
+      .map(r => (r.getAs[Long]("qlw"), r.getAs[Long]("n_feats")))
+      .foldLeft((0L, 0L)) { case ((a, b), (x, y)) => (a + x, b + y) }
+    val (rw, rn) = got.filter(r => docs.exists(d =>
+      d._1 == r.getAs[Long]("doc_id") && d._2 != TextAnalysis.DsirTarget))
+      .map(r => (r.getAs[Long]("qlw"), r.getAs[Long]("n_feats")))
+      .foldLeft((0L, 0L)) { case ((a, b), (x, y)) => (a + x, b + y) }
+    assert(tw * rn > rw * tn,
+      s"target mean weight ($tw/$tn) must exceed raw mean ($rw/$rn)")
+  }
 }
