@@ -220,7 +220,19 @@ object ScaleProbe {
       // x09: x02's manifest aggregated to one row per (lang) stratum,
       // then per-stratum arithmetic on broadcast one-row totals —
       // ~linear, dominated by the export scan
-      "x09" -> SparkEntry.queries("x09_epoch_plan"))
+      "x09" -> SparkEntry.queries("x09_epoch_plan"),
+      // p22: bigram volume ~R; the LM count tables scale ~R with
+      // disjoint replica vocabularies and the scoring join is
+      // bigram-keyed on both sides — ~linear
+      "p22" -> SparkEntry.queries("p22_perplexity_buckets"),
+      // p23: feature hashing is per-row in the scan; the distribution
+      // tables are FIXED 4096 rows regardless of R (replica bigrams
+      // hash into the same buckets — the DSIR constant-model property
+      // under test) — ~linear, dominated by the corpus scan
+      "p23" -> SparkEntry.queries("p23_dsir_weights"),
+      // x10: x09's shape — one row per stratum off the export scan —
+      // ~linear
+      "x10" -> SparkEntry.queries("x10_temperature_mixture"))
 
     def once(f: (SparkSession, String) => DataFrame, dir: String): Double = {
       val t0 = System.nanoTime()

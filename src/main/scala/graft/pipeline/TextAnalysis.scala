@@ -1205,16 +1205,34 @@ object TextAnalysis {
     * one-row broadcast frame. One linear pass over the corpus at any
     * scale.
     */
-  def p23DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+  /** The hashed-bigram feature buckets of a text column, as an
+    * array<long> in token order — p23's feature extraction, shared
+    * with the streaming DSIR guard so the two hash identically by
+    * construction. Returns an empty array below 2 tokens.
+    */
+  private[graft] def bigramBuckets(text: Column): Column = {
+    val t = toks(text)
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => conv(substring(md5(concat_ws(" ",
+          element_at(t, i), element_at(t, i + 1))), 1, 3),
+          16, 10).cast("long")))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** The DENSE DSIR model: one row per feature bucket 0..4095 with
+    * its quantized log-likelihood ratio lam = qlog p_target −
+    * qlog p_raw (add-one smoothed). Single-sourced so the batch
+    * scorer (p23) and the streaming admission guard
+    * ([[graft.streaming.Streams.dsirGuard]]) can never drift; at
+    * scale this table is 4096 rows no matter the corpus size — THE
+    * hashed-feature property — and broadcasts (or collapses to one
+    * row for the stream).
+    */
+  private[graft] def dsirModel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tk = Tables.documents(spark, dir)
-      .select($"doc_id", $"source", toks($"text").as("t"))
-      .filter(size($"t") >= 2)
-    val feats = tk.select($"doc_id", $"source", explode(
-        transform(sequence(lit(1), size($"t") - 1),
-          i => conv(substring(md5(concat_ws(" ",
-            element_at($"t", i), element_at($"t", i + 1))), 1, 3),
-            16, 10).cast("long"))).as("bkt"))
+    val feats = Tables.documents(spark, dir)
+      .select($"source", explode(bigramBuckets($"text")).as("bkt"))
     val tgt = feats.filter($"source" === DsirTarget)
       .groupBy($"bkt").agg(count(lit(1)).as("ct"))
     val raw = feats.filter($"source" =!= DsirTarget)
@@ -1224,15 +1242,23 @@ object TextAnalysis {
     def qlp(c: Column, n: Column): Column =
       floor(lit(PplScale.toDouble) * log(
         (c + 1L).cast("double") / (n + DsirBuckets).cast("double")))
-    feats.groupBy($"doc_id", $"bkt").agg(count(lit(1)).as("k"))
-      .join(broadcast(tgt), Seq("bkt"), "left")
-      .join(broadcast(raw), Seq("bkt"), "left")
+    spark.range(DsirBuckets).toDF("bkt")
+      .join(tgt, Seq("bkt"), "left")
+      .join(raw, Seq("bkt"), "left")
       .crossJoin(broadcast(tot))
-      .select($"doc_id", $"k",
+      .select($"bkt",
         (qlp(coalesce($"ct", lit(0L)), $"nt") -
-          qlp(coalesce($"cr", lit(0L)), $"nr")).as("q"))
+          qlp(coalesce($"cr", lit(0L)), $"nr")).as("lam"))
+  }
+
+  def p23DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(bigramBuckets($"text")).as("bkt"))
+      .groupBy($"doc_id", $"bkt").agg(count(lit(1)).as("k"))
+      .join(broadcast(dsirModel(spark, dir)), Seq("bkt"))
       .groupBy($"doc_id")
-      .agg(sum($"k").as("n_feats"), sum($"k" * $"q").as("qlw"))
+      .agg(sum($"k").as("n_feats"), sum($"k" * $"lam").as("qlw"))
       .withColumn("selected", when($"qlw" > 0L, 1L).otherwise(0L))
       .orderBy($"doc_id")
   }

@@ -47,7 +47,8 @@ object Streams {
     "funnel" -> "relational.StarQueries.q25Funnel (view→click→purchase min-chain)",
     "delta_dedup_guard" -> "pipeline.Dedup.deltaCandidates (d08's batch x corpus LSH banding)",
     "pq_encode" -> "pipeline.Similarity.pqIndex code table (s12/s13's stored 8-byte codes)",
-    "semantic_decontam_guard" -> "pipeline.Similarity.s15Scored tau-screen (s15's batch candidate set at cosine >= tau)")
+    "semantic_decontam_guard" -> "pipeline.Similarity.s15Scored tau-screen (s15's batch candidate set at cosine >= tau)",
+    "dsir_guard" -> "pipeline.TextAnalysis.p23DsirWeights (hashed-bigram importance weights vs the frozen 4096-bucket model)")
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
@@ -211,6 +212,42 @@ object Streams {
       .filter(col("cosine") >= graft.pipeline.Similarity.SemDedupTau)
       .select(col("vec_id"), col("train_id"))
   }
+
+  /** Streaming DSIR admission guard (the streaming face of batch
+    * p23's importance scoring): each arriving document is hashed to
+    * its bigram feature buckets PER ROW (the shared
+    * [[graft.pipeline.TextAnalysis.bigramBuckets]] extraction, so the
+    * stream and the batch scorer can never hash differently) and its
+    * importance weight is a per-row integer fold over the FROZEN
+    * 4096-bucket model riding in as ONE static row — the
+    * data-selection gate a continuously ingesting pipeline applies
+    * before admitting a document to the training pool. Stateless by
+    * construction: no shuffle, no watermark, no state store, append
+    * mode; the model row is broadcast-sized at ANY corpus scale
+    * because the hashed feature space is fixed (the DSIR property).
+    * Documents under 2 tokens carry no features and are emitted with
+    * weight 0, unselected — the same out-of-scope verdict the batch
+    * scorer gives by omission.
+    */
+  def dsirGuard(docs: DataFrame, modelRow: DataFrame): DataFrame = {
+    val bs = graft.pipeline.TextAnalysis.bigramBuckets(col("text"))
+    docs.crossJoin(modelRow)
+      .select(col("doc_id"), size(bs).cast("long").as("n_feats"),
+        aggregate(bs, lit(0L), (acc, b) =>
+          acc + element_at(col("lam"), (b + 1L).cast("int"))).as("qlw"))
+      .withColumn("selected",
+        when(col("qlw") > 0L, 1L).otherwise(0L))
+  }
+
+  /** The frozen DSIR model collapsed to one broadcastable row — the
+    * static side of [[dsirGuard]]: position b+1 of the array is
+    * lam(b), the bkt-sorted dense layout (array_sort on the struct
+    * orders by the leading bkt field).
+    */
+  def dsirModelAsRow(model: DataFrame): DataFrame =
+    model.agg(transform(
+      array_sort(collect_list(struct(col("bkt"), col("lam")))),
+      e => e.getField("lam")).as("lam"))
 
   /** Streaming IVF ingest assignment (the streaming face of batch
     * s09's index-add): each arriving vector is assigned to its nearest

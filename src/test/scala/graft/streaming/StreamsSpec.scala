@@ -441,7 +441,50 @@ class StreamsSpec extends SparkSpec {
     assert(got.values.sum == 2L * events.size)
   }
 
+  private def dsirGuardTwin(): Unit = {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // frozen model from the batch side; the stream is the whole corpus
+    // arriving (plus one planted featureless doc), so the batch twin is
+    // p23's weight table (whose values the sf0.01 oracle gate verifies)
+    val modelRow = dsirModelAsRow(
+      graft.pipeline.TextAnalysis.dsirModel(spark, sfDir))
+    val arriving = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq :+
+      ((-1L, "solo"))
+
+    val input = MemoryStream[(Long, String)]
+    val query = dsirGuard(input.toDF().toDF("doc_id", "text"), modelRow)
+      .writeStream.format("memory").queryName("dsir_guard")
+      .outputMode("append").start()
+    // two micro-batches: the guard is stateless, so a doc's weight must
+    // not depend on which batch carried it
+    val (a, b) = arriving.splitAt(arriving.size / 2)
+    input.addData(a)
+    query.processAllAvailable()
+    input.addData(b)
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("dsir_guard").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val want = graft.pipeline.TextAnalysis.p23DsirWeights(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_feats"),
+        r.getAs[Long]("qlw"), r.getAs[Long]("selected")))).toMap
+    assert(got.size == arriving.size, "one verdict per arriving doc")
+    want.foreach { case (id, w) =>
+      assert(got(id) == w, s"doc $id stream weight diverges from p23")
+    }
+    // the featureless doc gets the out-of-scope verdict, not a crash
+    assert(got(-1L) == ((0L, 0L, 0L)))
+    assert((got.keySet - (-1L)) == want.keySet,
+      "stream emits exactly the batch-scored docs plus the planted one")
+  }
+
   private val twinRunners: Map[String, () => Unit] = Map(
+    "dsir_guard" -> (dsirGuardTwin _),
     "hopping_counts" -> (hoppingCountsTwin _),
     "pq_encode" -> (pqEncodeTwin _),
     "semantic_decontam_guard" -> (semanticDecontamGuardTwin _),
