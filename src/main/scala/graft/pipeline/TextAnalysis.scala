@@ -31,7 +31,7 @@ object TextAnalysis {
   /** Whitespace tokens of `text` (reference tokenization is lower+split,
     * `app/main.py:2160-2170`).
     */
-  private[pipeline] def toks(c: Column): Column = split(trim(c), "\\s+")
+  private[graft] def toks(c: Column): Column = split(trim(c), "\\s+")
 
   /** p07's stable split bucket: first 16 bits of md5(doc_id) as a long —
     * shared with the corpus-export composition ([[Export]]).
@@ -287,21 +287,22 @@ object TextAnalysis {
     * pipeline at 100 TB materializes the gram index once per corpus
     * snapshot, not per sweep.
     */
-  /** Distinct md5(13-gram) hashes of a text column, as an array —
-    * THE gram definition, shared by the batch sweeps (p09/p10) and the
-    * streaming ingest guard so the two can never drift. Empty array
-    * for docs shorter than [[ContamN]] tokens. greatest(...) guards
-    * the sequence bound: sequence(1, 0) counts DOWN and feeds slice a
-    * start of 0 — and a plan reordering can evaluate this projection
-    * on a row a size filter discards, so the expression must be total.
+  /** Distinct md5(13-gram) hashes of a TOKEN-ARRAY column, as an
+    * array — THE gram definition, shared by the batch sweeps (p09/p10)
+    * and the streaming ingest guard so the two can never drift. Empty
+    * array for docs shorter than [[ContamN]] tokens. greatest(...)
+    * guards the sequence bound: sequence(1, 0) counts DOWN and feeds
+    * slice a start of 0 — and a plan reordering can evaluate this
+    * projection on a row a size filter discards, so the expression
+    * must be total. Takes the [[toks]] array pre-projected by every
+    * caller, not raw text — the [[bigramBuckets]] lambda-capture rule
+    * (an inlined tokenizer re-splits per gram element, O(tokens²)).
     */
-  private[graft] def gramHashes(text: Column): Column = {
-    val t = toks(text)
+  private[graft] def gramHashes(t: Column): Column =
     when(size(t) >= ContamN, array_distinct(
       transform(sequence(lit(1), greatest(size(t) - (ContamN - 1), lit(1))),
         i => md5(array_join(slice(t, i, lit(ContamN)), " ")))))
       .otherwise(array().cast("array<string>"))
-  }
 
   private def contamGrams(spark: SparkSession, dir: String): DataFrame =
     graft.Memo.getOrBuild(gramCache, (spark, dir)) {
@@ -309,8 +310,8 @@ object TextAnalysis {
       // explode drops empty arrays, so short docs contribute no rows —
       // same accept set as the pre-refactor size filter
       Tables.documents(spark, dir)
-        .select($"doc_id", SplitBucket.as("b"),
-          explode(gramHashes($"text")).as("g"))
+        .select($"doc_id", SplitBucket.as("b"), toks($"text").as("t"))
+        .select($"doc_id", $"b", explode(gramHashes($"t")).as("g"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -326,6 +327,10 @@ object TextAnalysis {
     dupSpanCache.keys.foreach(k =>
       dupSpanCache.remove(k).foreach(_.unpersist()))
     bpeRulesCache.clear()
+    qcCache.keys.foreach(k => qcCache.remove(k).foreach { f =>
+      f._1.unpersist(); f._2.unpersist()
+    })
+    qcModelCache.clear()
   }
 
   /** The contaminated-doc LIST p09 implies — the test-split doc_ids
@@ -1205,20 +1210,25 @@ object TextAnalysis {
     * one-row broadcast frame. One linear pass over the corpus at any
     * scale.
     */
-  /** The hashed-bigram feature buckets of a text column, as an
+  /** The hashed-bigram feature buckets of a TOKEN-ARRAY column, as an
     * array<long> in token order — p23's feature extraction, shared
     * with the streaming DSIR guard so the two hash identically by
     * construction. Returns an empty array below 2 tokens.
+    *
+    * Takes the [[toks]] array (pre-projected into its own column by
+    * every caller), NOT the raw text: an expression captured inside a
+    * `transform` lambda re-evaluates per element, so inlining the
+    * tokenizing split here made extraction O(tokens²) per document —
+    * the p22 pattern (tokenize in one projection, transform over the
+    * attribute in the next) keeps it linear.
     */
-  private[graft] def bigramBuckets(text: Column): Column = {
-    val t = toks(text)
+  private[graft] def bigramBuckets(t: Column): Column =
     when(size(t) >= 2,
       transform(sequence(lit(1), size(t) - 1),
         i => conv(substring(md5(concat_ws(" ",
           element_at(t, i), element_at(t, i + 1))), 1, 3),
           16, 10).cast("long")))
       .otherwise(array().cast("array<bigint>"))
-  }
 
   /** The DENSE DSIR model: one row per feature bucket 0..4095 with
     * its quantized log-likelihood ratio lam = qlog p_target −
@@ -1231,20 +1241,26 @@ object TextAnalysis {
     */
   private[graft] def dsirModel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val feats = Tables.documents(spark, dir)
-      .select($"source", explode(bigramBuckets($"text")).as("bkt"))
-    val tgt = feats.filter($"source" === DsirTarget)
-      .groupBy($"bkt").agg(count(lit(1)).as("ct"))
-    val raw = feats.filter($"source" =!= DsirTarget)
-      .groupBy($"bkt").agg(count(lit(1)).as("cr"))
-    val tot = tgt.agg(sum($"ct").as("nt"))
-      .crossJoin(raw.agg(sum($"cr").as("nr")))
+    // ONE extraction subtree: a conditional agg collapses the corpus
+    // to ≤4096 (bkt, ct, cr) rows in a single pass (the previous
+    // shape ran a separate filtered agg per distribution and the
+    // totals re-executed each — 3 extraction subtrees after exchange
+    // reuse). `counts` is consumed twice below (per-bucket rows and
+    // the totals), but both consumers sit above the SAME partial-agg
+    // + exchange, so ReuseExchange pays the corpus scan once.
+    val counts = Tables.documents(spark, dir)
+      .select($"source", toks($"text").as("t"))
+      .select($"source", explode(bigramBuckets($"t")).as("bkt"))
+      .groupBy($"bkt")
+      .agg(
+        sum(when($"source" === DsirTarget, 1L).otherwise(0L)).as("ct"),
+        sum(when($"source" =!= DsirTarget, 1L).otherwise(0L)).as("cr"))
+    val tot = counts.agg(sum($"ct").as("nt"), sum($"cr").as("nr"))
     def qlp(c: Column, n: Column): Column =
       floor(lit(PplScale.toDouble) * log(
         (c + 1L).cast("double") / (n + DsirBuckets).cast("double")))
     spark.range(DsirBuckets).toDF("bkt")
-      .join(tgt, Seq("bkt"), "left")
-      .join(raw, Seq("bkt"), "left")
+      .join(counts, Seq("bkt"), "left")
       .crossJoin(broadcast(tot))
       .select($"bkt",
         (qlp(coalesce($"ct", lit(0L)), $"nt") -
@@ -1254,7 +1270,8 @@ object TextAnalysis {
   def p23DsirWeights(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select($"doc_id", explode(bigramBuckets($"text")).as("bkt"))
+      .select($"doc_id", toks($"text").as("t"))
+      .select($"doc_id", explode(bigramBuckets($"t")).as("bkt"))
       .groupBy($"doc_id", $"bkt").agg(count(lit(1)).as("k"))
       .join(broadcast(dsirModel(spark, dir)), Seq("bkt"))
       .groupBy($"doc_id")
@@ -1263,11 +1280,180 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** p24's trainer constants: [[QcIters]] class-balanced gradient
+    * steps at integer learning rate [[QcLr]] (real-scale lr = QcLr;
+    * weights live on the [[PplScale]] micro-logit grid). Three fixed
+    * iterations mirror v05's power-iteration budget: enough to
+    * polarize the discriminative buckets on a near-separable
+    * bag-of-bigrams problem, and a CONSTANT so training cost is a
+    * fixed number of passes at any corpus size.
+    */
+  private[pipeline] val QcIters = 3
+  private[pipeline] val QcLr = 4096L
+
+  /** Exact floor division a/b for b > 0, as columns — sign-safe in
+    * BOTH engines: the numerator is first reduced by the positive
+    * modulus (pmod) so it is exactly divisible by b, where truncating
+    * and flooring division agree (Spark's `div` truncates toward
+    * zero, DuckDB's `//` floors — they disagree on negative
+    * NON-divisible values, so neither is used raw). The double-typed
+    * `/` of the exactly-divisible pair is exact while |a| < 2^53:
+    * both operands convert exactly and correctly-rounded division of
+    * an integer-valued quotient returns it exactly. p24's largest
+    * numerator is z = Σ k·w ≤ n_tokens · 3·QcLr·PplScale ≈ 1.2e10·n —
+    * inside 2^53 for documents up to ~700k tokens, far above any
+    * pretraining-corpus document cap.
+    */
+  private[graft] def fdiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** Driver-side twin of [[fdiv]]/rdiv for the ≤4096-entry weight
+    * update — Math.floorDiv IS floor division, the same value the
+    * oracle's reduced-numerator `//` computes.
+    */
+  private def rdivL(a: Long, b: Long): Long = Math.floorDiv(2 * a + b, 2 * b)
+
+  private val qcCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame, Long, Long)]
+  private val qcModelCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Array[Long]]
+
+  /** p24's persisted training frames: `occ` (doc_id, bkt, k) — the
+    * per-doc hashed-bigram counts, text-free — and `lab` (doc_id, n,
+    * y), BOTH repartitioned by doc_id so every per-iteration
+    * doc-grouped aggregate and occ⋈residual join is exchange-free;
+    * the only shuffle each GD pass pays is the 4096-key gradient
+    * collapse (map-side combined). Plus the two class counts (bounded
+    * driver scalars).
+    */
+  private def qcFrames(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Long, Long) =
+    graft.Memo.getOrBuild(qcCache, (spark, dir)) {
+      import spark.implicits._
+      val lev = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val occ = Tables.documents(spark, dir)
+        .select($"doc_id", toks($"text").as("t"))
+        .select($"doc_id", explode(bigramBuckets($"t")).as("bkt"))
+        .groupBy($"doc_id", $"bkt").agg(count(lit(1)).as("k"))
+        .repartition($"doc_id")
+        .persist(lev)
+      val lab = Tables.documents(spark, dir)
+        .select($"doc_id", toks($"text").as("t"), $"source")
+        .filter(size($"t") >= 2)
+        .select($"doc_id", (size($"t") - 1).cast("long").as("n"),
+          when($"source" === DsirTarget, 1L).otherwise(0L).as("y"))
+        .repartition($"doc_id")
+        .persist(lev)
+      val cnts = lab.groupBy($"y").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (occ, lab, cnts.getOrElse(1L, 0L), cnts.getOrElse(0L, 0L))
+    }
+
+  /** p24's trained weight vector (4096 micro-logits), memoized per
+    * corpus like the other ingest artifacts. Each of the [[QcIters]]
+    * iterations: (1) one pass over `occ` computes every document's
+    * logit z = Σ k·w[bkt] as an exact BIGINT against the weights
+    * riding in as ONE broadcast data row (the v05 centroidsAsRow
+    * idiom — state is data, not plan text); (2) the sigmoid residual
+    * r = floor(Q·σ(z/(n·Q))) − y·Q is the pass's ONLY transcendental,
+    * floor-quantized to the 2^20 grid (the p22/p23 argument: σ of a
+    * nonzero rational is irrational, so the floor is well-defined and
+    * the ~1-ulp libm slack sits ~9 orders below the grid); (3) the
+    * per-bucket gradient Σ fdiv(k·r, n) accumulates EXACT integers,
+    * split by class and averaged per class (round-half-up) before the
+    * update — the class-balanced step a 5%-positive curated-vs-pool
+    * label needs, the same device FineWeb-Edu's classifier gets from
+    * balanced sampling. The collect is ≤4096 rows per iteration,
+    * constant in corpus size (the hashed-feature property p23
+    * documents).
+    */
+  private[graft] def qcModel(spark: SparkSession, dir: String): Array[Long] =
+    graft.Memo.getOrBuild(qcModelCache, (spark, dir)) {
+      import spark.implicits._
+      val (occ, lab, n1, n0) = qcFrames(spark, dir)
+      var w = Array.fill(DsirBuckets.toInt)(0L)
+      for (_ <- 1 to QcIters) {
+        val wRow = spark.createDataFrame(Seq(Tuple1(w.toSeq))).toDF("wv")
+        val z = occ.crossJoin(broadcast(wRow))
+          .groupBy($"doc_id")
+          .agg(sum($"k" * element_at($"wv", ($"bkt" + 1).cast("int")))
+            .as("z"))
+        val res = z.join(lab, Seq("doc_id"))
+          .select($"doc_id", $"n", $"y",
+            (floor(lit(PplScale.toDouble) / (lit(1.0) +
+              exp(-($"z".cast("double") /
+                ($"n".cast("double") * PplScale))))).cast("long")
+              - $"y" * PplScale).as("r"))
+        val g2 = occ.join(res, Seq("doc_id"))
+          .select($"bkt", $"y", fdiv($"k" * $"r", $"n").as("t"))
+          .groupBy($"bkt")
+          .agg(sum(when($"y" === 1L, $"t").otherwise(0L)).as("g1"),
+            sum(when($"y" === 0L, $"t").otherwise(0L)).as("g0"))
+          .collect()
+        val next = w.clone()
+        g2.foreach { r =>
+          val b = r.getAs[Long]("bkt").toInt
+          val gbal = rdivL(r.getAs[Long]("g1"), n1) +
+            rdivL(r.getAs[Long]("g0"), n0)
+          next(b) = next(b) - rdivL(QcLr * gbal, 2L)
+        }
+        w = next
+      }
+      w
+    }
+
+  /** p24 — discriminative quality classifier (the FineWeb-Edu /
+    * phi-style "educational value" gate, Penedo et al. 2024, reduced
+    * to its deterministic core): a logistic regression over the SAME
+    * 4096-bucket hashed-bigram feature space as p23, trained
+    * IN-ENGINE by [[QcIters]] class-balanced quantized-gradient
+    * steps against the curated-vs-pool label ([[DsirTarget]] = 1),
+    * then scored over the whole corpus. Where p23's DSIR weight is
+    * GENERATIVE (two smoothed bag models, a per-bucket likelihood
+    * ratio fixed in closed form), p24 is the DISCRIMINATIVE
+    * counterpart a production pipeline runs beside it: the trained
+    * decision boundary concentrates on the buckets that SEPARATE the
+    * classes instead of pricing every bucket independently.
+    *
+    * Determinism: weights, logits and gradients are exact BIGINTs on
+    * the 2^20 micro-grid in any accumulation order; the one
+    * transcendental per pass (the sigmoid) is floor-quantized under
+    * the documented p22 grid argument; every division is [[fdiv]]'s
+    * engine-portable exact floor. The oracle replays the identical
+    * three unrolled iterations as chained CTEs (the v05 pattern).
+    *
+    * Scale shape: training touches text ONCE (the occ build); each
+    * iteration is two exchange-free passes over the doc_id-partitioned
+    * occ plus a 4096-key map-side-combined collapse; model state is a
+    * constant 32 KB driver array broadcast as one data row; scoring
+    * is one more pass. Nothing corpus-sized reaches the driver.
+    *
+    * Output: per scorable document (≥2 tokens), the feature count,
+    * the n-normalized micro-logit, the decision, and the training
+    * label.
+    */
+  def p24QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (occ, lab, _, _) = qcFrames(spark, dir)
+    val wRow = spark.createDataFrame(
+      Seq(Tuple1(qcModel(spark, dir).toSeq))).toDF("wv")
+    occ.crossJoin(broadcast(wRow))
+      .groupBy($"doc_id")
+      .agg(sum($"k" * element_at($"wv", ($"bkt" + 1).cast("int"))).as("z"))
+      .join(lab, Seq("doc_id"))
+      .select($"doc_id", $"n".as("n_feats"),
+        fdiv($"z", $"n").as("logit_micro"),
+        when($"z" > 0L, 1L).otherwise(0L).as("predicted"),
+        $"y".as("label"))
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p22_perplexity_buckets" -> p22PerplexityBuckets _,
     "p23_dsir_weights" -> p23DsirWeights _,
+    "p24_quality_classifier" -> p24QualityClassifier _,
     "p17_winnowing" -> p17Winnowing _,
     "p18_fingerprint_overlap" -> p18FingerprintOverlap _,
     "p19_bpe_encode" -> p19BpeEncode _,
@@ -1448,7 +1634,67 @@ object TextAnalysis {
        |      ch -> (instr('0123456789abcdef', ch) - 1)::BIGINT)),
        |    (h, c) -> h * 16 + c)""".stripMargin
 
+  /** p24's oracle: the three class-balanced GD iterations unrolled as
+    * chained CTEs (the v05 pattern), every accumulation an exact
+    * BIGINT sum and every division the reduced-numerator exact floor
+    * ([[fdiv]]'s SQL twin — `//` only ever divides exact multiples,
+    * where floor and truncation agree).
+    */
+  private def fdSql(a: String, b: String): String =
+    s"(($a) - ((($a) % ($b) + ($b)) % ($b))) // ($b)"
+
+  private lazy val p24Sql: String = {
+    // round-half-up a/b as the reduced-numerator floor of (2a+b)/2b —
+    // the SQL twin of the driver's rdivL
+    def rb(g: String, n: String): String =
+      fdSql(s"2*($g) + ($n)", s"2*($n)")
+    val sb = new StringBuilder(
+      s"""WITH dk AS (SELECT doc_id, source, $TOKS t FROM documents),
+         |docs AS (SELECT doc_id, source, t FROM dk WHERE len(t) >= 2),
+         |ft AS (SELECT doc_id, ${bkt3("t[u.i] || ' ' || t[u.i+1]")} bkt
+         |  FROM docs CROSS JOIN LATERAL unnest(range(1, len(t))) u(i)),
+         |occ AS (SELECT doc_id, bkt, COUNT(*) k FROM ft GROUP BY 1, 2),
+         |lab AS (SELECT doc_id, CAST(len(t) - 1 AS BIGINT) n,
+         |    CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END y
+         |  FROM docs),
+         |nc AS (SELECT CAST(SUM(y) AS BIGINT) n1,
+         |    CAST(SUM(1 - y) AS BIGINT) n0 FROM lab),
+         |w0 AS (SELECT CAST(unnest(range($DsirBuckets)) AS BIGINT) bkt,
+         |    CAST(0 AS BIGINT) w)""".stripMargin)
+    for (i <- 1 to QcIters) {
+      sb.append(s""",
+        |z$i AS (SELECT o.doc_id, CAST(SUM(o.k * w.w) AS BIGINT) z
+        |  FROM occ o JOIN w${i - 1} w USING (bkt) GROUP BY 1),
+        |r$i AS (SELECT l.doc_id, l.n, l.y,
+        |    CAST(floor($PplScale.0 / (1.0 + exp(-(CAST(z.z AS DOUBLE) /
+        |      (CAST(l.n AS DOUBLE) * $PplScale))))) AS BIGINT)
+        |      - l.y * $PplScale AS r
+        |  FROM lab l JOIN z$i z USING (doc_id)),
+        |g$i AS (SELECT bkt,
+        |    CAST(SUM(CASE WHEN y = 1 THEN fd ELSE 0 END) AS BIGINT) g1,
+        |    CAST(SUM(CASE WHEN y = 0 THEN fd ELSE 0 END) AS BIGINT) g0
+        |  FROM (SELECT o.bkt, r.y, ${fdSql("o.k * r.r", "r.n")} fd
+        |        FROM occ o JOIN r$i r USING (doc_id))
+        |  GROUP BY bkt),
+        |w$i AS (SELECT w.bkt, w.w - (${rb(
+        s"$QcLr * ((${rb("COALESCE(g.g1, 0)", "(SELECT n1 FROM nc)")}) + " +
+          s"(${rb("COALESCE(g.g0, 0)", "(SELECT n0 FROM nc)")}))",
+        "2")}) w
+        |  FROM w${i - 1} w LEFT JOIN g$i g USING (bkt))""".stripMargin)
+    }
+    sb.append(s"""
+      |, zf AS (SELECT o.doc_id, CAST(SUM(o.k * w.w) AS BIGINT) z
+      |  FROM occ o JOIN w$QcIters w USING (bkt) GROUP BY 1)
+      |SELECT l.doc_id, l.n AS n_feats,
+      | CAST(${fdSql("z.z", "l.n")} AS BIGINT) AS logit_micro,
+      | CAST(CASE WHEN z.z > 0 THEN 1 ELSE 0 END AS BIGINT) AS predicted,
+      | CAST(l.y AS BIGINT) AS label
+      |FROM zf z JOIN lab l USING (doc_id) ORDER BY l.doc_id""".stripMargin)
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "p24_quality_classifier" -> p24Sql,
     "p22_perplexity_buckets" ->
       s"""WITH tk AS (SELECT doc_id, t, b FROM
          |    (SELECT doc_id, $TOKS t, $BUCKET b FROM documents)

@@ -14,9 +14,13 @@ object Chunker {
 
   val DefaultChunkSize = 512
 
-  /** Chunk expressions for a text column: array of chunk strings. */
-  def chunks(text: Column, chunkSize: Int): Column = {
-    val words = split(trim(text), "\\s+")
+  /** Chunk expressions for a WORD-ARRAY column: array of chunk
+    * strings. Takes the pre-split array, not raw text — an expression
+    * captured inside the `transform` lambda re-evaluates per element,
+    * so an inlined `split` would re-tokenize the document once per
+    * chunk (O(words²/chunkSize)).
+    */
+  def chunks(words: Column, chunkSize: Int): Column = {
     val nChunks = ceil(size(words).cast("double") / chunkSize).cast("int")
     transform(sequence(lit(0), greatest(nChunks - 1, lit(0))),
       i => array_join(slice(words, i * chunkSize + 1, lit(chunkSize)), " "))
@@ -29,8 +33,9 @@ object Chunker {
     */
   def chunkDf(df: DataFrame, textCol: String,
       chunkSize: Int = DefaultChunkSize): DataFrame =
-    df.select(col("*"), posexplode(chunks(col(textCol), chunkSize)))
+    df.withColumn("__words", split(trim(col(textCol)), "\\s+"))
+      .select(col("*"), posexplode(chunks(col("__words"), chunkSize)))
       .withColumnRenamed("pos", "chunk_index")
       .withColumnRenamed("col", "chunk_text")
-      .drop(textCol)
+      .drop(textCol, "__words")
 }

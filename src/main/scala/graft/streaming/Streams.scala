@@ -48,7 +48,8 @@ object Streams {
     "delta_dedup_guard" -> "pipeline.Dedup.deltaCandidates (d08's batch x corpus LSH banding)",
     "pq_encode" -> "pipeline.Similarity.pqIndex code table (s12/s13's stored 8-byte codes)",
     "semantic_decontam_guard" -> "pipeline.Similarity.s15Scored tau-screen (s15's batch candidate set at cosine >= tau)",
-    "dsir_guard" -> "pipeline.TextAnalysis.p23DsirWeights (hashed-bigram importance weights vs the frozen 4096-bucket model)")
+    "dsir_guard" -> "pipeline.TextAnalysis.p23DsirWeights (hashed-bigram importance weights vs the frozen 4096-bucket model)",
+    "quality_guard" -> "pipeline.TextAnalysis.p24QualityClassifier (trained micro-logit scoring vs the frozen 4096-bucket weight vector)")
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
@@ -155,7 +156,9 @@ object Streams {
     */
   def contaminationGuard(docs: DataFrame, trainGrams: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-        explode(graft.pipeline.TextAnalysis.gramHashes(col("text"))).as("g"))
+        graft.pipeline.TextAnalysis.toks(col("text")).as("t"))
+      .select(col("doc_id"),
+        explode(graft.pipeline.TextAnalysis.gramHashes(col("t"))).as("g"))
       .join(trainGrams.select(col("g")), Seq("g"), "inner")
       .select(col("doc_id"), col("g"))
 
@@ -230,14 +233,59 @@ object Streams {
     * scorer gives by omission.
     */
   def dsirGuard(docs: DataFrame, modelRow: DataFrame): DataFrame = {
-    val bs = graft.pipeline.TextAnalysis.bigramBuckets(col("text"))
+    // tokens and the bucket array are each projected into their own
+    // column before use: the tokenizer would otherwise re-evaluate
+    // per transform element and the md5 extraction once per consumer
+    // (size + fold) — the same O(tokens²) trap the batch extractor
+    // documents on bigramBuckets itself.
     docs.crossJoin(modelRow)
-      .select(col("doc_id"), size(bs).cast("long").as("n_feats"),
-        aggregate(bs, lit(0L), (acc, b) =>
+      .select(col("doc_id"),
+        graft.pipeline.TextAnalysis.toks(col("text")).as("t"), col("lam"))
+      .select(col("doc_id"),
+        graft.pipeline.TextAnalysis.bigramBuckets(col("t")).as("bs"),
+        col("lam"))
+      .select(col("doc_id"), size(col("bs")).cast("long").as("n_feats"),
+        aggregate(col("bs"), lit(0L), (acc, b) =>
           acc + element_at(col("lam"), (b + 1L).cast("int"))).as("qlw"))
       .withColumn("selected",
         when(col("qlw") > 0L, 1L).otherwise(0L))
   }
+
+  /** Streaming quality-admission guard (the streaming face of batch
+    * p24's discriminative classifier): each arriving document hashes
+    * to the SHARED bigram feature buckets and its micro-logit is a
+    * per-row integer fold over the FROZEN trained weight vector
+    * riding in as ONE static row — the post-training serving path of
+    * a quality classifier, applied at ingest. Stateless by
+    * construction: no shuffle, no watermark, no state store, append
+    * mode; the model row is 4096 longs at ANY corpus scale (the
+    * hashed-feature property). Documents under 2 tokens carry no
+    * features and emit (0, 0, 0) — the batch scorer's
+    * verdict-by-omission made explicit, exactly as [[dsirGuard]].
+    */
+  def qualityGuard(docs: DataFrame, modelRow: DataFrame): DataFrame =
+    // tokens and the bucket array pre-projected per the bigramBuckets
+    // lambda-capture rule (same as dsirGuard)
+    docs.crossJoin(modelRow)
+      .select(col("doc_id"),
+        graft.pipeline.TextAnalysis.toks(col("text")).as("t"), col("wv"))
+      .select(col("doc_id"),
+        graft.pipeline.TextAnalysis.bigramBuckets(col("t")).as("bs"),
+        col("wv"))
+      .select(col("doc_id"), size(col("bs")).cast("long").as("n_feats"),
+        aggregate(col("bs"), lit(0L), (acc, b) =>
+          acc + element_at(col("wv"), (b + 1L).cast("int"))).as("z"))
+      .select(col("doc_id"), col("n_feats"),
+        when(col("n_feats") > 0L,
+          graft.pipeline.TextAnalysis.fdiv(col("z"), col("n_feats")))
+          .otherwise(0L).as("logit_micro"),
+        when(col("z") > 0L, 1L).otherwise(0L).as("selected"))
+
+  /** The frozen p24 weight vector as one broadcastable static row —
+    * the model side of [[qualityGuard]]: position b+1 is w(b).
+    */
+  def qcModelAsRow(spark: SparkSession, w: Array[Long]): DataFrame =
+    spark.createDataFrame(Seq(Tuple1(w.toSeq))).toDF("wv")
 
   /** The frozen DSIR model collapsed to one broadcastable row — the
     * static side of [[dsirGuard]]: position b+1 of the array is

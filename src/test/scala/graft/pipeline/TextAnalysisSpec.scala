@@ -771,4 +771,87 @@ class TextAnalysisSpec extends SparkSpec {
     assert(tw * rn > rw * tn,
       s"target mean weight ($tw/$tn) must exceed raw mean ($rw/$rn)")
   }
+
+  test("p24 quality classifier matches a first-principles GD replay and separates the target") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bkt(a: String, w: String): Long =
+      java.lang.Long.parseLong(md5hex(a + " " + w).substring(0, 3), 16)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text").trim.split("\\s+").toSeq))
+      .filter(_._3.size >= 2)
+    // occ as a SEQ of (doc, bkt, k) — the x09 lesson: never fold a
+    // Set-backed keys view where a multiset is meant
+    val occ: Seq[(Long, Long, Long)] = docs.toSeq.flatMap { case (id, _, t) =>
+      t.sliding(2).toSeq.map { case Seq(a, w) => bkt(a, w) }
+        .groupBy(identity).toSeq.map { case (b, ks) =>
+          (id, b, ks.size.toLong)
+        }
+    }
+    val lab: Map[Long, (Long, Long)] = docs.map { case (id, src, t) =>
+      id -> ((t.size.toLong - 1L,
+        if (src == TextAnalysis.DsirTarget) 1L else 0L))
+    }.toMap
+    val n1 = lab.values.count(_._2 == 1L).toLong
+    val n0 = lab.values.count(_._2 == 0L).toLong
+    val q = TextAnalysis.PplScale
+    def rdiv(a: Long, b: Long): Long = Math.floorDiv(2 * a + b, 2 * b)
+    var w = Array.fill(TextAnalysis.DsirBuckets.toInt)(0L)
+    def zOf(weights: Array[Long]): Map[Long, Long] =
+      occ.groupBy(_._1).map { case (id, os) =>
+        id -> os.map { case (_, b, k) => k * weights(b.toInt) }.sum
+      }
+    for (_ <- 1 to TextAnalysis.QcIters) {
+      val z = zOf(w)
+      val r = lab.map { case (id, (n, y)) =>
+        id -> (math.floor(q.toDouble / (1.0 + math.exp(
+          -(z(id).toDouble / (n.toDouble * q))))).toLong - y * q)
+      }
+      val g1 = Array.fill(w.length)(0L)
+      val g0 = Array.fill(w.length)(0L)
+      occ.foreach { case (id, b, k) =>
+        val (n, y) = lab(id)
+        val t = Math.floorDiv(k * r(id), n)
+        if (y == 1L) g1(b.toInt) += t else g0(b.toInt) += t
+      }
+      w = w.indices.map(b => w(b) -
+        rdiv(TextAnalysis.QcLr * (rdiv(g1(b), n1) + rdiv(g0(b), n0)), 2L))
+        .toArray
+    }
+    val zf = zOf(w)
+    val got = TextAnalysis.p24QualityClassifier(spark, sfDir).collect()
+    assert(got.length == lab.size)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (n, y) = lab(id)
+      assert(r.getAs[Long]("n_feats") == n, s"doc $id n_feats")
+      assert(r.getAs[Long]("logit_micro") == Math.floorDiv(zf(id), n),
+        s"doc $id logit diverges from the replay")
+      assert(r.getAs[Long]("predicted") == (if (zf(id) > 0L) 1L else 0L))
+      assert(r.getAs[Long]("label") == y)
+    }
+    // the trained boundary must actually discriminate: the target
+    // class's mean micro-logit strictly above the pool's, and the
+    // true-positive rate strictly above the false-positive rate (a
+    // majority-class-collapsed model fails both)
+    val (ts, tn2) = got.filter(_.getAs[Long]("label") == 1L)
+      .map(_.getAs[Long]("logit_micro"))
+      .foldLeft((0L, 0L)) { case ((s, c), x) => (s + x, c + 1) }
+    val (rs, rn2) = got.filter(_.getAs[Long]("label") == 0L)
+      .map(_.getAs[Long]("logit_micro"))
+      .foldLeft((0L, 0L)) { case ((s, c), x) => (s + x, c + 1) }
+    assert(ts * rn2 > rs * tn2,
+      s"mean target logit ($ts/$tn2) must exceed pool mean ($rs/$rn2)")
+    val tp = got.count(r => r.getAs[Long]("label") == 1L &&
+      r.getAs[Long]("predicted") == 1L).toLong
+    val fp = got.count(r => r.getAs[Long]("label") == 0L &&
+      r.getAs[Long]("predicted") == 1L).toLong
+    assert(tp * n0 > fp * n1,
+      s"TPR ($tp/$n1) must exceed FPR ($fp/$n0)")
+  }
 }

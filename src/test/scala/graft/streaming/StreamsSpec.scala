@@ -169,8 +169,8 @@ class StreamsSpec extends SparkSpec {
         graft.pipeline.TextAnalysis.SplitBucket.as("b"))
     val trainGrams = bucketed
       .filter($"b" < graft.pipeline.TextAnalysis.TrainMax)
-      .select(explode(
-        graft.pipeline.TextAnalysis.gramHashes($"text")).as("g"))
+      .select(explode(graft.pipeline.TextAnalysis.gramHashes(
+        graft.pipeline.TextAnalysis.toks($"text"))).as("g"))
       .distinct()
     val arriving = bucketed
       .filter($"b" >= graft.pipeline.TextAnalysis.ValMax)
@@ -193,8 +193,8 @@ class StreamsSpec extends SparkSpec {
     val got = spark.table("leak_guard").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     val want = bucketed.filter($"b" >= graft.pipeline.TextAnalysis.ValMax)
-      .select($"doc_id", explode(
-        graft.pipeline.TextAnalysis.gramHashes($"text")).as("g"))
+      .select($"doc_id", explode(graft.pipeline.TextAnalysis.gramHashes(
+        graft.pipeline.TextAnalysis.toks($"text"))).as("g"))
       .join(trainGrams, Seq("g"))
       .select($"doc_id", $"g").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
@@ -483,8 +483,51 @@ class StreamsSpec extends SparkSpec {
       "stream emits exactly the batch-scored docs plus the planted one")
   }
 
+  private def qualityGuardTwin(): Unit = {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // frozen trained weights from the batch side; the stream is the
+    // corpus arriving (plus one planted featureless doc), so the batch
+    // twin is p24's scored table (sf0.01-oracle-gated)
+    val modelRow = qcModelAsRow(spark,
+      graft.pipeline.TextAnalysis.qcModel(spark, sfDir))
+    val arriving = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq :+
+      ((-1L, "solo"))
+
+    val input = MemoryStream[(Long, String)]
+    val query = qualityGuard(input.toDF().toDF("doc_id", "text"), modelRow)
+      .writeStream.format("memory").queryName("quality_guard")
+      .outputMode("append").start()
+    // two micro-batches: the guard is stateless, so a doc's verdict
+    // must not depend on which batch carried it
+    val (a, b) = arriving.splitAt(arriving.size / 2)
+    input.addData(a)
+    query.processAllAvailable()
+    input.addData(b)
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("quality_guard").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val want = graft.pipeline.TextAnalysis.p24QualityClassifier(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_feats"),
+        r.getAs[Long]("logit_micro"), r.getAs[Long]("predicted")))).toMap
+    assert(got.size == arriving.size, "one verdict per arriving doc")
+    want.foreach { case (id, w) =>
+      assert(got(id) == w, s"doc $id stream logit diverges from p24")
+    }
+    // the featureless doc gets the out-of-scope verdict, not a crash
+    assert(got(-1L) == ((0L, 0L, 0L)))
+    assert((got.keySet - (-1L)) == want.keySet,
+      "stream emits exactly the batch-scored docs plus the planted one")
+  }
+
   private val twinRunners: Map[String, () => Unit] = Map(
     "dsir_guard" -> (dsirGuardTwin _),
+    "quality_guard" -> (qualityGuardTwin _),
     "hopping_counts" -> (hoppingCountsTwin _),
     "pq_encode" -> (pqEncodeTwin _),
     "semantic_decontam_guard" -> (semanticDecontamGuardTwin _),
