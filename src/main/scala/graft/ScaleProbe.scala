@@ -232,7 +232,28 @@ object ScaleProbe {
       "p23" -> SparkEntry.queries("p23_dsir_weights"),
       // x10: x09's shape — one row per stratum off the export scan —
       // ~linear
-      "x10" -> SparkEntry.queries("x10_temperature_mixture"))
+      "x10" -> SparkEntry.queries("x10_temperature_mixture"),
+      // s18: s16's ADC scan (sublinear — scan fraction nprobe/k falls
+      // as k=sqrt(n) grows) plus a RescorePool x queries int8
+      // point-lookup refine — expected to track s16
+      "s18" -> SparkEntry.queries("s18_pq_refine"),
+      // p24: the occ build is one corpus scan (~R); each of the 3 GD
+      // iterations is two exchange-free passes over the
+      // doc_id-partitioned occ plus a FIXED 4096-key collapse, and the
+      // model stays a constant 32 KB driver array at any R (the same
+      // hashed-feature property p23 probes) — ~linear
+      "p24" -> SparkEntry.queries("p24_quality_classifier"))
+
+    // optional args after reps: probe only the named targets (dev
+    // iteration on a new operator without re-running all 35)
+    val only = args.drop(1).toSet
+    val selected =
+      if (only.isEmpty) targets
+      else {
+        val unknown = only -- targets.map(_._1).toSet
+        require(unknown.isEmpty, s"unknown probe targets: $unknown")
+        targets.filter(t => only(t._1))
+      }
 
     def once(f: (SparkSession, String) => DataFrame, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -245,7 +266,7 @@ object ScaleProbe {
       // warm FS metadata + page cache so dir order doesn't bias pass 1
       Tables.documents(spark, dir).write.mode("overwrite").format("noop").save()
       Tables.embeddings(spark, dir).write.mode("overwrite").format("noop").save()
-      dir -> targets.map { case (name, f) =>
+      dir -> selected.map { case (name, f) =>
         val t1 = once(f, dir)
         val t2 = once(f, dir)
         println(f"[probe] $dir $name cold=$t1%.2f warm=${math.min(t1, t2)}%.2f")

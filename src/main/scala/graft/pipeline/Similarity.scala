@@ -825,6 +825,21 @@ object Similarity {
     */
   def s16IvfPqSearch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    ivfPqAdc(spark, dir).withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id")
+          .orderBy($"adc_micro", $"neighbor_id")).cast("long"))
+      .filter($"rank" <= TopK)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** s16's full ADC candidate table — every probed-cell candidate with
+    * its integer PQ distance, BEFORE any rank cut. Shared by s16 (cut
+    * at [[TopK]]) and s18 (pooled at [[RescorePool]] then refined), so
+    * the two serving paths score candidates identically by
+    * construction.
+    */
+  private[pipeline] def ivfPqAdc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val e = vectors(spark, dir)
     val (ivfCents, assign) = ivfIndex(spark, dir, TrainedVariant,
       corpusCells(spark, dir))
@@ -838,7 +853,7 @@ object Similarity {
       .join(broadcast(pqCents), "sub")
       .select($"query_id", $"sub", $"cid",
         floor(sqDist($"x", $"cv") * 1000000L).cast("long").as("dm"))
-    val adc = cand.as("c")
+    cand.as("c")
       .join(codes.select($"vec_id".as("neighbor_id"), $"sub".as("ksub"),
         $"code"), "neighbor_id")
       .join(broadcast(dt.as("d")),
@@ -847,9 +862,45 @@ object Similarity {
       .select($"c.query_id".as("query_id"), $"neighbor_id", $"dm")
       .groupBy($"query_id", $"neighbor_id")
       .agg(sum($"dm").as("adc_micro"))
-    adc.withColumn("rank", row_number().over(
+  }
+
+  /** s18 — IVF-PQ with SQ8 refinement (the FAISS `IndexIVFPQR` shape,
+    * and the CONCRETE serving path [[ivfPqServingDecision]] names when
+    * s17's profile reads below [[IvfPqRecallFloor]]): s16's ADC scan
+    * shortlists [[RescorePool]] candidates per query from the probed
+    * cells' 8-byte codes, and the shortlist alone is re-ranked by the
+    * exact integer int8 dot product over the stored SQ8 codes — the
+    * refinement codes of a two-level compressed index. Full-precision
+    * vectors are NEVER read on this path (where s08 rescores its pool
+    * with float cosine, s18 stays compressed end-to-end: 8 bytes
+    * scanned per candidate, d bytes read per SHORTLISTED candidate
+    * only — the memory profile that serves at 100 TB when the float
+    * table is cold storage).
+    *
+    * Determinism: ADC micro-ints (s13's argument) pick the pool, the
+    * refine score is a pure BIGINT dot product (s08's argument), ties
+    * break to the smaller neighbor id at both cuts — hash-exact in
+    * both engines at every scale factor.
+    */
+  def s18PqRefine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pool = ivfPqAdc(spark, dir)
+      .withColumn("rn", row_number().over(
         Window.partitionBy($"query_id")
-          .orderBy($"adc_micro", $"neighbor_id")).cast("long"))
+          .orderBy($"adc_micro", $"neighbor_id")))
+      .filter($"rn" <= RescorePool)
+      .select($"query_id", $"neighbor_id")
+    val qv = quantized(spark, dir)
+    pool
+      .join(qv.select($"vec_id".as("query_id"), $"qc".as("qa")), "query_id")
+      .join(qv.select($"vec_id".as("neighbor_id"), $"qc".as("qb")),
+        "neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        aggregate(zip_with($"qa", $"qb", (a, b) => a * b), lit(0L),
+          (s, x) => s + x).as("iscore"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id")
+          .orderBy($"iscore".desc, $"neighbor_id")).cast("long"))
       .filter($"rank" <= TopK)
       .orderBy($"query_id", $"rank")
   }
@@ -996,7 +1047,7 @@ object Similarity {
     * volume for recall, and like NProbe it is interpolated into the
     * oracle's `rn <=` bound so one edit moves both sides.
     */
-  private val RescorePool = 3 * TopK
+  private[pipeline] val RescorePool = 3 * TopK
 
   /** Per-vector symmetric int8 codes (v02's quantization, exactly:
     * `q_i = floor(x_i * 127 / maxabs)`), as a long array so the dot
@@ -1186,6 +1237,7 @@ object Similarity {
     "s15_semantic_decontam" -> s15SemanticDecontam _,
     "s16_ivfpq_search" -> s16IvfPqSearch _,
     "s17_ivfpq_recall" -> s17IvfPqRecall _,
+    "s18_pq_refine" -> s18PqRefine _,
   )
 
   /** Inline sequential-fold cosine over two vector SQL expressions
@@ -1321,11 +1373,13 @@ object Similarity {
   /** s07's oracle SQL, named so the s14 cluster oracle can embed
     * the identical pair derivation.
     */
-  /** s16's oracle, named so the s17 recall oracle embeds the
-    * identical IVF-PQ ranking.
+  /** The combined IVF-PQ CTE chain through `adc` (every probed-cell
+    * candidate's integer PQ distance, uncut) — the oracle twin of
+    * [[ivfPqAdc]], shared by the s16, s17, and s18 oracles exactly as
+    * the Spark side shares the one ADC frame.
     */
-  private lazy val s16Sql: String =
-    s"""WITH ${ivfCandCtes(s"WHERE vec_id < $NumQueries",
+  private lazy val ivfPqAdcCtes: String =
+    s"""${ivfCandCtes(s"WHERE vec_id < $NumQueries",
           s"SELECT cid, cv FROM cents$KmeansIters",
           kmeansCtes(KmeansIters))},
        |$pqCtesAfterVec,
@@ -1339,10 +1393,39 @@ object Similarity {
        |  FROM cand x JOIN codes k ON k.vec_id = x.neighbor_id
        |    JOIN dtab d ON d.query_id = x.query_id
        |      AND d.sub = k.sub AND d.cid = k.code
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** s16's oracle, named so the s17 recall oracle embeds the
+    * identical IVF-PQ ranking.
+    */
+  private lazy val s16Sql: String =
+    s"""WITH $ivfPqAdcCtes
        |SELECT query_id, neighbor_id, adc_micro, rank FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY adc_micro, neighbor_id) AS rank FROM adc)
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  /** s18's oracle: the shared ADC chain pooled at [[RescorePool]],
+    * then the int8 refinement — the [[qvCte]] code table and an exact
+    * BIGINT dot product, final top-[[TopK]] by (iscore DESC,
+    * neighbor_id).
+    */
+  private lazy val s18Sql: String =
+    s"""WITH $ivfPqAdcCtes,
+       |pool AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_micro, neighbor_id) AS rn FROM adc)
+       |  WHERE rn <= $RescorePool),
+       |$qvCte,
+       |refined AS (SELECT p.query_id, p.neighbor_id,
+       |    list_reduce(list_prepend(0::BIGINT, list_transform(
+       |      list_zip(a.qc, b.qc), p2 -> p2[1] * p2[2])), (s, x) -> s + x)
+       |      AS iscore
+       |  FROM pool p JOIN qv a ON a.vec_id = p.query_id
+       |              JOIN qv b ON b.vec_id = p.neighbor_id)
+       |SELECT query_id, neighbor_id, iscore, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY iscore DESC, neighbor_id) AS rank FROM refined)
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
   private lazy val s07Sql: String =
@@ -1369,6 +1452,7 @@ object Similarity {
     "s12_pq_profile" -> s12Sql,
     "s13_pq_adc" -> s13Sql,
     "s16_ivfpq_search" -> s16Sql,
+    "s18_pq_refine" -> s18Sql,
     "s17_ivfpq_recall" ->
       s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($s01Sql)),
          |approx AS (SELECT query_id, neighbor_id FROM ($s16Sql)),
@@ -1581,15 +1665,22 @@ object Similarity {
     * all-zero vectors), the exact BIGINT dot-product pool cut at
     * [[RescorePool]], and the full-precision rescore top-[[TopK]].
     */
-  private lazy val s08Sql =
-    s"""WITH ${ivfCandCtes(s"WHERE vec_id < $NumQueries",
-          s"SELECT vec_id cid, v AS cv FROM n WHERE vec_id < $CellsSub")},
-       |qv AS (SELECT vec_id, CASE WHEN maxabs > 0
+  /** The int8 code-table CTE (v02's `floor(x*127/maxabs)`
+    * quantization, zero code for all-zero vectors) — [[quantized]]'s
+    * oracle twin, shared by the s08 and s18 oracles.
+    */
+  private lazy val qvCte: String =
+    s"""qv AS (SELECT vec_id, CASE WHEN maxabs > 0
        |    THEN list_transform(v, x -> CAST(floor(x * 127 / maxabs) AS BIGINT))
        |    ELSE list_transform(v, x -> 0::BIGINT) END AS qc
        |  FROM (SELECT vec_id, v, list_reduce(list_prepend(0.0::DOUBLE,
        |    list_transform(v, x -> abs(x))), (a, x) -> greatest(a, x)) AS maxabs
-       |    FROM n)),
+       |    FROM n))""".stripMargin
+
+  private lazy val s08Sql =
+    s"""WITH ${ivfCandCtes(s"WHERE vec_id < $NumQueries",
+          s"SELECT vec_id cid, v AS cv FROM n WHERE vec_id < $CellsSub")},
+       |$qvCte,
        |iscored AS (SELECT c.query_id, c.neighbor_id,
        |    list_reduce(list_prepend(0::BIGINT, list_transform(
        |      list_zip(a.qc, b.qc), p -> p[1] * p[2])), (s, x) -> s + x) AS iscore

@@ -284,6 +284,64 @@ class SimilaritySpec extends SparkSpec {
         "revisit the s17 rollout decision (serve IVF-PQ?) and update this pin")
   }
 
+  test("s18 refines the ADC shortlist with exact int8 scores and recovers recall lost to PQ") {
+    // driver-side replay of the two stages off the shared ADC frame
+    val adc = Similarity.ivfPqAdc(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("adc_micro")))
+    // .values first: flatMap ON the Map would rebuild a Map from the
+    // (query, neighbor) pairs — one surviving neighbor per query (the
+    // x09 Set-keys gotcha's Map-shaped sibling)
+    val shortlist = adc.groupBy(_._1).values.flatMap { rs =>
+      rs.sortBy(r => (r._3, r._2)).take(Similarity.RescorePool)
+        .map(r => (r._1, r._2)).toSeq
+    }.toSet
+    // int8 codes recomputed from the raw embeddings (v02's rule)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map { r =>
+        val v = r.getAs[scala.collection.Seq[Float]]("embedding")
+          .toSeq.map(_.toDouble)
+        val maxabs = v.map(math.abs).foldLeft(0.0)(math.max)
+        r.getAs[Long]("vec_id") -> (
+          if (maxabs > 0) v.map(x => math.floor(x * 127.0 / maxabs).toLong)
+          else v.map(_ => 0L))
+      }.toMap
+    val got = Similarity.s18PqRefine(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(shortlist((q, n)),
+        s"($q,$n) ranked by s18 but outside the RescorePool ADC shortlist")
+      val want = emb(q).zip(emb(n)).map { case (a, b) => a * b }.sum
+      assert(r.getAs[Long]("iscore") == want, s"($q,$n) int8 refine score")
+    }
+    got.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to rs.length).toSeq, s"query $q ranks not contiguous")
+      assert(rs.length <= 10)
+      assert(sorted.map(r => (-r.getAs[Long]("iscore"),
+        r.getAs[Long]("neighbor_id"))).toSeq ==
+        sorted.map(r => (-r.getAs[Long]("iscore"),
+          r.getAs[Long]("neighbor_id"))).sortBy(identity).toSeq,
+        s"query $q not ordered by (iscore DESC, neighbor)")
+    }
+    // the point of the refinement: recall@10 vs the exact scan must
+    // strictly beat s16's raw PQ ranking on this corpus (the s17
+    // profile reads ~0.4 there — int8 refine scores are near-exact, so
+    // the pool's true neighbors come back)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val exact = pairs(Similarity.s01KnnBruteForce(spark, sfDir))
+    val r16 = (exact & pairs(Similarity.s16IvfPqSearch(spark, sfDir))).size
+    val r18 = (exact & got.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id"))).toSet).size
+    info(s"exact-overlap pairs: s16=$r16 s18=$r18 of ${exact.size}")
+    assert(r18 > r16,
+      s"s18 overlap $r18 must strictly beat s16's $r16 — refinement recovered nothing")
+  }
+
   test("s15 accounts for every test vector; matches are train-split; verdict = tau cut") {
     import spark.implicits._
     val rows = Similarity.s15SemanticDecontam(spark, sfDir).collect()
