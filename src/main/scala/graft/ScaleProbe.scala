@@ -233,6 +233,10 @@ object ScaleProbe {
       // x10: x09's shape — one row per stratum off the export scan —
       // ~linear
       "x10" -> SparkEntry.queries("x10_temperature_mixture"),
+      // x11: one corpus scan to two longs + its gates' drop lists and
+      // per-doc score tables (each probed individually: d06, p09, p22,
+      // p24) joined on doc_id — expected ~linear, p22-dominated
+      "x11" -> SparkEntry.queries("x11_quality_funnel"),
       // s18: s16's ADC scan (sublinear — scan fraction nprobe/k falls
       // as k=sqrt(n) grows) plus a RescorePool x queries int8
       // point-lookup refine — expected to track s16

@@ -484,7 +484,80 @@ object Export {
 
   // ---------------------------------------------------------------- registry
 
+  /** x11 — the quality-gated export funnel: the full FineWeb-style
+    * data recipe (Penedo et al. 2024's pipeline figure) as ONE staged
+    * accounting table. Each document flows through the five gates the
+    * suite trains/derives elsewhere, and every stage row reports how
+    * much survives — docs AND tokens — so the recipe's cost is read
+    * off one table:
+    *
+    *   0 total          — the raw corpus
+    *   1 quality        — p02's clean rule (≥30 tokens, stopword <0.2)
+    *   2 dedup          — minus d06's near-dup cluster drop list
+    *   3 decontaminated — minus p09's 13-gram contaminated docs
+    *   4 perplexity     — p22's head+middle kept, CCNet's tail dropped
+    *   5 classifier     — p24's trained gate, predicted positives only
+    *
+    * Gates are CUMULATIVE (a stage only sees the previous stage's
+    * survivors), so the rows reconcile: n_docs is non-increasing and
+    * stage 5 is the final publishable cut a FineWeb-Edu-style release
+    * trains on.
+    *
+    * Scale shape: one scan reduces each document to two longs; the
+    * drop lists (dup/contam fractions) broadcast into left joins; the
+    * p22/p24 per-doc score tables join on doc_id (at 100 TB those are
+    * materialized scoring artifacts and this is a narrow
+    * manifest-to-manifest join — text never reaches it); the funnel
+    * itself is ONE aggregate to a single row, unpivoted by stack. No
+    * stage re-scans the corpus.
+    */
+  def x11QualityFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = TextAnalysis.toks($"text")
+    val stats = Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(t).cast("long").as("n_tokens"),
+        size(filter(t, tok => tok.isInCollection(TextAnalysis.Stopwords)))
+          .cast("long").as("n_stop"))
+    val drops = Dedup.clusterDropList(spark, dir)
+      .select($"doc_id", lit(1L).as("is_dup"))
+    val contam = TextAnalysis.contaminatedDocs(spark, dir)
+      .select($"doc_id", lit(1L).as("is_contam"))
+    val ppl = TextAnalysis.p22PerplexityBuckets(spark, dir)
+      .select($"doc_id", $"ppl_bucket")
+    val qc = TextAnalysis.p24QualityClassifier(spark, dir)
+      .select($"doc_id", $"predicted")
+    val f = stats
+      .join(broadcast(drops), Seq("doc_id"), "left")
+      .join(broadcast(contam), Seq("doc_id"), "left")
+      .join(ppl, Seq("doc_id"), "left")
+      .join(qc, Seq("doc_id"), "left")
+      .withColumn("s1", $"n_tokens" >= 30 && $"n_stop" * 5 < $"n_tokens")
+      .withColumn("s2", $"s1" && $"is_dup".isNull)
+      .withColumn("s3", $"s2" && $"is_contam".isNull)
+      .withColumn("s4", $"s3" &&
+        coalesce($"ppl_bucket", lit("tail")) =!= "tail")
+      .withColumn("s5", $"s4" && coalesce($"predicted", lit(0L)) === 1L)
+    def stage(c: Column): Seq[Column] = Seq(
+      sum(when(c, 1L).otherwise(0L)),
+      sum(when(c, $"n_tokens").otherwise(0L)))
+    val aggs = (Seq(count(lit(1)).cast("long"), sum($"n_tokens")) ++
+      Seq($"s1", $"s2", $"s3", $"s4", $"s5").flatMap(stage))
+      .zipWithIndex.map { case (c, i) => c.as(s"c$i") }
+    f.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("""stack(6,
+        0L, 'total',          c0, c1,
+        1L, 'quality',        c2, c3,
+        2L, 'dedup',          c4, c5,
+        3L, 'decontaminated', c6, c7,
+        4L, 'perplexity',     c8, c9,
+        5L, 'classifier',     c10, c11
+      ) AS (stage, stage_name, n_docs, n_tokens)""")
+      .orderBy($"stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x11_quality_funnel" -> x11QualityFunnel _,
     "x01_corpus_export" -> x01CorpusExport _,
     "x02_decontaminated_export" -> x02DecontaminatedExport _,
     "x07_dataset_card" -> x07DatasetCard _,
@@ -534,7 +607,59 @@ object Export {
        |    (${TextAnalysis.oracles("p09_contamination")})
        |    WHERE contaminated = 1)""".stripMargin
 
+  /** x11's oracle: the same five cumulative gates, each drop list a
+    * derived table of the SQL its own gate already verifies (the
+    * exportSql composition pattern), the funnel a one-row conditional
+    * aggregate unpivoted by UNION ALL. Counts CAST to BIGINT — the
+    * q21 HUGEINT lesson.
+    */
+  private lazy val x11Sql: String = {
+    val toks = raw"regexp_split_to_array(trim(text), '\s+')"
+    val stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    def row(stage: Int, name: String, cond: String): String =
+      s"""SELECT $stage::BIGINT AS stage, '$name' AS stage_name,
+         | CAST(SUM(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+         | CAST(SUM(CASE WHEN $cond THEN n_tokens ELSE 0 END) AS BIGINT)
+         |   AS n_tokens
+         |FROM g""".stripMargin
+    s"""WITH stats AS (SELECT doc_id, len($toks) AS n_tokens,
+       |    len(list_filter($toks, t -> t IN ($stop))) AS n_stop
+       |  FROM documents),
+       |drops AS (SELECT doc_id FROM
+       |  (${Dedup.oracles("d06_neardup_clusters")}) WHERE keep = 0),
+       |contam AS (SELECT doc_id FROM
+       |  (${TextAnalysis.oracles("p09_contamination")})
+       |  WHERE contaminated = 1),
+       |ppl AS (SELECT doc_id, ppl_bucket FROM
+       |  (${TextAnalysis.oracles("p22_perplexity_buckets")})),
+       |qc AS (SELECT doc_id, predicted FROM
+       |  (${TextAnalysis.oracles("p24_quality_classifier")})),
+       |f AS (SELECT s.n_tokens,
+       |    (s.n_tokens >= 30 AND s.n_stop * 5 < s.n_tokens) AS s1,
+       |    s.doc_id IN (SELECT doc_id FROM drops) AS dup,
+       |    s.doc_id IN (SELECT doc_id FROM contam) AS cont,
+       |    coalesce(p.ppl_bucket, 'tail') AS pb,
+       |    coalesce(q.predicted, 0) AS pred
+       |  FROM stats s LEFT JOIN ppl p USING (doc_id)
+       |               LEFT JOIN qc q USING (doc_id)),
+       |g AS (SELECT n_tokens, s1,
+       |    (s1 AND NOT dup) AS s2,
+       |    (s1 AND NOT dup AND NOT cont) AS s3,
+       |    (s1 AND NOT dup AND NOT cont AND pb != 'tail') AS s4,
+       |    (s1 AND NOT dup AND NOT cont AND pb != 'tail' AND pred = 1)
+       |      AS s5
+       |  FROM f)
+       |${row(0, "total", "TRUE")}
+       |UNION ALL ${row(1, "quality", "s1")}
+       |UNION ALL ${row(2, "dedup", "s2")}
+       |UNION ALL ${row(3, "decontaminated", "s3")}
+       |UNION ALL ${row(4, "perplexity", "s4")}
+       |UNION ALL ${row(5, "classifier", "s5")}
+       |ORDER BY stage""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "x11_quality_funnel" -> x11Sql,
     "x01_corpus_export" -> exportSql(""),
     "x02_decontaminated_export" -> exportSql(decontamWhere),
     "x07_dataset_card" -> {

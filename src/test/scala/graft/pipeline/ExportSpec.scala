@@ -321,4 +321,57 @@ class ExportSpec extends SparkSpec {
     // planned per-epoch draw never exceeds the corpus total
     assert(got.map(_.getAs[Long]("planned_tokens")).sum <= nt.toLong)
   }
+
+  test("x11 funnel matches a cumulative replay of its five gates and reconciles") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").collect()
+      .map { r =>
+        val t = r.getAs[String]("text").trim.split("\\s+").toSeq
+        (r.getAs[Long]("doc_id"), t.size.toLong,
+          t.count(TextAnalysis.Stopwords.contains).toLong)
+      }
+    val dropped = Dedup.d06NeardupClusters(spark, sfDir)
+      .filter($"keep" === 0).collect().map(_.getAs[Long]("doc_id")).toSet
+    val contaminated = TextAnalysis.p09Contamination(spark, sfDir)
+      .filter($"contaminated" === 1).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val pb = TextAnalysis.p22PerplexityBuckets(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("ppl_bucket"))
+      .toMap
+    val pred = TextAnalysis.p24QualityClassifier(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("predicted"))
+      .toMap
+    def survives(stage: Int)(d: (Long, Long, Long)): Boolean = {
+      val (id, n, stp) = d
+      val gates = Seq[Boolean](
+        n >= 30 && stp * 5 < n,
+        !dropped(id),
+        !contaminated(id),
+        pb.getOrElse(id, "tail") != "tail",
+        pred.getOrElse(id, 0L) == 1L)
+      gates.take(stage).forall(identity)
+    }
+    val got = Export.x11QualityFunnel(spark, sfDir).collect()
+    assert(got.length == 6)
+    assert(got.map(_.getAs[Long]("stage")).toSeq == (0L to 5L))
+    got.foreach { r =>
+      val st = r.getAs[Long]("stage").toInt
+      val keep = docs.filter(survives(st))
+      assert(r.getAs[Long]("n_docs") == keep.length,
+        s"stage $st (${r.getAs[String]("stage_name")}) n_docs")
+      assert(r.getAs[Long]("n_tokens") == keep.map(_._2).sum,
+        s"stage $st n_tokens")
+    }
+    // the funnel narrows monotonically; the quality, dedup,
+    // perplexity and classifier gates all fire on this corpus
+    // (decontamination may legitimately drop 0 — its flagged docs can
+    // already be gone by stage 2); something survives the final cut
+    val ns = got.sortBy(_.getAs[Long]("stage")).map(_.getAs[Long]("n_docs"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => b <= a })
+    Seq(0, 1, 3, 4).foreach(i => assert(ns(i + 1) < ns(i),
+      s"stage ${i + 1} dropped nothing: $ns"))
+    assert(ns.last > 0, "nothing survives the funnel")
+  }
 }
