@@ -233,6 +233,12 @@ object ScaleProbe {
       // x10: x09's shape — one row per stratum off the export scan —
       // ~linear
       "x10" -> SparkEntry.queries("x10_temperature_mixture"),
+      // p25: reuses the persisted gram artifact; one gram-keyed
+      // map-side-combined count to a 5-row histogram — ~linear
+      "p25" -> SparkEntry.queries("p25_gram_df_spectrum"),
+      // v07: one posexplode to a d-key aggregate + v05's memoized
+      // profile collapsed to a scalar — ~linear, v05-dominated
+      "v07" -> SparkEntry.queries("v07_anisotropy_profile"),
       // x11: one corpus scan to two longs + its gates' drop lists and
       // per-doc score tables (each probed individually: d06, p09, p22,
       // p24) joined on doc_id — expected ~linear, p22-dominated

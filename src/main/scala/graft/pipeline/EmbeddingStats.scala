@@ -318,7 +318,56 @@ object EmbeddingStats {
       .orderBy($"label")
   }
 
+  /** v07 — anisotropy / collapse monitor (Ethayarajh, EMNLP 2019; Mu &
+    * Viswanath, ICLR 2018): ONE row reading v05's top eigenvalue
+    * against the covariance TRACE (total variance), the ratio that
+    * says whether the embedding space is degenerating toward a line.
+    * `anisotropy_ppm` = floor(1e6·λ1/trace) compares against the
+    * isotropic baseline floor(1e6/d): a healthy space sits near the
+    * baseline, a collapsing one (v05's scaladoc scenario — cosine ANN
+    * silently breaking) runs it up toward 1e6. This is the number a
+    * deployment alerts on; v03/v05 are its per-dimension drill-downs.
+    *
+    * Exactness: the trace never exists as a float — n²·10¹²·trace =
+    * Σ_j (n·Σxm² − (Σxm)²) is an exact integer identity over the
+    * micro-quantized components (v03's grid), accumulated in
+    * DECIMAL(38,0); λ1 is v05's micro-quantized Rayleigh value; the
+    * ppm ratio is one wide-integer floor division (the x10
+    * DECIMAL-DIV pattern, all operands positive so truncation IS
+    * floor in both engines). Per-dim Σxm² stays within Long to ~10⁹
+    * unit-norm vectors; beyond that widen to DECIMAL like v04's note.
+    *
+    * Scale shape: one posexplode to a d-key map-side-collapsed
+    * aggregate (v03's shape), a one-row reduction, and v05's memoized
+    * 4-pass profile collapsed to its scalar — nothing corpus-sized
+    * moves, and the output is a single row at any n.
+    */
+  def v07AnisotropyProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dims = Tables.embeddings(spark, dir)
+      .select(posexplode($"embedding".cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .select($"dim", floor($"x" * 1000000L).cast("long").as("xm"))
+      .groupBy($"dim")
+      .agg(count(lit(1)).as("n"), sum($"xm").as("sx"),
+        sum($"xm" * $"xm").as("sxx"))
+    val tr = dims.agg(
+      max($"n").as("n_vectors"),
+      count(lit(1)).as("n_dims"),
+      sum(expr("CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+        .as("trace_n2_micro2"))
+    val lam = v05Pc1Profile(spark, dir)
+      .agg(min($"lambda_micro").as("lambda_micro"))
+    tr.crossJoin(broadcast(lam))
+      .select($"n_vectors", $"n_dims", $"lambda_micro",
+        expr("""CAST((CAST(lambda_micro AS DECIMAL(38,0)) * n_vectors *
+                n_vectors * 1000000000000) DIV trace_n2_micro2 AS BIGINT)""")
+          .as("anisotropy_ppm"),
+        expr("CAST(1000000 DIV n_dims AS BIGINT)").as("isotropic_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v07_anisotropy_profile" -> v07AnisotropyProfile _,
     "v01_norm_profile" -> v01NormProfile _,
     "v02_quantize_profile" -> v02QuantizeProfile _,
     "v03_dim_stats" -> v03DimStats _,
@@ -422,6 +471,28 @@ object EmbeddingStats {
 
   val oracles: Map[String, String] = Map(
     "v05_pc1_profile" -> v05Sql,
+    // the trace identity n^2*1e12*trace = SUM_j(n*SUM xm^2 - (SUM xm)^2)
+    // accumulates in HUGEINT (DECIMAL(38,0) on the Spark side); the
+    // ppm ratio is a single positive wide-integer floor division, and
+    // lambda comes from the SAME chained-CTE iterations v05 publishes
+    "v07_anisotropy_profile" ->
+      s"""WITH dims AS (SELECT dim, COUNT(*) AS n,
+         |   CAST(SUM(xm) AS BIGINT) AS sx, CAST(SUM(xm*xm) AS BIGINT) AS sxx
+         |  FROM (SELECT CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
+         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+         |      AS BIGINT) AS xm
+         |   FROM embeddings)
+         |  GROUP BY dim),
+         |tr AS (SELECT CAST(MAX(n) AS BIGINT) AS n_vectors,
+         |   COUNT(*) AS n_dims,
+         |   SUM(n::HUGEINT * sxx - sx::HUGEINT * sx) AS trace_n2_micro2
+         |  FROM dims),
+         |lam AS (SELECT MIN(lambda_micro) AS lambda_micro FROM ($v05Sql))
+         |SELECT n_vectors, n_dims, lambda_micro,
+         | CAST(lambda_micro::HUGEINT * n_vectors * n_vectors *
+         |   1000000000000 // trace_n2_micro2 AS BIGINT) AS anisotropy_ppm,
+         | CAST(1000000 // n_dims AS BIGINT) AS isotropic_ppm
+         |FROM tr, lam""".stripMargin,
     "v06_class_separation" -> v06Sql,
     "v01_norm_profile" ->
       """SELECT label, COUNT(*) AS n_vecs,

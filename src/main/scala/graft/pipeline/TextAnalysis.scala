@@ -1448,12 +1448,45 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** p25 — gram-level duplication spectrum: the corpus's distinct
+    * 13-gram hashes histogrammed by document frequency (df=1 unique,
+    * df=2, 3–10, 11–100, >100). This is the table a pipeline reads
+    * BEFORE choosing its dedup policy (RefinedWeb/Gopher both publish
+    * it): the df=2 mass prices exact-pair dedup, the heavy tail is
+    * boilerplate that gram-level excision (p20/p21) must handle, and
+    * the unique share bounds what ANY dedup can remove. Where d09
+    * prices Jaccard thresholds over candidate PAIRS, p25 prices
+    * duplication at the gram population level — no pair join at all.
+    *
+    * Scale shape: reuses the persisted 13-gram artifact the p09/p10
+    * sweeps and the streaming guard already share; one gram-keyed
+    * map-side-combined count, then a ≤5-row histogram. Text never
+    * shuffles; the gram index is the same one a 100 TB corpus
+    * materializes once per snapshot.
+    */
+  def p25GramDfSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    contamGrams(spark, dir)
+      .groupBy($"g").agg(count(lit(1)).as("df"))
+      .select(
+        when($"df" === 1, "unique")
+          .when($"df" === 2, "df2")
+          .when($"df" <= 10, "df3_10")
+          .when($"df" <= 100, "df11_100")
+          .otherwise("df_gt100").as("df_bucket"),
+        $"df")
+      .groupBy($"df_bucket")
+      .agg(count(lit(1)).as("n_grams"), sum($"df").as("n_occurrences"))
+      .orderBy($"df_bucket")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p22_perplexity_buckets" -> p22PerplexityBuckets _,
     "p23_dsir_weights" -> p23DsirWeights _,
     "p24_quality_classifier" -> p24QualityClassifier _,
+    "p25_gram_df_spectrum" -> p25GramDfSpectrum _,
     "p17_winnowing" -> p17Winnowing _,
     "p18_fingerprint_overlap" -> p18FingerprintOverlap _,
     "p19_bpe_encode" -> p19BpeEncode _,
@@ -1695,6 +1728,19 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "p24_quality_classifier" -> p24Sql,
+    "p25_gram_df_spectrum" ->
+      s"""WITH tk AS (SELECT doc_id, $TOKS t FROM documents),
+         |gr AS (SELECT doc_id, unnest(list_distinct(
+         |    [md5(array_to_string(t[i:i+12], ' ')) for i in range(1, len(t)-11)])) AS g
+         |  FROM tk WHERE len(t) >= 13),
+         |df AS (SELECT g, COUNT(*) AS df FROM gr GROUP BY g)
+         |SELECT CASE WHEN df = 1 THEN 'unique'
+         |       WHEN df = 2 THEN 'df2'
+         |       WHEN df <= 10 THEN 'df3_10'
+         |       WHEN df <= 100 THEN 'df11_100'
+         |       ELSE 'df_gt100' END AS df_bucket,
+         | COUNT(*) AS n_grams, CAST(SUM(df) AS BIGINT) AS n_occurrences
+         |FROM df GROUP BY 1 ORDER BY 1""".stripMargin,
     "p22_perplexity_buckets" ->
       s"""WITH tk AS (SELECT doc_id, t, b FROM
          |    (SELECT doc_id, $TOKS t, $BUCKET b FROM documents)

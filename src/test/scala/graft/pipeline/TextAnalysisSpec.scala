@@ -854,4 +854,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(tp * n0 > fp * n1,
       s"TPR ($tp/$n1) must exceed FPR ($fp/$n0)")
   }
+
+  test("p25 df spectrum matches a driver-side gram census and reconciles") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dfs = scala.collection.mutable.Map.empty[String, Long]
+    graft.Tables.documents(spark, sfDir).select($"text").collect()
+      .foreach { r =>
+        val t = r.getString(0).trim.split("\\s+").toSeq
+        if (t.size >= 13)
+          t.sliding(13).map(w => md5hex(w.mkString(" "))).toSet
+            .foreach(g => dfs(g) = dfs.getOrElse(g, 0L) + 1L)
+      }
+    def bucket(df: Long): String =
+      if (df == 1) "unique" else if (df == 2) "df2"
+      else if (df <= 10) "df3_10" else if (df <= 100) "df11_100"
+      else "df_gt100"
+    val want = dfs.values.groupBy(bucket).map { case (b, vs) =>
+      b -> ((vs.size.toLong, vs.sum))
+    }
+    val got = TextAnalysis.p25GramDfSpectrum(spark, sfDir).collect()
+      .map(r => r.getAs[String]("df_bucket") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_occurrences")))).toMap
+    assert(got == want, s"spectrum diverges: got $got want $want")
+    // reconciliation: bucket gram counts sum to the distinct-gram
+    // census, occurrences to the (doc, gram) incidence count
+    assert(got.values.map(_._1).sum == dfs.size.toLong)
+    assert(got.values.map(_._2).sum == dfs.values.sum)
+    // the corpus has both unique grams and duplicated mass
+    assert(got.contains("unique") && got.keySet.exists(_ != "unique"))
+  }
 }
