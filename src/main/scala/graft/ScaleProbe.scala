@@ -247,6 +247,10 @@ object ScaleProbe {
       // as k=sqrt(n) grows) plus a RescorePool x queries int8
       // point-lookup refine — expected to track s16
       "s18" -> SparkEntry.queries("s18_pq_refine"),
+      // s19: one widest-pool ADC scan + refine join + a query-keyed
+      // window over ≤60 rows/query, plus the exact-side artifact join
+      // — ~linear (measured 2.0–2.4 at 10×)
+      "s19" -> SparkEntry.queries("s19_refine_pool_curve"),
       // p24: the occ build is one corpus scan (~R); each of the 3 GD
       // iterations is two exchange-free passes over the
       // doc_id-partitioned occ plus a FIXED 4096-key collapse, and the

@@ -950,6 +950,70 @@ object Similarity {
   def ivfPqServingDecision(meanRecall: Double): String =
     if (meanRecall >= IvfPqRecallFloor) "ivfpq" else "sq8_rescore"
 
+  /** s19's refine-pool sweep — the FAISS `k_factor` values the tuning
+    * curve evaluates (pool = k_factor·k). [[RescorePool]] (= 3k = 30)
+    * must be a member so the curve brackets s18's production setting
+    * from both sides.
+    */
+  private[pipeline] val PoolSweep = Seq(10, 20, 30, 60)
+
+  /** s19 — recall-vs-refine-pool tuning curve: suite-level recall of
+    * the s18 two-stage path at each shortlist size in [[PoolSweep]] —
+    * the k_factor evaluation that justifies [[RescorePool]], exactly
+    * as s11 justifies [[NProbe]]. The knee of this curve is where a
+    * deployment pins its refinement budget: below it the int8 rescore
+    * can't recover what the ADC shortlist never admitted; past it
+    * every extra candidate buys nothing but full-code reads.
+    *
+    * One plan for the whole curve (s11's shared-sweep device): the
+    * WIDEST pool's candidates are ADC-ranked and int8-scored once,
+    * and one windowed pass computes each row's rank within every
+    * narrower pool as a conditional running count over the same
+    * (iscore DESC, neighbor) sort — four sweep points share one ADC
+    * scan, one refine join, one Window sort, one aggregation.
+    */
+  def s19RefinePoolCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = exactTopK(spark, dir).select($"query_id", $"neighbor_id")
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val maxR = PoolSweep.max
+    val ranked = ivfPqAdc(spark, dir)
+      .withColumn("adc_rank", row_number().over(
+        Window.partitionBy($"query_id")
+          .orderBy($"adc_micro", $"neighbor_id")))
+      .filter($"adc_rank" <= maxR)
+      .select($"query_id", $"neighbor_id", $"adc_rank")
+    val qv = quantized(spark, dir)
+    val scored = ranked
+      .join(qv.select($"vec_id".as("query_id"), $"qc".as("qa")), "query_id")
+      .join(qv.select($"vec_id".as("neighbor_id"), $"qc".as("qb")),
+        "neighbor_id")
+      .select($"query_id", $"neighbor_id", $"adc_rank",
+        aggregate(zip_with($"qa", $"qb", (a, b) => a * b), lit(0L),
+          (s, x) => s + x).as("iscore"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"iscore".desc, $"neighbor_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flags = PoolSweep.map(r =>
+      ($"adc_rank" <= r &&
+        sum(when($"adc_rank" <= r, 1L).otherwise(0L)).over(w) <= TopK)
+        .as(s"m_$r"))
+    val marked = scored.select(
+      Seq($"query_id", $"neighbor_id") ++ flags: _*)
+    def ov(r: Int) =
+      coalesce(sum(when(col(s"m_$r"), 1L).otherwise(0L)), lit(0L))
+        .as(s"ov_$r")
+    val ovRow = marked.join(exact, Seq("query_id", "neighbor_id"))
+      .agg(ov(PoolSweep.head), PoolSweep.tail.map(ov): _*)
+    val stackExpr = s"stack(${PoolSweep.size}, " +
+      PoolSweep.map(r => s"CAST($r AS BIGINT), ov_$r").mkString(", ") +
+      ") AS (pool, n_overlap)"
+    ovRow.crossJoin(broadcast(nExact))
+      .select(expr(stackExpr), $"n_exact")
+      .select($"pool", $"n_exact", $"n_overlap")
+      .orderBy($"pool")
+  }
+
   /** s06 — IVF cell-occupancy profile over the trained (s04) index:
     * vectors and candidate-pair volume per cell. This is the monitor
     * for s03's residual hotspot — a corpus-wide IVF knn-join pays
@@ -1238,6 +1302,7 @@ object Similarity {
     "s16_ivfpq_search" -> s16IvfPqSearch _,
     "s17_ivfpq_recall" -> s17IvfPqRecall _,
     "s18_pq_refine" -> s18PqRefine _,
+    "s19_refine_pool_curve" -> s19RefinePoolCurve _,
   )
 
   /** Inline sequential-fold cosine over two vector SQL expressions
@@ -1408,14 +1473,15 @@ object Similarity {
   /** s18's oracle: the shared ADC chain pooled at [[RescorePool]],
     * then the int8 refinement — the [[qvCte]] code table and an exact
     * BIGINT dot product, final top-[[TopK]] by (iscore DESC,
-    * neighbor_id).
+    * neighbor_id). Parameterized by the pool size so s19's sweep
+    * replays the identical ranking at every k_factor.
     */
-  private lazy val s18Sql: String =
+  private def s18SqlAt(pool: Int): String =
     s"""WITH $ivfPqAdcCtes,
        |pool AS (SELECT query_id, neighbor_id FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY adc_micro, neighbor_id) AS rn FROM adc)
-       |  WHERE rn <= $RescorePool),
+       |  WHERE rn <= $pool),
        |$qvCte,
        |refined AS (SELECT p.query_id, p.neighbor_id,
        |    list_reduce(list_prepend(0::BIGINT, list_transform(
@@ -1452,7 +1518,20 @@ object Similarity {
     "s12_pq_profile" -> s12Sql,
     "s13_pq_adc" -> s13Sql,
     "s16_ivfpq_search" -> s16Sql,
-    "s18_pq_refine" -> s18Sql,
+    "s18_pq_refine" -> s18SqlAt(RescorePool),
+    "s19_refine_pool_curve" -> {
+      val per = PoolSweep.map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS pool,
+           |  (SELECT count(*) FROM exact) AS n_exact,
+           |  (SELECT count(*) FROM (
+           |     SELECT query_id, neighbor_id FROM (${s18SqlAt(r)})
+           |     INTERSECT SELECT query_id, neighbor_id FROM exact))
+           |    AS n_overlap""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($s01Sql))
+         |$per
+         |ORDER BY pool""".stripMargin
+    },
     "s17_ivfpq_recall" ->
       s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($s01Sql)),
          |approx AS (SELECT query_id, neighbor_id FROM ($s16Sql)),

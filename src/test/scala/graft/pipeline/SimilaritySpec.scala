@@ -342,6 +342,53 @@ class SimilaritySpec extends SparkSpec {
       s"s18 overlap $r18 must strictly beat s16's $r16 — refinement recovered nothing")
   }
 
+  test("s19 curve matches a per-pool driver replay, is monotone, and agrees with s18 at the production pool") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val exact = pairs(Similarity.s01KnnBruteForce(spark, sfDir))
+    val adc = Similarity.ivfPqAdc(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("adc_micro")))
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map { r =>
+        val v = r.getAs[scala.collection.Seq[Float]]("embedding")
+          .toSeq.map(_.toDouble)
+        val maxabs = v.map(math.abs).foldLeft(0.0)(math.max)
+        r.getAs[Long]("vec_id") -> (
+          if (maxabs > 0) v.map(x => math.floor(x * 127.0 / maxabs).toLong)
+          else v.map(_ => 0L))
+      }.toMap
+    def iscore(q: Long, n: Long): Long =
+      emb(q).zip(emb(n)).map { case (a, b) => a * b }.sum
+    def replay(pool: Int): Long = {
+      val top = adc.groupBy(_._1).toSeq.flatMap { case (q, rs) =>
+        rs.sortBy(r => (r._3, r._2)).take(pool)
+          .map(r => (q, r._2, iscore(q, r._2)))
+          .sortBy(t => (-t._3, t._2)).take(10)
+          .map(t => (t._1, t._2))
+      }.toSet
+      (top & exact).size.toLong
+    }
+    val got = Similarity.s19RefinePoolCurve(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("pool"),
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("n_overlap"))))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == Similarity.PoolSweep.map(_.toLong))
+    got.foreach { case (pool, (ne, no)) =>
+      assert(ne == exact.size.toLong)
+      assert(no == replay(pool.toInt), s"pool $pool overlap")
+    }
+    // wider pools can only help (the shortlist grows monotonically)
+    val ovs = got.map(_._2._2)
+    assert(ovs.zip(ovs.tail).forall { case (a, b) => b >= a },
+      s"recall not monotone in pool: $ovs")
+    // the production point reproduces s18's registered ranking
+    val s18ov = (exact & pairs(Similarity.s18PqRefine(spark, sfDir))).size
+    assert(got.toMap.apply(Similarity.RescorePool.toLong)._2 ==
+      s18ov.toLong, "curve diverges from s18 at the production pool")
+  }
+
   test("s15 accounts for every test vector; matches are train-split; verdict = tau cut") {
     import spark.implicits._
     val rows = Similarity.s15SemanticDecontam(spark, sfDir).collect()
