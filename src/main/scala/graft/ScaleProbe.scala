@@ -239,6 +239,10 @@ object ScaleProbe {
       // v07: one posexplode to a d-key aggregate + v05's memoized
       // profile collapsed to a scalar — ~linear, v05-dominated
       "v07" -> SparkEntry.queries("v07_anisotropy_profile"),
+      // m07: m06's durable cluster artifact joined to the byte
+      // catalog + one cluster-keyed window over dup-sized rows —
+      // ~linear, m06-dominated
+      "m07" -> SparkEntry.queries("m07_media_survivors"),
       // x11: one corpus scan to two longs + its gates' drop lists and
       // per-doc score tables (each probed individually: d06, p09, p22,
       // p24) joined on doc_id — expected ~linear, p22-dominated

@@ -251,9 +251,43 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** m07 — media survivor selection: d10's keep-policy applied to the
+    * media family. Text dedup keeps the LONGEST member (C4/RefinedWeb);
+    * media dedup keeps the HIGHEST-FIDELITY copy — here the largest
+    * payload (the keep-the-best-encode policy of an image/video dedup
+    * pass), ties to the smaller doc_id. Per m06 cluster: the member
+    * count, the surviving doc with its byte size, and the disagreement
+    * flag vs m06's min-id default — exactly the columns d10 reports
+    * for text clusters, so the two survivor passes audit identically.
+    *
+    * Scale shape: reuses m06's durable propagation artifact (the
+    * cluster table, never re-propagated) joined to the two-column
+    * byte catalog; one cluster-keyed window over dup-fraction-sized
+    * rows. Payloads are never read — length() prunes to metadata.
+    */
+  def m07MediaSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nb = mediaTable(spark, dir)
+      .select($"doc_id", length($"payload").cast("long").as("n_bytes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster_id").orderBy($"n_bytes".desc, $"doc_id")
+    m06MediaClusters(spark, dir)
+      .select($"cluster_id", $"doc_id")
+      .join(nb, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(when($"rn" === 1, $"doc_id")).as("survivor_doc_id"),
+        max(when($"rn" === 1, $"n_bytes")).as("survivor_n_bytes"))
+      .withColumn("same_as_min_id",
+        when($"survivor_doc_id" === $"cluster_id", 1L).otherwise(0L))
+      .orderBy($"cluster_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m07_media_survivors" -> m07MediaSurvivors _,
     "m01_media_catalog" -> m01MediaCatalog _,
     "m02_decoded_features" -> m02DecodedFeatures _,
     "m03_frame_sample" -> m03FrameSample _,
@@ -321,7 +355,30 @@ object Multimodal {
          |FROM pr JOIN nf na ON na.doc_id = pr.doc_a
          |        JOIN nf nb ON nb.doc_id = pr.doc_b
          |ORDER BY pr.doc_a, pr.doc_b""".stripMargin,
-    "m06_media_clusters" ->
+    "m06_media_clusters" -> m06Sql,
+  ) ++ Map(
+    // m07 embeds m06's recursive clustering SQL as a derived table
+    // (the exportSql composition pattern) and ranks members by the
+    // keep-largest-payload policy
+    "m07_media_survivors" ->
+      s"""WITH cl AS (SELECT cluster_id, doc_id FROM ($m06Sql)),
+         |nb AS (SELECT doc_id, strlen(text)::BIGINT AS n_bytes
+         |  FROM documents WHERE doc_id % 3 = 2),
+         |rk AS (SELECT cl.cluster_id, cl.doc_id, nb.n_bytes,
+         |    row_number() OVER (PARTITION BY cl.cluster_id
+         |      ORDER BY nb.n_bytes DESC, cl.doc_id) AS rn
+         |  FROM cl JOIN nb USING (doc_id))
+         |SELECT cluster_id, COUNT(*) AS n_members,
+         | CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+         |   AS survivor_doc_id,
+         | CAST(MAX(CASE WHEN rn = 1 THEN n_bytes END) AS BIGINT)
+         |   AS survivor_n_bytes,
+         | CAST(CASE WHEN MAX(CASE WHEN rn = 1 THEN doc_id END) = cluster_id
+         |      THEN 1 ELSE 0 END AS BIGINT) AS same_as_min_id
+         |FROM rk GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+  )
+
+  private lazy val m06Sql: String =
       s"""WITH RECURSIVE fr AS (SELECT DISTINCT doc_id,
          |    md5(substr(text, (i * $FrameLen + 1)::BIGINT, $FrameLen)) AS g
          |  FROM documents, unnest(range(0, (strlen(text) - 1) // $FrameLen + 1,
@@ -344,6 +401,5 @@ object Multimodal {
          |  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id)
          |SELECT min(lab) AS cluster_id, id AS doc_id,
          |  (CASE WHEN min(lab) = id THEN 1 ELSE 0 END)::BIGINT AS keep
-         |FROM reach GROUP BY id ORDER BY cluster_id, doc_id""".stripMargin,
-  )
+         |FROM reach GROUP BY id ORDER BY cluster_id, doc_id""".stripMargin
 }

@@ -124,4 +124,34 @@ class MultimodalSpec extends SparkSpec {
         (r.getAs[Long]("doc_id") == r.getAs[Long]("cluster_id")))
     }
   }
+
+  test("m07 keeps the largest payload per m06 cluster, ties to the smaller id") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val bytes = graft.Tables.documents(spark, sfDir)
+      .filter($"doc_id" % 3 === 2)
+      .select($"doc_id", length($"text").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusters = Multimodal.m06MediaClusters(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("doc_id")))
+      .groupBy(_._1).map { case (c, ms) => c -> ms.map(_._2).toSeq.sorted }
+    val got = Multimodal.m07MediaSurvivors(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        ((r.getAs[Long]("n_members"), r.getAs[Long]("survivor_doc_id"),
+          r.getAs[Long]("survivor_n_bytes"),
+          r.getAs[Long]("same_as_min_id")))).toMap
+    assert(got.keySet == clusters.keySet, "one row per m06 cluster")
+    clusters.foreach { case (c, members) =>
+      val (n, sid, sb, same) = got(c)
+      assert(n == members.size.toLong, s"cluster $c member count")
+      val want = members.minBy(id => (-bytes(id), id))
+      assert(sid == want, s"cluster $c survivor: got $sid want $want")
+      assert(sb == bytes(want), s"cluster $c survivor bytes")
+      assert(same == (if (sid == c) 1L else 0L), s"cluster $c flag")
+    }
+    // the policy must actually disagree with min-id somewhere, or the
+    // operator is d10's flag without its point
+    assert(got.values.exists(_._4 == 0L),
+      "keep-largest never disagreed with min-id on this corpus")
+  }
 }
