@@ -239,6 +239,9 @@ object ScaleProbe {
       // v07: one posexplode to a d-key aggregate + v05's memoized
       // profile collapsed to a scalar — ~linear, v05-dominated
       "v07" -> SparkEntry.queries("v07_anisotropy_profile"),
+      // x12: one projection over x03's memoized layout + a shard-keyed
+      // map-side-combined aggregate — ~linear
+      "x12" -> SparkEntry.queries("x12_checksum_manifest"),
       // m07: m06's durable cluster artifact joined to the byte
       // catalog + one cluster-keyed window over dup-sized rows —
       // ~linear, m06-dominated

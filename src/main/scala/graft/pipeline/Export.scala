@@ -482,6 +482,43 @@ object Export {
       .orderBy($"lang", $"stratum_rank")
   }
 
+  /** x12 — the release checksum manifest: per x06 shard, two
+    * ORDER-INVARIANT fingerprints over its member documents — the
+    * BIGINT sum and the bitwise XOR of each document's 48-bit
+    * md5(doc_id:n_tokens) prefix — plus the member count. This is the
+    * verification table a dataset release ships beside its shards
+    * (every serious release publishes checksums): a loader that
+    * re-materializes a shard recomputes both folds over what it read
+    * and refuses the shard on mismatch. Both folds commute, so the
+    * check is layout-independent — any executor order, any file
+    * order, any re-partitioning reproduces them bit-for-bit (the same
+    * commuting-integer argument the v-family sums rest on), and the
+    * xor fold is immune to the sum's (theoretical) collision class.
+    *
+    * The fingerprint covers the manifest identity (doc_id, n_tokens)
+    * — payload-level hashing belongs behind the decode/tokenize seam.
+    * 48 bits/doc keeps the per-shard sum inside DuckDB's checked
+    * BIGINT to ~32k docs per shard; wider shards would bucket the sum
+    * (the sumExact recombine pattern).
+    *
+    * Scale shape: one projection over x03's memoized layout + a
+    * shard-keyed map-side-combined aggregate; nothing corpus-sized
+    * moves and the output is shard-count rows.
+    */
+  def x12ChecksumManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    x03PackingLayout(spark, dir)
+      .withColumn("shard_id", expr(s"start_block div $BlocksPerShard"))
+      .withColumn("fp", conv(substring(md5(concat(
+          $"doc_id".cast("string"), lit(":"), $"n_tokens".cast("string"))
+            .cast("binary")), 1, 12), 16, 10).cast("long"))
+      .groupBy($"shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"fp").as("checksum_sum"),
+        expr("bit_xor(fp)").as("checksum_xor"))
+      .orderBy($"shard_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   /** x11 — the quality-gated export funnel: the full FineWeb-style
@@ -558,6 +595,7 @@ object Export {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x11_quality_funnel" -> x11QualityFunnel _,
+    "x12_checksum_manifest" -> x12ChecksumManifest _,
     "x01_corpus_export" -> x01CorpusExport _,
     "x02_decontaminated_export" -> x02DecontaminatedExport _,
     "x07_dataset_card" -> x07DatasetCard _,
@@ -660,6 +698,27 @@ object Export {
 
   val oracles: Map[String, String] = Map(
     "x11_quality_funnel" -> x11Sql,
+    // the 48-bit hex prefix folds through the same instr() digit fold
+    // the split/sample buckets use; SUM of BIGINT aggregates into
+    // HUGEINT in DuckDB (the q21 lesson) — CAST back
+    "x12_checksum_manifest" ->
+      s"""WITH lay AS (SELECT doc_id, n_tokens,
+         |   CAST((c - n_tokens) // $BlockTokens AS BIGINT) AS start_block
+         |  FROM (SELECT doc_id, n_tokens,
+         |     SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |       AS c
+         |    FROM (${exportSql(decontamWhere)}) WHERE split = 'train')),
+         |fp AS (SELECT start_block // $BlocksPerShard AS shard_id,
+         |   list_reduce(list_prepend(0::BIGINT, list_transform(
+         |     string_split(substr(md5(doc_id::VARCHAR || ':' ||
+         |       n_tokens::VARCHAR), 1, 12), ''),
+         |     ch -> (instr('0123456789abcdef', ch) - 1)::BIGINT)),
+         |     (h, c) -> h * 16 + c) AS fp
+         |  FROM lay)
+         |SELECT shard_id, COUNT(*) AS n_docs,
+         | CAST(SUM(fp) AS BIGINT) AS checksum_sum,
+         | CAST(bit_xor(fp) AS BIGINT) AS checksum_xor
+         |FROM fp GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     "x01_corpus_export" -> exportSql(""),
     "x02_decontaminated_export" -> exportSql(decontamWhere),
     "x07_dataset_card" -> {

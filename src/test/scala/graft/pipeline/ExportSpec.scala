@@ -322,6 +322,45 @@ class ExportSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("planned_tokens")).sum <= nt.toLong)
   }
 
+  test("x12 checksums replay from x03's layout and are order-invariant by construction") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val lay = Export.x03PackingLayout(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("start_block")))
+    val byShard = lay.groupBy(_._3 / Export.BlocksPerShard)
+    val got = Export.x12ChecksumManifest(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("shard_id") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("checksum_sum"),
+          r.getAs[Long]("checksum_xor")))).toMap
+    assert(got.keySet == byShard.keySet, "one row per x06 shard")
+    byShard.foreach { case (shard, docs) =>
+      val fps = docs.map { case (id, nt, _) =>
+        java.lang.Long.parseLong(md5hex(s"$id:$nt").substring(0, 12), 16)
+      }
+      val (n, cs, cx) = got(shard)
+      assert(n == docs.length.toLong, s"shard $shard n_docs")
+      assert(cs == fps.sum, s"shard $shard sum")
+      assert(cx == fps.reduce(_ ^ _), s"shard $shard xor")
+      // order-invariance is definitional: the reversed fold agrees
+      assert(fps.reverse.sum == fps.sum &&
+        fps.reverse.reduce(_ ^ _) == fps.reduce(_ ^ _))
+    }
+    // a corrupted shard is detectable: perturbing one member's token
+    // count moves BOTH folds
+    val (id0, nt0, sb0) = lay.head
+    val good = java.lang.Long.parseLong(
+      md5hex(s"$id0:$nt0").substring(0, 12), 16)
+    val bad = java.lang.Long.parseLong(
+      md5hex(s"$id0:${nt0 + 1}").substring(0, 12), 16)
+    val s0 = sb0 / Export.BlocksPerShard
+    assert(got(s0)._2 - good + bad != got(s0)._2)
+    assert((got(s0)._3 ^ good ^ bad) != got(s0)._3)
+  }
+
   test("x11 funnel matches a cumulative replay of its five gates and reconciles") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
