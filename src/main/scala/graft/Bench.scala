@@ -123,7 +123,10 @@ object Bench {
       "x03_packing_layout", "x04_mixture_plan", "x05_mixture_sample",
       "x06_shard_manifest", "s05_recall_profile", "s08_sq8_rescore",
       "s09_incremental_assign", "s10_filtered_knn", "p10_leaked_grams",
-      "p14_cross_source_leakage", "d07_minhash_calibration")
+      "p14_cross_source_leakage", "d07_minhash_calibration",
+      "s18_pq_refine", "s19_refine_pool_curve", "x11_quality_funnel",
+      "x12_checksum_manifest", "p25_gram_df_spectrum",
+      "m07_media_survivors")
       .filter(names.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     val totalMax = maxes.map(_._2).filter(_ >= 0).sum
     // key order matters for archival, not parsing: the driver stores

@@ -560,7 +560,7 @@ object Export {
       .select($"doc_id", lit(1L).as("is_dup"))
     val contam = TextAnalysis.contaminatedDocs(spark, dir)
       .select($"doc_id", lit(1L).as("is_contam"))
-    val ppl = TextAnalysis.p22PerplexityBuckets(spark, dir)
+    val ppl = TextAnalysis.pplScored(spark, dir)
       .select($"doc_id", $"ppl_bucket")
     val qc = TextAnalysis.p24QualityClassifier(spark, dir)
       .select($"doc_id", $"predicted")

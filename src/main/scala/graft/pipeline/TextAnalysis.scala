@@ -331,6 +331,7 @@ object TextAnalysis {
       f._1.unpersist(); f._2.unpersist()
     })
     qcModelCache.clear()
+    pplCache.keys.foreach(k => pplCache.remove(k).foreach(_.unpersist()))
   }
 
   /** The contaminated-doc LIST p09 implies — the test-split doc_ids
@@ -1142,6 +1143,21 @@ object TextAnalysis {
     */
   def p22PerplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    pplScored(spark, dir).orderBy($"doc_id")
+  }
+
+  private val pplCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** p22's per-doc scored frame WITHOUT the presentation sort,
+    * memoized+persisted per (session, dir) like the other ingest
+    * artifacts: the LM build (train counts + vocab) would otherwise
+    * re-run for every consumer — p22's own gate AND x11's perplexity
+    * stage each pay it once without this.
+    */
+  private[pipeline] def pplScored(spark: SparkSession,
+      dir: String): DataFrame = graft.Memo.getOrBuild(pplCache, (spark, dir)) {
+    import spark.implicits._
     val tk = Tables.documents(spark, dir)
       .select($"doc_id", toks($"text").as("t"), SplitBucket.as("b"))
       .filter(size($"t") >= 2)
@@ -1172,7 +1188,7 @@ object TextAnalysis {
         when($"sum_qll" >= lit(PplHeadMin) * $"n_bigrams", "head")
           .when($"sum_qll" < lit(PplTailMax) * $"n_bigrams", "tail")
           .otherwise("middle"))
-      .orderBy($"doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** p23's hashed-feature space: bigrams hash into a FIXED 4096
