@@ -239,6 +239,10 @@ object ScaleProbe {
       // v07: one posexplode to a d-key aggregate + v05's memoized
       // profile collapsed to a scalar — ~linear, v05-dominated
       "v07" -> SparkEntry.queries("v07_anisotropy_profile"),
+      // p26: the encode-table build is p19's (~linear, vocab-sized
+      // merges); the eval is one corpus scan joined to the broadcast
+      // vocab, collapsed to |langs| rows — ~linear
+      "p26" -> SparkEntry.queries("p26_tokenizer_fertility"),
       // x12: one projection over x03's memoized layout + a shard-keyed
       // map-side-combined aggregate — ~linear
       "x12" -> SparkEntry.queries("x12_checksum_manifest"),

@@ -780,7 +780,12 @@ object TextAnalysis {
     * encode table is exactly what a production tokenizer caches.
     * Integer outputs, hash-exact vs the oracle's identical CTE chain.
     */
-  def p19BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+  /** The trained tokenizer APPLIED to the distinct vocabulary — each
+    * word's encoded BPE token count after folding every learned merge
+    * in rank order. Vocab-sized, broadcastable; shared by p19's
+    * per-doc profile and p26's per-language fertility eval.
+    */
+  private def encodedVocab(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rules = bpeRules(spark, dir)
     var vocab = Tables.documents(spark, dir)
@@ -788,13 +793,56 @@ object TextAnalysis {
       .select($"w", concat_ws(" ", split($"w", "")).as("s"))
     for ((_, a, b, _) <- rules)
       vocab = vocab.select($"w", foldMerge($"s", a, b).as("s"))
-    val enc = vocab.select($"w", size(split($"s", " ")).cast("long").as("nt"))
+    vocab.select($"w", size(split($"s", " ")).cast("long").as("nt"))
+  }
+
+  def p19BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     Tables.documents(spark, dir)
       .select($"doc_id", explode(toks($"text")).as("w"))
-      .join(broadcast(enc), "w")
+      .join(broadcast(encodedVocab(spark, dir)), "w")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_words"), sum($"nt").as("n_bpe_tokens"))
       .orderBy($"doc_id")
+  }
+
+  /** p26 — tokenizer fertility by language (Petrov et al. 2023,
+    * "Language Model Tokenizers Introduce Unfairness Between
+    * Languages"): the p16-trained BPE evaluated per language stratum
+    * — BPE tokens per word as exact ppm, and each language's premium
+    * over the corpus-wide rate. This closes the tokenizer arc (p16
+    * trains, p19 applies, p26 EVALUATES): a language taxed far above
+    * the corpus rate gets fewer effective words per context window
+    * and pays more per token — the fairness/cost table a multilingual
+    * release publishes alongside its tokenizer.
+    *
+    * Exactness: fertility_ppm = floor(1e6·Σnt/Σ1) per stratum via one
+    * positive wide-integer floor division (the x10 DECIMAL-DIV
+    * pattern); premium_ppm is the DIFFERENCE of two such positive
+    * floor-divs — both engines compute the identical pair, so no
+    * signed-division divergence exists.
+    *
+    * Scale shape: one corpus scan exploded to words, joined to the
+    * BROADCAST vocab-sized encode table, collapsed map-side to
+    * |langs| rows; the corpus totals ride a one-row broadcast frame.
+    */
+  def p26TokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lg = Tables.documents(spark, dir)
+      .select($"lang", explode(toks($"text")).as("w"))
+      .join(broadcast(encodedVocab(spark, dir)), "w")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_words"), sum($"nt").as("n_bpe_tokens"))
+    val tot = lg.agg(sum($"n_words").as("tw"), sum($"n_bpe_tokens").as("tb"))
+    lg.crossJoin(broadcast(tot))
+      .select($"lang", $"n_words", $"n_bpe_tokens",
+        expr("""CAST((CAST(n_bpe_tokens AS DECIMAL(38,0)) * 1000000)
+                DIV n_words AS BIGINT)""").as("fertility_ppm"),
+        expr("""CAST((CAST(n_bpe_tokens AS DECIMAL(38,0)) * 1000000)
+                DIV n_words -
+                (CAST(tb AS DECIMAL(38,0)) * 1000000) DIV tw AS BIGINT)""")
+          .as("premium_ppm"))
+      .orderBy($"lang")
   }
 
   /** p20 — duplicated-substring SPANS (the exact-substring dedup of
@@ -1503,6 +1551,7 @@ object TextAnalysis {
     "p23_dsir_weights" -> p23DsirWeights _,
     "p24_quality_classifier" -> p24QualityClassifier _,
     "p25_gram_df_spectrum" -> p25GramDfSpectrum _,
+    "p26_tokenizer_fertility" -> p26TokenizerFertility _,
     "p17_winnowing" -> p17Winnowing _,
     "p18_fingerprint_overlap" -> p18FingerprintOverlap _,
     "p19_bpe_encode" -> p19BpeEncode _,
@@ -1592,7 +1641,10 @@ object TextAnalysis {
     * the distinct vocabulary folded through each learned rule in rank
     * order, joined back to the exploded corpus words.
     */
-  private def bpeEncodeSql: String = {
+  /** The training + encode chain through `enc` = (w, nt) — the oracle
+    * twin of [[encodedVocab]], shared by the p19 and p26 oracles.
+    */
+  private def bpeEncCtes: String = {
     val sb = new StringBuilder(bpeCtePrefix)
     sb ++= s""",
       |e0 AS (SELECT DISTINCT w,
@@ -1607,14 +1659,37 @@ object TextAnalysis {
     }
     sb ++= s""",
       |enc AS (SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS nt
-      |  FROM e$BpeMerges),
-      |dt AS (SELECT doc_id, unnest($TOKS) AS w FROM documents)
-      |SELECT d.doc_id, COUNT(*) AS n_words,
-      | CAST(SUM(enc.nt) AS BIGINT) AS n_bpe_tokens
-      |FROM dt d JOIN enc USING (w)
-      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+      |  FROM e$BpeMerges)""".stripMargin
     sb.toString
   }
+
+  private def bpeEncodeSql: String =
+    s"""$bpeEncCtes,
+       |dt AS (SELECT doc_id, unnest($TOKS) AS w FROM documents)
+       |SELECT d.doc_id, COUNT(*) AS n_words,
+       | CAST(SUM(enc.nt) AS BIGINT) AS n_bpe_tokens
+       |FROM dt d JOIN enc USING (w)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  /** p26's oracle: the shared encode chain rolled up per language;
+    * both ppm figures are positive HUGEINT floor divisions (premium
+    * the difference of the identical pair the engine computes).
+    */
+  private def fertilitySql: String =
+    s"""$bpeEncCtes,
+       |dt AS (SELECT lang, unnest($TOKS) AS w FROM documents),
+       |lg AS (SELECT lang, COUNT(*) AS n_words,
+       |   CAST(SUM(enc.nt) AS BIGINT) AS n_bpe_tokens
+       |  FROM dt JOIN enc USING (w) GROUP BY lang),
+       |tot AS (SELECT CAST(SUM(n_words) AS BIGINT) AS tw,
+       |   CAST(SUM(n_bpe_tokens) AS BIGINT) AS tb FROM lg)
+       |SELECT lang, n_words, n_bpe_tokens,
+       | CAST(n_bpe_tokens::HUGEINT * 1000000 // n_words AS BIGINT)
+       |   AS fertility_ppm,
+       | CAST(n_bpe_tokens::HUGEINT * 1000000 // n_words
+       |   - (SELECT tb FROM tot)::HUGEINT * 1000000 // (SELECT tw FROM tot)
+       |   AS BIGINT) AS premium_ppm
+       |FROM lg ORDER BY lang""".stripMargin
 
   /** The p10 shard router's 32-bit hex-prefix hash, as a DuckDB fold
     * (8-char extension of [[BUCKET]]'s 4-char fold).
@@ -1831,6 +1906,7 @@ object TextAnalysis {
          |ORDER BY a_id, b_id""".stripMargin,
     "p16_bpe_merges" -> bpeSql,
     "p19_bpe_encode" -> bpeEncodeSql,
+    "p26_tokenizer_fertility" -> fertilitySql,
     "p20_dup_spans" -> p20Sql,
     "p21_span_excision" ->
       s"""WITH spans AS (SELECT doc_id, span_start, span_end

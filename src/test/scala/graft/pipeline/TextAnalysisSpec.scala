@@ -886,4 +886,38 @@ class TextAnalysisSpec extends SparkSpec {
     // the corpus has both unique grams and duplicated mass
     assert(got.contains("unique") && got.keySet.exists(_ != "unique"))
   }
+
+  test("p26 fertility is p19's encode rolled up per language, ppm-exact") {
+    import spark.implicits._
+    val lang = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perLang = TextAnalysis.p19BpeEncode(spark, sfDir).collect()
+      .map(r => (lang(r.getAs[Long]("doc_id")), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_bpe_tokens")))
+      .groupBy(_._1).map { case (l, rs) =>
+        l -> ((rs.map(_._2).sum, rs.map(_._3).sum))
+      }
+    val tw = perLang.values.map(_._1).sum
+    val tb = perLang.values.map(_._2).sum
+    def ppm(b: Long, w: Long): Long =
+      (BigInt(b) * 1000000 / BigInt(w)).toLong
+    val got = TextAnalysis.p26TokenizerFertility(spark, sfDir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens"),
+          r.getAs[Long]("fertility_ppm"), r.getAs[Long]("premium_ppm"))))
+      .toMap
+    assert(got.keySet == perLang.keySet, "one row per language")
+    perLang.foreach { case (l, (w, b)) =>
+      val (gw, gb, gf, gp) = got(l)
+      assert(gw == w && gb == b, s"lang $l counts")
+      assert(gf == ppm(b, w), s"lang $l fertility")
+      assert(gp == ppm(b, w) - ppm(tb, tw), s"lang $l premium")
+      // a BPE word is at least one token: fertility never dips below 1
+      assert(gf >= 1000000L)
+    }
+    // the eval must discriminate: not every language pays the same rate
+    assert(got.values.map(_._3).toSet.size > 1,
+      "all languages read identical fertility — eval is degenerate")
+  }
 }
