@@ -828,20 +828,28 @@ object TextAnalysis {
     */
   def p26TokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the per-stratum rollup is |langs| rows — collected and finished
+    // on the driver (the v05/v06 stats-row pattern) rather than
+    // consumed twice as a plan subtree: a second plan consumer (the
+    // corpus totals) would re-run the whole scan+join, exactly the
+    // double-scan dsirModel's comment documents (ReuseExchange does
+    // not fire across a join consumer and a global agg)
     val lg = Tables.documents(spark, dir)
       .select($"lang", explode(toks($"text")).as("w"))
       .join(broadcast(encodedVocab(spark, dir)), "w")
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_words"), sum($"nt").as("n_bpe_tokens"))
-    val tot = lg.agg(sum($"n_words").as("tw"), sum($"n_bpe_tokens").as("tb"))
-    lg.crossJoin(broadcast(tot))
-      .select($"lang", $"n_words", $"n_bpe_tokens",
-        expr("""CAST((CAST(n_bpe_tokens AS DECIMAL(38,0)) * 1000000)
-                DIV n_words AS BIGINT)""").as("fertility_ppm"),
-        expr("""CAST((CAST(n_bpe_tokens AS DECIMAL(38,0)) * 1000000)
-                DIV n_words -
-                (CAST(tb AS DECIMAL(38,0)) * 1000000) DIV tw AS BIGINT)""")
-          .as("premium_ppm"))
+      .collect().map(r => (r.getAs[String]("lang"),
+        r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens")))
+    val tw = lg.map(_._2).sum
+    val tb = lg.map(_._3).sum
+    def ppm(b: Long, w: Long): Long = (BigInt(b) * 1000000 / BigInt(w)).toLong
+    val base = ppm(tb, tw)
+    spark.createDataFrame(lg.toSeq.map { case (l, w, b) =>
+        (l, w, b, ppm(b, w), ppm(b, w) - base)
+      })
+      .toDF("lang", "n_words", "n_bpe_tokens", "fertility_ppm",
+        "premium_ppm")
       .orderBy($"lang")
   }
 
@@ -1305,13 +1313,15 @@ object TextAnalysis {
     */
   private[graft] def dsirModel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // ONE extraction subtree: a conditional agg collapses the corpus
-    // to ≤4096 (bkt, ct, cr) rows in a single pass (the previous
-    // shape ran a separate filtered agg per distribution and the
-    // totals re-executed each — 3 extraction subtrees after exchange
-    // reuse). `counts` is consumed twice below (per-bucket rows and
-    // the totals), but both consumers sit above the SAME partial-agg
-    // + exchange, so ReuseExchange pays the corpus scan once.
+    // ONE extraction subtree, then ONE corpus scan total: a
+    // conditional agg collapses the corpus to ≤4096 (bkt, ct, cr)
+    // rows in a single pass, and that stats-row-sized result is
+    // COLLECTED and rebuilt as a local relation (the v05/v06
+    // pattern). A plan-level second consumer (the totals) does NOT
+    // get exchange-reused here — the join side and the global-agg
+    // side compile different exchanges (measured: ReusedExchange=0,
+    // corpus scanned twice) — so the totals are two driver sums over
+    // the same ≤4096 local rows instead.
     val counts = Tables.documents(spark, dir)
       .select($"source", toks($"text").as("t"))
       .select($"source", explode(bigramBuckets($"t")).as("bkt"))
@@ -1319,16 +1329,20 @@ object TextAnalysis {
       .agg(
         sum(when($"source" === DsirTarget, 1L).otherwise(0L)).as("ct"),
         sum(when($"source" =!= DsirTarget, 1L).otherwise(0L)).as("cr"))
-    val tot = counts.agg(sum($"ct").as("nt"), sum($"cr").as("nr"))
-    def qlp(c: Column, n: Column): Column =
+      .collect().map(r => (r.getAs[Long]("bkt"), r.getAs[Long]("ct"),
+        r.getAs[Long]("cr")))
+    val nt = counts.map(_._2).sum
+    val nr = counts.map(_._3).sum
+    val local = spark.createDataFrame(counts.toSeq)
+      .toDF("bkt", "ct", "cr")
+    def qlp(c: Column, n: Long): Column =
       floor(lit(PplScale.toDouble) * log(
-        (c + 1L).cast("double") / (n + DsirBuckets).cast("double")))
+        (c + 1L).cast("double") / lit((n + DsirBuckets).toDouble)))
     spark.range(DsirBuckets).toDF("bkt")
-      .join(counts, Seq("bkt"), "left")
-      .crossJoin(broadcast(tot))
+      .join(local, Seq("bkt"), "left")
       .select($"bkt",
-        (qlp(coalesce($"ct", lit(0L)), $"nt") -
-          qlp(coalesce($"cr", lit(0L)), $"nr")).as("lam"))
+        (qlp(coalesce($"ct", lit(0L)), nt) -
+          qlp(coalesce($"cr", lit(0L)), nr)).as("lam"))
   }
 
   def p23DsirWeights(spark: SparkSession, dir: String): DataFrame = {
