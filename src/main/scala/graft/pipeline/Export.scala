@@ -194,10 +194,15 @@ object Export {
   def x04MixturePlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val lang = Tables.documents(spark, dir).select($"doc_id", $"lang")
-    val avail = x02DecontaminatedExport(spark, dir)
-      .join(lang, "doc_id")
-      .groupBy($"lang").agg(count(lit(1)).as("n_available"))
-      .withColumn("parts", mixtureParts($"lang"))
+    // the per-stratum rollup is |langs| rows: collected and rebuilt
+    // as a local relation (the v05/v06 stats-row pattern) so the
+    // units reduction does NOT re-run the manifest subtree — the
+    // measured ReuseExchange non-firing the dsirModel/p26 fix records
+    val avail = statsLocal(spark,
+      x02DecontaminatedExport(spark, dir)
+        .join(lang, "doc_id")
+        .groupBy($"lang").agg(count(lit(1)).as("n_available"))
+        .withColumn("parts", mixtureParts($"lang")))
     val units = avail
       .select(min(expr("n_available div parts")).as("units"))
     avail.crossJoin(broadcast(units))
@@ -205,6 +210,18 @@ object Export {
         ($"parts" * $"units").as("quota"))
       .orderBy($"lang")
   }
+
+  /** A stats-row-sized frame collected and rebuilt as a LOCAL
+    * relation, schema preserved: every downstream consumer reads the
+    * tiny materialized rows instead of re-executing the corpus-sized
+    * build subtree. Spark does not exchange-reuse a subtree shared by
+    * a join consumer and a global-agg consumer (measured
+    * ReusedExchange=0), so the x04/x09/x10 totals each re-ran their
+    * manifest scan before this.
+    */
+  private def statsLocal(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
 
   /** x09's repeat-value horizon: epochs past this cap contribute
     * nothing (the published data-constrained scaling result — value
@@ -255,12 +272,15 @@ object Export {
     // a stratum with zero published train tokens cannot participate
     // in an epoch plan (no unique data to repeat) — dropped, not
     // divided by
-    val uniq = x02DecontaminatedExport(spark, dir)
-      .filter($"split" === "train")
-      .join(lang, "doc_id")
-      .groupBy($"lang").agg(sum($"n_tokens").as("n_tokens_unique"))
-      .filter($"n_tokens_unique" > 0L)
-      .withColumn("parts", mixtureParts($"lang"))
+    // |langs|-row rollup collected once (statsLocal): the totals
+    // would otherwise re-run the manifest subtree (no exchange reuse)
+    val uniq = statsLocal(spark,
+      x02DecontaminatedExport(spark, dir)
+        .filter($"split" === "train")
+        .join(lang, "doc_id")
+        .groupBy($"lang").agg(sum($"n_tokens").as("n_tokens_unique"))
+        .filter($"n_tokens_unique" > 0L)
+        .withColumn("parts", mixtureParts($"lang")))
     val tot = uniq.agg(sum($"n_tokens_unique").as("tu"),
       sum($"parts").as("tp"))
     uniq.crossJoin(broadcast(tot))
@@ -318,14 +338,17 @@ object Export {
   def x10TemperatureMixture(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val lang = Tables.documents(spark, dir).select($"doc_id", $"lang")
-    val mass = x02DecontaminatedExport(spark, dir)
-      .filter($"split" === "train")
-      .join(lang, "doc_id")
-      .groupBy($"lang").agg(sum($"n_tokens").as("n_tokens"))
-      .filter($"n_tokens" > 0L)
-      .withColumn("q_temp",
-        floor(lit(1048576.0) *
-          pow($"n_tokens".cast("double"), lit(TempAlpha))))
+    // |langs|-row rollup collected once (statsLocal): the totals
+    // would otherwise re-run the manifest subtree (no exchange reuse)
+    val mass = statsLocal(spark,
+      x02DecontaminatedExport(spark, dir)
+        .filter($"split" === "train")
+        .join(lang, "doc_id")
+        .groupBy($"lang").agg(sum($"n_tokens").as("n_tokens"))
+        .filter($"n_tokens" > 0L)
+        .withColumn("q_temp",
+          floor(lit(1048576.0) *
+            pow($"n_tokens".cast("double"), lit(TempAlpha)))))
     val tot = mass.agg(sum($"q_temp").as("sq"), sum($"n_tokens").as("nt"))
     mass.crossJoin(broadcast(tot))
       .select($"lang", $"n_tokens", $"q_temp",
