@@ -1224,14 +1224,20 @@ object TextAnalysis {
             element_at($"t", i + 1).as("w2")))).as("g"))
       .select($"doc_id", $"b", $"g.w1", $"g.w2")
     val train = pairs.filter($"b" < TrainMax)
+    // c12 feeds BOTH the scoring join and c1's rollup — two plan
+    // consumers, which re-execute the train extraction without reuse
+    // (the dsirModel-measured non-firing). c12 is bigram-vocab-sized
+    // (not stats-row), so the fix is the pqIndex pattern: persist it
+    // for the build, materialize the scored artifact, release below.
     val c12 = train.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
     val vocab = tk.filter($"b" < TrainMax)
       .select(explode($"t").as("tok"))
       .agg(count_distinct($"tok").as("v"))
     val occ = pairs.groupBy($"doc_id", $"w1", $"w2")
       .agg(count(lit(1)).as("k"))
-    occ
+    val scored = occ
       .join(c12, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
@@ -1246,6 +1252,9 @@ object TextAnalysis {
           .when($"sum_qll" < lit(PplTailMax) * $"n_bigrams", "tail")
           .otherwise("middle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scored.count() // materialize so the LM intermediate can release
+    c12.unpersist()
+    scored
   }
 
   /** p23's hashed-feature space: bigrams hash into a FIXED 4096
