@@ -340,15 +340,36 @@ object Export {
     val lang = Tables.documents(spark, dir).select($"doc_id", $"lang")
     // |langs|-row rollup collected once (statsLocal): the totals
     // would otherwise re-run the manifest subtree (no exchange reuse)
-    val mass = statsLocal(spark,
+    val massRaw = statsLocal(spark,
       x02DecontaminatedExport(spark, dir)
         .filter($"split" === "train")
         .join(lang, "doc_id")
         .groupBy($"lang").agg(sum($"n_tokens").as("n_tokens"))
         .filter($"n_tokens" > 0L)
-        .withColumn("q_temp",
-          floor(lit(1048576.0) *
-            pow($"n_tokens".cast("double"), lit(TempAlpha)))))
+        .withColumn("q_raw",
+          lit(1048576.0) * pow($"n_tokens".cast("double"), lit(TempAlpha)))
+        .withColumn("q_temp", floor($"q_raw")))
+    // Build-time floor-stability guard: unlike the repo's ln-based
+    // quantizations there is no documented slack argument for pow, so
+    // verify the sweep values directly. The TRUE value 2^20·n^a — a
+    // being the dyadic double nearest 0.3, a = p/2^54 with p odd — is
+    // irrational for every integer n >= 2 (n^(p/2^54) rational would
+    // need n a perfect 2^54-th power), and exactly 2^20 for n = 1
+    // (pow(1,y) = 1 in both engines by IEEE 754). But NEAR-integer
+    // landings exist (n = 2^10 puts 2^20·n^a within ~0.4 ulp of 2^23),
+    // and Math.pow/libm pow each only promise <= 1 ulp — so rather than
+    // assume the engines agree, fail loudly on any stratum whose scaled
+    // value sits within 4 ulp of an integer, naming it. The frame is
+    // |langs| rows, already collected driver-side by statsLocal.
+    massRaw.select($"lang", $"n_tokens", $"q_raw").collect().foreach { r =>
+      val v = r.getDouble(2)
+      val d = math.abs(v - math.rint(v))
+      require(r.getLong(1) == 1L || d > 4.0 * math.ulp(v),
+        s"x10 q_temp for lang=${r.getString(0)} (n_tokens=${r.getLong(1)}) " +
+          s"lands within 4 ulp of an integer ($v): Math.pow vs libm pow " +
+          s"could floor differently; adjust TempAlpha's quantization scale")
+    }
+    val mass = massRaw.drop("q_raw")
     val tot = mass.agg(sum($"q_temp").as("sq"), sum($"n_tokens").as("nt"))
     mass.crossJoin(broadcast(tot))
       .select($"lang", $"n_tokens", $"q_temp",

@@ -1470,6 +1470,14 @@ object TextAnalysis {
     graft.Memo.getOrBuild(qcModelCache, (spark, dir)) {
       import spark.implicits._
       val (occ, lab, n1, n0) = qcFrames(spark, dir)
+      // class-balanced GD divides by BOTH class counts; an
+      // all-one-source corpus would otherwise crash inside rdivL with
+      // a bare ArithmeticException long after the cause (qcFrames even
+      // defaults a missing class's count to 0) — name the missing
+      // class instead
+      require(n1 > 0 && n0 > 0,
+        s"p24 quality classifier needs both classes in the corpus: " +
+          s"curated ('$DsirTarget') has $n1 docs, pool has $n0")
       var w = Array.fill(DsirBuckets.toInt)(0L)
       for (_ <- 1 to QcIters) {
         val wRow = spark.createDataFrame(Seq(Tuple1(w.toSeq))).toDF("wv")
@@ -1903,10 +1911,12 @@ object TextAnalysis {
          |  WHERE source <> '$DsirTarget' GROUP BY 1),
          |sc AS (SELECT ft.doc_id,
          |    CAST(floor($PplScale * ln((COALESCE(tgt.ct, 0) + 1) /
-         |      CAST((SELECT SUM(ct) FROM tgt) + $DsirBuckets AS DOUBLE)))
+         |      CAST(COALESCE((SELECT SUM(ct) FROM tgt), 0)
+         |           + $DsirBuckets AS DOUBLE)))
          |      AS BIGINT)
          |  - CAST(floor($PplScale * ln((COALESCE(rw.cr, 0) + 1) /
-         |      CAST((SELECT SUM(cr) FROM rw) + $DsirBuckets AS DOUBLE)))
+         |      CAST(COALESCE((SELECT SUM(cr) FROM rw), 0)
+         |           + $DsirBuckets AS DOUBLE)))
          |      AS BIGINT) q
          |  FROM ft LEFT JOIN tgt USING (bkt) LEFT JOIN rw USING (bkt)),
          |d AS (SELECT doc_id, COUNT(*) n_feats,

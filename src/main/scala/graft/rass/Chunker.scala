@@ -32,10 +32,16 @@ object Chunker {
     * zero-vector (`main.py:227-228`).
     */
   def chunkDf(df: DataFrame, textCol: String,
-      chunkSize: Int = DefaultChunkSize): DataFrame =
-    df.withColumn("__words", split(trim(col(textCol)), "\\s+"))
-      .select(col("*"), posexplode(chunks(col("__words"), chunkSize)))
+      chunkSize: Int = DefaultChunkSize): DataFrame = {
+    // deterministic fresh name: a caller frame that already carries a
+    // "__words" column must not have it silently overwritten and
+    // dropped by the staging projection
+    val tmp = Iterator.from(0).map(i => if (i == 0) "__words" else s"__words$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(tmp, split(trim(col(textCol)), "\\s+"))
+      .select(col("*"), posexplode(chunks(col(tmp), chunkSize)))
       .withColumnRenamed("pos", "chunk_index")
       .withColumnRenamed("col", "chunk_text")
-      .drop(textCol, "__words")
+      .drop(textCol, tmp)
+  }
 }
