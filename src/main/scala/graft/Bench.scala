@@ -18,6 +18,32 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Quiet-box sentinel constant: the warm-floor runtime (min of 19
+    * warm repeats) of [[sentinelOnce]]'s pinned aggregate on the
+    * round-15 build box, recorded while that box measured ~1.1-1.2x
+    * hot (BASELINE §O documents the protocol). The emitted
+    * `contention` field is median-of-5 / this constant: ~1.0-1.1 on a
+    * quiet box, and the box factor itself when the driver's bench runs
+    * contended — so a future adjudication of a d08-style spike reads
+    * the factor off the JSON instead of re-benching (rounds 13/14 each
+    * paid that adjudication on byte-identical code).
+    */
+  private val QuietSentinelSec = 0.34
+
+  /** One fixed-cost calibration run: a whole-stage-codegen modular-
+    * arithmetic sum over 2^31 in-memory rows, 32 tasks — CPU-bound on
+    * every core, no I/O, no shuffle, byte-identical work every round —
+    * so its runtime moves ONLY with the box (CPU contention, scheduler
+    * pressure), never with the code under test.
+    */
+  private def sentinelOnce(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0, 1L << 31, 1, 32)
+      .selectExpr("sum((id * 2654435761) % 1000000007) AS s")
+      .write.mode("overwrite").format("noop").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -94,8 +120,22 @@ object Bench {
         System.gc()
         rs
       }.sortBy(_._1)
+    // contention sentinel: 3 readings at suite start (after one
+    // discarded codegen-warmup run), 1 mid-suite, 1 at the end — the
+    // median spans the whole wall-clock window the queries ran in, so
+    // a transient spike mid-suite moves at most the mid reading while
+    // a hot box moves all five
+    sentinelOnce(spark)
+    val sentStart = Seq.fill(3)(sentinelOnce(spark))
     val pass1 = runPass()
+    val sentMid = sentinelOnce(spark)
     val pass2 = runPass()
+    val sentEnd = sentinelOnce(spark)
+    val sentinel = sentStart ++ Seq(sentMid, sentEnd)
+    val contention = {
+      val m = sentinel.sorted.apply(2) // median of 5
+      math.round(m / QuietSentinelSec * 100.0) / 100.0
+    }
     val results = pass1.zip(pass2).map { case ((k, a), (_, b)) =>
       k -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
     }
@@ -134,7 +174,8 @@ object Bench {
     // the cross-round comparison basis (BASELINE.md §E) — must sit at
     // the END of the line, after the max map it would otherwise lose
     // out to. JSON consumers are order-insensitive; the tail is not.
-    val fullLine = s"""{"metric":"total","value":${r4(total)},"unit":"sec","passes":2,"queries_max":$qsMax,"total_max_sec":${r4(totalMax)},"warm_queries":$warm,"sf":"$sfDir","total_sec":${r4(total)},"queries":$qs}"""
+    val sentArr = sentinel.map(s => round(s, 10000)).mkString("[", ",", "]")
+    val fullLine = s"""{"metric":"total","value":${r4(total)},"unit":"sec","passes":2,"queries_max":$qsMax,"total_max_sec":${r4(totalMax)},"warm_queries":$warm,"sentinel_sec":$sentArr,"contention":$contention,"sf":"$sfDir","total_sec":${r4(total)},"queries":$qs}"""
     println(fullLine)
     // the full-resolution record also lands in a local file: the
     // driver archives only a bounded stdout TAIL, so the long line
@@ -168,7 +209,7 @@ object Bench {
     }
     val qsMin = jsonMap(results.map { case (n, v) => shortId(n) -> v }, 1000)
     val compact =
-      s"""{"metric":"total_min","value":${r4(total)},"unit":"sec","sf":"$sfDir","queries_min":$qsMin}"""
+      s"""{"metric":"total_min","value":${r4(total)},"unit":"sec","sf":"$sfDir","contention":$contention,"queries_min":$qsMin}"""
     println(compact)
     // quiesce shutdown logging, stop Spark, then print the compact line
     // ONCE MORE: spark.stop() can emit late stderr lines after the
