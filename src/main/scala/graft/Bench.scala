@@ -166,7 +166,7 @@ object Bench {
       "p14_cross_source_leakage", "d07_minhash_calibration",
       "s18_pq_refine", "s19_refine_pool_curve", "x11_quality_funnel",
       "x12_checksum_manifest", "p25_gram_df_spectrum",
-      "m07_media_survivors")
+      "m07_media_survivors", "d11_detector_overlap")
       .filter(names.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     val totalMax = maxes.map(_._2).filter(_ >= 0).sum
     // key order matters for archival, not parsing: the driver stores

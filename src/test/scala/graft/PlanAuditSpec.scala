@@ -220,6 +220,20 @@ class PlanAuditSpec extends SparkSpec {
       s"x07 shuffles the corpus against a drop list:\n$x07")
   }
 
+  test("d11 rolls up the stored detector pair set — no live pair joins") {
+    // force the durable pair-set artifact (first call builds+publishes)
+    pipeline.Dedup.d11DetectorOverlap(spark, sfDir).collect()
+    // the audit's own plan must be a rollup of the stored table: zero
+    // physical joins on the OUTER plan (the detectors' joins live only
+    // inside the artifact's build, behind InMemoryTableScan / parquet)
+    val joins = SparkEntry.queries("d11_detector_overlap")(spark, sfDir)
+      .queryExecution.sparkPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }.size
+    assert(joins == 0,
+      s"d11 plans $joins live joins — it must read the stored pair set")
+  }
+
   test("star-schema dimension joins stay broadcast") {
     val p = plan("q04_region_revenue")
     assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")

@@ -308,6 +308,29 @@ class DedupSpec extends SparkSpec {
     assert(got.filter(_._1._1 == 1L).values.sum == ng.size)
   }
 
+  test("d11's durable pair-set artifact round-trips across a cache-cleared session") {
+    val before = Dedup.d11DetectorOverlap(spark, sfDir).collect().toSeq
+    // the artifact must be published and fingerprint-stamped
+    val root = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS",
+      sys.props("user.home") + "/.graft-artifacts"))
+    val art = root.listFiles().find(_.getName.endsWith("_d11_pairs"))
+    assert(art.isDefined, "d11 pair-set artifact not published")
+    assert(new java.io.File(art.get, "_fingerprint").exists())
+    // a fresh session (memo caches dropped) must serve the STORED set:
+    // identical rollup, and the reloaded pair frame reads the artifact
+    // path rather than re-running the three detector joins
+    Dedup.invalidateCaches()
+    val reloaded = Dedup.detectorPairs(spark, sfDir)
+    // the persist wraps the reload in an InMemoryRelation (hiding it
+    // from inputFiles) — the cached build plan's FileScan still prints
+    // the artifact path in the tree
+    assert(reloaded.queryExecution.optimizedPlan.treeString
+        .contains("_d11_pairs"),
+      "reloaded detector pairs don't scan the stored artifact")
+    val after = Dedup.d11DetectorOverlap(spark, sfDir).collect().toSeq
+    assert(after == before)
+  }
+
   test("d10 picks each cluster's true longest member, flagging policy disagreements") {
     import spark.implicits._
     val ntok = graft.Tables.documents(spark, sfDir).collect()
