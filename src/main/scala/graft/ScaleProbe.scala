@@ -262,6 +262,10 @@ object ScaleProbe {
       // window over ≤60 rows/query, plus the exact-side artifact join
       // — ~linear (measured 2.0–2.4 at 10×)
       "s19" -> SparkEntry.queries("s19_refine_pool_curve"),
+      // p27: three regex counts + one chained replace per row inside
+      // a single projection — pure map-side, no shuffle; expected
+      // ~linear with corpus rows
+      "p27" -> SparkEntry.queries("p27_pii_redaction"),
       // p24: the occ build is one corpus scan (~R); each of the 3 GD
       // iterations is two exchange-free passes over the
       // doc_id-partitioned occ plus a FIXED 4096-key collapse, and the

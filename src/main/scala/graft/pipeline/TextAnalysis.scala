@@ -975,6 +975,94 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** p27's redaction classes — the FineWeb/RefinedWeb anonymization
+    * step (Penedo et al. 2024 scrub emails + IPs pre-release; the
+    * reference's own NER pools carry emails/phones as first-class PII
+    * categories, `train_ner.py:112-117,134-139`). Patterns are pinned
+    * to the COMMON subset of Java regex (Spark) and RE2 (DuckDB): no
+    * lookaround (RE2 has none), no word boundaries, no alternation
+    * whose leftmost-first order could diverge — plain character
+    * classes and bounded counts match identically in both engines
+    * (the q21-style cross-engine trap, avoided by construction).
+    */
+  private[graft] val PiiEmailRe =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PiiPhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+  private[graft] val PiiIpRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  /** The PII-injected corpus view p27 redacts: the synthetic documents
+    * are lowercase-word-only BY CONSTRUCTION (no digits, no '@'), so a
+    * redaction gate over the raw table would be vacuously all-zero.
+    * This seam appends deterministic doc_id-derived PII tokens — every
+    * doc an email, every 4th a second email, every 3rd a phone, every
+    * 5th an IP — with identical integer/concat arithmetic on both
+    * engines, so the gate exercises real multi-class redaction with
+    * exact counts (the m-suite's deterministic-fake-media pattern: the
+    * seam is synthetic, the machinery it drives is the product). A
+    * production deployment replaces this view with the raw corpus.
+    */
+  private[graft] def piiInjected(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    def s(c: Column): Column = c.cast("string")
+    Tables.documents(spark, dir).select($"doc_id", concat(
+      $"text",
+      lit(" contact user"), s($"doc_id" % 97), lit("@example.org"),
+      when($"doc_id" % 4 === 0,
+        concat(lit(" cc admin"), s($"doc_id" % 13),
+          lit("@mail.example.com"))).otherwise(lit("")),
+      when($"doc_id" % 3 === 0,
+        concat(lit(" call 555-"), lpad(s($"doc_id" % 1000), 3, "0"),
+          lit("-"), lpad(s($"doc_id" % 10000), 4, "0")))
+        .otherwise(lit("")),
+      when($"doc_id" % 5 === 0,
+        concat(lit(" host 10."), s($"doc_id" % 256), lit("."),
+          s(($"doc_id" * 3) % 256), lit("."), s($"doc_id" % 250)))
+        .otherwise(lit(""))).as("pii_text"))
+  }
+
+  /** p27 — PII redaction: per document, the match count per redaction
+    * class over [[piiInjected]]'s text, and the md5 of the token
+    * sequence AFTER sequentially replacing every email, then phone,
+    * then IP with a class placeholder — the anonymization gate a
+    * web-scale release pipeline runs before publishing (FineWeb ships
+    * exactly this email+IP scrub), with the hash standing in for the
+    * cleaned text so the gate verifies the exact edit without
+    * shipping strings (p21's device).
+    *
+    * Replacement order is pinned (email → phone → IP) and the classes
+    * are disjoint on this corpus by construction, so per-class counts
+    * computed on the PRE-replacement text equal what each pass
+    * replaces. Scale shape: pure per-row columnar work — three regex
+    * counts and one chained replace inside one projection; text never
+    * shuffles, only five integers and a hash leave the scan.
+    */
+  def p27PiiRedaction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    redactionProfile(piiInjected(spark, dir)).orderBy($"doc_id")
+  }
+
+  /** The per-row redaction profile over (doc_id, pii_text) rows — ONE
+    * definition shared by batch p27 and the streaming guard, so the
+    * two can never drift on a pattern or the replacement order.
+    */
+  private[graft] def redactionProfile(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("pii_text"),
+        size(regexp_extract_all(col("pii_text"), lit(PiiEmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("pii_text"), lit(PiiPhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(col("pii_text"), lit(PiiIpRe), lit(0)))
+          .cast("long").as("n_ips"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        (col("n_emails") + col("n_phones") + col("n_ips"))
+          .as("n_redactions"),
+        md5(concat_ws(" ", toks(
+          regexp_replace(regexp_replace(regexp_replace(
+            col("pii_text"), PiiEmailRe, "<EMAIL>"),
+            PiiPhoneRe, "<PHONE>"), PiiIpRe, "<IP>")))
+          .cast("binary")).as("redacted_md5"))
+
   /** p17's winnowing parameters: token [[WinnowK]]-gram hashes, window
     * of [[WinnowW]] consecutive hashes. Guarantee (Schleimer, Wilkerson
     * & Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
@@ -1600,6 +1688,7 @@ object TextAnalysis {
     "p19_bpe_encode" -> p19BpeEncode _,
     "p20_dup_spans" -> p20DupSpans _,
     "p21_span_excision" -> p21SpanExcision _,
+    "p27_pii_redaction" -> p27PiiRedaction _,
     "p16_bpe_merges" -> p16BpeMerges _,
     "p15_lexical_diversity" -> p15LexicalDiversity _,
     "p14_cross_source_leakage" -> p14CrossSourceLeakage _,
@@ -1949,6 +2038,39 @@ object TextAnalysis {
          |           JOIN sizes sb ON b_id = sb.doc_id
          |WHERE shared >= $FpMinShared
          |ORDER BY a_id, b_id""".stripMargin,
+    "p27_pii_redaction" ->
+      s"""WITH pii AS (SELECT doc_id,
+         |  text || ' contact user' || (doc_id % 97)::VARCHAR
+         |    || '@example.org'
+         |  || CASE WHEN doc_id % 4 = 0 THEN ' cc admin'
+         |       || (doc_id % 13)::VARCHAR || '@mail.example.com'
+         |     ELSE '' END
+         |  || CASE WHEN doc_id % 3 = 0 THEN ' call 555-'
+         |       || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+         |       || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+         |     ELSE '' END
+         |  || CASE WHEN doc_id % 5 = 0 THEN ' host 10.'
+         |       || (doc_id % 256)::VARCHAR || '.'
+         |       || ((doc_id * 3) % 256)::VARCHAR || '.'
+         |       || (doc_id % 250)::VARCHAR
+         |     ELSE '' END AS pii_text FROM documents),
+         |c AS (SELECT doc_id, pii_text,
+         |  len(regexp_extract_all(pii_text, '$PiiEmailRe'))::BIGINT
+         |    AS n_emails,
+         |  len(regexp_extract_all(pii_text, '$PiiPhoneRe'))::BIGINT
+         |    AS n_phones,
+         |  len(regexp_extract_all(pii_text, '$PiiIpRe'))::BIGINT
+         |    AS n_ips
+         |  FROM pii)
+         |SELECT doc_id, n_emails, n_phones, n_ips,
+         |  n_emails + n_phones + n_ips AS n_redactions,
+         |  md5(COALESCE(array_to_string(regexp_split_to_array(trim(
+         |    regexp_replace(regexp_replace(regexp_replace(pii_text,
+         |      '$PiiEmailRe', '<EMAIL>', 'g'),
+         |      '$PiiPhoneRe', '<PHONE>', 'g'),
+         |      '$PiiIpRe', '<IP>', 'g')), '\\s+'), ' '), ''))
+         |    AS redacted_md5
+         |FROM c ORDER BY doc_id""".stripMargin,
     "p16_bpe_merges" -> bpeSql,
     "p19_bpe_encode" -> bpeEncodeSql,
     "p26_tokenizer_fertility" -> fertilitySql,

@@ -49,6 +49,7 @@ object Streams {
     "pq_encode" -> "pipeline.Similarity.pqIndex code table (s12/s13's stored 8-byte codes)",
     "semantic_decontam_guard" -> "pipeline.Similarity.s15Scored tau-screen (s15's batch candidate set at cosine >= tau)",
     "dsir_guard" -> "pipeline.TextAnalysis.p23DsirWeights (hashed-bigram importance weights vs the frozen 4096-bucket model)",
+    "pii_guard" -> "pipeline.TextAnalysis.p27PiiRedaction (per-row multi-class regex redaction profile, shared redactionProfile projection)",
     "quality_guard" -> "pipeline.TextAnalysis.p24QualityClassifier (trained micro-logit scoring vs the frozen 4096-bucket weight vector)")
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -280,6 +281,23 @@ object Streams {
           graft.pipeline.TextAnalysis.fdiv(col("z"), col("n_feats")))
           .otherwise(0L).as("logit_micro"),
         when(col("z") > 0L, 1L).otherwise(0L).as("selected"))
+
+  /** Streaming PII-redaction guard (the streaming face of batch p27):
+    * each arriving (doc_id, text) row is profiled by the SHARED
+    * [[graft.pipeline.TextAnalysis.redactionProfile]] projection —
+    * per-class match counts plus the md5 of the redacted token
+    * sequence — as it arrives. An ingest pipeline admits the redacted
+    * form (or quarantines high-count docs) before anything downstream
+    * sees raw text; running the scrub in-stream means PII never lands
+    * in the corpus at all, the shape FineWeb-style releases need.
+    *
+    * Scale shape: stateless per-row regex projection — no state store,
+    * no watermark, no shuffle, append mode; identical per-row cost to
+    * the batch scrub.
+    */
+  def piiGuard(docs: DataFrame): DataFrame =
+    graft.pipeline.TextAnalysis.redactionProfile(
+      docs.select(col("doc_id"), col("text").as("pii_text")))
 
   /** The frozen p24 weight vector as one broadcastable static row —
     * the model side of [[qualityGuard]]: position b+1 is w(b).

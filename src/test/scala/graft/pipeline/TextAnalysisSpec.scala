@@ -920,4 +920,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.values.map(_._3).toSet.size > 1,
       "all languages read identical fertility — eval is degenerate")
   }
+
+  test("p27 redaction matches a driver-side regex replay; classes disjoint and non-vacuous") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val inj = TextAnalysis.piiInjected(spark, sfDir)
+      .as[(Long, String)].collect().toMap
+    val got = TextAnalysis.p27PiiRedaction(spark, sfDir).collect()
+    assert(got.length == inj.size, "one profile row per document")
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val t = inj(id)
+      val ne = TextAnalysis.PiiEmailRe.r.findAllIn(t).size.toLong
+      val np = TextAnalysis.PiiPhoneRe.r.findAllIn(t).size.toLong
+      val ni = TextAnalysis.PiiIpRe.r.findAllIn(t).size.toLong
+      assert(r.getAs[Long]("n_emails") == ne, s"doc $id emails")
+      assert(r.getAs[Long]("n_phones") == np, s"doc $id phones")
+      assert(r.getAs[Long]("n_ips") == ni, s"doc $id ips")
+      assert(r.getAs[Long]("n_redactions") == ne + np + ni)
+      val red = t.replaceAll(TextAnalysis.PiiEmailRe, "<EMAIL>")
+        .replaceAll(TextAnalysis.PiiPhoneRe, "<PHONE>").replaceAll(TextAnalysis.PiiIpRe, "<IP>")
+      val norm = red.trim.split("\\s+").mkString(" ")
+      assert(r.getAs[String]("redacted_md5") == md5hex(norm),
+        s"doc $id redacted hash diverges from the replay")
+      // the scrub is complete: no class matches the redacted text
+      assert(TextAnalysis.PiiEmailRe.r.findFirstIn(red).isEmpty &&
+        TextAnalysis.PiiPhoneRe.r.findFirstIn(red).isEmpty &&
+        TextAnalysis.PiiIpRe.r.findFirstIn(red).isEmpty,
+        s"doc $id still carries PII after redaction")
+      // the injection seam guarantees a non-vacuous gate
+      assert(ne >= 1L, s"doc $id carries no email — gate went vacuous")
+    }
+    // every class fires somewhere (multi-class coverage, not just email)
+    assert(got.map(_.getAs[Long]("n_phones")).sum > 0)
+    assert(got.map(_.getAs[Long]("n_ips")).sum > 0)
+    assert(got.exists(_.getAs[Long]("n_emails") > 1L),
+      "no doc carries two emails — multi-match counting unexercised")
+  }
 }

@@ -525,7 +525,52 @@ class StreamsSpec extends SparkSpec {
       "stream emits exactly the batch-scored docs plus the planted one")
   }
 
+  private def piiGuardTwin(): Unit = {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // the stream carries the same PII-injected texts batch p27 scrubs
+    // (plus one planted PII-free doc), so the batch twin is p27's
+    // profile table (whose values the sf0.01 oracle gate verifies)
+    val arriving = graft.pipeline.TextAnalysis.piiInjected(spark, sfDir)
+      .as[(Long, String)].collect().toSeq :+ ((-1L, "solo"))
+
+    val input = MemoryStream[(Long, String)]
+    val query = piiGuard(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pii_guard")
+      .outputMode("append").start()
+    // two micro-batches: the guard is stateless, so a doc's profile
+    // must not depend on which batch carried it
+    val (a, b) = arriving.splitAt(arriving.size / 2)
+    input.addData(a)
+    query.processAllAvailable()
+    input.addData(b)
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("pii_guard").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))).toMap
+    val want = graft.pipeline.TextAnalysis.p27PiiRedaction(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_emails"),
+        r.getAs[Long]("n_phones"), r.getAs[Long]("n_ips"),
+        r.getAs[Long]("n_redactions"), r.getAs[String]("redacted_md5"))))
+      .toMap
+    assert(got.size == arriving.size, "one profile per arriving doc")
+    want.foreach { case (id, w) =>
+      assert(got(id) == w, s"doc $id stream redaction diverges from p27")
+    }
+    // the PII-free doc passes through untouched: zero redactions and
+    // the hash of its own token sequence
+    val soloMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("solo".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(-1L) == ((0L, 0L, 0L, 0L, soloMd5)))
+    assert((got.keySet - (-1L)) == want.keySet,
+      "stream emits exactly the batch-profiled docs plus the planted one")
+  }
+
   private val twinRunners: Map[String, () => Unit] = Map(
+    "pii_guard" -> (piiGuardTwin _),
     "dsir_guard" -> (dsirGuardTwin _),
     "quality_guard" -> (qualityGuardTwin _),
     "hopping_counts" -> (hoppingCountsTwin _),
