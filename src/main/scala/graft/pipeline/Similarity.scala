@@ -706,12 +706,21 @@ object Similarity {
     * [[ivfIndex]].
     */
   private[graft] def pqIndex(spark: SparkSession,
-      dir: String): (DataFrame, DataFrame) =
-    Memo.getOrBuild(pqCache, (spark, dir)) {
+      dir: String): (DataFrame, DataFrame) = pqIndexAt(spark, dir, PqCodes)
+
+  /** [[pqIndex]] at an arbitrary codes-per-subspace count — the
+    * retrain knob s17's rollout rule names ("retrains with more codes
+    * per subspace until the profile clears"). Memoized per (session,
+    * dir, nCodes) so the production 16-code index and s20's 256-code
+    * retrain coexist without either rebuilding the other.
+    */
+  private[graft] def pqIndexAt(spark: SparkSession, dir: String,
+      nCodes: Int): (DataFrame, DataFrame) =
+    Memo.getOrBuild(pqCache, (spark, dir, nCodes)) {
       import spark.implicits._
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val sv = subVectors(spark, dir).persist(lvl)
-      val cents = trainPqCodebook(spark, sv).persist(lvl)
+      val cents = trainPqCodebook(spark, sv, nCodes).persist(lvl)
       cents.count() // materialize: consumers read the codebook, not the lineage
       val codes = sv.join(broadcast(cents), "sub")
         .select($"vec_id", $"sub", $"cid", sqDist($"x", $"cv").as("dist"))
@@ -727,11 +736,12 @@ object Similarity {
     }
 
   private val pqCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+    .empty[(SparkSession, String, Int), (DataFrame, DataFrame)]
 
-  private def trainPqCodebook(spark: SparkSession, sv: DataFrame): DataFrame = {
+  private def trainPqCodebook(spark: SparkSession, sv: DataFrame,
+      nCodes: Int): DataFrame = {
     import spark.implicits._
-    var cents = sv.filter($"vec_id" < PqCodes)
+    var cents = sv.filter($"vec_id" < nCodes)
       .select($"sub", $"vec_id".as("cid"), $"x".as("cv"))
     for (_ <- 1 to PqIters) {
       val assign = sv.join(broadcast(cents), "sub")
@@ -838,12 +848,20 @@ object Similarity {
     * the two serving paths score candidates identically by
     * construction.
     */
-  private[pipeline] def ivfPqAdc(spark: SparkSession, dir: String): DataFrame = {
+  private[pipeline] def ivfPqAdc(spark: SparkSession, dir: String): DataFrame =
+    ivfPqAdcAt(spark, dir, PqCodes)
+
+  /** [[ivfPqAdc]] against the [[pqIndexAt]] codebooks of an arbitrary
+    * code count — identical candidate generation (the coarse IVF is
+    * UNCHANGED by a PQ retrain), identical micro-int determinism.
+    */
+  private[pipeline] def ivfPqAdcAt(spark: SparkSession, dir: String,
+      nCodes: Int): DataFrame = {
     import spark.implicits._
     val e = vectors(spark, dir)
     val (ivfCents, assign) = ivfIndex(spark, dir, TrainedVariant,
       corpusCells(spark, dir))
-    val (pqCents, codes) = pqIndex(spark, dir)
+    val (pqCents, codes) = pqIndexAt(spark, dir, nCodes)
     val q = e.filter($"vec_id" < NumQueries)
     val cand = topProbes(spark, q, ivfCents).join(assign, "cell")
       .filter($"vec_id" =!= $"query_id")
@@ -914,10 +932,23 @@ object Similarity {
     * err_micro), not probe shortfall, and the two evals separate the
     * causes. Reads the memoized exact artifact like s05.
     */
-  def s17IvfPqRecall(spark: SparkSession, dir: String): DataFrame = {
+  def s17IvfPqRecall(spark: SparkSession, dir: String): DataFrame =
+    ivfPqRecallAt(spark, dir, PqCodes)
+
+  /** The recall profile of the IVF-PQ serving path at an arbitrary
+    * codes-per-subspace count — ONE definition behind s17 (production
+    * 16-code index) and s20 (the 256-code retrain), so the two
+    * profiles can never diverge on what "recall" means.
+    */
+  private def ivfPqRecallAt(spark: SparkSession, dir: String,
+      nCodes: Int): DataFrame = {
     import spark.implicits._
     val exact = exactTopK(spark, dir).select($"query_id", $"neighbor_id")
-    val approx = s16IvfPqSearch(spark, dir)
+    val approx = ivfPqAdcAt(spark, dir, nCodes)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id")
+          .orderBy($"adc_micro", $"neighbor_id")).cast("long"))
+      .filter($"rank" <= TopK)
       .select($"query_id", $"neighbor_id")
     val ov = exact.intersect(approx)
       .groupBy($"query_id").agg(count(lit(1)).as("n_overlap"))
@@ -939,6 +970,10 @@ object Similarity {
     * uselessness; on this corpus's 16-code codebooks s17 reads ~0.4,
     * so the documented decision HERE is the SQ8 fallback — recall
     * lost to PQ distortion (s12's err_micro), not probe shortfall.
+    * BOTH remedies are measured: s20 exercises the retrain arm at 256
+    * codes (nbits=8) and reads 0.54-0.58 at the test SFs — better,
+    * still under the floor — so the fallback is the proven choice on
+    * this corpus, not the assumed one.
     */
   val IvfPqRecallFloor: Double = 0.7
 
@@ -949,6 +984,56 @@ object Similarity {
     */
   def ivfPqServingDecision(meanRecall: Double): String =
     if (meanRecall >= IvfPqRecallFloor) "ivfpq" else "sq8_rescore"
+
+  /** Mean recall@[[TopK]] off a recall-profile frame (s17/s20's
+    * schema) — the number [[ivfPqServingDecision]] gates on, computed
+    * the standard way (mean of per-query recalls, each query weighted
+    * equally regardless of its n_exact).
+    */
+  def profiledMeanRecall(profile: DataFrame): Double =
+    profile.agg(avg(col("n_overlap").cast("double") /
+      col("n_exact").cast("double"))).head().getDouble(0)
+
+  /** The end-to-end rollout decision for serving through nCodes-per-
+    * subspace PQ codebooks on this corpus: profile → mean recall →
+    * [[ivfPqServingDecision]]. This is the one-line consumer that
+    * closes the loop between the rule and s17/s20's actual frames —
+    * a deployment calls THIS, not the pieces.
+    */
+  def servingDecision(spark: SparkSession, dir: String,
+      nCodes: Int = PqCodes): String =
+    ivfPqServingDecision(
+      profiledMeanRecall(ivfPqRecallAt(spark, dir, nCodes)))
+
+  /** s20's retrain arm: 256 codes per subspace — nbits=8, the FAISS
+    * default PQ geometry (one byte per subspace code) — against the
+    * production [[PqCodes]] = 16 (nbits=4). The rollout rule names two
+    * remedies below [[IvfPqRecallFloor]]: serve SQ8 (demonstrated by
+    * s08/s18) or retrain with more codes; s20 EXERCISES the retrain so
+    * the decision between them is measured, not assumed.
+    */
+  private[pipeline] val RetrainCodes = 256
+
+  /** s20 — the retrained-codebook recall profile: s17's eval re-read
+    * after retraining the s12 codebooks at [[RetrainCodes]] codes per
+    * subspace on the same corpus (same Lloyd trainer, same iteration
+    * budget, same coarse IVF — ONLY the codebook resolution moves).
+    * Read next to s17 it isolates how much of the PQ recall loss is
+    * quantization distortion recoverable by resolution: s17's 16-code
+    * profile reads below the floor (the SQ8-fallback decision), and
+    * this profile is the measured evidence for whether the OTHER
+    * remedy the rule names actually clears it on this corpus —
+    * [[servingDecision]] applied to both frames pins the outcome in
+    * the spec.
+    *
+    * Scale shape: identical plans to s16/s17 with a 16x wider
+    * broadcast codebook (256 x 8 centroids x 8 dims ~ 130 kB — still
+    * nothing) and the same candidate volume; training cost stays
+    * [[PqIters]] corpus passes, each now scoring 256 centroids per
+    * subvector map-side.
+    */
+  def s20RetrainedRecall(spark: SparkSession, dir: String): DataFrame =
+    ivfPqRecallAt(spark, dir, RetrainCodes)
 
   /** s19's refine-pool sweep — the FAISS `k_factor` values the tuning
     * curve evaluates (pool = k_factor·k). [[RescorePool]] (= 3k = 30)
@@ -1303,6 +1388,7 @@ object Similarity {
     "s17_ivfpq_recall" -> s17IvfPqRecall _,
     "s18_pq_refine" -> s18PqRefine _,
     "s19_refine_pool_curve" -> s19RefinePoolCurve _,
+    "s20_retrained_recall" -> s20RetrainedRecall _,
   )
 
   /** Inline sequential-fold cosine over two vector SQL expressions
@@ -1369,15 +1455,19 @@ object Similarity {
 
   /** The PQ training + encode chain WITHOUT the leading vector CTE —
     * composable after [[ivfCandCtes]] (which already defines `n`) for
-    * s16's combined IVF-PQ oracle.
+    * s16's combined IVF-PQ oracle. Parameterized by the
+    * codes-per-subspace count exactly as [[pqIndexAt]] is, so s20's
+    * retrain oracle replays the identical training at 256 codes.
     */
-  private lazy val pqCtesAfterVec: String = {
+  private lazy val pqCtesAfterVec: String = pqCtesAfterVecAt(PqCodes)
+
+  private def pqCtesAfterVecAt(nCodes: Int): String = {
     val sb = new StringBuilder(
       s"""sv AS (SELECT vec_id, s AS sub,
          |  v[(s*$PqSubDim+1):(s*$PqSubDim+$PqSubDim)] AS x
          |  FROM n, unnest(range($PqSubspaces)) t(s)),
          |c0 AS (SELECT sub, vec_id AS cid, x AS cv FROM sv
-         |  WHERE vec_id < $PqCodes)""".stripMargin)
+         |  WHERE vec_id < $nCodes)""".stripMargin)
     for (i <- 1 to PqIters) {
       val p = s"c${i - 1}"
       sb.append(s""",
@@ -1443,11 +1533,13 @@ object Similarity {
     * [[ivfPqAdc]], shared by the s16, s17, and s18 oracles exactly as
     * the Spark side shares the one ADC frame.
     */
-  private lazy val ivfPqAdcCtes: String =
+  private lazy val ivfPqAdcCtes: String = ivfPqAdcCtesAt(PqCodes)
+
+  private def ivfPqAdcCtesAt(nCodes: Int): String =
     s"""${ivfCandCtes(s"WHERE vec_id < $NumQueries",
           s"SELECT cid, cv FROM cents$KmeansIters",
           kmeansCtes(KmeansIters))},
-       |$pqCtesAfterVec,
+       |${pqCtesAfterVecAt(nCodes)},
        |qsv AS (SELECT vec_id AS query_id, sub, x FROM sv
        |  WHERE vec_id < $NumQueries),
        |dtab AS (SELECT q2.query_id, q2.sub, c.cid,
@@ -1463,12 +1555,29 @@ object Similarity {
   /** s16's oracle, named so the s17 recall oracle embeds the
     * identical IVF-PQ ranking.
     */
-  private lazy val s16Sql: String =
-    s"""WITH $ivfPqAdcCtes
+  private lazy val s16Sql: String = s16SqlAt(PqCodes)
+
+  private def s16SqlAt(nCodes: Int): String =
+    s"""WITH ${ivfPqAdcCtesAt(nCodes)}
        |SELECT query_id, neighbor_id, adc_micro, rank FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY adc_micro, neighbor_id) AS rank FROM adc)
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  /** The recall-profile oracle at an arbitrary code count — shared by
+    * the s17 and s20 entries exactly as [[ivfPqRecallAt]] backs both
+    * Spark sides.
+    */
+  private def ivfPqRecallSqlAt(nCodes: Int): String =
+    s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($s01Sql)),
+       |approx AS (SELECT query_id, neighbor_id FROM (${s16SqlAt(nCodes)})),
+       |ov AS (SELECT query_id, count(*) n_overlap FROM
+       |  (SELECT * FROM exact INTERSECT SELECT * FROM approx)
+       |  GROUP BY query_id)
+       |SELECT e.query_id, count(*) AS n_exact,
+       |  coalesce(min(ov.n_overlap), 0) AS n_overlap
+       |FROM exact e LEFT JOIN ov ON ov.query_id = e.query_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 
   /** s18's oracle: the shared ADC chain pooled at [[RescorePool]],
     * then the int8 refinement — the [[qvCte]] code table and an exact
@@ -1532,16 +1641,8 @@ object Similarity {
          |$per
          |ORDER BY pool""".stripMargin
     },
-    "s17_ivfpq_recall" ->
-      s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($s01Sql)),
-         |approx AS (SELECT query_id, neighbor_id FROM ($s16Sql)),
-         |ov AS (SELECT query_id, count(*) n_overlap FROM
-         |  (SELECT * FROM exact INTERSECT SELECT * FROM approx)
-         |  GROUP BY query_id)
-         |SELECT e.query_id, count(*) AS n_exact,
-         |  coalesce(min(ov.n_overlap), 0) AS n_overlap
-         |FROM exact e LEFT JOIN ov ON ov.query_id = e.query_id
-         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
+    "s17_ivfpq_recall" -> ivfPqRecallSqlAt(PqCodes),
+    "s20_retrained_recall" -> ivfPqRecallSqlAt(RetrainCodes),
     "s15_semantic_decontam" ->
       s"""WITH ${ivfCandCtes(
             s"WHERE ${bucketSql("vec_id")} >= ${TextAnalysis.ValMax}",

@@ -284,6 +284,43 @@ class SimilaritySpec extends SparkSpec {
         "revisit the s17 rollout decision (serve IVF-PQ?) and update this pin")
   }
 
+  test("s20 exercises the retrain arm: 256 codes lift recall but the SQ8 fallback decision holds") {
+    // the end-to-end consumer reads the decision off s17's ACTUAL
+    // frame — rule and profile wired, not just individually tested
+    val d16 = Similarity.servingDecision(spark, sfDir)
+    assert(d16 == "sq8_rescore",
+      s"production 16-code decision read $d16 — revisit the s17 pin")
+    assert(d16 == Similarity.ivfPqServingDecision(
+      Similarity.profiledMeanRecall(Similarity.s17IvfPqRecall(spark, sfDir))))
+    // the retrained profile: same eval, same queries, only codebook
+    // resolution moved — so rows align 1:1 with s17's
+    val r17 = Similarity.s17IvfPqRecall(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("n_exact"), r.getAs[Long]("n_overlap")))).toMap
+    val r20 = Similarity.s20RetrainedRecall(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("n_exact"), r.getAs[Long]("n_overlap")))).toMap
+    assert(r20.keySet == r17.keySet, "same query set as s17")
+    r20.foreach { case (q, (ne, no)) =>
+      assert(ne == r17(q)._1, s"query $q n_exact moved — exact side leaked")
+      assert(no >= 0L && no <= ne)
+    }
+    // resolution buys recall (nbits=4 -> nbits=8 recovers real
+    // distortion: 0.45 -> 0.58 here)...
+    val m17 = Similarity.profiledMeanRecall(Similarity.s17IvfPqRecall(spark, sfDir))
+    val m20 = Similarity.profiledMeanRecall(Similarity.s20RetrainedRecall(spark, sfDir))
+    assert(m20 > m17,
+      f"256-code retrain did not improve recall ($m17%.2f -> $m20%.2f)")
+    // ...but NOT enough to clear the floor on this corpus: the rollout
+    // rule's OTHER remedy is now measured, and the SQ8 fallback is the
+    // proven decision, not the assumed one. If a future corpus or
+    // geometry change flips this, the pin flips with it — deliberately.
+    assert(Similarity.servingDecision(spark, sfDir, Similarity.RetrainCodes)
+        == "sq8_rescore",
+      f"retrained recall $m20%.2f clears the floor — flip the s17/s20 " +
+        "rollout decision to ivfpq and update both pins")
+  }
+
   test("s18 refines the ADC shortlist with exact int8 scores and recovers recall lost to PQ") {
     // driver-side replay of the two stages off the shared ADC frame
     val adc = Similarity.ivfPqAdc(spark, sfDir).collect()
