@@ -266,6 +266,11 @@ object ScaleProbe {
       // a single projection — pure map-side, no shuffle; expected
       // ~linear with corpus rows
       "p27" -> SparkEntry.queries("p27_pii_redaction"),
+      // s20: the 256-code retrain — training is PqIters corpus passes
+      // scoring a constant 256x8 broadcast codebook map-side (~linear
+      // in vectors); the ADC/recall half shares s16's probed shape
+      // (fixed query set, (nprobe/k)·n candidates — ~sublinear)
+      "s20" -> SparkEntry.queries("s20_retrained_recall"),
       // p24: the occ build is one corpus scan (~R); each of the 3 GD
       // iterations is two exchange-free passes over the
       // doc_id-partitioned occ plus a FIXED 4096-key collapse, and the

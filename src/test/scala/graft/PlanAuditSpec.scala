@@ -220,6 +220,22 @@ class PlanAuditSpec extends SparkSpec {
       s"x07 shuffles the corpus against a drop list:\n$x07")
   }
 
+  test("p27 redaction is pure map-side — no hash exchange, text never shuffles") {
+    // the only exchange a per-row scrub may plan is the presentation
+    // sort's range partitioning; a hash exchange would mean text (or a
+    // per-doc aggregate of it) crossed the wire
+    val exchanges = SparkEntry.queries("p27_pii_redaction")(spark, sfDir)
+      .queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.outputPartitioning
+      }
+    assert(exchanges.forall {
+        case _: org.apache.spark.sql.catalyst.plans.physical.RangePartitioning => true
+        case _ => false
+      },
+      s"p27 plans a non-presentation shuffle: $exchanges")
+  }
+
   test("d11 rolls up the stored detector pair set — no live pair joins") {
     // force the durable pair-set artifact (first call builds+publishes)
     pipeline.Dedup.d11DetectorOverlap(spark, sfDir).collect()
