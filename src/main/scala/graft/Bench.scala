@@ -44,6 +44,27 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Per-stage scheduling-FLOOR sentinel — the throughput sentinel's
+    * complement (BASELINE §O.6: a box can tax every stage ~100-200 ms
+    * while single-long-stage CPU work moves only ~1.2×, so sub-second
+    * multi-stage queries inflate 3-4× and the one-stage sentinel
+    * never sees it). This job's WORK is trivial — 1000 rows — but its
+    * SHAPE is the suite's small-query shape: a 32-task scan, one hash
+    * shuffle, a 32-task aggregate. Its runtime is almost purely
+    * per-stage scheduler overhead, byte-identical every round, so
+    * cross-round readings compare the boxes' floors directly (the
+    * role d01's own reading played in the §O.6 adjudication, without
+    * depending on d01's code staying fixed).
+    */
+  private def floorOnce(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0, 1000, 1, 32)
+      .selectExpr("id % 7 AS k", "id")
+      .groupBy("k").agg(org.apache.spark.sql.functions.sum("id"))
+      .write.mode("overwrite").format("noop").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -125,17 +146,25 @@ object Bench {
     // median spans the whole wall-clock window the queries ran in, so
     // a transient spike mid-suite moves at most the mid reading while
     // a hot box moves all five
-    sentinelOnce(spark)
+    sentinelOnce(spark); floorOnce(spark)
     val sentStart = Seq.fill(3)(sentinelOnce(spark))
+    val floorStart = Seq.fill(3)(floorOnce(spark))
     val pass1 = runPass()
     val sentMid = sentinelOnce(spark)
+    val floorMid = floorOnce(spark)
     val pass2 = runPass()
     val sentEnd = sentinelOnce(spark)
+    val floorEnd = floorOnce(spark)
     val sentinel = sentStart ++ Seq(sentMid, sentEnd)
+    val floorSent = floorStart ++ Seq(floorMid, floorEnd)
     val contention = {
       val m = sentinel.sorted.apply(2) // median of 5
       math.round(m / QuietSentinelSec * 100.0) / 100.0
     }
+    // the floor is reported as the raw median (no quiet constant yet —
+    // §O.7 records this box's first readings as the reference; a
+    // cross-round comparison divides medians directly)
+    val floorMedian = floorSent.sorted.apply(2)
     val results = pass1.zip(pass2).map { case ((k, a), (_, b)) =>
       k -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
     }
@@ -175,7 +204,8 @@ object Bench {
     // the END of the line, after the max map it would otherwise lose
     // out to. JSON consumers are order-insensitive; the tail is not.
     val sentArr = sentinel.map(s => round(s, 10000)).mkString("[", ",", "]")
-    val fullLine = s"""{"metric":"total","value":${r4(total)},"unit":"sec","passes":2,"queries_max":$qsMax,"total_max_sec":${r4(totalMax)},"warm_queries":$warm,"sentinel_sec":$sentArr,"contention":$contention,"sf":"$sfDir","total_sec":${r4(total)},"queries":$qs}"""
+    val floorArr = floorSent.map(s => round(s, 10000)).mkString("[", ",", "]")
+    val fullLine = s"""{"metric":"total","value":${r4(total)},"unit":"sec","passes":2,"queries_max":$qsMax,"total_max_sec":${r4(totalMax)},"warm_queries":$warm,"sentinel_sec":$sentArr,"contention":$contention,"floor_sec":$floorArr,"floor":${r4(floorMedian)},"sf":"$sfDir","total_sec":${r4(total)},"queries":$qs}"""
     println(fullLine)
     // the full-resolution record also lands in a local file: the
     // driver archives only a bounded stdout TAIL, so the long line
@@ -209,7 +239,7 @@ object Bench {
     }
     val qsMin = jsonMap(results.map { case (n, v) => shortId(n) -> v }, 1000)
     val compact =
-      s"""{"metric":"total_min","value":${r4(total)},"unit":"sec","sf":"$sfDir","contention":$contention,"queries_min":$qsMin}"""
+      s"""{"metric":"total_min","value":${r4(total)},"unit":"sec","sf":"$sfDir","contention":$contention,"floor":${r4(floorMedian)},"queries_min":$qsMin}"""
     println(compact)
     // quiesce shutdown logging, stop Spark, then print the compact line
     // ONCE MORE: spark.stop() can emit late stderr lines after the
