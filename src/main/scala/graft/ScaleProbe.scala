@@ -266,6 +266,10 @@ object ScaleProbe {
       // a single projection — pure map-side, no shuffle; expected
       // ~linear with corpus rows
       "p27" -> SparkEntry.queries("p27_pii_redaction"),
+      // p28: per-row token fold (regex gate + 16-step integer
+      // checksum per candidate) in one projection — pure map-side,
+      // p27's expected ~linear shape
+      "p28" -> SparkEntry.queries("p28_luhn_redaction"),
       // s20: the 256-code retrain — training is PqIters corpus passes
       // scoring a constant 256x8 broadcast codebook map-side (~linear
       // in vectors); the ADC/recall half shares s16's probed shape

@@ -1063,6 +1063,103 @@ object TextAnalysis {
             PiiPhoneRe, "<PHONE>"), PiiIpRe, "<IP>")))
           .cast("binary")).as("redacted_md5"))
 
+  /** The Luhn mod-10 sum of the first `len` digits of a digit-string
+    * column, with from-left position i doubled when i is odd — for a
+    * 16-digit payload this is exactly ISO/IEC 7812's "double every
+    * second digit from the right" (from-right position 17−i is even
+    * iff i is odd), and the same rule covers the 15-digit check-digit
+    * derivation (positions 1..15 of the final 16). Pure integer
+    * arithmetic over ascii codes inside one HOF fold — bit-identical
+    * in both engines ([[luhnSumSql]] is the oracle twin).
+    */
+  private def luhnSum(digits: Column, len: Int): Column =
+    aggregate(transform(sequence(lit(1), lit(len)), i => {
+      val d = ascii(element_at(split(digits, ""), i)).cast("long") - 48L
+      when(i % 2 === 1,
+        lit(2L) * d - when(d > 4L, 9L).otherwise(0L)).otherwise(d)
+    }), lit(0L), (a, x) => a + x)
+
+  /** [[luhnSum]] as DuckDB SQL over expression `x` (textual twin). */
+  private def luhnSumSql(x: String, len: Int): String = {
+    val d = s"(ascii(substr($x, i, 1)) - 48)::BIGINT"
+    s"""list_reduce(list_prepend(0::BIGINT,
+       |  list_transform(range(1, ${len + 1}), i ->
+       |    CASE WHEN i % 2 = 1
+       |      THEN 2*$d - CASE WHEN $d > 4 THEN 9 ELSE 0 END
+       |      ELSE $d END)), (a, x2) -> a + x2)""".stripMargin
+  }
+
+  /** The account-number-injected corpus view p28 redacts — p27's seam
+    * extended to a CHECKSUM-carrying class: every 2nd doc gets a
+    * Luhn-VALID 16-digit number (payload = doc_id-derived 15 digits,
+    * check digit computed in-engine by the same [[luhnSum]] rule) and
+    * every 7th doc a number whose check digit is off by one —
+    * guaranteed invalid, so the validity gate is exercised from both
+    * sides (docs ≡ 0 mod 14 carry both).
+    */
+  private[graft] def ccInjected(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"text",
+        lpad((($"doc_id" * 7919L) % 1000000000000000L).cast("string"),
+          15, "0").as("b15"))
+      .select($"doc_id", $"text", $"b15",
+        ((lit(10L) - luhnSum($"b15", 15) % 10L) % 10L).as("chk"))
+      .select($"doc_id", concat(
+        $"text",
+        when($"doc_id" % 2 === 0,
+          concat(lit(" card "), $"b15", $"chk".cast("string")))
+          .otherwise(lit("")),
+        when($"doc_id" % 7 === 0,
+          concat(lit(" num "), $"b15",
+            (($"chk" + 1L) % 10L).cast("string")))
+          .otherwise(lit(""))).as("cc_text"))
+  }
+
+  /** p28 — Luhn-verified account-number redaction: the PII class a
+    * regex alone CANNOT scrub. A 16-digit run is only an account
+    * number if its ISO/IEC 7812 mod-10 checksum holds — scrubbing
+    * every digit run would destroy legitimate identifiers (order
+    * numbers, hashes), keeping them all leaks cards — so production
+    * anonymizers (AWS Comprehend's PII types, Presidio's credit-card
+    * recognizer) gate the regex candidate on the checksum. Per doc:
+    * candidate count (16-digit tokens), Luhn-valid count, rejected
+    * count, and the md5 of the token sequence with ONLY the valid
+    * candidates replaced by a placeholder — token-level conditional
+    * replacement (p27's whole-pattern regexp_replace cannot express
+    * the condition), with the checksum an exact integer fold in both
+    * engines.
+    *
+    * Scale shape: p27's — one projection of per-row HOF work, text
+    * never shuffles, five small columns out.
+    */
+  def p28LuhnRedaction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    luhnProfile(ccInjected(spark, dir)).orderBy($"doc_id")
+  }
+
+  /** The per-row Luhn-redaction profile over (doc_id, cc_text) rows —
+    * shared by batch p28 and the streaming guard (p27's
+    * [[redactionProfile]] pattern).
+    */
+  private[graft] def luhnProfile(df: DataFrame): DataFrame = {
+    def isDigits16(t: Column): Column = t.rlike("^\\d{16}$")
+    def isCard(t: Column): Column =
+      isDigits16(t) && luhnSum(t, 16) % 10L === 0L
+    df.select(col("doc_id"), toks(col("cc_text")).as("t"))
+      .select(col("doc_id"),
+        size(filter(col("t"), isDigits16 _)).cast("long")
+          .as("n_digit16"),
+        size(filter(col("t"), isCard _)).cast("long").as("n_luhn_valid"),
+        md5(concat_ws(" ", transform(col("t"),
+          t => when(isCard(t), lit("<CARD>")).otherwise(t)))
+          .cast("binary")).as("redacted_md5"))
+      .select(col("doc_id"), col("n_digit16"), col("n_luhn_valid"),
+        (col("n_digit16") - col("n_luhn_valid")).as("n_rejected"),
+        col("redacted_md5"))
+  }
+
   /** p17's winnowing parameters: token [[WinnowK]]-gram hashes, window
     * of [[WinnowW]] consecutive hashes. Guarantee (Schleimer, Wilkerson
     * & Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
@@ -1689,6 +1786,7 @@ object TextAnalysis {
     "p20_dup_spans" -> p20DupSpans _,
     "p21_span_excision" -> p21SpanExcision _,
     "p27_pii_redaction" -> p27PiiRedaction _,
+    "p28_luhn_redaction" -> p28LuhnRedaction _,
     "p16_bpe_merges" -> p16BpeMerges _,
     "p15_lexical_diversity" -> p15LexicalDiversity _,
     "p14_cross_source_leakage" -> p14CrossSourceLeakage _,
@@ -2071,6 +2169,33 @@ object TextAnalysis {
          |      '$PiiIpRe', '<IP>', 'g')), '\\s+'), ' '), ''))
          |    AS redacted_md5
          |FROM c ORDER BY doc_id""".stripMargin,
+    "p28_luhn_redaction" -> {
+      val isD16 = raw"regexp_full_match(x, '\d{16}')"
+      val isCard = s"($isD16 AND ${luhnSumSql("x", 16)} % 10 = 0)"
+      s"""WITH inj AS (SELECT doc_id, text,
+         |    lpad(((doc_id * 7919) % 1000000000000000)::VARCHAR, 15, '0')
+         |      AS b15 FROM documents),
+         |ck AS (SELECT doc_id, text, b15,
+         |    (10 - ${luhnSumSql("b15", 15)} % 10) % 10 AS chk FROM inj),
+         |cc AS (SELECT doc_id, text
+         |  || CASE WHEN doc_id % 2 = 0
+         |       THEN ' card ' || b15 || chk::VARCHAR ELSE '' END
+         |  || CASE WHEN doc_id % 7 = 0
+         |       THEN ' num ' || b15 || ((chk + 1) % 10)::VARCHAR
+         |     ELSE '' END AS cc_text FROM ck),
+         |tk AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(cc_text), '\\s+') AS t FROM cc),
+         |pr AS (SELECT doc_id,
+         |    len(list_filter(t, x -> $isD16))::BIGINT AS n_digit16,
+         |    len(list_filter(t, x -> $isCard))::BIGINT AS n_luhn_valid,
+         |    md5(COALESCE(array_to_string(list_transform(t, x ->
+         |      CASE WHEN $isCard THEN '<CARD>' ELSE x END), ' '), ''))
+         |      AS redacted_md5
+         |  FROM tk)
+         |SELECT doc_id, n_digit16, n_luhn_valid,
+         |  n_digit16 - n_luhn_valid AS n_rejected, redacted_md5
+         |FROM pr ORDER BY doc_id""".stripMargin
+    },
     "p16_bpe_merges" -> bpeSql,
     "p19_bpe_encode" -> bpeEncodeSql,
     "p26_tokenizer_fertility" -> fertilitySql,

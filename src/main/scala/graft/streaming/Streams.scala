@@ -50,6 +50,7 @@ object Streams {
     "semantic_decontam_guard" -> "pipeline.Similarity.s15Scored tau-screen (s15's batch candidate set at cosine >= tau)",
     "dsir_guard" -> "pipeline.TextAnalysis.p23DsirWeights (hashed-bigram importance weights vs the frozen 4096-bucket model)",
     "pii_guard" -> "pipeline.TextAnalysis.p27PiiRedaction (per-row multi-class regex redaction profile, shared redactionProfile projection)",
+    "luhn_guard" -> "pipeline.TextAnalysis.p28LuhnRedaction (per-row checksum-gated account-number redaction, shared luhnProfile projection)",
     "quality_guard" -> "pipeline.TextAnalysis.p24QualityClassifier (trained micro-logit scoring vs the frozen 4096-bucket weight vector)")
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -298,6 +299,18 @@ object Streams {
   def piiGuard(docs: DataFrame): DataFrame =
     graft.pipeline.TextAnalysis.redactionProfile(
       docs.select(col("doc_id"), col("text").as("pii_text")))
+
+  /** Streaming Luhn-redaction guard (batch p28's streaming face):
+    * arriving documents' 16-digit runs are checksum-gated and scrubbed
+    * per row through the SHARED
+    * [[graft.pipeline.TextAnalysis.luhnProfile]] projection — same
+    * stateless shape as [[piiGuard]], extended to the PII class a
+    * regex alone cannot decide (the mod-10 validity fold runs
+    * in-stream, per token).
+    */
+  def luhnGuard(docs: DataFrame): DataFrame =
+    graft.pipeline.TextAnalysis.luhnProfile(
+      docs.select(col("doc_id"), col("text").as("cc_text")))
 
   /** The frozen p24 weight vector as one broadcastable static row —
     * the model side of [[qualityGuard]]: position b+1 is w(b).

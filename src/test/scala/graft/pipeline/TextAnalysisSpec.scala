@@ -959,4 +959,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.exists(_.getAs[Long]("n_emails") > 1L),
       "no doc carries two emails — multi-match counting unexercised")
   }
+
+  test("p28 Luhn gate matches a driver-side checksum replay; both verdicts planted") {
+    import spark.implicits._
+    def luhnOk(s: String): Boolean = {
+      // from-right position 2,4,... doubled — the ISO/IEC 7812 rule,
+      // implemented independently of the engine's from-left fold
+      val sum = s.reverse.zipWithIndex.map { case (c, i) =>
+        val d = c - '0'
+        if (i % 2 == 1) { val d2 = 2 * d; if (d2 > 9) d2 - 9 else d2 }
+        else d
+      }.sum
+      sum % 10 == 0
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val inj = TextAnalysis.ccInjected(spark, sfDir)
+      .as[(Long, String)].collect().toMap
+    val got = TextAnalysis.p28LuhnRedaction(spark, sfDir).collect()
+    assert(got.length == inj.size)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val toksArr = inj(id).trim.split("\\s+")
+      val cands = toksArr.filter(_.matches("\\d{16}"))
+      val valid = cands.filter(luhnOk)
+      assert(r.getAs[Long]("n_digit16") == cands.length, s"doc $id cands")
+      assert(r.getAs[Long]("n_luhn_valid") == valid.length, s"doc $id valid")
+      assert(r.getAs[Long]("n_rejected") == cands.length - valid.length)
+      val red = toksArr.map(t =>
+        if (t.matches("\\d{16}") && luhnOk(t)) "<CARD>" else t).mkString(" ")
+      assert(r.getAs[String]("redacted_md5") == md5hex(red),
+        s"doc $id redacted hash diverges from the replay")
+      // the injection plants both verdicts deterministically
+      if (id % 2 == 0) assert(r.getAs[Long]("n_luhn_valid") >= 1L,
+        s"doc $id planted valid number not accepted")
+      if (id % 7 == 0) assert(r.getAs[Long]("n_rejected") >= 1L,
+        s"doc $id planted invalid number not rejected")
+      if (id % 2 != 0 && id % 7 != 0)
+        assert(r.getAs[Long]("n_digit16") == 0L)
+    }
+    // both verdicts occur corpus-wide (the gate discriminates)
+    assert(got.map(_.getAs[Long]("n_luhn_valid")).sum > 0)
+    assert(got.map(_.getAs[Long]("n_rejected")).sum > 0)
+  }
 }

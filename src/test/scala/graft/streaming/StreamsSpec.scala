@@ -569,7 +569,46 @@ class StreamsSpec extends SparkSpec {
       "stream emits exactly the batch-profiled docs plus the planted one")
   }
 
+  private def luhnGuardTwin(): Unit = {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // the stream carries the same injected texts batch p28 scrubs
+    // (plus one planted number-free doc), so the batch twin is p28's
+    // profile table (whose values the sf0.01 oracle gate verifies)
+    val arriving = graft.pipeline.TextAnalysis.ccInjected(spark, sfDir)
+      .as[(Long, String)].collect().toSeq :+ ((-1L, "solo"))
+
+    val input = MemoryStream[(Long, String)]
+    val query = luhnGuard(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("luhn_guard")
+      .outputMode("append").start()
+    val (a, b) = arriving.splitAt(arriving.size / 2)
+    input.addData(a)
+    query.processAllAvailable()
+    input.addData(b)
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("luhn_guard").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    val want = graft.pipeline.TextAnalysis.p28LuhnRedaction(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_digit16"),
+        r.getAs[Long]("n_luhn_valid"), r.getAs[Long]("n_rejected"),
+        r.getAs[String]("redacted_md5")))).toMap
+    assert(got.size == arriving.size, "one profile per arriving doc")
+    want.foreach { case (id, w) =>
+      assert(got(id) == w, s"doc $id stream Luhn profile diverges from p28")
+    }
+    val soloMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("solo".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(-1L) == ((0L, 0L, 0L, soloMd5)))
+    assert((got.keySet - (-1L)) == want.keySet)
+  }
+
   private val twinRunners: Map[String, () => Unit] = Map(
+    "luhn_guard" -> (luhnGuardTwin _),
     "pii_guard" -> (piiGuardTwin _),
     "dsir_guard" -> (dsirGuardTwin _),
     "quality_guard" -> (qualityGuardTwin _),
