@@ -236,6 +236,19 @@ class PlanAuditSpec extends SparkSpec {
       s"p27 plans a non-presentation shuffle: $exchanges")
   }
 
+  test("p28 Luhn redaction is pure map-side — only the presentation sort shuffles") {
+    val exchanges = SparkEntry.queries("p28_luhn_redaction")(spark, sfDir)
+      .queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.outputPartitioning
+      }
+    assert(exchanges.forall {
+        case _: org.apache.spark.sql.catalyst.plans.physical.RangePartitioning => true
+        case _ => false
+      },
+      s"p28 plans a non-presentation shuffle: $exchanges")
+  }
+
   test("d11 rolls up the stored detector pair set — no live pair joins") {
     // force the durable pair-set artifact (first call builds+publishes)
     pipeline.Dedup.d11DetectorOverlap(spark, sfDir).collect()
