@@ -304,12 +304,24 @@ object ScaleProbe {
       // warm FS metadata + page cache so dir order doesn't bias pass 1
       Tables.documents(spark, dir).write.mode("overwrite").format("noop").save()
       Tables.embeddings(spark, dir).write.mode("overwrite").format("noop").save()
-      dir -> selected.map { case (name, f) =>
+      // per-dir round counts: clear the record so the print below
+      // shows only THIS corpus's contractions
+      graft.pipeline.Dedup.lastPropagationRounds.clear()
+      val timings = selected.map { case (name, f) =>
         val t1 = once(f, dir)
         val t2 = once(f, dir)
         println(f"[probe] $dir $name cold=$t1%.2f warm=${math.min(t1, t2)}%.2f")
         (name, t1, math.min(t1, t2))
       }
+      // star-contraction round counts (d06/m06/s14 share the engine):
+      // the engine switched in round 15 BECAUSE min-label propagation's
+      // count grew with corpus size (s14 4→14 at 10×); these lines keep
+      // the base-vs-replica comparison measured every probe run
+      val rounds = graft.pipeline.Dedup.lastPropagationRounds.toSeq.sorted
+      if (rounds.nonEmpty)
+        println(s"[probe] $dir propagation_rounds=" +
+          rounds.map { case (t, r) => s"$t:$r" }.mkString(","))
+      dir -> timings
     }
     val Seq((_, b), (_, s)) = rows
     println("SCALE name base_cold base_warm x_cold x_warm ratio_cold ratio_warm")

@@ -782,10 +782,12 @@ object Dedup {
 
   private type HPath = org.apache.hadoop.fs.Path
 
-  /** Bump when the clustering semantics change: a stale artifact from
-    * an older build must never satisfy a newer reader.
+  /** Bump when the clustering semantics OR the stored schema change: a
+    * stale artifact from an older build must never satisfy a newer
+    * reader. v2: star-contraction engine — the table dropped the
+    * propagation loop's internal `old` column.
     */
-  private val ClusterArtifactVersion = 1
+  private val ClusterArtifactVersion = 2
 
   private[graft] def clusterArtifactPath(dir: String): String =
     s"${ArtifactStore.artifactRoot}/${ArtifactStore.md5Hex(dir)}_d06_clusters"
@@ -963,20 +965,20 @@ object Dedup {
         s"mh=$NumHashes/$Bands|sim=$SimBits/$SimBands/ham<=3|" +
         ArtifactStore.sourceListing(spark, dir + "/documents.parquet"))
 
-  /** Distributed min-label propagation over the stored d03 pairs;
+  /** Distributed connected components over the stored d03 pairs;
     * returns the converged, persisted (id, label) table.
     *
-    * Each round's label table is pinned behind a [[LogicalRDD]] leaf
+    * Each round's edge table is pinned behind a [[LogicalRDD]] leaf
     * ([[pin]]) before the previous round is released. Without the
     * lineage break, round i+1's plan DEPENDS on round i's cached plan,
     * and Spark's non-cascading `unpersist` (SPARK-24596) responds by
     * clearing and lazily re-registering every dependent cache entry —
     * so releasing round i silently dropped round i+1's just-built
     * blocks and every subsequent action recomputed the ENTIRE
-    * propagation chain from the pair table (quadratic total work, and
+    * contraction chain from the pair table (quadratic total work, and
     * the reason repeat reads of the converged table were costing a full
-    * re-propagation). With leaf plans, rounds have no plan-level
-    * dependency and each release frees exactly one table.
+    * re-run). With leaf plans, rounds have no plan-level dependency and
+    * each release frees exactly one table.
     */
   /** Rows per loop-shuffle partition. Label/edge rows are a couple of
     * longs, so a million rows is a few tens of MB — comfortably
@@ -993,11 +995,36 @@ object Dedup {
   private def buildClusterLabels(spark: SparkSession, dir: String): DataFrame =
     propagateLabels(spark, dupPairs(spark, dir), "d06")
 
-  /** Distributed min-label propagation over ANY (a_id, b_id) pair
-    * frame — the connected-components engine behind d06, factored so
-    * other dup families (m06's media clusters) reuse the identical
-    * convergence/accumulator machinery instead of growing a second
-    * loop. `tag` names the accumulators and the non-convergence error.
+  /** Distributed connected components over ANY (a_id, b_id) pair
+    * frame — the engine behind d06, factored so the other dup families
+    * (m06's media clusters, s14's semantic clusters) reuse the
+    * identical machinery instead of growing a second loop. `tag` names
+    * the round-count record and the non-convergence error.
+    *
+    * Algorithm: alternating LARGE-STAR / SMALL-STAR contraction
+    * (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014 — the
+    * algorithm behind GraphFrames' production CC). Each alternation
+    * re-links nodes to their neighborhood minima, which hooks and
+    * halves chains STRUCTURALLY, so convergence is O(log² n)
+    * alternations regardless of component diameter. This replaced
+    * plain min-label propagation in round 15 after the probe MEASURED
+    * its O(diameter) round count growing with corpus size for the
+    * semantic families (s14 4 → 14 rounds, m06 2 → 6 at a 10×
+    * replica: near-dup chains lengthen as fresh vectors bridge
+    * clusters — the star-contraction trigger the design had parked; a
+    * pointer-doubling patch was tried first and measured nearly
+    * useless, 14 → 12, because a min-label is an id-window minimum,
+    * not a parent pointer, so jumps do not compose under adversarial
+    * id placement).
+    *
+    * Invariants: every edge is kept child>parent; both steps emit
+    * edges only between nodes of one original component and never
+    * orphan a node, so connectivity is preserved round to round. The
+    * terminal state is one star per component rooted at its MINIMUM
+    * id (a star with a non-minimal root is not a large-star fixpoint),
+    * detected structurally: no node is both a child and a parent. The
+    * final (id, label) table is exactly min-label propagation's.
     */
   private[graft] def propagateLabels(spark: SparkSession, pairsIn: DataFrame,
       tag: String): DataFrame = {
@@ -1019,65 +1046,85 @@ object Dedup {
     val maxParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val loopParts = math.max(2, math.min(maxParts,
       (2 * pairs.count() / LoopRowsPerPartition + 1).toInt))
-    val edges = pairs.union(pairs.select($"b_id", $"a_id"))
-      .toDF("src", "dst")
-      .repartition(loopParts, $"src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var cached = pin(edges.select($"src".as("id")).distinct()
-      .withColumn("label", $"id")
-      .withColumn("old", $"id"))
+
+    // LARGE-STAR: over the symmetric neighborhood of each node u,
+    // m = min(Γ(u) ∪ {u}); every BIGGER neighbor re-links to m. Each
+    // undirected edge is emitted by its smaller endpoint's group, so
+    // nothing disconnects; outputs keep parent < child by m ≤ u < v.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select($"c".as("u"), $"p".as("v"))
+        .unionAll(e.select($"p".as("u"), $"c".as("v")))
+      val mins = sym.repartition(loopParts, $"u")
+        .groupBy($"u").agg(least(min($"v"), $"u").as("m"))
+      sym.join(mins, "u").filter($"v" > $"u")
+        .select($"v".as("c"), $"m".as("p")).distinct()
+    }
+    // SMALL-STAR: over each child's (all-smaller) parents,
+    // m = min(parents); the child and every other parent re-link to m
+    // — the hooking step that collapses multi-level trees to depth 1.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.repartition(loopParts, $"c")
+        .groupBy($"c").agg(min($"p").as("m"))
+      e.join(mins, "c")
+        .select($"p".as("c"), $"m".as("p")).filter($"c" =!= $"p")
+        .unionAll(mins.select($"c", $"m".as("p")))
+        .distinct()
+    }
+
+    var cur = pin(pairs
+      .select(greatest($"a_id", $"b_id").as("c"),
+        least($"a_id", $"b_id").as("p"))
+      .filter($"c" =!= $"p").distinct())
     var converged = false
     var iter = 0
-    var lastChanged = -1L
+    var lastEdges = -1L
     while (!converged && iter < MaxCcIterations) {
-      // one shuffle per round: own label unioned with every in-neighbor's
-      // label, min per node. The own-label row also carries `old` (max
-      // over a null-for-neighbors column recovers it), and the changed
-      // count rides the materializing job as an accumulator side-effect
-      // of pin()'s Row pass — ONE job per round, no separate
-      // convergence scan. The explicit loopParts repartition satisfies
-      // the groupBy's clustering requirement, so the aggregation runs
-      // at dup-volume-sized parallelism instead of the session-wide
-      // shuffle-partition count.
-      val labels = cached.select($"id", $"label")
-      // a FRESH accumulator per round, not reset() on a shared one: a
-      // previous round's pin() closure captures its own accumulator, so
-      // if that round's persisted blocks are lost (executor loss) and
-      // recomputed during a LATER round's count(), the stale closure
-      // adds into its own dead counter — never into the round currently
-      // deciding convergence. With one shared instance, that stale
-      // recomputation could keep the counter nonzero forever and turn a
-      // correctly-converged propagation into the MaxCcIterations error.
-      val changedAcc = spark.sparkContext.longAccumulator(s"${tag}_changed_labels_r$iter")
-      val next = pin(labels.select($"id", $"label", $"label".as("old"))
-        .union(edges.join(labels, $"src" === $"id")
-          .select($"dst".as("id"), $"label", lit(null).cast("long").as("old")))
-        .repartition(loopParts, $"id")
-        .groupBy($"id").agg(min($"label").as("label"), max($"old").as("old")),
-        Some(changedAcc))
-      next.count()
-      lastChanged = changedAcc.value
-      converged = lastChanged == 0L
-      cached.unpersist()
-      cached = next
+      val e1 = pin(largeStar(cur))
+      val e2 = pin(smallStar(e1))
+      lastEdges = e2.count()
+      // terminal state is STRUCTURAL, not a fixpoint diff: one star per
+      // component means no node is both a child and a parent — checked
+      // with one dup-volume-sized self-join per alternation
+      converged = e2.as("x")
+        .join(e2.as("y"), $"x.p" === $"y.c").limit(1).count() == 0L
+      cur.unpersist(); e1.unpersist()
+      cur = e2
       iter += 1
     }
-    // a truncated propagation would SILENTLY return split clusters (and
-    // diverge from the oracle's transitive closure) — fail loudly; a
-    // component with diameter > MaxCcIterations needs the O(log n)
-    // star-contraction variant, not a higher cap
+    lastPropagationRounds(tag) = iter
+    // a truncated contraction would SILENTLY return split clusters (and
+    // diverge from the oracle's transitive closure) — fail loudly;
+    // log²-convergence puts any real input orders of magnitude under
+    // the cap, so hitting it means a bug, not a big graph
     if (!converged) {
       if (ownCache) pairs.unpersist()
-      edges.unpersist()
-      cached.unpersist()
+      cur.unpersist()
       throw new IllegalStateException(
-        s"$tag label propagation did not converge in $MaxCcIterations rounds " +
-          s"($lastChanged labels still changing): component diameter exceeds the cap")
+        s"$tag star contraction did not converge in $MaxCcIterations " +
+          s"alternations ($lastEdges edges in flight)")
     }
+    // stars → labels: children labelled by their root, roots by
+    // themselves — the same (id, label) table min-label propagation
+    // produced, covering every node of the input pair list
+    val labels = pin(cur.select($"c".as("id"), $"p".as("label"))
+      .unionAll(cur.select($"p".as("id"), $"p".as("label")))
+      .distinct())
+    labels.count()
+    cur.unpersist()
     if (ownCache) pairs.unpersist()
-    edges.unpersist()
-    cached
+    labels
   }
+
+  /** Rounds (alternations) the most recent [[propagateLabels]] run
+    * took, per tag — the observability behind the round-15 engine
+    * switch: min-label propagation's count grew with corpus size
+    * (measured, see [[propagateLabels]]), star contraction's must stay
+    * flat. ScaleProbe prints this map after each corpus so
+    * base-vs-replica counts land in the probe log; the spec pins
+    * toy-scale counts far under [[MaxCcIterations]].
+    */
+  private[graft] val lastPropagationRounds =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
 
   /** Persist a small iteration table behind a lineage-breaking
     * [[org.apache.spark.sql.execution.LogicalRDD]] leaf: the returned
@@ -1085,28 +1132,11 @@ object Dedup {
     * releasing earlier iterations can never clear it (see
     * [[buildClusterLabels]]), and it IS the persisted plan, so
     * `unpersist()` frees its actual blocks. The Row round-trip costs
-    * one deserialization pass over a dup-volume-sized table — and with
-    * `changed` set, that same pass counts the not-yet-converged rows
-    * into the accumulator, folding convergence detection into the
-    * materializing job. (Accumulator counts from re-run tasks can only
-    * OVER-count, which at worst buys one extra propagation round —
-    * never a premature exit.)
+    * one deserialization pass over a dup-volume-sized table.
     */
-  private def pin(df: DataFrame,
-      changed: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+  private def pin(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
-    val schema = df.schema
-    val rdd = changed match {
-      case None => df.rdd
-      case Some(acc) =>
-        val li = schema.fieldIndex("label")
-        val oi = schema.fieldIndex("old")
-        df.rdd.map { row =>
-          if (row.getLong(li) != row.getLong(oi)) acc.add(1L)
-          row
-        }
-    }
-    spark.createDataFrame(rdd, schema)
+    spark.createDataFrame(df.rdd, df.schema)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 

@@ -164,7 +164,7 @@ class DedupSpec extends SparkSpec {
       // cold session (memo invalidated) must serve the published table,
       // not silently re-run label propagation
       Dedup.invalidateCaches()
-      Seq((-1L, -2L, -2L)).toDF("id", "label", "old")
+      Seq((-1L, -2L)).toDF("id", "label")
         .write.mode("overwrite").parquet(path)
       putFingerprint(path, fp)
       val planted = Dedup.clusterDropList(spark, sfDir).collect()
@@ -329,6 +329,63 @@ class DedupSpec extends SparkSpec {
       "reloaded detector pairs don't scan the stored artifact")
     val after = Dedup.d11DetectorOverlap(spark, sfDir).collect().toSeq
     assert(after == before)
+  }
+
+  test("star contraction records its alternation count, far under the cap") {
+    Dedup.d06NeardupClusters(spark, sfDir).collect()
+    val rounds = Dedup.lastPropagationRounds.get("d06")
+    assert(rounds.isDefined, "d06 contraction left no round record")
+    // large/small-star alternation is O(log² n); the toy corpus must
+    // converge in a handful of alternations — a count NEAR the cap
+    // (MaxCcIterations = 50) means a bug, not a big graph
+    assert(rounds.get >= 1 && rounds.get <= 10,
+      s"d06 took ${rounds.get} alternations at toy scale")
+  }
+
+  test("star contraction equals a driver-side transitive closure on adversarial graphs") {
+    import spark.implicits._
+    // shapes min-label propagation was slow on and star contraction
+    // must get right: a long path with ids arranged against the id
+    // heuristic (descending, alternating), a binary tree, a cycle, two
+    // merged stars, and singleton pairs
+    def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val cases: Seq[(String, Seq[(Long, Long)])] = Seq(
+      // path 100..1 with descending ids (worst case for min windows)
+      "desc-path" -> (1L to 99L).map(i => (i, i + 1)),
+      // path with alternating high/low ids: 1-200-3-198-5-...
+      "zigzag" -> (0L until 60L).map { i =>
+        val a = if (i % 2 == 0) i + 1 else 200 - i
+        val b = if (i % 2 == 0) 200 - (i + 1) else i + 2
+        (a, b)
+      },
+      "cycle" -> ((1L to 50L).map(i => (i, i % 50 + 1))),
+      "two-stars-bridged" ->
+        ((2L to 20L).map(i => (1L, i)) ++ (22L to 40L).map(i => (21L, i))
+          :+ ((20L, 40L))),
+      "singletons" -> Seq((100L, 200L), (300L, 400L), (500L, 600L)))
+    cases.foreach { case (name, pairs) =>
+      val want = unionFind(pairs)
+      val labelled = Dedup.propagateLabels(spark,
+        pairs.toDF("a_id", "b_id"), s"adv_$name")
+      val got = labelled.collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+      labelled.unpersist()
+      assert(got == want, s"$name: star contraction diverged from the " +
+        s"union-find closure (${got.size} vs ${want.size} nodes)")
+      val rounds = Dedup.lastPropagationRounds(s"adv_$name")
+      assert(rounds <= 12, s"$name took $rounds alternations — not log-ish")
+    }
   }
 
   test("d10 picks each cluster's true longest member, flagging policy disagreements") {
