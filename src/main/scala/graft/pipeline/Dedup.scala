@@ -1023,8 +1023,12 @@ object Dedup {
     * orphan a node, so connectivity is preserved round to round. The
     * terminal state is one star per component rooted at its MINIMUM
     * id (a star with a non-minimal root is not a large-star fixpoint),
-    * detected structurally: no node is both a child and a parent. The
-    * final (id, label) table is exactly min-label propagation's.
+    * detected structurally: no node is both a child and a parent AND
+    * every child has exactly one parent — the second clause matters,
+    * because a depth-1 forest where one child holds edges to two
+    * different roots satisfies the first clause alone while splitting
+    * a component (the round-16 soundness fix). The final (id, label)
+    * table is exactly min-label propagation's.
     */
   private[graft] def propagateLabels(spark: SparkSession, pairsIn: DataFrame,
       tag: String): DataFrame = {
@@ -1081,12 +1085,26 @@ object Dedup {
     while (!converged && iter < MaxCcIterations) {
       val e1 = pin(largeStar(cur))
       val e2 = pin(smallStar(e1))
-      lastEdges = e2.count()
-      // terminal state is STRUCTURAL, not a fixpoint diff: one star per
-      // component means no node is both a child and a parent — checked
-      // with one dup-volume-sized self-join per alternation
-      converged = e2.as("x")
-        .join(e2.as("y"), $"x.p" === $"y.c").limit(1).count() == 0L
+      // Terminal state is STRUCTURAL, not a fixpoint diff: one star per
+      // component means (a) no node is both a child and a parent AND
+      // (b) every child has exactly ONE parent. (a) alone is unsound:
+      // the path 1-5-4-6-2 contracts in one alternation to the depth-1
+      // forest {(4,1),(5,1),(4,2),(6,2)} where nothing is both child
+      // and parent, yet node 4 carries labels 1 AND 2 — one component
+      // split in two. Both conditions, plus the edge count, come out of
+      // ONE aggregation per alternation (this is also the action that
+      // materializes e2's cache): tag each endpoint occurrence with its
+      // role, roll up per node, and reduce to (edge count, violation
+      // flag) — no self-join, no second probe job.
+      val probe = e2.select($"c".as("n"), lit(1L).as("ic"), lit(0L).as("ip"))
+        .unionAll(e2.select($"p".as("n"), lit(0L).as("ic"), lit(1L).as("ip")))
+        .groupBy($"n").agg(sum($"ic").as("nc"), max($"ip").as("ip"))
+        .agg(coalesce(sum($"nc"), lit(0L)).as("edges"),
+          coalesce(max(($"nc" > 1 || ($"nc" > 0 && $"ip" > 0)).cast("long")),
+            lit(0L)).as("notStar"))
+        .head()
+      lastEdges = probe.getLong(0)
+      converged = probe.getLong(1) == 0L
       cur.unpersist(); e1.unpersist()
       cur = e2
       iter += 1

@@ -373,7 +373,14 @@ class DedupSpec extends SparkSpec {
       "two-stars-bridged" ->
         ((2L to 20L).map(i => (1L, i)) ++ (22L to 40L).map(i => (21L, i))
           :+ ((20L, 40L))),
-      "singletons" -> Seq((100L, 200L), (300L, 400L), (500L, 600L)))
+      "singletons" -> Seq((100L, 200L), (300L, 400L), (500L, 600L)),
+      // the round-16 soundness case: two low-id minima bridged by a
+      // high-id hub — one alternation yields the depth-1 forest
+      // {(4,1),(5,1),(4,2),(6,2)} where no node is both child and
+      // parent, yet child 4 holds TWO parents; the old "no
+      // child-is-parent" terminal test accepted it and returned one
+      // component as two overlapping clusters
+      "two-minima-bridge" -> Seq((1L, 5L), (5L, 4L), (4L, 6L), (6L, 2L)))
     cases.foreach { case (name, pairs) =>
       val want = unionFind(pairs)
       val labelled = Dedup.propagateLabels(spark,
@@ -385,6 +392,46 @@ class DedupSpec extends SparkSpec {
         s"union-find closure (${got.size} vs ${want.size} nodes)")
       val rounds = Dedup.lastPropagationRounds(s"adv_$name")
       assert(rounds <= 12, s"$name took $rounds alternations — not log-ish")
+    }
+  }
+
+  test("star contraction matches union-find on a deterministic random-graph sweep") {
+    import spark.implicits._
+    // the advisor's simulation put the old (unsound) terminal test at
+    // ~1.6% failures over random small graphs — sweep a deterministic
+    // sample of the same family through the REAL distributed loop and
+    // demand exact transitive-closure agreement every time
+    def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val rnd = new scala.util.Random(20260815L)
+    (0 until 40).foreach { g =>
+      val n = 4 + rnd.nextInt(12)
+      val ids = rnd.shuffle((1L to 500L).toVector).take(n)
+      val m = 1 + rnd.nextInt(2 * n)
+      val pairs = (0 until m).map { _ =>
+        (ids(rnd.nextInt(n)), ids(rnd.nextInt(n)))
+      }.filter(p => p._1 != p._2)
+      if (pairs.nonEmpty) {
+        val want = unionFind(pairs)
+        val labelled = Dedup.propagateLabels(spark,
+          pairs.toDF("a_id", "b_id"), s"rnd_$g")
+        val got = labelled.collect()
+          .map(r => r.getAs[Long]("id") -> r.getAs[Long]("label")).toMap
+        labelled.unpersist()
+        assert(got == want,
+          s"random graph $g (${pairs.mkString(",")}): contraction " +
+            "diverged from the union-find closure")
+      }
     }
   }
 
