@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{Memo, Tables}
 
 /** Multimodal-column plumbing for training-data pipelines.
   *
@@ -207,24 +207,96 @@ object Multimodal {
     * the collapse step that turns pairwise frame overlap into the
     * actual drop decision, exactly as d06 collapses d03's pairs for
     * text. Reuses [[graft.pipeline.Dedup.propagateLabels]] — ONE
-    * propagation engine (per-round single-shuffle min-label, bounded
-    * rounds, accumulator convergence) serves both dup families.
+    * propagation engine (alternating large/small-star contraction,
+    * structural convergence) serves every dup family.
+    *
+    * Like d06, the converged label table is a DURABLE ingest artifact:
+    * m06-the-query REBUILDS and atomically republishes it (the
+    * propagation loop is what the query benchmarks), every other
+    * consumer (m07's survivor pass, any export drop list) reads the
+    * stored table via [[mediaClusterLabels]]. Same fingerprint guard,
+    * TOCTOU-safe publish, and session memo as `Dedup.clusterLabels`.
     *
     * Scale shape: inherits m05's inverted-index candidate volume and
-    * the propagation's dup-volume-sized parallelism; nothing here
+    * the contraction's dup-volume-sized parallelism; nothing here
     * touches payloads.
     */
   def m06MediaClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val dup = m05Pairs(spark, dir)
-      .filter(mediaDup($"n_shared_frames", $"n_frames_a", $"n_frames_b"))
-      .select($"doc_a", $"doc_b")
-    graft.pipeline.Dedup.propagateLabels(spark, dup, "m06")
+    val fp = mediaFingerprint(spark, dir) // pre-build capture, like d06
+    val fresh = buildMediaClusterLabels(spark, dir)
+    writeMediaClusterArtifact(spark, dir, fp, fresh)
+    mediaClusterCache.synchronized {
+      mediaClusterCache.put((spark, dir), fresh).foreach(_.unpersist())
+    }
+    fresh
       .select($"label".as("cluster_id"), $"id".as("doc_id"))
       .withColumn("keep",
         when($"doc_id" === $"cluster_id", 1L).otherwise(0L))
       .orderBy($"cluster_id", $"doc_id")
   }
+
+  private def buildMediaClusterLabels(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val dup = m05Pairs(spark, dir)
+      .filter(mediaDup($"n_shared_frames", $"n_frames_a", $"n_frames_b"))
+      .select($"doc_a", $"doc_b")
+    graft.pipeline.Dedup.propagateLabels(spark, dup, "m06")
+  }
+
+  /** Test seam, mirroring `Dedup.invalidateCaches`: drop the session
+    * memo so the next read exercises the cold (disk-artifact) path.
+    */
+  private[graft] def invalidateCaches(): Unit =
+    mediaClusterCache.keys.foreach(k =>
+      mediaClusterCache.remove(k).foreach(_.unpersist()))
+
+  /** Session hot handle to the on-disk media cluster table — a miss
+    * falls back to the parquet artifact BEFORE it falls back to a
+    * rebuild (the d06 durability rule: an export run at 100 TB must
+    * not re-propagate, and must not depend on an in-memory cache
+    * surviving either).
+    */
+  private val mediaClusterCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
+  private[graft] def mediaClusterLabels(spark: SparkSession,
+      dir: String): DataFrame =
+    Memo.getOrBuild(mediaClusterCache, (spark, dir)) {
+      val fp = mediaFingerprint(spark, dir)
+      ArtifactStore.findValid(spark, mediaClusterArtifactPath(dir), fp)
+        .flatMap(p => ArtifactStore.consistentParquet(spark, p))
+        .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .getOrElse {
+          val fresh = buildMediaClusterLabels(spark, dir)
+          writeMediaClusterArtifact(spark, dir, fp, fresh)
+          fresh
+        }
+    }
+
+  /** Bump when the clustering semantics OR the stored schema change. */
+  private val MediaClusterArtifactVersion = 1
+
+  private[graft] def mediaClusterArtifactPath(dir: String): String =
+    s"${ArtifactStore.artifactRoot}/${ArtifactStore.md5Hex(dir)}_m06_clusters"
+
+  /** Staleness guard — hashes the documents listing (the media table
+    * derives from it) plus every parameter the pair derivation
+    * depends on: frame geometry and the containment cut.
+    */
+  private def mediaFingerprint(spark: SparkSession, dir: String): String =
+    ArtifactStore.md5Hex(
+      s"v$MediaClusterArtifactVersion|frames=${FrameLen}x$FrameStep|" +
+        "contain=1/2|" +
+        ArtifactStore.sourceListing(spark, dir + "/documents.parquet"))
+
+  private def writeMediaClusterArtifact(spark: SparkSession, dir: String,
+      fingerprint: String, labels: DataFrame): Unit =
+    ArtifactStore.publish(spark, mediaClusterArtifactPath(dir), fingerprint) {
+      staging => labels.write.mode("overwrite").parquet(staging)
+    }
 
   /** m04 — resize planning: aspect-preserving fit of every image into
     * [[ResizeTarget]]² plus letterbox padding, from metadata alone. The
@@ -260,10 +332,14 @@ object Multimodal {
     * flag vs m06's min-id default — exactly the columns d10 reports
     * for text clusters, so the two survivor passes audit identically.
     *
-    * Scale shape: reuses m06's durable propagation artifact (the
-    * cluster table, never re-propagated) joined to the two-column
-    * byte catalog; one cluster-keyed window over dup-fraction-sized
-    * rows. Payloads are never read — length() prunes to metadata.
+    * Scale shape: reuses m06's durable propagation artifact via
+    * [[mediaClusterLabels]] (the stored cluster table — parquet on a
+    * cold session, the memoized handle when warm; NEVER a live
+    * re-propagation) joined to the two-column byte catalog; one
+    * cluster-keyed window over dup-fraction-sized rows. Payloads are
+    * never read — length() prunes to metadata. PlanAuditSpec pins the
+    * no-propagation shape: m07's outer plan has exactly the one
+    * catalog join and no frame-digest stages.
     */
   def m07MediaSurvivors(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -271,8 +347,8 @@ object Multimodal {
       .select($"doc_id", length($"payload").cast("long").as("n_bytes"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"cluster_id").orderBy($"n_bytes".desc, $"doc_id")
-    m06MediaClusters(spark, dir)
-      .select($"cluster_id", $"doc_id")
+    mediaClusterLabels(spark, dir)
+      .select($"label".as("cluster_id"), $"id".as("doc_id"))
       .join(nb, "doc_id")
       .withColumn("rn", row_number().over(w))
       .groupBy($"cluster_id")

@@ -263,6 +263,24 @@ class PlanAuditSpec extends SparkSpec {
       s"d11 plans $joins live joins — it must read the stored pair set")
   }
 
+  test("m07 reads the stored cluster artifact — no propagation stages") {
+    // force the durable media-cluster artifact (builds+publishes if cold)
+    pipeline.Multimodal.m06MediaClusters(spark, sfDir).collect()
+    val qe = SparkEntry.queries("m07_media_survivors")(spark, sfDir)
+      .queryExecution
+    // the outer plan is exactly: stored labels ⋈ byte catalog, then the
+    // cluster-keyed window/rollup — ONE join, and no frame-digest
+    // stages anywhere (those live only inside the artifact's build)
+    val joins = qe.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.size
+    assert(joins == 1,
+      s"m07 plans $joins joins — it must read the stored cluster table")
+    val p = qe.explainString(ExplainMode.fromString("simple"))
+    assert(!p.contains("frame_md5"),
+      s"m07's plan re-derives frame digests:\n$p")
+  }
+
   test("star-schema dimension joins stay broadcast") {
     val p = plan("q04_region_revenue")
     assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")

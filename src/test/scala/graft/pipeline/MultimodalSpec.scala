@@ -154,4 +154,48 @@ class MultimodalSpec extends SparkSpec {
     assert(got.values.exists(_._4 == 0L),
       "keep-largest never disagreed with min-id on this corpus")
   }
+
+  test("m06 artifact: cold reads come from the published parquet; stale fingerprints rebuild") {
+    import spark.implicits._
+    type HP = org.apache.hadoop.fs.Path
+    val fs = new HP("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def putFingerprint(path: String, content: String): Unit = {
+      val out = fs.create(new HP(path + "/_fingerprint"), true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    // publish a fresh artifact and record the truth
+    Multimodal.m06MediaClusters(spark, sfDir).collect()
+    val path = Multimodal.mediaClusterArtifactPath(sfDir)
+    assert(fs.exists(new HP(path + "/_fingerprint")), "publish must write the guard")
+    val fpIn = fs.open(new HP(path + "/_fingerprint"))
+    val fp = try scala.io.Source.fromInputStream(fpIn, "UTF-8").mkString.trim
+      finally fpIn.close()
+    val truth = Multimodal.mediaClusterLabels(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("label"))).toSet
+    assert(truth.nonEmpty)
+    try {
+      // plant a distinguishable artifact under the SAME fingerprint: a
+      // cold session (memo invalidated) must serve the published table,
+      // not silently re-run the pair derivation + contraction
+      Multimodal.invalidateCaches()
+      Seq((-1L, -2L)).toDF("id", "label")
+        .write.mode("overwrite").parquet(path)
+      putFingerprint(path, fp)
+      val planted = Multimodal.mediaClusterLabels(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Long]("label"))).toSet
+      assert(planted == Set((-1L, -2L)),
+        s"cold read must come from the disk artifact, got ${planted.take(5)}")
+      // corrupt the fingerprint: the reader must REBUILD rather than
+      // serve clusters for data it wasn't built from
+      Multimodal.invalidateCaches()
+      putFingerprint(path, "stale-source-data")
+      val rebuilt = Multimodal.mediaClusterLabels(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Long]("label"))).toSet
+      assert(rebuilt == truth, "stale artifact must not be served")
+    } finally {
+      // leave a correct published artifact for later suites
+      Multimodal.invalidateCaches()
+      Multimodal.m06MediaClusters(spark, sfDir).collect()
+    }
+  }
 }
