@@ -107,22 +107,27 @@ object Dedup {
     * cap x df per shingle.
     */
   /** The df-capped shingle occurrences (df <= [[ShingleDfCap]]) — the
-    * d02 inverted index, df computed as a whole-partition window count
-    * (ONE shuffle of the occurrence rows by shingle, vs aggregate +
-    * equi-join shuffling them twice). Memoized + persisted under the
-    * same ingest-artifact policy as [[minhashSig]], and for the same
-    * reason: d02 consumes it three ways (self-join a-side, b-side, and
-    * the per-doc sizes), and without the persist each consumer
-    * re-evaluated the window shuffle — the physical plan showed the
-    * Window node three times over three separate exchanges.
+    * d02 inverted index. df is a `groupBy(shingle).count` + left-semi
+    * join back to the occurrence rows, NOT a whole-partition window:
+    * a window forces every occurrence of one shingle into a single
+    * task with no map-side combine, so at 100× a stopword shingle is
+    * an unbounded heavy-hitter partition; the aggregate's partial
+    * (map-side) combine absorbs exactly that skew, and the surviving
+    * key list is the capped (rare) tail, which Catalyst can broadcast
+    * for the semi join. Identical semantics — DedupSpec proves the
+    * capped index loses nothing vs the uncapped self-join, and the
+    * sf0.01 oracle hashes are unchanged. Memoized + persisted under
+    * the same ingest-artifact policy as [[minhashSig]], and for the
+    * same reason: d02 consumes it three ways (self-join a-side,
+    * b-side, and the per-doc sizes).
     */
   private def cappedShingles(spark: SparkSession, dir: String): DataFrame =
     Memo.getOrBuild(cappedShingleCache, (spark, dir)) {
       import spark.implicits._
-      val w = org.apache.spark.sql.expressions.Window.partitionBy($"shingle")
-      shingleRows(spark, dir)
-        .withColumn("df_", count(lit(1)).over(w))
-        .filter($"df_" <= ShingleDfCap)
+      val sh = shingleRows(spark, dir)
+      val keep = sh.groupBy($"shingle").agg(count(lit(1)).as("df_"))
+        .filter($"df_" <= ShingleDfCap).select($"shingle")
+      sh.join(keep, Seq("shingle"), "left_semi")
         .select($"doc_id", $"shingle")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }

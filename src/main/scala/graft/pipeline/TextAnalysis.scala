@@ -1315,10 +1315,15 @@ object TextAnalysis {
         .select($"doc_id",
           explode(array_distinct(transform($"sel", e => shiftright(e, 12))))
             .as("fp"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
-      fps
-        .withColumn("df_", count(lit(1)).over(w))
-        .filter($"df_" <= FpDfCap)
+      // df-cap via groupBy + left-semi join, not a whole-partition
+      // window: the aggregate's map-side partial combine absorbs a
+      // boilerplate fingerprint's skew (a window would pin every
+      // occurrence of one hot fp into a single task), and the
+      // surviving rare-key list broadcasts for the semi join — the
+      // same round-16 plan change as Dedup.cappedShingles
+      val keep = fps.groupBy($"fp").agg(count(lit(1)).as("df_"))
+        .filter($"df_" <= FpDfCap).select($"fp")
+      fps.join(keep, Seq("fp"), "left_semi")
         .select($"doc_id", $"fp")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }

@@ -263,6 +263,31 @@ class PlanAuditSpec extends SparkSpec {
       s"d11 plans $joins live joins — it must read the stored pair set")
   }
 
+  test("df-caps aggregate map-side — partial count before the exchange, no Window") {
+    // invalidate the memoized indexes so the audited plans contain the
+    // live df-cap computation, not an InMemoryTableScan over it
+    pipeline.Dedup.invalidateCaches()
+    pipeline.TextAnalysis.invalidateCaches()
+    Seq("d02_ngram_jaccard_pairs", "p18_fingerprint_overlap").foreach { name =>
+      val qe = SparkEntry.queries(name)(spark, sfDir).queryExecution
+      // the df-cap must be an aggregate (map-side partial combine
+      // absorbs a hot key's skew), never a whole-partition window
+      // (which pins every occurrence of one key into a single task)
+      val windows = qe.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty,
+        s"$name computes its df-cap through a Window: $windows")
+      val partials = qe.sparkPlan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+            if a.aggregateExpressions.exists(_.mode ==
+              org.apache.spark.sql.catalyst.expressions.aggregate.Partial) => a
+      }
+      assert(partials.nonEmpty,
+        s"$name has no partial aggregate before its exchange")
+    }
+  }
+
   test("m07 reads the stored cluster artifact — no propagation stages") {
     // force the durable media-cluster artifact (builds+publishes if cold)
     pipeline.Multimodal.m06MediaClusters(spark, sfDir).collect()
