@@ -72,9 +72,19 @@ object Dedup {
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), DataFrame]
 
-  /** Jaccard >= 0.8 as pure integer arithmetic. */
+  /** d02's production Jaccard cut as an exact rational: keep pairs
+    * with J >= [[JaccardCutNum]]/[[JaccardCutDen]] (= 0.8). A NAMED
+    * constant — not an inline literal — because the d11 artifact
+    * fingerprint embeds it: changing the cut must invalidate the
+    * stored detector-pair set automatically, not depend on someone
+    * remembering to bump the artifact version.
+    */
+  private[graft] val JaccardCutNum = 4
+  private[graft] val JaccardCutDen = 5
+
+  /** Jaccard >= cut as pure integer arithmetic. */
   private def jaccardAtLeast08(inter: Column, na: Column, nb: Column): Column =
-    inter * 5 >= (na + nb - inter) * 4
+    inter * JaccardCutDen >= (na + nb - inter) * JaccardCutNum
 
   /** d01 — exact duplicate profile per source: hash-groupBy on md5(text).
     * Only the 16-byte hash shuffles.
@@ -473,6 +483,16 @@ object Dedup {
   private val SimBands = 4
   private val SimBandBits = SimBits / SimBands
 
+  /** d04's Hamming cap. Named for the same reason as [[JaccardCutNum]]:
+    * the d11 fingerprint embeds it, so changing the cap invalidates the
+    * stored pair-set artifact automatically. The band count must cover
+    * the cap by pigeonhole (ham <= cap with cap+1 bands guarantees one
+    * clean band), enforced below.
+    */
+  private[graft] val HammingCap = 3
+  require(SimBands == HammingCap + 1,
+    "SimHash bands must pigeonhole the Hamming cap")
+
   /** (doc_id, sim) — the per-document SimHash signature. Memoized and
     * persisted per (session, dir) for the same reason as [[minhashSig]]:
     * the band self-join otherwise computes the signature aggregate once
@@ -557,7 +577,7 @@ object Dedup {
           $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("a_id"), $"y.doc_id".as("b_id"),
         bit_count($"x.sim".bitwiseXOR($"y.sim")).cast("long").as("hamming"))
-      .filter($"hamming" <= 3)
+      .filter($"hamming" <= HammingCap)
       .distinct()
       .orderBy($"a_id", $"b_id")
   }
@@ -575,6 +595,13 @@ object Dedup {
   private val NumPlanes = 24
   private val SignBands = 6
   private val PlaneBits = NumPlanes / SignBands
+
+  /** d05's verification cosine cut — named so the d12 artifact
+    * fingerprint tracks it (same rule as [[JaccardCutNum]] /
+    * [[HammingCap]]). Numerically equal to s07's SemDedupTau on this
+    * synthetic corpus, but an independent knob.
+    */
+  private[graft] val SignLshTau = 0.4
 
   /** Hyperplane h: ±1 components derived from md5(s"$h|$i") — the same
     * derivation both engines can reproduce, and ±1 keeps every product
@@ -631,7 +658,7 @@ object Dedup {
     val e = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     cosineVerify(
-      bandCandidates(signSig(spark, dir), SignBands, PlaneBits), e, 0.4)
+      bandCandidates(signSig(spark, dir), SignBands, PlaneBits), e, SignLshTau)
   }
 
   /** Same-band candidate pairs from a packed sign-signature table:
@@ -901,23 +928,52 @@ object Dedup {
     */
   def d11DetectorOverlap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the stored pair set now also carries the two embedding detectors
+    // (d12); d11 remains the LEXICAL lineup audit, so it rolls up only
+    // the pairs some lexical detector caught
     detectorPairs(spark, dir)
+      .filter($"in_ngram" + $"in_minhash" + $"in_simhash" > 0)
       .groupBy($"in_ngram", $"in_minhash", $"in_simhash")
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy($"in_ngram", $"in_minhash", $"in_simhash")
   }
 
-  /** The per-pair detector-membership table d11 rolls up — every
-    * verified pair from d02/d03/d04 with one 0/1 flag per detector —
-    * as a DURABLE fingerprint-guarded artifact under exactly the p09
-    * contaminated-list policy: the three detectors run once per corpus
+  /** d12 — the FULL detector-lineup audit: d11's rollup extended to
+    * the two embedding detectors — d05's sign-LSH pairs and s07's
+    * SemDeDup within-cell pairs (vec_id is doc-aligned in this
+    * corpus, so all five detectors share one id space). The rows
+    * where an embedding flag is set but every lexical flag is 0 are
+    * exactly the near-dups a lexical-only pipeline would ship — the
+    * recall gap this audit exists to price; the converse rows price
+    * what embedding-only dedup would miss (surface dups below the
+    * cosine cut).
+    *
+    * Scale shape: identical to d11 — one map-side rollup of the
+    * stored dup-fraction-sized pair artifact to at most 31 rows.
+    */
+  def d12DetectorOverlapFull(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    detectorPairs(spark, dir)
+      .groupBy($"in_ngram", $"in_minhash", $"in_simhash",
+        $"in_signlsh", $"in_semantic")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"in_ngram", $"in_minhash", $"in_simhash",
+        $"in_signlsh", $"in_semantic")
+  }
+
+  /** The per-pair detector-membership table d11/d12 roll up — every
+    * verified pair from the five detectors (d02 n-gram Jaccard, d03
+    * MinHash/LSH, d04 SimHash, d05 sign-LSH embedding, s07 SemDeDup
+    * within-cell) with one 0/1 flag per detector — as a DURABLE
+    * fingerprint-guarded artifact under exactly the p09
+    * contaminated-list policy: the detectors run once per corpus
     * snapshot (an audit re-reads their VERIFIED verdicts, it does not
     * re-litigate them), the union is dup-fraction-sized (a few MB of
-    * parquet at any scale), and every later session's d11 is a
-    * three-way rollup over the stored table instead of three live pair
-    * joins. d02/d03/d04-the-queries stay un-memoized past their own
-    * ingest artifacts: each remains the benchmark of its own verify
-    * join; ONLY d11 consumes this table.
+    * parquet at any scale), and every later session's d11/d12 is a
+    * rollup over the stored table instead of five live pair joins.
+    * The detector queries stay un-memoized past their own ingest
+    * artifacts: each remains the benchmark of its own verify join;
+    * ONLY the audits consume this table.
     */
   private[graft] def detectorPairs(spark: SparkSession,
       dir: String): DataFrame =
@@ -930,15 +986,22 @@ object Dedup {
         .flatMap(p => ArtifactStore.consistentParquet(spark, p))
         .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         .getOrElse {
-          def flagged(df: DataFrame, fn: Long, fm: Long, fs: Long): DataFrame =
-            df.select($"a_id", $"b_id",
-              lit(fn).as("fn"), lit(fm).as("fm"), lit(fs).as("fs"))
-          val df = flagged(d02NgramJaccardPairs(spark, dir), 1L, 0L, 0L)
-            .unionAll(flagged(d03MinhashLshPairs(spark, dir), 0L, 1L, 0L))
-            .unionAll(flagged(d04SimhashPairs(spark, dir), 0L, 0L, 1L))
+          def flagged(df: DataFrame, which: Int): DataFrame = {
+            val flags = (0 until 5).map(i =>
+              lit(if (i == which) 1L else 0L).as(s"f$i"))
+            df.select(($"a_id" +: $"b_id" +: flags): _*)
+          }
+          val df = flagged(d02NgramJaccardPairs(spark, dir), 0)
+            .unionAll(flagged(d03MinhashLshPairs(spark, dir), 1))
+            .unionAll(flagged(d04SimhashPairs(spark, dir)
+              .select($"a_id", $"b_id"), 2))
+            .unionAll(flagged(d05EmbeddingNearDup(spark, dir)
+              .select($"a_id", $"b_id"), 3))
+            .unionAll(flagged(Similarity.s07AuditPairs(spark, dir), 4))
             .groupBy($"a_id", $"b_id")
-            .agg(max($"fn").as("in_ngram"), max($"fm").as("in_minhash"),
-              max($"fs").as("in_simhash"))
+            .agg(max($"f0").as("in_ngram"), max($"f1").as("in_minhash"),
+              max($"f2").as("in_simhash"), max($"f3").as("in_signlsh"),
+              max($"f4").as("in_semantic"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           df.count() // materialize: consumers read the set, not the joins
           ArtifactStore.publish(spark, d11ArtifactPath(dir), fp) {
@@ -951,24 +1014,33 @@ object Dedup {
   private val detectorPairsCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  /** Bump when ANY detector's pair semantics change: a stale stored
-    * pair set from an older build must never satisfy a newer audit.
+  /** Bump when ANY detector's pair semantics change in a way the
+    * fingerprint's named parameters don't capture, or when the stored
+    * schema changes. v2: five detector flags (embedding detectors
+    * joined the lineup).
     */
-  private val D11ArtifactVersion = 1
+  private val D11ArtifactVersion = 2
 
   private def d11ArtifactPath(dir: String): String =
     s"${ArtifactStore.artifactRoot}/${ArtifactStore.md5Hex(dir)}_d11_pairs"
 
-  /** Staleness guard: the documents listing plus every parameter any
-    * of the three detectors depends on — the shingle df cap and
-    * Jaccard cut (d02), the MinHash geometry (d03), and the SimHash
-    * geometry + Hamming cap (d04).
+  /** Staleness guard: the source listings (documents for the lexical
+    * detectors, embeddings for the two vector detectors) plus every
+    * parameter any of the five depends on — each threshold is the
+    * NAMED constant the detector itself filters with
+    * ([[JaccardCutNum]]/[[JaccardCutDen]], [[HammingCap]],
+    * [[SignLshTau]], s07's params), so changing a cut invalidates the
+    * artifact automatically instead of depending on a version bump.
     */
   private def d11Fingerprint(spark: SparkSession, dir: String): String =
     ArtifactStore.md5Hex(
-      s"v$D11ArtifactVersion|cap=$ShingleDfCap|j=0.8|" +
-        s"mh=$NumHashes/$Bands|sim=$SimBits/$SimBands/ham<=3|" +
-        ArtifactStore.sourceListing(spark, dir + "/documents.parquet"))
+      s"v$D11ArtifactVersion|cap=$ShingleDfCap|" +
+        s"j>=$JaccardCutNum/$JaccardCutDen|" +
+        s"mh=$NumHashes/$Bands|sim=$SimBits/$SimBands/ham<=$HammingCap|" +
+        s"slsh=$NumPlanes/$SignBands/tau=$SignLshTau|" +
+        s"${Similarity.s07FingerprintParams}|" +
+        ArtifactStore.sourceListing(spark, dir + "/documents.parquet") + "|" +
+        ArtifactStore.sourceListing(spark, dir + "/embeddings.parquet"))
 
   /** Distributed connected components over the stored d03 pairs;
     * returns the converged, persisted (id, label) table.
@@ -1200,6 +1272,7 @@ object Dedup {
     "d06_neardup_clusters" -> d06NeardupClusters _,
     "d10_longest_survivors" -> d10LongestSurvivors _,
     "d11_detector_overlap" -> d11DetectorOverlap _,
+    "d12_detector_overlap_full" -> d12DetectorOverlapFull _,
   )
 
   // Shared oracle CTEs (DuckDB SQL mirroring the Spark expressions).
@@ -1242,6 +1315,49 @@ object Dedup {
          |simhash AS (SELECT doc_id, $value AS sim FROM bits)""".stripMargin
   }
 
+  /** The three lexical detectors' verified pair sets as one CTE chain
+    * (ng = d02's Jaccard pairs, mh = d03's banded MinHash pairs,
+    * sp = d04's SimHash pairs, u/g = the flagged union) — shared by
+    * d11's oracle (rolls up g) and d12's (extends u with the two
+    * embedding detectors).
+    */
+  private lazy val lexicalDetectorCtes: String =
+    s"""$ShingleCte,
+       |capped AS (SELECT doc_id, shingle FROM sh
+       |  WHERE shingle IN (SELECT shingle FROM sh
+       |                    GROUP BY shingle HAVING count(*) <= $ShingleDfCap)),
+       |csizes AS (SELECT doc_id, count(*) n FROM capped GROUP BY doc_id),
+       |np AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) inter
+       |  FROM capped a JOIN capped b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |ng AS (SELECT a_id, b_id FROM np
+       |  JOIN csizes sa ON a_id = sa.doc_id
+       |  JOIN csizes sb ON b_id = sb.doc_id
+       |  WHERE inter * $JaccardCutDen >= (sa.n + sb.n - inter) * $JaccardCutNum),
+       |sig AS ($minhashSigSql),
+       |bands AS ($minhashBandsSql),
+       |cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |mp AS (SELECT c.a_id, c.b_id, count(*) inter
+       |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+       |              JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2),
+       |mh AS (SELECT a_id, b_id FROM mp
+       |  JOIN sizes za ON a_id = za.doc_id
+       |  JOIN sizes zb ON b_id = zb.doc_id
+       |  WHERE inter * $JaccardCutDen >= (za.n + zb.n - inter) * $JaccardCutNum),
+       |$simhashCte,
+       |sp AS (SELECT a.doc_id a_id, b.doc_id b_id
+       |  FROM simhash a JOIN simhash b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sim, b.sim)) <= $HammingCap),
+       |u AS (SELECT a_id, b_id, 1 AS fn, 0 AS fm, 0 AS fs FROM ng
+       |  UNION ALL SELECT a_id, b_id, 0, 1, 0 FROM mh
+       |  UNION ALL SELECT a_id, b_id, 0, 0, 1 FROM sp),
+       |g AS (SELECT a_id, b_id, MAX(fn) fn, MAX(fm) fm, MAX(fs) fs
+       |  FROM u GROUP BY 1, 2)""".stripMargin
+
   private val SeqFoldDot =
     "list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(a.v, b.v)," +
       " p -> p[1] * p[2])), (s, x) -> s + x)"
@@ -1254,21 +1370,24 @@ object Dedup {
     planeSigns(h).map(d => if (d > 0) "1.0" else "-1.0")
       .mkString("[", ", ", "]::DOUBLE[]")
 
-  private val signSigSql: String = {
+  private def signSigSqlFrom(src: String): String = {
     val terms = (0 until NumPlanes).map { h =>
       s"""CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
          |  list_transform(list_zip(v, ${planeArraySql(h)}),
          |    p -> p[1] * p[2])), (s, x) -> s + x) >= 0
          | THEN (1::BIGINT << $h) ELSE 0::BIGINT END""".stripMargin
     }.mkString(" + ")
-    s"SELECT vec_id, $terms AS sig FROM e"
+    s"SELECT vec_id, $terms AS sig FROM $src"
   }
+  private val signSigSql: String = signSigSqlFrom("e")
 
-  private val signBandsSql: String =
+  private def signBandsSqlFrom(sigCte: String): String =
     (0 until SignBands).map { b =>
       s"SELECT vec_id, $b AS band, " +
-        s"(sig >> ${b * PlaneBits}) & ${(1L << PlaneBits) - 1} AS bv FROM sig"
+        s"(sig >> ${b * PlaneBits}) & ${(1L << PlaneBits) - 1} AS bv " +
+        s"FROM $sigCte"
     }.mkString(" UNION ALL ")
+  private val signBandsSql: String = signBandsSqlFrom("sig")
 
   /** d06's oracle, named so d10's survivor oracle embeds the
     * identical transitive closure.
@@ -1287,7 +1406,7 @@ object Dedup {
        |dup AS (SELECT a_id, b_id FROM pairs
        |  JOIN sizes za ON a_id = za.doc_id
        |  JOIN sizes zb ON b_id = zb.doc_id
-       |  WHERE inter * 5 >= (za.n + zb.n - inter) * 4),
+       |  WHERE inter * $JaccardCutDen >= (za.n + zb.n - inter) * $JaccardCutNum),
        |edges AS (SELECT a_id s, b_id d FROM dup
        |          UNION ALL SELECT b_id, a_id FROM dup),
        |reach(id, lab) AS (
@@ -1305,45 +1424,38 @@ object Dedup {
     // simhash CTE for d04 — their CTE names are disjoint), then
     // overlays them exactly as the engine's union + max-flag agg does
     "d11_detector_overlap" ->
-      s"""WITH $ShingleCte,
-         |capped AS (SELECT doc_id, shingle FROM sh
-         |  WHERE shingle IN (SELECT shingle FROM sh
-         |                    GROUP BY shingle HAVING count(*) <= $ShingleDfCap)),
-         |csizes AS (SELECT doc_id, count(*) n FROM capped GROUP BY doc_id),
-         |np AS (SELECT a.doc_id a_id, b.doc_id b_id, count(*) inter
-         |  FROM capped a JOIN capped b
-         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |ng AS (SELECT a_id, b_id FROM np
-         |  JOIN csizes sa ON a_id = sa.doc_id
-         |  JOIN csizes sb ON b_id = sb.doc_id
-         |  WHERE inter * 5 >= (sa.n + sb.n - inter) * 4),
-         |sig AS ($minhashSigSql),
-         |bands AS ($minhashBandsSql),
-         |cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
-         |mp AS (SELECT c.a_id, c.b_id, count(*) inter
-         |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
-         |              JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
-         |  GROUP BY 1, 2),
-         |mh AS (SELECT a_id, b_id FROM mp
-         |  JOIN sizes za ON a_id = za.doc_id
-         |  JOIN sizes zb ON b_id = zb.doc_id
-         |  WHERE inter * 5 >= (za.n + zb.n - inter) * 4),
-         |$simhashCte,
-         |sp AS (SELECT a.doc_id a_id, b.doc_id b_id
-         |  FROM simhash a JOIN simhash b ON a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.sim, b.sim)) <= 3),
-         |u AS (SELECT a_id, b_id, 1 AS fn, 0 AS fm, 0 AS fs FROM ng
-         |  UNION ALL SELECT a_id, b_id, 0, 1, 0 FROM mh
-         |  UNION ALL SELECT a_id, b_id, 0, 0, 1 FROM sp),
-         |g AS (SELECT a_id, b_id, MAX(fn) fn, MAX(fm) fm, MAX(fs) fs
-         |  FROM u GROUP BY 1, 2)
+      s"""WITH $lexicalDetectorCtes
          |SELECT fn::BIGINT AS in_ngram, fm::BIGINT AS in_minhash,
          |  fs::BIGINT AS in_simhash, COUNT(*)::BIGINT AS n_pairs
          |FROM g GROUP BY 1, 2, 3
          |ORDER BY in_ngram, in_minhash, in_simhash""".stripMargin,
+    "d12_detector_overlap_full" ->
+      s"""WITH $lexicalDetectorCtes,
+         |${Similarity.s07PairsCteSql},
+         |enrm AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |  list_transform(v, x -> x * x)), (s, x) -> s + x)) AS nrm FROM n),
+         |esig AS (${signSigSqlFrom("n")}),
+         |ebands AS (${signBandsSqlFrom("esig")}),
+         |ecand AS (SELECT DISTINCT x.vec_id a_id, y.vec_id b_id
+         |  FROM ebands x JOIN ebands y
+         |    ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id),
+         |elsh AS (SELECT a_id, b_id FROM (
+         |  SELECT c.a_id, c.b_id, $SeqFoldDot / (a.nrm * b.nrm) AS cosine
+         |  FROM ecand c JOIN enrm a ON a.vec_id = c.a_id
+         |              JOIN enrm b ON b.vec_id = c.b_id)
+         |  WHERE cosine > $SignLshTau),
+         |u5 AS (SELECT a_id, b_id, fn, fm, fs, 0 AS fl, 0 AS fe FROM u
+         |  UNION ALL SELECT a_id, b_id, 0, 0, 0, 1, 0 FROM elsh
+         |  UNION ALL SELECT a_id, b_id, 0, 0, 0, 0, 1 FROM sem),
+         |g5 AS (SELECT a_id, b_id, MAX(fn) fn, MAX(fm) fm, MAX(fs) fs,
+         |    MAX(fl) fl, MAX(fe) fe
+         |  FROM u5 GROUP BY 1, 2)
+         |SELECT fn::BIGINT AS in_ngram, fm::BIGINT AS in_minhash,
+         |  fs::BIGINT AS in_simhash, fl::BIGINT AS in_signlsh,
+         |  fe::BIGINT AS in_semantic, COUNT(*)::BIGINT AS n_pairs
+         |FROM g5 GROUP BY 1, 2, 3, 4, 5
+         |ORDER BY in_ngram, in_minhash, in_simhash, in_signlsh,
+         |  in_semantic""".stripMargin,
     "d10_longest_survivors" ->
       raw"""WITH cl AS (SELECT cluster_id, doc_id FROM
          |  ($d06Sql)),
@@ -1378,7 +1490,7 @@ object Dedup {
          |SELECT a_id, b_id, inter, sa.n AS na, sb.n AS nb
          |FROM pairs JOIN csizes sa ON a_id = sa.doc_id
          |           JOIN csizes sb ON b_id = sb.doc_id
-         |WHERE inter * 5 >= (sa.n + sb.n - inter) * 4
+         |WHERE inter * $JaccardCutDen >= (sa.n + sb.n - inter) * $JaccardCutNum
          |ORDER BY a_id, b_id""".stripMargin,
     "d03_minhash_lsh_pairs" ->
       s"""WITH $ShingleCte,
@@ -1394,7 +1506,7 @@ object Dedup {
          |SELECT a_id, b_id, inter, za.n AS na, zb.n AS nb
          |FROM pairs JOIN sizes za ON a_id = za.doc_id
          |           JOIN sizes zb ON b_id = zb.doc_id
-         |WHERE inter * 5 >= (za.n + zb.n - inter) * 4
+         |WHERE inter * $JaccardCutDen >= (za.n + zb.n - inter) * $JaccardCutNum
          |ORDER BY a_id, b_id""".stripMargin,
     "d09_threshold_curve" -> {
       val perT = ThresholdSweep.map { t =>
@@ -1436,7 +1548,7 @@ object Dedup {
          |                        AND sb.shingle = sa.shingle
          |  GROUP BY 1, 2),
          |ver AS (SELECT b_id, c_id, inter,
-         |    CASE WHEN inter * 5 >= (za.n + zb.n - inter) * 4
+         |    CASE WHEN inter * $JaccardCutDen >= (za.n + zb.n - inter) * $JaccardCutNum
          |         THEN 1 ELSE 0 END AS is_dup
          |  FROM pairs JOIN sizes za ON b_id = za.doc_id
          |             JOIN sizes zb ON c_id = zb.doc_id),
@@ -1473,7 +1585,7 @@ object Dedup {
          |              JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
          |  GROUP BY 1, 2)
          |SELECT m.a_id, m.b_id, m.n_match, p.inter, za.n AS na, zb.n AS nb,
-         | (CASE WHEN p.inter * 5 >= (za.n + zb.n - p.inter) * 4
+         | (CASE WHEN p.inter * $JaccardCutDen >= (za.n + zb.n - p.inter) * $JaccardCutNum
          |    THEN 1 ELSE 0 END)::BIGINT AS is_dup
          |FROM mt m JOIN pairs p ON p.a_id = m.a_id AND p.b_id = m.b_id
          | JOIN sizes za ON m.a_id = za.doc_id
@@ -1485,7 +1597,7 @@ object Dedup {
          |SELECT a.doc_id a_id, b.doc_id b_id,
          | bit_count(xor(a.sim, b.sim)) AS hamming
          |FROM simhash a JOIN simhash b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+         |WHERE bit_count(xor(a.sim, b.sim)) <= $HammingCap
          |ORDER BY a_id, b_id""".stripMargin,
     "d06_neardup_clusters" -> d06Sql,
     "d05_embedding_neardup" ->
@@ -1502,6 +1614,6 @@ object Dedup {
          |  SELECT c.a_id, c.b_id, $SeqFoldDot / (a.nrm * b.nrm) AS cosine
          |  FROM cand c JOIN n a ON a.vec_id = c.a_id
          |              JOIN n b ON b.vec_id = c.b_id)
-         |WHERE cosine > 0.4 ORDER BY a_id, b_id""".stripMargin,
+         |WHERE cosine > $SignLshTau ORDER BY a_id, b_id""".stripMargin,
   )
 }

@@ -1190,6 +1190,50 @@ object Similarity {
       .filter($"cosine" >= SemDedupTau)
   }
 
+  /** s07's verified pair set for the d12 detector-lineup audit —
+    * (a_id, b_id) only, no presentation sort (the audit unions and
+    * re-aggregates; a sort here would only add an exchange to the
+    * artifact build).
+    */
+  private[pipeline] def s07AuditPairs(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    s07Pairs(spark, dir).select($"a_id", $"b_id")
+  }
+
+  /** The parameters s07's pair semantics depend on, for the d12
+    * artifact fingerprint: the cosine cut and the trained-IVF geometry
+    * (cell count derives from the corpus, which the fingerprint's
+    * embeddings listing already covers).
+    */
+  private[pipeline] def s07FingerprintParams: String =
+    s"tau=$SemDedupTau|ivf=$TrainedVariant/iters=$KmeansIters"
+
+  /** s07's oracle CTE chain ending in `sem AS (SELECT a_id, b_id …)` —
+    * embedded by d12's oracle so both engines derive the semantic
+    * detector's pairs identically. CTE names (n, kp, cents*, assign*,
+    * sums*, newc*, cents, assign, sem) must stay disjoint from the
+    * lexical-detector CTEs in Dedup's d11/d12 SQL.
+    */
+  private[pipeline] lazy val s07PairsCteSql: String =
+    s"""$VecCte,
+       |$CellsCte,
+       |${kmeansCtes(KmeansIters)},
+       |cents AS (SELECT cid, cv FROM cents$KmeansIters),
+       |assign AS (SELECT vec_id, cell FROM (
+       |  SELECT x.vec_id, c.cid AS cell, row_number() OVER (
+       |    PARTITION BY x.vec_id
+       |    ORDER BY ${cosVSql("x.v", "c.cv")} DESC, c.cid) rn
+       |  FROM n x CROSS JOIN cents c) WHERE rn = 1),
+       |sem AS (SELECT a_id, b_id FROM (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    ${cosVSql("x.v", "y.v")} AS cosine
+       |  FROM assign a JOIN assign b
+       |    ON b.cell = a.cell AND a.vec_id < b.vec_id
+       |  JOIN n x ON x.vec_id = a.vec_id
+       |  JOIN n y ON y.vec_id = b.vec_id)
+       |WHERE cosine >= $SemDedupTau)""".stripMargin
+
   /** SQ8 rescore-pool size: how many int8-ranked candidates per query
     * survive to the exact rescore. 3x the final k — the usual
     * refine-factor shape (FAISS `k_factor`); raising it trades scan

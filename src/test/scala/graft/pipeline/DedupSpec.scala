@@ -308,6 +308,47 @@ class DedupSpec extends SparkSpec {
     assert(got.filter(_._1._1 == 1L).values.sum == ng.size)
   }
 
+  test("d12 prices the full five-detector lineup; embedding-only pairs exist") {
+    import spark.implicits._
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect()
+        .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val ng = pairSet(Dedup.d02NgramJaccardPairs(spark, sfDir))
+    val mh = pairSet(Dedup.d03MinhashLshPairs(spark, sfDir))
+    val sh = pairSet(Dedup.d04SimhashPairs(spark, sfDir))
+    val sl = pairSet(Dedup.d05EmbeddingNearDup(spark, sfDir))
+    val se = Similarity.s07SemanticDedup(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val all = ng ++ mh ++ sh ++ sl ++ se
+    val want = all.toSeq
+      .map(p => (if (ng(p)) 1L else 0L, if (mh(p)) 1L else 0L,
+        if (sh(p)) 1L else 0L, if (sl(p)) 1L else 0L,
+        if (se(p)) 1L else 0L))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Dedup.d12DetectorOverlapFull(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("in_ngram"), r.getAs[Long]("in_minhash"),
+        r.getAs[Long]("in_simhash"), r.getAs[Long]("in_signlsh"),
+        r.getAs[Long]("in_semantic")) -> r.getAs[Long]("n_pairs")).toMap
+    assert(got == want, s"full overlap matrix: $got != $want")
+    assert(got.values.sum == all.size, "every pair accounted exactly once")
+    // the audit's raison d'être: pairs ONLY an embedding detector
+    // caught (the lexical pipeline's recall gap) must be priced — the
+    // synthetic embeddings are independent of the text dups, so both
+    // gap classes are non-empty on this corpus
+    val embOnly = got.collect {
+      case ((0L, 0L, 0L, l, e), n) if l == 1L || e == 1L => n }.sum
+    assert(embOnly > 0L, "no embedding-only pairs priced")
+    val lexOnly = got.collect {
+      case ((n1, m1, s1, 0L, 0L), n) if n1 + m1 + s1 > 0L => n }.sum
+    assert(lexOnly > 0L, "no lexical-only pairs priced")
+    // d11 is exactly d12 marginalized to the lexically-caught pairs
+    val d11 = Dedup.d11DetectorOverlap(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("n_pairs")).sum
+    val d12lex = got.collect {
+      case ((n1, m1, s1, _, _), n) if n1 + m1 + s1 > 0L => n }.sum
+    assert(d11 == d12lex, "d11 must marginalize d12's lexical rows")
+  }
+
   test("d11's durable pair-set artifact round-trips across a cache-cleared session") {
     val before = Dedup.d11DetectorOverlap(spark, sfDir).collect().toSeq
     // the artifact must be published and fingerprint-stamped
