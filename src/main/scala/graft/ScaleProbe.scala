@@ -250,6 +250,13 @@ object ScaleProbe {
       // catalog + one cluster-keyed window over dup-sized rows —
       // ~linear, m06-dominated
       "m07" -> SparkEntry.queries("m07_media_survivors"),
+      // s21: s14's durable cluster artifact joined to p22's memoized
+      // scored frame + one cluster-keyed window over dup-sized rows —
+      // ~linear, dominated by whichever artifact is cold
+      "s21" -> SparkEntry.queries("s21_semantic_survivors"),
+      // d12: one rollup of the stored five-flag pair artifact — the
+      // build is detector-dominated (d02..d05 + s07), the query ~flat
+      "d12" -> SparkEntry.queries("d12_detector_overlap_full"),
       // x11: one corpus scan to two longs + its gates' drop lists and
       // per-doc score tables (each probed individually: d06, p09, p22,
       // p24) joined on doc_id — expected ~linear, p22-dominated

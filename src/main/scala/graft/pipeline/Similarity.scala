@@ -302,6 +302,8 @@ object Similarity {
 
   def invalidateCaches(): Unit = {
     countCache.clear()
+    semClusterCache.keys.foreach(k =>
+      semClusterCache.remove(k).foreach(_.unpersist()))
     indexCache.keys.foreach(k =>
       indexCache.remove(k).foreach { case (c, a) =>
         c.unpersist(); a.unpersist()
@@ -536,12 +538,109 @@ object Similarity {
     */
   def s14SemanticClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = s07Pairs(spark, dir).select($"a_id", $"b_id")
-    graft.pipeline.Dedup.propagateLabels(spark, pairs, "s14")
+    // rebuild-and-republish, like d06/m06: the contraction is what the
+    // query benchmarks; consumers (s21) read the stored table
+    val fp = semClusterFingerprint(spark, dir)
+    val fresh = buildSemClusterLabels(spark, dir)
+    writeSemClusterArtifact(spark, dir, fp, fresh)
+    semClusterCache.synchronized {
+      semClusterCache.put((spark, dir), fresh).foreach(_.unpersist())
+    }
+    fresh
       .select($"label".as("cluster_id"), $"id".as("vec_id"))
       .withColumn("keep",
         when($"vec_id" === $"cluster_id", 1L).otherwise(0L))
       .orderBy($"cluster_id", $"vec_id")
+  }
+
+  private def buildSemClusterLabels(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    graft.pipeline.Dedup.propagateLabels(spark,
+      s07Pairs(spark, dir).select($"a_id", $"b_id"), "s14")
+  }
+
+  /** The semantic-cluster label table as a DURABLE fingerprint-guarded
+    * artifact + session memo — the d06/m06 pattern, third family: a
+    * miss falls back to the parquet artifact before it ever falls back
+    * to a rebuild.
+    */
+  private[pipeline] def semClusterLabels(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.Memo.getOrBuild(semClusterCache, (spark, dir)) {
+      val fp = semClusterFingerprint(spark, dir)
+      ArtifactStore.findValid(spark, semClusterArtifactPath(dir), fp)
+        .flatMap(p => ArtifactStore.consistentParquet(spark, p))
+        .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .getOrElse {
+          val fresh = buildSemClusterLabels(spark, dir)
+          writeSemClusterArtifact(spark, dir, fp, fresh)
+          fresh
+        }
+    }
+
+  private val semClusterCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** Bump when the clustering semantics OR the stored schema change. */
+  private val SemClusterArtifactVersion = 1
+
+  private[pipeline] def semClusterArtifactPath(dir: String): String =
+    s"${ArtifactStore.artifactRoot}/${ArtifactStore.md5Hex(dir)}_s14_clusters"
+
+  private def semClusterFingerprint(spark: SparkSession,
+      dir: String): String =
+    ArtifactStore.md5Hex(
+      s"v$SemClusterArtifactVersion|$s07FingerprintParams|" +
+        ArtifactStore.sourceListing(spark, dir + "/embeddings.parquet"))
+
+  private def writeSemClusterArtifact(spark: SparkSession, dir: String,
+      fingerprint: String, labels: DataFrame): Unit =
+    ArtifactStore.publish(spark, semClusterArtifactPath(dir), fingerprint) {
+      staging => labels.write.mode("overwrite").parquet(staging)
+    }
+
+  /** s21 — SemDeDup survivor selection: d10 keeps the longest text
+    * member, m07 the highest-fidelity media encode; the semantic
+    * family keeps the most FLUENT member — the doc with the lowest LM
+    * perplexity, i.e. the highest average bigram log-likelihood under
+    * p22's CCNet-style model (Abbas et al. 2023 keep the
+    * lowest-perplexity/most-representative member when collapsing a
+    * semantic cluster). Ties to the smaller vec_id; members p22
+    * couldn't score (under 2 tokens) rank last. One row per s14
+    * cluster with the member count, the survivor and its exact
+    * integer score parts, and the disagreement flag vs s14's min-id
+    * default — the same audit columns as d10/m07, so all three
+    * survivor passes review identically.
+    *
+    * Scale shape: reads the durable s14 artifact (never
+    * re-propagates) and p22's memoized scored frame; one
+    * cluster-keyed window over dup-fraction-sized rows. The mean is
+    * compared as a double, but both engines divide the same exact
+    * BIGINTs, and IEEE division is exactly rounded — bit-identical
+    * ranking; the published columns stay integer.
+    */
+  def s21SemanticSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val scores = TextAnalysis.pplScored(spark, dir)
+      .select($"doc_id".as("vec_id"), $"n_bigrams", $"sum_qll")
+    val mean = $"sum_qll".cast("double") / $"n_bigrams"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster_id").orderBy(mean.desc_nulls_last, $"vec_id")
+    semClusterLabels(spark, dir)
+      .select($"label".as("cluster_id"), $"id".as("vec_id"))
+      .join(scores, Seq("vec_id"), "left")
+      .withColumn("rn", row_number().over(w))
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(when($"rn" === 1, $"vec_id")).as("survivor_vec_id"),
+        max(when($"rn" === 1, coalesce($"sum_qll", lit(0L))))
+          .as("survivor_sum_qll"),
+        max(when($"rn" === 1, coalesce($"n_bigrams", lit(0L))))
+          .as("survivor_n_bigrams"))
+      .withColumn("same_as_min_id",
+        when($"survivor_vec_id" === $"cluster_id", 1L).otherwise(0L))
+      .orderBy($"cluster_id")
   }
 
   /** The p07 split-bucket fold applied to `vec_id` — the first 16 bits
@@ -1427,6 +1526,7 @@ object Similarity {
     "s12_pq_profile" -> s12PqProfile _,
     "s13_pq_adc" -> s13PqAdc _,
     "s14_semantic_clusters" -> s14SemanticClusters _,
+    "s21_semantic_survivors" -> s21SemanticSurvivors _,
     "s15_semantic_decontam" -> s15SemanticDecontam _,
     "s16_ivfpq_search" -> s16IvfPqSearch _,
     "s17_ivfpq_recall" -> s17IvfPqRecall _,
@@ -1720,6 +1820,34 @@ object Similarity {
          |SELECT min(lab) AS cluster_id, id AS vec_id,
          |  (CASE WHEN min(lab) = id THEN 1 ELSE 0 END)::BIGINT AS keep
          |FROM reach GROUP BY id ORDER BY cluster_id, vec_id""".stripMargin,
+    "s21_semantic_survivors" ->
+      s"""WITH RECURSIVE dup AS (
+         |  SELECT a_id, b_id FROM ($s07Sql)),
+         |edges AS (SELECT a_id s, b_id d FROM dup
+         |          UNION ALL SELECT b_id, a_id FROM dup),
+         |reach(id, lab) AS (
+         |  SELECT DISTINCT s, s FROM edges
+         |  UNION
+         |  SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id),
+         |cl AS (SELECT min(lab) AS cluster_id, id AS vec_id
+         |  FROM reach GROUP BY id),
+         |psc AS (SELECT doc_id, n_bigrams, sum_qll FROM
+         |  (${TextAnalysis.pplScoredSql})),
+         |rk AS (SELECT cl.cluster_id, cl.vec_id, psc.n_bigrams,
+         |    psc.sum_qll,
+         |    row_number() OVER (PARTITION BY cl.cluster_id
+         |      ORDER BY (CAST(psc.sum_qll AS DOUBLE) / psc.n_bigrams)
+         |        DESC NULLS LAST, cl.vec_id) rn
+         |  FROM cl LEFT JOIN psc ON psc.doc_id = cl.vec_id)
+         |SELECT cluster_id, COUNT(*)::BIGINT AS n_members,
+         |  MAX(CASE WHEN rn = 1 THEN vec_id END) AS survivor_vec_id,
+         |  MAX(CASE WHEN rn = 1 THEN COALESCE(sum_qll, 0) END)
+         |    AS survivor_sum_qll,
+         |  MAX(CASE WHEN rn = 1 THEN COALESCE(n_bigrams, 0) END)
+         |    AS survivor_n_bigrams,
+         |  (CASE WHEN MAX(CASE WHEN rn = 1 THEN vec_id END) = cluster_id
+         |    THEN 1 ELSE 0 END)::BIGINT AS same_as_min_id
+         |FROM rk GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     "s01_knn_bruteforce" -> s01Sql,
     "s02_ivf_knn" -> s02Sql,
     "s05_recall_profile" ->

@@ -1396,6 +1396,34 @@ object TextAnalysis {
   private val pplCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  /** p22's scored frame in DuckDB SQL (no presentation sort) — p22's
+    * oracle appends ORDER BY; s21's survivor oracle embeds it as the
+    * per-member fluency score.
+    */
+  private[pipeline] lazy val pplScoredSql: String =
+    s"""WITH tk AS (SELECT doc_id, t, b FROM
+       |    (SELECT doc_id, $TOKS t, $BUCKET b FROM documents)
+       |  WHERE len(t) >= 2),
+       |bg AS (SELECT doc_id, b, t[u.i] w1, t[u.i+1] w2 FROM tk
+       |  CROSS JOIN LATERAL unnest(range(1, len(t))) u(i)),
+       |c12 AS (SELECT w1, w2, COUNT(*) c12 FROM bg
+       |  WHERE b < $TrainMax GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) c1 FROM c12 GROUP BY 1),
+       |sc AS (SELECT bg.doc_id, CAST(floor($PplScale * ln(
+       |    (COALESCE(c12.c12, 0) + 1) / CAST(COALESCE(c1.c1, 0) +
+       |      (SELECT COUNT(DISTINCT tok) FROM
+       |        (SELECT unnest(t) tok FROM tk WHERE b < $TrainMax))
+       |      AS DOUBLE))) AS BIGINT) q
+       |  FROM bg LEFT JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+       |          LEFT JOIN c1 ON bg.w1 = c1.w1),
+       |d AS (SELECT doc_id, COUNT(*) n_bigrams,
+       |  CAST(SUM(q) AS BIGINT) sum_qll FROM sc GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams, sum_qll,
+       | CASE WHEN sum_qll >= $PplHeadMin * n_bigrams THEN 'head'
+       |      WHEN sum_qll < $PplTailMax * n_bigrams THEN 'tail'
+       |      ELSE 'middle' END AS ppl_bucket
+       |FROM d""".stripMargin
+
   /** p22's per-doc scored frame WITHOUT the presentation sort,
     * memoized+persisted per (session, dir) like the other ingest
     * artifacts: the LM build (train counts + vocab) would otherwise
@@ -2067,29 +2095,7 @@ object TextAnalysis {
          |       ELSE 'df_gt100' END AS df_bucket,
          | COUNT(*) AS n_grams, CAST(SUM(df) AS BIGINT) AS n_occurrences
          |FROM df GROUP BY 1 ORDER BY 1""".stripMargin,
-    "p22_perplexity_buckets" ->
-      s"""WITH tk AS (SELECT doc_id, t, b FROM
-         |    (SELECT doc_id, $TOKS t, $BUCKET b FROM documents)
-         |  WHERE len(t) >= 2),
-         |bg AS (SELECT doc_id, b, t[u.i] w1, t[u.i+1] w2 FROM tk
-         |  CROSS JOIN LATERAL unnest(range(1, len(t))) u(i)),
-         |c12 AS (SELECT w1, w2, COUNT(*) c12 FROM bg
-         |  WHERE b < $TrainMax GROUP BY 1, 2),
-         |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) c1 FROM c12 GROUP BY 1),
-         |sc AS (SELECT bg.doc_id, CAST(floor($PplScale * ln(
-         |    (COALESCE(c12.c12, 0) + 1) / CAST(COALESCE(c1.c1, 0) +
-         |      (SELECT COUNT(DISTINCT tok) FROM
-         |        (SELECT unnest(t) tok FROM tk WHERE b < $TrainMax))
-         |      AS DOUBLE))) AS BIGINT) q
-         |  FROM bg LEFT JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
-         |          LEFT JOIN c1 ON bg.w1 = c1.w1),
-         |d AS (SELECT doc_id, COUNT(*) n_bigrams,
-         |  CAST(SUM(q) AS BIGINT) sum_qll FROM sc GROUP BY doc_id)
-         |SELECT doc_id, n_bigrams, sum_qll,
-         | CASE WHEN sum_qll >= $PplHeadMin * n_bigrams THEN 'head'
-         |      WHEN sum_qll < $PplTailMax * n_bigrams THEN 'tail'
-         |      ELSE 'middle' END AS ppl_bucket
-         |FROM d ORDER BY doc_id""".stripMargin,
+    "p22_perplexity_buckets" -> s"$pplScoredSql\nORDER BY doc_id",
     "p23_dsir_weights" ->
       s"""WITH tk AS (SELECT doc_id, source, t FROM
          |    (SELECT doc_id, source, $TOKS t FROM documents)

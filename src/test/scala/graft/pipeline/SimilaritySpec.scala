@@ -211,6 +211,71 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s21 keeps each s14 cluster's most fluent member, flagging policy disagreements") {
+    val scores = TextAnalysis.pplScored(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("sum_qll"), r.getAs[Long]("n_bigrams")))).toMap
+    val members = Similarity.s14SemanticClusters(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("vec_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val got = Similarity.s21SemanticSurvivors(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        ((r.getAs[Long]("n_members"), r.getAs[Long]("survivor_vec_id"),
+          r.getAs[Long]("survivor_sum_qll"),
+          r.getAs[Long]("survivor_n_bigrams"),
+          r.getAs[Long]("same_as_min_id")))).toMap
+    assert(got.keySet == members.keySet, "one row per s14 cluster")
+    got.foreach { case (c, (n, sid, sq, sb, same)) =>
+      val ms = members(c)
+      assert(n == ms.length, s"cluster $c member count")
+      // driver-side replay: highest mean surprisal first (unscored
+      // last), ties to the smaller id — the exact engine policy
+      val want = ms.sortBy { id =>
+        val mean = scores.get(id)
+          .map { case (q, b) => q.toDouble / b }.getOrElse(Double.MinValue)
+        (-mean, id)
+      }.head
+      assert(sid == want, s"cluster $c survivor: got $sid want $want")
+      val (wq, wb) = scores.getOrElse(want, (0L, 0L))
+      assert(sq == wq && sb == wb, s"cluster $c survivor score parts")
+      assert((same == 1L) == (sid == c), s"cluster $c disagreement flag")
+    }
+    // the fluency policy must disagree with min-id somewhere, or the
+    // operator is d10's flag without its point
+    assert(got.values.exists(_._5 == 0L),
+      "keep-most-fluent never disagreed with min-id on this corpus")
+  }
+
+  test("s14 artifact: cold s21 reads come from the published parquet") {
+    import spark.implicits._
+    type HP = org.apache.hadoop.fs.Path
+    val fs = new HP("/tmp").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // publish a fresh artifact and record the truth
+    Similarity.s14SemanticClusters(spark, sfDir).collect()
+    val path = Similarity.semClusterArtifactPath(sfDir)
+    assert(fs.exists(new HP(path + "/_fingerprint")), "publish must write the guard")
+    val fpIn = fs.open(new HP(path + "/_fingerprint"))
+    val fp = try scala.io.Source.fromInputStream(fpIn, "UTF-8").mkString.trim
+      finally fpIn.close()
+    try {
+      // plant a distinguishable artifact under the SAME fingerprint: a
+      // cold session must serve the published table, not re-propagate
+      Similarity.invalidateCaches()
+      Seq((-1L, -2L)).toDF("id", "label")
+        .write.mode("overwrite").parquet(path)
+      val out = fs.create(new HP(path + "/_fingerprint"), true)
+      try out.write(fp.getBytes("UTF-8")) finally out.close()
+      val planted = Similarity.semClusterLabels(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Long]("label"))).toSet
+      assert(planted == Set((-1L, -2L)),
+        s"cold read must come from the disk artifact, got ${planted.take(5)}")
+    } finally {
+      // leave a correct published artifact for later suites
+      Similarity.invalidateCaches()
+      Similarity.s14SemanticClusters(spark, sfDir).collect()
+    }
+  }
+
   test("s16 scores candidates with s13's exact metric and can only lose, never beat, the full scan") {
     val full = Similarity.s13PqAdc(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
