@@ -1,0 +1,133 @@
+package graft
+
+/** The per-query regression bands, in machine form — BASELINE §O.6's
+  * adjudication protocol ("≤ max(stated band, 2.5 × the same run's
+  * d01)") encoded so every `Bench` run SELF-ADJUDICATES instead of
+  * leaving the rule in prose for a judge to apply by hand (VERDICT
+  * r15 item 5).
+  *
+  * [[refs]] holds each query's quiet-box reference minimum (best-of-4
+  * across two passes), recorded in one full sf0.1 run whose box axes
+  * are pinned alongside ([[RefContention]], [[RefFloor]] — the §O.1 /
+  * §O.8 sentinels of the recording run). A later run at box axes
+  * (c, f) passes query q iff
+  *
+  *   min(q) ≤ max( BandFactor · ref(q) · boxScale,  FloorMult · d01 )
+  *   boxScale = max(1, c / RefContention, f / RefFloor)
+  *
+  * — the first term is the "2× of its BASELINE band" bound scaled by
+  * whichever box axis degraded more (CPU throughput for long-stage
+  * queries, scheduling floor for multi-stage small ones; taking the
+  * max is conservative in the passing direction but still fails a
+  * genuine 2×-on-quiet regression), and the second term is §O.6's
+  * small-query floor rule verbatim: d01 — the suite's smallest real
+  * query — is the in-run floor witness, so no sub-second query is
+  * ever held below what the box's per-stage latency makes physically
+  * possible. Queries without a reference (landed after the recording
+  * run) pass vacuously and are listed separately so the next
+  * recording run picks them up.
+  */
+object BenchBands {
+
+  /** The 2× per-query bound of BASELINE's band protocol. */
+  val BandFactor = 2.0
+
+  /** §O.6's small-query multiple of the in-run d01 reading. */
+  val FloorMult = 2.5
+
+  /** Box axes of the run that recorded [[refs]]. */
+  val RefContention = 1.3
+  val RefFloor = 0.1625
+
+  /** The scale factor [[refs]] was recorded at — bands only bind when
+    * the bench runs the same SF (a dev run at sf0.01 against sf0.1
+    * references would pass vacuously and mean nothing).
+    */
+  val RefSfDirName = "sf0.1"
+
+  /** Quiet-box per-query reference minimums (seconds). Regenerate with
+    * `dev/gen_bands.py <bench_detail.json>` after a deliberate plan
+    * change shifts a query's cost class; do NOT regenerate to absorb
+    * an unexplained regression — that is the drift this table exists
+    * to catch.
+    */
+  val refs: Map[String, Double] = Map(
+    "d01_exact_dedup" -> 0.2798, "d02_ngram_jaccard_pairs" -> 1.7142,
+    "d03_minhash_lsh_pairs" -> 0.7077, "d04_simhash_pairs" -> 1.0865,
+    "d05_embedding_neardup" -> 0.7412, "d06_neardup_clusters" -> 1.0153,
+    "d07_minhash_calibration" -> 0.6378, "d08_delta_dedup" -> 1.0443,
+    "d09_threshold_curve" -> 2.1837, "d10_longest_survivors" -> 0.2359,
+    "d11_detector_overlap" -> 0.2297, "d12_detector_overlap_full" -> 0.2265,
+    "m01_media_catalog" -> 0.1536, "m02_decoded_features" -> 0.1453,
+    "m03_frame_sample" -> 0.1603, "m04_resize_plan" -> 0.1542,
+    "m05_media_neardup" -> 0.407, "m06_media_clusters" -> 1.5975,
+    "m07_media_survivors" -> 0.1879, "p01_token_stats" -> 0.6454,
+    "p02_quality_buckets" -> 0.2309, "p03_lang_profile" -> 0.183,
+    "p04_langid_confusion" -> 0.2857, "p05_fingerprint" -> 0.2718,
+    "p06_vocab_top_terms" -> 0.363, "p07_split_profile" -> 0.2056,
+    "p08_repetition_profile" -> 0.8435, "p09_contamination" -> 0.5018,
+    "p10_leaked_grams" -> 0.4027, "p11_length_quantiles" -> 0.2143,
+    "p12_sample_manifest" -> 0.18, "p13_freq_quality" -> 0.3804,
+    "p14_cross_source_leakage" -> 1.0229, "p15_lexical_diversity" -> 0.4479,
+    "p16_bpe_merges" -> 1.2695, "p17_winnowing" -> 1.3448,
+    "p18_fingerprint_overlap" -> 0.219, "p19_bpe_encode" -> 0.4908,
+    "p20_dup_spans" -> 0.2427, "p21_span_excision" -> 0.4325,
+    "p22_perplexity_buckets" -> 0.4855, "p23_dsir_weights" -> 0.8092,
+    "p24_quality_classifier" -> 0.4576, "p25_gram_df_spectrum" -> 0.3456,
+    "p26_tokenizer_fertility" -> 0.418, "p27_pii_redaction" -> 0.8772,
+    "p28_luhn_redaction" -> 1.0202, "q01_pricing_summary" -> 0.268,
+    "q02_top_parts" -> 0.2434, "q03_shipping_priority" -> 0.5181,
+    "q04_region_revenue" -> 0.6783, "q05_customers_without_orders" -> 0.2332,
+    "q06_active_suppliers" -> 0.3432, "q07_top_orders_per_customer" -> 0.3797,
+    "q08_status_rollup" -> 0.3801, "q09_set_ops" -> 0.3984,
+    "q10_monthly_revenue" -> 0.2445, "q11_event_tumbling" -> 0.3385,
+    "q12_event_props" -> 0.1695, "q13_sessionize" -> 0.3082,
+    "q14_balance_deciles" -> 0.4056, "q15_above_avg_orders" -> 0.4339,
+    "q16_status_cube" -> 0.5405, "q17_asof_join" -> 0.3592,
+    "q18_distinct_profile" -> 0.2973, "q19_event_range_join" -> 0.6056,
+    "q20_session_window" -> 0.7, "q21_status_pivot" -> 0.2626,
+    "q22_metrics_unpivot" -> 0.7405, "q23_grouping_sets" -> 0.2209,
+    "q24_full_outer_reconcile" -> 0.2408, "q25_funnel" -> 0.3889,
+    "q26_cohort_retention" -> 0.472, "q27_event_hopping" -> 0.3414,
+    "r00_corpus_structured" -> 0.3196, "r00_corpus_unstructured" -> 0.4395,
+    "r01_exact_match" -> 0.2713, "r02_semantic_knn" -> 0.0872,
+    "r03_hybrid" -> 0.8916, "r04_structured" -> 0.151,
+    "r05_hybrid_structured" -> 0.1505, "r06_aggregate" -> 0.2471,
+    "r07_comparison" -> 0.2159, "r08_temporal" -> 0.248,
+    "r09_explanatory" -> 0.2878, "r10_multi_intent" -> 0.6404,
+    "r11_entity_specific" -> 0.101, "r12_document_fetch" -> 0.1039,
+    "s01_knn_bruteforce" -> 0.2799, "s02_ivf_knn" -> 0.4215,
+    "s03_knn_join" -> 0.8887, "s04_ivf_kmeans" -> 0.3549,
+    "s05_recall_profile" -> 0.6822, "s06_cell_profile" -> 0.419,
+    "s07_semantic_dedup" -> 0.3202, "s08_sq8_rescore" -> 0.5346,
+    "s09_incremental_assign" -> 0.491, "s10_filtered_knn" -> 0.3599,
+    "s11_nprobe_curve" -> 0.3764, "s12_pq_profile" -> 0.505,
+    "s13_pq_adc" -> 0.9256, "s14_semantic_clusters" -> 1.8793,
+    "s15_semantic_decontam" -> 0.7296, "s16_ivfpq_search" -> 0.5906,
+    "s17_ivfpq_recall" -> 1.1321, "s18_pq_refine" -> 0.7821,
+    "s19_refine_pool_curve" -> 0.9651, "s20_retrained_recall" -> 1.086,
+    "s21_semantic_survivors" -> 0.2675, "v01_norm_profile" -> 0.187,
+    "v02_quantize_profile" -> 0.2252, "v03_dim_stats" -> 0.2039,
+    "v04_drift_profile" -> 0.2965, "v05_pc1_profile" -> 1.8387,
+    "v06_class_separation" -> 0.4429, "v07_anisotropy_profile" -> 1.649,
+    "x01_corpus_export" -> 0.5112, "x02_decontaminated_export" -> 0.4402,
+    "x03_packing_layout" -> 0.3582, "x04_mixture_plan" -> 0.4482,
+    "x05_mixture_sample" -> 0.5451, "x06_shard_manifest" -> 0.4066,
+    "x07_dataset_card" -> 0.3379, "x08_epoch_shuffle" -> 0.6477,
+    "x09_epoch_plan" -> 0.5618, "x10_temperature_mixture" -> 0.5129,
+    "x11_quality_funnel" -> 0.6727, "x12_checksum_manifest" -> 0.4257,
+  )
+
+  /** The allowed minimum-seconds bound for `name` on a box measuring
+    * (contention, floor), with d01's same-run reading as the floor
+    * witness; None when the query has no reference yet.
+    */
+  def allowed(name: String, contention: Double, floor: Double,
+      d01Now: Double): Option[Double] =
+    refs.get(name).map { ref =>
+      val boxScale = math.max(1.0,
+        math.max(contention / RefContention, floor / RefFloor))
+      val floorTerm = if (d01Now > 0) FloorMult * d01Now else 0.0
+      math.max(BandFactor * ref * boxScale, floorTerm)
+    }
+}

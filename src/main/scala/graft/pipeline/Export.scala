@@ -346,30 +346,46 @@ object Export {
         .join(lang, "doc_id")
         .groupBy($"lang").agg(sum($"n_tokens").as("n_tokens"))
         .filter($"n_tokens" > 0L)
+        // n^alpha through LN SPACE with an inner quantization —
+        // q_temp = floor(2^20·exp(a·floor(2^20·ln n)/2^20)) — instead
+        // of a direct pow. Direct pow has a STRUCTURED near-integer
+        // family: a is the dyadic double nearest 0.3, so n = 2^k with
+        // k·a near an integer lands 2^20·n^a within fractions of an
+        // ulp of an integer (n = 2^10: ~0.4 ulp of 2^23), where
+        // Math.pow vs libm's 1-ulp licenses could floor differently —
+        // and the old build-time guard ABORTED the export on such
+        // benign strata (a 1024-token language crashed it). The inner
+        // floor erases that family: the exp argument keeps only the
+        // 2^-20-quantized part of ln n, so the structured landing is
+        // scattered by ~2^-20·a·2^20 ≈ 0.3 grid steps, and both
+        // engines compute the same inner INTEGER first (the p22/s12
+        // ln-quantization slack argument: values ~1e6, 1-ulp libm
+        // error ~1e-10, nine orders below the unit grid). The guard
+        // below stays as the loud backstop for BOTH floors, but no
+        // longer has a known-benign trigger.
+        .withColumn("ln_raw",
+          lit(1048576.0) * log($"n_tokens".cast("double")))
+        .withColumn("ln_q", floor($"ln_raw"))
         .withColumn("q_raw",
-          lit(1048576.0) * pow($"n_tokens".cast("double"), lit(TempAlpha)))
+          lit(1048576.0) * exp(lit(TempAlpha) * $"ln_q" / lit(1048576.0)))
         .withColumn("q_temp", floor($"q_raw")))
-    // Build-time floor-stability guard: unlike the repo's ln-based
-    // quantizations there is no documented slack argument for pow, so
-    // verify the sweep values directly. The TRUE value 2^20·n^a — a
-    // being the dyadic double nearest 0.3, a = p/2^54 with p odd — is
-    // irrational for every integer n >= 2 (n^(p/2^54) rational would
-    // need n a perfect 2^54-th power), and exactly 2^20 for n = 1
-    // (pow(1,y) = 1 in both engines by IEEE 754). But NEAR-integer
-    // landings exist (n = 2^10 puts 2^20·n^a within ~0.4 ulp of 2^23),
-    // and Math.pow/libm pow each only promise <= 1 ulp — so rather than
-    // assume the engines agree, fail loudly on any stratum whose scaled
-    // value sits within 4 ulp of an integer, naming it. The frame is
+    // Build-time floor-stability guard (backstop): fail loudly if
+    // either floor's input sits within 4 ulp of an integer — n = 1 is
+    // exempt (ln 1 = 0 and exp 0 = 1 are EXACT in both engines by
+    // IEEE 754, landing q_temp on 2^20 deliberately). The frame is
     // |langs| rows, already collected driver-side by statsLocal.
-    massRaw.select($"lang", $"n_tokens", $"q_raw").collect().foreach { r =>
-      val v = r.getDouble(2)
-      val d = math.abs(v - math.rint(v))
-      require(r.getLong(1) == 1L || d > 4.0 * math.ulp(v),
-        s"x10 q_temp for lang=${r.getString(0)} (n_tokens=${r.getLong(1)}) " +
-          s"lands within 4 ulp of an integer ($v): Math.pow vs libm pow " +
-          s"could floor differently; adjust TempAlpha's quantization scale")
-    }
-    val mass = massRaw.drop("q_raw")
+    massRaw.select($"lang", $"n_tokens", $"ln_raw", $"q_raw")
+      .collect().foreach { r =>
+        Seq(r.getDouble(2), r.getDouble(3)).foreach { v =>
+          val d = math.abs(v - math.rint(v))
+          require(r.getLong(1) == 1L || d > 4.0 * math.ulp(v),
+            s"x10 quantization for lang=${r.getString(0)} " +
+              s"(n_tokens=${r.getLong(1)}) lands within 4 ulp of an " +
+              s"integer ($v): the engines' 1-ulp licenses could floor " +
+              s"differently; adjust the quantization scale")
+        }
+      }
+    val mass = massRaw.drop("ln_raw", "ln_q", "q_raw")
     val tot = mass.agg(sum($"q_temp").as("sq"), sum($"n_tokens").as("nt"))
     mass.crossJoin(broadcast(tot))
       .select($"lang", $"n_tokens", $"q_temp",
@@ -913,7 +929,8 @@ object Export {
          |  WHERE m.split = 'train'
          |  GROUP BY d.lang HAVING SUM(m.n_tokens) > 0),
          |q AS (SELECT lang, n_tokens,
-         |    CAST(floor(1048576 * pow(n_tokens, $TempAlpha)) AS BIGINT)
+         |    CAST(floor(1048576 * exp($TempAlpha *
+         |      floor(1048576 * ln(n_tokens)) / 1048576)) AS BIGINT)
          |      AS q_temp
          |  FROM g),
          |t AS (SELECT SUM(q_temp)::HUGEINT AS sq,

@@ -480,15 +480,30 @@ object TextAnalysis {
       grams.filter($"b" >= ValMax)
         .groupBy((if (shards == 1) lit(0L) else shardOf).as("s")).count()
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.rass.expressions.BloomMightContain.register(spark)
     val sweeps = (0 until shards).map { s =>
       val inShard = if (shards == 1) lit(true) else shardOf === s
       val test = grams.filter($"b" >= ValMax && inShard)
-      val bf = test.stat.bloomFilter("g",
+      // the sketch is built over xxhash64(g) LONGS (putLong), because
+      // the codegen membership probe below evaluates
+      // mightContainLong(xxhash64(g)) — Spark's own runtime-filter
+      // convention; see BloomMightContain. Keys changed from raw
+      // strings, which only moves WHICH ~1% of grams false-positive —
+      // the exact confirm join keeps the output sketch-independent.
+      val bf = test.select(xxhash64($"g").as("h")).stat.bloomFilter("h",
         math.max(testCounts.getOrElse(s.toLong, 0L), 1L), 0.01)
-      val bfB = spark.sparkContext.broadcast(bf)
-      val mightContain = udf((g: String) => bfB.value.mightContain(g))
+      val bfBytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        bos.toByteArray
+      }
+      // membership as a native codegen expression, not a boxed UDF —
+      // the sweep's inner loop stays inside whole-stage codegen; the
+      // sketch travels as a plan constant (shipped to executors once
+      // per stage via the broadcast task binary, same transport class
+      // as the old explicit broadcast)
       val trainFreq = grams.filter($"b" < TrainMax && inShard)
-        .filter(mightContain($"g"))
+        .filter(call_function("bloom_might_contain", lit(bfBytes), $"g"))
         .groupBy($"g").agg(countDistinct($"doc_id").as("n_train_docs"))
       test.select($"doc_id", $"g")
         .join(trainFreq, Seq("g"), "inner")

@@ -292,8 +292,11 @@ class ExportSpec extends SparkSpec {
       .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sum }
       .filter(_._2 > 0L)
     val q = mass.map { case (l, n) =>
+      // the engine's ln-space quantization: inner floor of 2^20·ln n,
+      // outer floor of 2^20·exp(a·inner/2^20) — NOT a direct pow
+      val lnq = math.floor(1048576.0 * math.log(n.toDouble))
       l -> ((n, math.floor(1048576.0 *
-        math.pow(n.toDouble, Export.TempAlpha)).toLong))
+        math.exp(Export.TempAlpha * lnq / 1048576.0)).toLong))
     }
     val sq = BigInt(q.values.map(_._2).sum)
     val nt = BigInt(q.values.map(_._1).sum)
@@ -320,6 +323,25 @@ class ExportSpec extends SparkSpec {
     assert(got.exists(_.getAs[Long]("upsampled") == 0L))
     // planned per-epoch draw never exceeds the corpus total
     assert(got.map(_.getAs[Long]("planned_tokens")).sum <= nt.toLong)
+  }
+
+  test("x10's ln-space quantization clears the guard on every power-of-two stratum") {
+    // the direct-pow path had a STRUCTURED benign trigger: n = 2^k with
+    // k·alpha near an integer landed within fractions of an ulp of an
+    // integer (k = 10: ~0.4 ulp of 2^23) and ABORTED the export; the
+    // ln-space inner floor scatters that family — every 2^k stratum up
+    // to 1e12 tokens must now clear the 4-ulp backstop
+    (1 to 40).foreach { k =>
+      val n = math.pow(2.0, k.toDouble)
+      val lnRaw = 1048576.0 * math.log(n)
+      val lnq = math.floor(lnRaw)
+      val v = 1048576.0 * math.exp(Export.TempAlpha * lnq / 1048576.0)
+      Seq(lnRaw, v).foreach { x =>
+        val d = math.abs(x - math.rint(x))
+        assert(d > 4.0 * math.ulp(x),
+          s"n=2^$k lands within 4 ulp of an integer ($x)")
+      }
+    }
   }
 
   test("x12 checksums replay from x03's layout and are order-invariant by construction") {

@@ -74,14 +74,17 @@ class TextAnalysisSpec extends SparkSpec {
         s"doc $id: p09 counts $hits leaked grams, p10 lists ${byDoc.getOrElse(id, 0L)}")
     }
     // the prune must sit BELOW the per-gram aggregation (and so below
-    // its shuffle): the bloom UDF filter's subtree may contain no
-    // Aggregate — pruned train grams never reach the exchange.
+    // its shuffle): the bloom membership filter's subtree may contain
+    // no Aggregate — pruned train grams never reach the exchange. The
+    // predicate is Spark's native BloomFilterMightContain expression
+    // (codegen), not a boxed UDF, since round 16.
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
-    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     val opt = TextAnalysis.p10LeakedGrams(spark, sfDir)
       .queryExecution.optimizedPlan
     val prune = opt.collect {
-      case f: Filter if f.condition.find(_.isInstanceOf[ScalaUDF]).isDefined => f
+      case f: Filter if f.condition.find(
+        _.isInstanceOf[BloomFilterMightContain]).isDefined => f
     }
     assert(prune.nonEmpty, "bloom mightContain prune missing from the plan")
     prune.foreach(f => assert(
@@ -112,15 +115,16 @@ class TextAnalysisSpec extends SparkSpec {
     // aggregation — the same plan guarantee the single-sketch test
     // pins, once per sweep
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
-    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     val opt = TextAnalysis.leakedGramsSharded(spark, sfDir, 3)
       .queryExecution.optimizedPlan
     val prunes = opt.collect {
-      case f: Filter if f.condition.find(_.isInstanceOf[ScalaUDF]).isDefined => f
+      case f: Filter if f.condition.find(
+        _.isInstanceOf[BloomFilterMightContain]).isDefined => f
     }
     // >= 3, not == 3: InferFiltersFromConstraints also copies the
-    // (deterministic) UDF predicate across the g-equality join onto the
-    // test side, so each shard can contribute more than one UDF filter
+    // (deterministic) predicate across the g-equality join onto the
+    // test side, so each shard can contribute more than one filter
     assert(prunes.size >= 3, s"expected a bloom prune per shard, got ${prunes.size}")
     prunes.foreach(f => assert(
       f.collectFirst { case a: Aggregate => a }.isEmpty,
