@@ -257,6 +257,12 @@ object ScaleProbe {
       // d12: one rollup of the stored five-flag pair artifact — the
       // build is detector-dominated (d02..d05 + s07), the query ~flat
       "d12" -> SparkEntry.queries("d12_detector_overlap_full"),
+      // p29: one range-partition global rank + the p06-class vocab
+      // shuffle (term keys only) + 10-row arithmetic — ~linear
+      "p29" -> SparkEntry.queries("p29_vocab_growth"),
+      // v08: s03's probed candidate volume at k=2 + a per-query 2-row
+      // rollup to one scalar — tracks s03 (~n^1.5 via k=sqrt(n) cells)
+      "v08" -> SparkEntry.queries("v08_twonn_id"),
       // x11: one corpus scan to two longs + its gates' drop lists and
       // per-doc score tables (each probed individually: d06, p09, p22,
       // p24) joined on doc_id — expected ~linear, p22-dominated

@@ -366,8 +366,52 @@ object EmbeddingStats {
         expr("CAST(1000000 DIV n_dims AS BIGINT)").as("isotropic_ppm"))
   }
 
+  /** v08 — TwoNN intrinsic dimensionality (Facco, d'Errico, Rodriguez
+    * & Laio 2017, Sci. Reports 7:12140): the MLE
+    * `d = n / Σ ln(r2/r1)` over each vector's first and second
+    * nearest-neighbor distances — the standard estimate of how many
+    * effective degrees of freedom an embedding corpus actually uses
+    * (ID far below the ambient 64 means the index/quantizer budget is
+    * oversized; ID rising across releases flags noise). Distances are
+    * chordal on the cosine geometry the rest of the engine ranks by:
+    * r² = 2(1−cos), so μ² = r2²/r1² = (1−c2)/(1−c1), and
+    * d = 2n / Σ ln μ². Neighbors come from the SAME corpus-wide IVF
+    * join s03 publishes (k = 2) — at production recall the estimator
+    * is within its own sampling noise of the exact-NN value, and the
+    * exact variant is one `nprobe = cells` knob away.
+    *
+    * Exactness: c1/c2 are the bit-identical cross-engine cosines the
+    * s03 gate already proves; each ln μ² is floor-quantized to 2^-20
+    * (the p22 grid + slack argument) so the sum is an exact BIGINT,
+    * and the MLE is one wide-integer floor division. Vectors with a
+    * duplicate nearest neighbor (c1 = 1, r1 = 0) or fewer than two
+    * candidates are excluded, per the estimator's definition —
+    * n_vectors reports the population actually used.
+    *
+    * Scale shape: s03's candidate volume (probed cells only), one
+    * per-query 2-row rollup, one scalar row out.
+    */
+  def v08TwoNnId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = Similarity.corpusTwoNn(spark, dir)
+      .groupBy($"query_id")
+      .agg(max(when($"rank" === 1, $"cosine")).as("c1"),
+        max(when($"rank" === 2, $"cosine")).as("c2"),
+        count(lit(1)).as("nn"))
+      .filter($"nn" === 2 && $"c1" < 1.0)
+      .select(floor(lit(1048576.0) *
+        log((lit(1.0) - $"c2") / (lit(1.0) - $"c1"))).cast("long").as("q"))
+    per.agg(count(lit(1)).as("n_vectors"), sum($"q").as("sum_lnmu2_q"))
+      .select($"n_vectors", $"sum_lnmu2_q",
+        expr("""CASE WHEN sum_lnmu2_q > 0 THEN
+                CAST((CAST(n_vectors AS DECIMAL(38,0)) * 2 * 1048576 *
+                  1048576) DIV sum_lnmu2_q AS BIGINT)
+                ELSE CAST(NULL AS BIGINT) END""").as("id_mle_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v07_anisotropy_profile" -> v07AnisotropyProfile _,
+    "v08_twonn_id" -> v08TwoNnId _,
     "v01_norm_profile" -> v01NormProfile _,
     "v02_quantize_profile" -> v02QuantizeProfile _,
     "v03_dim_stats" -> v03DimStats _,
@@ -471,6 +515,26 @@ object EmbeddingStats {
 
   val oracles: Map[String, String] = Map(
     "v05_pc1_profile" -> v05Sql,
+    // two-NN MLE over s03's SQL at k = 2: per-query (c1, c2) rollup,
+    // 2^-20-quantized ln mu^2, one HUGEINT floor division
+    "v08_twonn_id" ->
+      s"""WITH nn2 AS (SELECT query_id, cosine, rank FROM
+         |    (${Similarity.corpusTwoNnSql})),
+         |two AS (SELECT query_id,
+         |    MAX(CASE WHEN rank = 1 THEN cosine END) c1,
+         |    MAX(CASE WHEN rank = 2 THEN cosine END) c2,
+         |    COUNT(*) nn
+         |  FROM nn2 GROUP BY query_id),
+         |qq AS (SELECT CAST(floor(1048576 * ln((1 - c2) / (1 - c1)))
+         |      AS BIGINT) q
+         |  FROM two WHERE nn = 2 AND c1 < 1.0)
+         |SELECT COUNT(*)::BIGINT AS n_vectors,
+         |  CAST(SUM(q) AS BIGINT) AS sum_lnmu2_q,
+         |  CASE WHEN SUM(q) > 0 THEN
+         |    CAST((COUNT(*)::HUGEINT * 2 * 1048576 * 1048576) // SUM(q)
+         |      AS BIGINT)
+         |  ELSE NULL END AS id_mle_micro
+         |FROM qq""".stripMargin,
     // the trace identity n^2*1e12*trace = SUM_j(n*SUM xm^2 - (SUM xm)^2)
     // accumulates in HUGEINT (DECIMAL(38,0) on the Spark side); the
     // ppm ratio is a single positive wide-integer floor division, and

@@ -421,6 +421,18 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** s03's corpus-wide ANN join at k = 2 — v08's neighbor feed (the
+    * TwoNN estimator consumes the first and second nearest neighbor
+    * of EVERY vector; same index, same candidate volume class).
+    */
+  private[pipeline] def corpusTwoNn(spark: SparkSession,
+      dir: String): DataFrame =
+    ivfKnn(spark, dir, None, 2, cells = corpusCells(spark, dir))
+
+  /** [[corpusTwoNn]]'s oracle (s03's SQL at k = 2), embedded by v08. */
+  private[pipeline] lazy val corpusTwoNnSql: String =
+    ivfSql("", 2, s"SELECT vec_id cid, v AS cv FROM n WHERE vec_id < $CellsSub")
+
   /** s05 — IVF recall profile: per query, how many of the exact top-10
     * the IVF index recovered — the evaluation an ANN deployment runs
     * before trading exactness for speed, as a first-class query.

@@ -319,6 +319,7 @@ object TextAnalysis {
     .empty[(SparkSession, String), DataFrame]
 
   def invalidateCaches(): Unit = {
+    graft.RangedPrefix.invalidateCaches("p29:")
     gramCache.keys.foreach(k => gramCache.remove(k).foreach(_.unpersist()))
     contamDocsCache.keys.foreach(k =>
       contamDocsCache.remove(k).foreach(_.unpersist()))
@@ -1182,6 +1183,49 @@ object TextAnalysis {
     * least one shared selected fingerprint, at expected density
     * 2/(W+1) — the MOSS algorithm.
     */
+  /** p29 — Heaps'-law vocabulary-growth profile: the corpus in
+    * doc_id (ingest) order cut into 10 deciles, with CUMULATIVE token
+    * mass and CUMULATIVE distinct vocabulary at each cut — the
+    * V(N) ~ K·N^beta growth table a corpus analysis publishes
+    * (Heaps 1978): sublinear vocabulary growth is the signature of a
+    * natural corpus, a kink flags a composition shift (new source or
+    * language joining mid-ingest), and a near-linear tail flags
+    * boilerplate/noise inflating the type count. Exact BIGINTs only;
+    * beta itself is a plot-time division left to the reader.
+    *
+    * Scale shape: the global rank is [[graft.RangedPrefix.runningSum]]
+    * (range partition + per-partition offsets — no global window
+    * funnel, the x03/x08/q14 mechanism); vocabulary first-occurrence
+    * is one groupBy(term).min(doc_id) — the p06 vocab shuffle, term
+    * keys only; everything after is 10-row arithmetic (the decile
+    * cumsum is a broadcast 10x10 triangle join, not a window).
+    */
+  def p29VocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tk = Tables.documents(spark, dir)
+      .select($"doc_id", toks($"text").as("t"))
+    val (ranked, nDocs) = graft.RangedPrefix.runningSum(spark, s"p29:$dir",
+      tk.select($"doc_id", size($"t").cast("long").as("n_tokens")),
+      Seq($"doc_id"), lit(1L), "rn")
+    val dec = ranked
+      .withColumn("decile", (($"rn" - 1L) * 10L / nDocs).cast("long"))
+    val tokDec = dec.groupBy($"decile")
+      .agg(sum($"n_tokens").as("new_tokens"))
+    val firstDoc = tk
+      .select($"doc_id", explode(array_distinct($"t")).as("tok"))
+      .groupBy($"tok").agg(min($"doc_id").as("doc_id"))
+    val vocDec = firstDoc
+      .join(dec.select($"doc_id", $"decile"), "doc_id")
+      .groupBy($"decile").agg(count(lit(1)).as("new_vocab"))
+    val per = tokDec.join(vocDec, Seq("decile"), "left")
+      .na.fill(0L, Seq("new_vocab"))
+    per.as("a").join(broadcast(per.as("b")), col("b.decile") <= col("a.decile"))
+      .groupBy(col("a.decile").as("decile"))
+      .agg(sum(col("b.new_tokens")).as("cum_tokens"),
+        sum(col("b.new_vocab")).as("cum_vocab"))
+      .orderBy($"decile")
+  }
+
   private[pipeline] val WinnowK = 4
   private[pipeline] val WinnowW = 8
 
@@ -1835,6 +1879,7 @@ object TextAnalysis {
     "p21_span_excision" -> p21SpanExcision _,
     "p27_pii_redaction" -> p27PiiRedaction _,
     "p28_luhn_redaction" -> p28LuhnRedaction _,
+    "p29_vocab_growth" -> p29VocabGrowth _,
     "p16_bpe_merges" -> p16BpeMerges _,
     "p15_lexical_diversity" -> p15LexicalDiversity _,
     "p14_cross_source_leakage" -> p14CrossSourceLeakage _,
@@ -2195,6 +2240,28 @@ object TextAnalysis {
          |      '$PiiIpRe', '<IP>', 'g')), '\\s+'), ' '), ''))
          |    AS redacted_md5
          |FROM c ORDER BY doc_id""".stripMargin,
+    "p29_vocab_growth" ->
+      s"""WITH tk AS (SELECT doc_id, $TOKS t FROM documents),
+         |r AS (SELECT doc_id, len(t)::BIGINT n_tokens,
+         |    row_number() OVER (ORDER BY doc_id) rn FROM tk),
+         |nn AS (SELECT count(*)::BIGINT c FROM tk),
+         |d AS (SELECT doc_id, n_tokens,
+         |    ((rn - 1) * 10) // (SELECT c FROM nn) AS decile FROM r),
+         |tokdec AS (SELECT decile, SUM(n_tokens)::BIGINT new_tokens
+         |  FROM d GROUP BY decile),
+         |fo AS (SELECT tok, MIN(doc_id) doc_id FROM
+         |    (SELECT doc_id, unnest(list_distinct(t)) tok FROM tk)
+         |  GROUP BY tok),
+         |vdec AS (SELECT d.decile, COUNT(*)::BIGINT new_vocab
+         |  FROM fo JOIN d USING (doc_id) GROUP BY d.decile),
+         |per AS (SELECT t.decile, t.new_tokens,
+         |    COALESCE(v.new_vocab, 0)::BIGINT AS new_vocab
+         |  FROM tokdec t LEFT JOIN vdec v USING (decile))
+         |SELECT a.decile AS decile,
+         |  SUM(b.new_tokens)::BIGINT AS cum_tokens,
+         |  SUM(b.new_vocab)::BIGINT AS cum_vocab
+         |FROM per a JOIN per b ON b.decile <= a.decile
+         |GROUP BY a.decile ORDER BY decile""".stripMargin,
     "p28_luhn_redaction" -> {
       val isD16 = raw"regexp_full_match(x, '\d{16}')"
       val isCard = s"($isD16 AND ${luhnSumSql("x", 16)} % 10 = 0)"

@@ -213,4 +213,37 @@ class EmbeddingStatsSpec extends SparkSpec {
     val ppm = r.getAs[Long]("anisotropy_ppm")
     assert(ppm > 0L && ppm < 1000000L, s"ppm out of range: $ppm")
   }
+
+  test("v08 TwoNN intrinsic dimension matches an exact replay off the ANN join") {
+    // replay the estimator from the SAME two-NN feed the operator
+    // consumes (the approximation is the feed's, not the math's)
+    val nn = Similarity.corpusTwoNn(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Double]("cosine")))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    val qs = nn.values.toSeq
+      .filter(m => m.size == 2 && m(1L) < 1.0)
+      .map { m =>
+        math.floor(1048576.0 *
+          math.log((1.0 - m(2L)) / (1.0 - m(1L)))).toLong
+      }
+    val sum = qs.sum
+    val r = EmbeddingStats.v08TwoNnId(spark, sfDir).collect() match {
+      case Array(row) => row
+      case rows => fail(s"v08 must be one row, got ${rows.length}")
+    }
+    assert(r.getAs[Long]("n_vectors") == qs.length.toLong)
+    assert(r.getAs[Long]("sum_lnmu2_q") == sum)
+    val want = (BigInt(qs.length) * 2 * 1048576L * 1048576L / sum).toLong
+    assert(r.getAs[Long]("id_mle_micro") == want)
+    // the estimator must use (nearly) the whole corpus and read a
+    // plausible dimensionality: strictly positive and at most the
+    // ambient 64 with modest slack (TwoNN can exceed ambient only by
+    // sampling noise on degenerate data)
+    val total = graft.Tables.embeddings(spark, sfDir).count()
+    assert(qs.length >= (total * 9) / 10, s"only ${qs.length}/$total used")
+    val id = want.toDouble / 1048576.0
+    assert(id > 0.0 && id < 96.0, s"implausible intrinsic dimension $id")
+  }
 }

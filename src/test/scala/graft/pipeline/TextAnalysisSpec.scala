@@ -964,6 +964,42 @@ class TextAnalysisSpec extends SparkSpec {
       "no doc carries two emails — multi-match counting unexercised")
   }
 
+  test("p29 vocabulary growth equals a driver-side Heaps replay in doc_id order") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+      .sortBy(_._1)
+    val n = docs.length
+    // walk the corpus in rank order, cutting at each decile boundary
+    val seen = scala.collection.mutable.Set.empty[String]
+    var tokens = 0L
+    val want = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    docs.zipWithIndex.foreach { case ((_, ts), i) =>
+      tokens += ts.length
+      seen ++= ts
+      val decile = i.toLong * 10L / n
+      want(decile) = (tokens, seen.size.toLong)
+    }
+    val got = TextAnalysis.p29VocabGrowth(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("decile") ->
+        ((r.getAs[Long]("cum_tokens"), r.getAs[Long]("cum_vocab"))))
+    assert(got.map(_._1).toSeq == (0L to 9L), "exactly the 10 deciles, ordered")
+    got.foreach { case (d, cums) =>
+      assert(cums == want(d), s"decile $d: $cums != ${want(d)}")
+    }
+    // both cumulatives are monotone and end at the corpus totals
+    assert(got.map(_._2._1).toSeq == got.map(_._2._1).sorted.toSeq)
+    assert(got.map(_._2._2).toSeq == got.map(_._2._2).sorted.toSeq)
+    assert(got.last._2 == ((tokens, seen.size.toLong)))
+    // Heaps: vocabulary grows sublinearly vs tokens over the corpus —
+    // the second half of the corpus must add fewer NEW types per token
+    // than the first half (the signature the profile exists to show)
+    val (t4, v4) = got(4)._2
+    val (t9, v9) = got(9)._2
+    assert((v9 - v4).toDouble / (t9 - t4) < v4.toDouble / t4,
+      "vocabulary growth is not sublinear on this corpus")
+  }
+
   test("p28 Luhn gate matches a driver-side checksum replay; both verdicts planted") {
     import spark.implicits._
     def luhnOk(s: String): Boolean = {
