@@ -320,6 +320,8 @@ object TextAnalysis {
 
   def invalidateCaches(): Unit = {
     graft.RangedPrefix.invalidateCaches("p29:")
+    trainVocabCache.keys.foreach(k =>
+      trainVocabCache.remove(k).foreach(_.unpersist()))
     gramCache.keys.foreach(k => gramCache.remove(k).foreach(_.unpersist()))
     contamDocsCache.keys.foreach(k =>
       contamDocsCache.remove(k).foreach(_.unpersist()))
@@ -1183,6 +1185,75 @@ object TextAnalysis {
     * least one shared selected fingerprint, at expected density
     * 2/(W+1) — the MOSS algorithm.
     */
+  /** The TRAIN-split distinct vocabulary — p30's reference set and
+    * the model side of the streaming novelty guard. Memoized +
+    * persisted per (session, dir): an ingest-time artifact (the
+    * trained tokenizer/LM pipelines already fix the train vocabulary;
+    * novelty is measured against exactly that freeze).
+    */
+  private[graft] def trainVocab(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.getOrBuild(trainVocabCache, (spark, dir)) {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select(toks($"text").as("t"), SplitBucket.as("b"))
+        .filter($"b" < TrainMax)
+        .select(explode(array_distinct($"t")).as("tok"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private val trainVocabCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** The frozen train vocabulary as a serialized bloom sketch over
+    * xxhash64(tok) longs (1 % fp) — the constant-size model row the
+    * streaming novelty guard probes per token through the codegen
+    * `bloom_might_contain` expression. Built once at ingest; at any
+    * corpus size the sketch is |vocab|-bounded bytes, not corpus-
+    * bounded.
+    */
+  private[graft] def trainVocabBloomBytes(spark: SparkSession,
+      dir: String): Array[Byte] = {
+    import spark.implicits._
+    val v = trainVocab(spark, dir)
+    val bf = v.select(xxhash64($"tok").as("h"))
+      .stat.bloomFilter("h", math.max(v.count(), 1L), 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** p30 — out-of-vocabulary novelty profile: for every TEST-split
+    * document, how many of its distinct token types the frozen
+    * TRAIN-split vocabulary has never seen, exact, with the ppm
+    * share. The drift/composition alarm an ingest pipeline reads
+    * before admitting a new source (an OOV spike means the tokenizer
+    * fertility, LM perplexity, and DSIR scores upstream were all
+    * calibrated on a different distribution) — and the exact batch
+    * twin of the streaming `vocab_novelty_guard`, whose per-row bloom
+    * screen lower-bounds these counts at <= 1 % fp.
+    *
+    * Scale shape: distinct types explode to (doc, tok) rows, the
+    * anti-join against the vocab is term-keyed (the p06 shuffle
+    * class), and the profile re-joins doc-keyed; text never shuffles.
+    */
+  def p30VocabNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.documents(spark, dir)
+      .select($"doc_id", array_distinct(toks($"text")).as("ts"),
+        SplitBucket.as("b"))
+      .filter($"b" >= ValMax)
+    val novel = ev.select($"doc_id", explode($"ts").as("tok"))
+      .join(trainVocab(spark, dir), Seq("tok"), "left_anti")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_novel_types"))
+    ev.select($"doc_id", size($"ts").cast("long").as("n_types"))
+      .join(novel, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_novel_types"))
+      .withColumn("novel_ppm",
+        expr("CAST(n_novel_types * 1000000 DIV n_types AS BIGINT)"))
+      .orderBy($"doc_id")
+  }
+
   /** p29 — Heaps'-law vocabulary-growth profile: the corpus in
     * doc_id (ingest) order cut into 10 deciles, with CUMULATIVE token
     * mass and CUMULATIVE distinct vocabulary at each cut — the
@@ -1880,6 +1951,7 @@ object TextAnalysis {
     "p27_pii_redaction" -> p27PiiRedaction _,
     "p28_luhn_redaction" -> p28LuhnRedaction _,
     "p29_vocab_growth" -> p29VocabGrowth _,
+    "p30_vocab_novelty" -> p30VocabNovelty _,
     "p16_bpe_merges" -> p16BpeMerges _,
     "p15_lexical_diversity" -> p15LexicalDiversity _,
     "p14_cross_source_leakage" -> p14CrossSourceLeakage _,
@@ -2240,6 +2312,19 @@ object TextAnalysis {
          |      '$PiiIpRe', '<IP>', 'g')), '\\s+'), ' '), ''))
          |    AS redacted_md5
          |FROM c ORDER BY doc_id""".stripMargin,
+    "p30_vocab_novelty" ->
+      s"""WITH tk AS (SELECT doc_id, list_distinct($TOKS) ts, $BUCKET b
+         |  FROM documents),
+         |tv AS (SELECT DISTINCT unnest(ts) tok FROM tk WHERE b < $TrainMax),
+         |ev AS (SELECT doc_id, ts FROM tk WHERE b >= $ValMax),
+         |ex AS (SELECT doc_id, unnest(ts) tok FROM ev),
+         |nv AS (SELECT doc_id, COUNT(*)::BIGINT n FROM ex
+         |  WHERE tok NOT IN (SELECT tok FROM tv) GROUP BY doc_id)
+         |SELECT e.doc_id, len(ts)::BIGINT AS n_types,
+         |  COALESCE(nv.n, 0)::BIGINT AS n_novel_types,
+         |  (COALESCE(nv.n, 0)::BIGINT * 1000000) // len(ts) AS novel_ppm
+         |FROM ev e LEFT JOIN nv ON nv.doc_id = e.doc_id
+         |ORDER BY e.doc_id""".stripMargin,
     "p29_vocab_growth" ->
       s"""WITH tk AS (SELECT doc_id, $TOKS t FROM documents),
          |r AS (SELECT doc_id, len(t)::BIGINT n_tokens,

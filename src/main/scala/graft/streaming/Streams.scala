@@ -51,7 +51,8 @@ object Streams {
     "dsir_guard" -> "pipeline.TextAnalysis.p23DsirWeights (hashed-bigram importance weights vs the frozen 4096-bucket model)",
     "pii_guard" -> "pipeline.TextAnalysis.p27PiiRedaction (per-row multi-class regex redaction profile, shared redactionProfile projection)",
     "luhn_guard" -> "pipeline.TextAnalysis.p28LuhnRedaction (per-row checksum-gated account-number redaction, shared luhnProfile projection)",
-    "quality_guard" -> "pipeline.TextAnalysis.p24QualityClassifier (trained micro-logit scoring vs the frozen 4096-bucket weight vector)")
+    "quality_guard" -> "pipeline.TextAnalysis.p24QualityClassifier (trained micro-logit scoring vs the frozen 4096-bucket weight vector)",
+    "vocab_novelty_guard" -> "pipeline.TextAnalysis.p30VocabNovelty (per-row bloom screen of arriving token types against the frozen train-vocabulary sketch — certain-novel lower bound, <=1% fp undercount; the exact count is p30's anti-join)")
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
@@ -311,6 +312,34 @@ object Streams {
   def luhnGuard(docs: DataFrame): DataFrame =
     graft.pipeline.TextAnalysis.luhnProfile(
       docs.select(col("doc_id"), col("text").as("cc_text")))
+
+  /** Streaming vocabulary-novelty guard (batch p30's streaming face):
+    * each arriving document's distinct token types are probed per row
+    * against the FROZEN train-vocabulary bloom sketch
+    * ([[graft.pipeline.TextAnalysis.trainVocabBloomBytes]]) through
+    * the codegen `bloom_might_contain` expression — the OOV-spike
+    * alarm at ingest, before a drifting source contaminates
+    * downstream models calibrated on the frozen distribution.
+    *
+    * Certainty direction: a bloom has NO false negatives, so every
+    * token the guard flags novel IS novel; ~1 % of truly-novel tokens
+    * false-positive into "seen", making `n_novel_types` a certain
+    * LOWER bound (the exact count is batch p30's anti-join). Scale
+    * shape: stateless per-row HOF over a constant |vocab|-bounded
+    * sketch — no state store, no watermark, no shuffle, append mode.
+    */
+  def vocabNoveltyGuard(docs: DataFrame, vocabBloom: Array[Byte]): DataFrame = {
+    graft.rass.expressions.BloomMightContain.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"),
+        array_distinct(graft.pipeline.TextAnalysis.toks(col("text"))).as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_types"),
+        size(org.apache.spark.sql.functions.filter(col("ts"), t =>
+          not(call_function("bloom_might_contain", lit(vocabBloom), t))))
+          .cast("long").as("n_novel_types"))
+      .withColumn("novel_ppm",
+        expr("CAST(n_novel_types * 1000000 DIV n_types AS BIGINT)"))
+  }
 
   /** The frozen p24 weight vector as one broadcastable static row —
     * the model side of [[qualityGuard]]: position b+1 is w(b).

@@ -607,7 +607,64 @@ class StreamsSpec extends SparkSpec {
     assert((got.keySet - (-1L)) == want.keySet)
   }
 
+  private def vocabNoveltyGuardTwin(): Unit = {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // the stream carries the same test-split docs batch p30 profiles
+    // (whose values the oracle gate verifies), plus one planted
+    // all-gibberish doc and one doc made of a known train-vocab token
+    val exact = graft.pipeline.TextAnalysis.p30VocabNovelty(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_types"), r.getAs[Long]("n_novel_types"))))
+      .toMap
+    val texts = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val seenTok = graft.pipeline.TextAnalysis.trainVocab(spark, sfDir)
+      .orderBy(col("tok")).limit(1).collect().head.getString(0)
+    val arriving = exact.keys.toSeq.sorted.map(id => (id, texts(id))) ++
+      Seq((-1L, "zzq9xv qqv8xz vxq7zz xqz6vv"), (-2L, s"$seenTok $seenTok"))
+    val bloom = graft.pipeline.TextAnalysis
+      .trainVocabBloomBytes(spark, sfDir)
+
+    val input = MemoryStream[(Long, String)]
+    val query = vocabNoveltyGuard(input.toDF().toDF("doc_id", "text"), bloom)
+      .writeStream.format("memory").queryName("vocab_novelty_guard")
+      .outputMode("append").start()
+    val (a, b) = arriving.splitAt(arriving.size / 2)
+    input.addData(a)
+    query.processAllAvailable()
+    input.addData(b)
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("vocab_novelty_guard").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.size == arriving.size, "one profile per arriving doc")
+    // per doc: identical type count, and the bloom count is a CERTAIN
+    // lower bound of the exact anti-join (no false negatives)
+    exact.foreach { case (id, (nt, nn)) =>
+      val (gt, gn, gppm) = got(id)
+      assert(gt == nt, s"doc $id type count")
+      assert(gn <= nn, s"doc $id bloom count $gn exceeds exact $nn")
+      assert(gppm == gn * 1000000L / gt, s"doc $id ppm arithmetic")
+    }
+    // aggregate undercount bounded by the sketch's 1% fp licence
+    val missed = exact.map { case (id, (_, nn)) => nn - got(id)._2 }.sum
+    val totalNovel = exact.values.map(_._2).sum
+    assert(missed <= math.max(2L, totalNovel / 50L),
+      s"bloom missed $missed of $totalNovel novel types — fp way over 1%")
+    // the planted gibberish is flagged (4 types, >= 3 certain-novel)
+    assert(got(-1L)._1 == 4L && got(-1L)._2 >= 3L,
+      s"gibberish doc under-flagged: ${got(-1L)}")
+    // a doc of one known train token is clean: blooms have no false
+    // negatives, so a seen token can never read novel
+    assert(got(-2L) == ((1L, 0L, 0L)), s"seen-token doc flagged: ${got(-2L)}")
+  }
+
   private val twinRunners: Map[String, () => Unit] = Map(
+    "vocab_novelty_guard" -> (vocabNoveltyGuardTwin _),
     "luhn_guard" -> (luhnGuardTwin _),
     "pii_guard" -> (piiGuardTwin _),
     "dsir_guard" -> (dsirGuardTwin _),
