@@ -132,6 +132,7 @@ object Bench {
         graft.pipeline.Dedup.invalidateCaches()
         graft.pipeline.Similarity.invalidateCaches()
         graft.pipeline.TextAnalysis.invalidateCaches()
+        graft.pipeline.Multimodal.invalidateCaches()
         graft.pipeline.Export.invalidateCaches()
         graft.rass.Corpus.invalidateCaches()
         graft.rass.RassEngine.invalidateStatsCache()

@@ -118,6 +118,23 @@ object BenchBands {
     "x11_quality_funnel" -> 0.6727, "x12_checksum_manifest" -> 0.4257,
   )
 
+  /** §O.6 scoped the d01 floor rule to SUB-SECOND queries — applying
+    * it universally would let one slow reading excuse a heavyweight
+    * query. Encoded as: the floor term only joins the max when the
+    * query's own reference is under this cut.
+    */
+  val SmallRefSec = 1.0
+
+  /** The suite's floor witness. Its OWN band never includes the d01
+    * floor term: `min(d01) ≤ 2.5 × d01` is a tautology, and a d01
+    * regression that the pinned sentinels don't explain must FAIL its
+    * band — both because d01's plan is itself under test, and because
+    * a silently regressed witness would loosen every small query's
+    * band with it (the failure mode the self-adjudication exists to
+    * catch; surfaced by the round-16 review).
+    */
+  val FloorWitness = "d01_exact_dedup"
+
   /** The allowed minimum-seconds bound for `name` on a box measuring
     * (contention, floor), with d01's same-run reading as the floor
     * witness; None when the query has no reference yet.
@@ -127,7 +144,10 @@ object BenchBands {
     refs.get(name).map { ref =>
       val boxScale = math.max(1.0,
         math.max(contention / RefContention, floor / RefFloor))
-      val floorTerm = if (d01Now > 0) FloorMult * d01Now else 0.0
+      val floorTerm =
+        if (d01Now > 0 && name != FloorWitness && ref < SmallRefSec)
+          FloorMult * d01Now
+        else 0.0
       math.max(BandFactor * ref * boxScale, floorTerm)
     }
 }

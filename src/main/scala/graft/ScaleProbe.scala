@@ -108,6 +108,7 @@ object ScaleProbe {
       graft.pipeline.Dedup.invalidateCaches()
       graft.pipeline.Similarity.invalidateCaches()
       graft.pipeline.TextAnalysis.invalidateCaches()
+      graft.pipeline.Multimodal.invalidateCaches()
       graft.pipeline.Export.invalidateCaches()
       System.gc()
     }

@@ -31,6 +31,7 @@ object Verify {
         graft.pipeline.Dedup.invalidateCaches()
         graft.pipeline.Similarity.invalidateCaches()
         graft.pipeline.TextAnalysis.invalidateCaches()
+        graft.pipeline.Multimodal.invalidateCaches()
         graft.pipeline.Export.invalidateCaches()
         graft.rass.Corpus.invalidateCaches()
         graft.rass.RassEngine.invalidateStatsCache()

@@ -42,10 +42,11 @@ object Dedup {
     */
   def invalidateCaches(): Unit = {
     Seq(shingleCache, cappedShingleCache, sigCache, simhashCache,
-      signSigCache, pairsCache, clusterCache,
+      signSigCache, pairsCache,
       detectorPairsCache).foreach { c =>
       c.keys.foreach(k => c.remove(k).foreach(_.unpersist()))
     }
+    clusterArtifact.invalidate()
   }
 
   /** Distinct word-3-gram shingles: (doc_id, shingle) rows.
@@ -794,26 +795,6 @@ object Dedup {
     * on-disk table; a miss falls back to the parquet artifact before it
     * ever falls back to a rebuild.
     */
-  private val clusterCache =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), DataFrame]
-
-  private def clusterLabels(spark: SparkSession, dir: String): DataFrame =
-    Memo.getOrBuild(clusterCache, (spark, dir)) {
-      // fingerprint captured BEFORE the build reads any source data:
-      // if the documents table is regenerated mid-propagation, the
-      // published artifact carries the pre-build listing and every
-      // reader invalidates it instead of trusting the stale labels
-      val fp = sourceFingerprint(spark, dir)
-      readClusterArtifact(spark, dir, fp).getOrElse {
-        val fresh = buildClusterLabels(spark, dir)
-        writeClusterArtifact(spark, dir, fp, fresh)
-        fresh
-      }
-    }
-
-  private type HPath = org.apache.hadoop.fs.Path
-
   /** Bump when the clustering semantics OR the stored schema change: a
     * stale artifact from an older build must never satisfy a newer
     * reader. v2: star-contraction engine — the table dropped the
@@ -821,44 +802,27 @@ object Dedup {
     */
   private val ClusterArtifactVersion = 2
 
-  private[graft] def clusterArtifactPath(dir: String): String =
-    s"${ArtifactStore.artifactRoot}/${ArtifactStore.md5Hex(dir)}_d06_clusters"
-
-  /** Staleness guard: the artifact is valid only for the exact source
-    * files it was built from. The fingerprint hashes the documents
-    * table's file listing (name, length, mtime — a driver-side
-    * metadata call, no data scan) plus the algorithm parameters; it is
-    * stored inside the artifact directory and checked on every read, so
+  /** The converged (id, label) table as a durable fingerprint-guarded
+    * artifact + session memo — the shared [[DurableArtifact]] plumbing
+    * (one implementation for d06/m06/s14). The fingerprint hashes the
+    * documents table's file listing (name, length, mtime — a
+    * driver-side metadata call, no data scan) plus the algorithm
+    * parameters, captured BEFORE the build reads any source data, so
     * regenerated test data or changed LSH parameters invalidate the
     * artifact instead of silently serving wrong clusters.
     */
-  private def sourceFingerprint(spark: SparkSession, dir: String): String =
-    ArtifactStore.md5Hex(
+  private val clusterArtifact = new DurableArtifact(
+    "d06_clusters",
+    (spark, dir) => ArtifactStore.md5Hex(
       s"v$ClusterArtifactVersion|minhash=${NumHashes}x$Bands|" +
-        ArtifactStore.sourceListing(spark, dir + "/documents.parquet"))
+        ArtifactStore.sourceListing(spark, dir + "/documents.parquet")),
+    buildClusterLabels)
 
-  /** Read the published cluster table if one exists for exactly this
-    * source data ([[ArtifactStore.findValid]] handles the `_old`
-    * crash-recovery probe). Returns the table persisted, as the
-    * session's hot handle.
-    */
-  private def readClusterArtifact(spark: SparkSession, dir: String,
-      fingerprint: String): Option[DataFrame] =
-    ArtifactStore.findValid(spark, clusterArtifactPath(dir), fingerprint)
-      .flatMap(p => ArtifactStore.consistentParquet(spark, p))
-      .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  private def clusterLabels(spark: SparkSession, dir: String): DataFrame =
+    clusterArtifact.read(spark, dir)
 
-  /** Publish the converged label table: stage fully (parquet +
-    * fingerprint), then promote atomically — [[ArtifactStore.publish]]
-    * holds the per-path monitor and runs the staging/_old swap.
-    * Single-writer-per-artifact is the same deployment contract
-    * IngestCommit documents for the document table.
-    */
-  private def writeClusterArtifact(spark: SparkSession, dir: String,
-      fingerprint: String, labels: DataFrame): Unit =
-    ArtifactStore.publish(spark, clusterArtifactPath(dir), fingerprint) {
-      staging => labels.write.mode("overwrite").parquet(staging)
-    }
+  private[graft] def clusterArtifactPath(dir: String): String =
+    clusterArtifact.path(dir)
 
   /** The drop list d06 implies — every non-canonical cluster member —
     * read from the stored artifact (building it first if cold). This is
@@ -1245,13 +1209,7 @@ object Dedup {
     */
   def d06NeardupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val fp = sourceFingerprint(spark, dir) // pre-build capture, same as clusterLabels
-    val fresh = buildClusterLabels(spark, dir)
-    writeClusterArtifact(spark, dir, fp, fresh)
-    clusterCache.synchronized {
-      clusterCache.put((spark, dir), fresh).foreach(_.unpersist())
-    }
-    fresh
+    clusterArtifact.rebuildAndPublish(spark, dir)
       .select($"label".as("cluster_id"), $"id".as("doc_id"))
       .withColumn("keep",
         when($"doc_id" === $"cluster_id", 1L).otherwise(0L))

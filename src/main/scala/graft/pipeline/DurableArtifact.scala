@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared plumbing for the durable fingerprint-guarded cluster
+  * artifacts — ONE implementation of the read-through-memo /
+  * staged-publish / rebuild-and-swap sequence the three dup families
+  * each carried a verbatim copy of (d06 text, m06 media, s14
+  * semantic; unified after the round-16 review caught the copies
+  * already diverging — one family's cache had missed the harness
+  * release wiring).
+  *
+  * Contract (the d06 rules, now in one place):
+  *   - [[read]] is the CONSUMER path: session memo → on-disk parquet
+  *     (fingerprint-checked, `_old` crash probe) → rebuild+publish as
+  *     the last resort. At 100 TB a drop-list consumer must never
+  *     re-propagate, and must not depend on an in-memory cache
+  *     surviving either.
+  *   - [[rebuildAndPublish]] is the OWNING QUERY's path: the
+  *     propagation loop is what that query benchmarks, so it always
+  *     rebuilds, atomically republishes (ArtifactStore's staged swap
+  *     under the per-path monitor), and swaps the session memo,
+  *     unpersisting the retired table.
+  *   - The fingerprint is captured BEFORE the build reads any source
+  *     data (the ArtifactStore write-side TOCTOU rule), and must hash
+  *     every parameter the clustering semantics depend on plus the
+  *     source listing(s).
+  */
+private[pipeline] final class DurableArtifact(
+    suffix: String,
+    fingerprint: (SparkSession, String) => String,
+    build: (SparkSession, String) => DataFrame) {
+
+  private val cache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  def path(dir: String): String =
+    s"${ArtifactStore.artifactRoot}/${ArtifactStore.md5Hex(dir)}_$suffix"
+
+  def read(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.getOrBuild(cache, (spark, dir)) {
+      val fp = fingerprint(spark, dir)
+      ArtifactStore.findValid(spark, path(dir), fp)
+        .flatMap(p => ArtifactStore.consistentParquet(spark, p))
+        .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .getOrElse {
+          val fresh = build(spark, dir)
+          write(spark, dir, fp, fresh)
+          fresh
+        }
+    }
+
+  def rebuildAndPublish(spark: SparkSession, dir: String): DataFrame = {
+    val fp = fingerprint(spark, dir) // pre-build capture (TOCTOU rule)
+    val fresh = build(spark, dir)
+    write(spark, dir, fp, fresh)
+    cache.synchronized {
+      cache.put((spark, dir), fresh).foreach(_.unpersist())
+    }
+    fresh
+  }
+
+  private def write(spark: SparkSession, dir: String, fp: String,
+      labels: DataFrame): Unit =
+    ArtifactStore.publish(spark, path(dir), fp) { staging =>
+      labels.write.mode("overwrite").parquet(staging)
+    }
+
+  def invalidate(): Unit =
+    cache.keys.foreach(k => cache.remove(k).foreach(_.unpersist()))
+}

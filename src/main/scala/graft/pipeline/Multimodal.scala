@@ -223,13 +223,7 @@ object Multimodal {
     */
   def m06MediaClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val fp = mediaFingerprint(spark, dir) // pre-build capture, like d06
-    val fresh = buildMediaClusterLabels(spark, dir)
-    writeMediaClusterArtifact(spark, dir, fp, fresh)
-    mediaClusterCache.synchronized {
-      mediaClusterCache.put((spark, dir), fresh).foreach(_.unpersist())
-    }
-    fresh
+    mediaClusterArtifact.rebuildAndPublish(spark, dir)
       .select($"label".as("cluster_id"), $"id".as("doc_id"))
       .withColumn("keep",
         when($"doc_id" === $"cluster_id", 1L).otherwise(0L))
@@ -245,58 +239,37 @@ object Multimodal {
     graft.pipeline.Dedup.propagateLabels(spark, dup, "m06")
   }
 
-  /** Test seam, mirroring `Dedup.invalidateCaches`: drop the session
-    * memo so the next read exercises the cold (disk-artifact) path.
+  /** Release the media family's session memos (wired into the
+    * Bench/Verify/ScaleProbe per-group cache releases like every
+    * sibling family's -- the round-16 review caught this family's
+    * seam missing from those release blocks).
     */
   private[graft] def invalidateCaches(): Unit =
-    mediaClusterCache.keys.foreach(k =>
-      mediaClusterCache.remove(k).foreach(_.unpersist()))
-
-  /** Session hot handle to the on-disk media cluster table — a miss
-    * falls back to the parquet artifact BEFORE it falls back to a
-    * rebuild (the d06 durability rule: an export run at 100 TB must
-    * not re-propagate, and must not depend on an in-memory cache
-    * surviving either).
-    */
-  private val mediaClusterCache =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), DataFrame]
-
-  private[graft] def mediaClusterLabels(spark: SparkSession,
-      dir: String): DataFrame =
-    Memo.getOrBuild(mediaClusterCache, (spark, dir)) {
-      val fp = mediaFingerprint(spark, dir)
-      ArtifactStore.findValid(spark, mediaClusterArtifactPath(dir), fp)
-        .flatMap(p => ArtifactStore.consistentParquet(spark, p))
-        .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        .getOrElse {
-          val fresh = buildMediaClusterLabels(spark, dir)
-          writeMediaClusterArtifact(spark, dir, fp, fresh)
-          fresh
-        }
-    }
+    mediaClusterArtifact.invalidate()
 
   /** Bump when the clustering semantics OR the stored schema change. */
   private val MediaClusterArtifactVersion = 1
 
-  private[graft] def mediaClusterArtifactPath(dir: String): String =
-    s"${ArtifactStore.artifactRoot}/${ArtifactStore.md5Hex(dir)}_m06_clusters"
-
-  /** Staleness guard — hashes the documents listing (the media table
-    * derives from it) plus every parameter the pair derivation
-    * depends on: frame geometry and the containment cut.
+  /** The media cluster table as a durable fingerprint-guarded
+    * artifact + session memo -- the shared [[DurableArtifact]]
+    * plumbing (one implementation for d06/m06/s14); the fingerprint
+    * hashes the documents listing (the media table derives from it)
+    * plus every parameter the pair derivation depends on: frame
+    * geometry and the containment cut.
     */
-  private def mediaFingerprint(spark: SparkSession, dir: String): String =
-    ArtifactStore.md5Hex(
+  private val mediaClusterArtifact = new DurableArtifact(
+    "m06_clusters",
+    (spark, dir) => ArtifactStore.md5Hex(
       s"v$MediaClusterArtifactVersion|frames=${FrameLen}x$FrameStep|" +
         "contain=1/2|" +
-        ArtifactStore.sourceListing(spark, dir + "/documents.parquet"))
+        ArtifactStore.sourceListing(spark, dir + "/documents.parquet")),
+    buildMediaClusterLabels)
 
-  private def writeMediaClusterArtifact(spark: SparkSession, dir: String,
-      fingerprint: String, labels: DataFrame): Unit =
-    ArtifactStore.publish(spark, mediaClusterArtifactPath(dir), fingerprint) {
-      staging => labels.write.mode("overwrite").parquet(staging)
-    }
+  private[graft] def mediaClusterLabels(spark: SparkSession,
+      dir: String): DataFrame = mediaClusterArtifact.read(spark, dir)
+
+  private[graft] def mediaClusterArtifactPath(dir: String): String =
+    mediaClusterArtifact.path(dir)
 
   /** m04 — resize planning: aspect-preserving fit of every image into
     * [[ResizeTarget]]² plus letterbox padding, from metadata alone. The

@@ -302,8 +302,7 @@ object Similarity {
 
   def invalidateCaches(): Unit = {
     countCache.clear()
-    semClusterCache.keys.foreach(k =>
-      semClusterCache.remove(k).foreach(_.unpersist()))
+    semClusterArtifact.invalidate()
     indexCache.keys.foreach(k =>
       indexCache.remove(k).foreach { case (c, a) =>
         c.unpersist(); a.unpersist()
@@ -552,13 +551,7 @@ object Similarity {
     import spark.implicits._
     // rebuild-and-republish, like d06/m06: the contraction is what the
     // query benchmarks; consumers (s21) read the stored table
-    val fp = semClusterFingerprint(spark, dir)
-    val fresh = buildSemClusterLabels(spark, dir)
-    writeSemClusterArtifact(spark, dir, fp, fresh)
-    semClusterCache.synchronized {
-      semClusterCache.put((spark, dir), fresh).foreach(_.unpersist())
-    }
-    fresh
+    semClusterArtifact.rebuildAndPublish(spark, dir)
       .select($"label".as("cluster_id"), $"id".as("vec_id"))
       .withColumn("keep",
         when($"vec_id" === $"cluster_id", 1L).otherwise(0L))
@@ -572,45 +565,25 @@ object Similarity {
       s07Pairs(spark, dir).select($"a_id", $"b_id"), "s14")
   }
 
-  /** The semantic-cluster label table as a DURABLE fingerprint-guarded
-    * artifact + session memo — the d06/m06 pattern, third family: a
-    * miss falls back to the parquet artifact before it ever falls back
-    * to a rebuild.
-    */
-  private[pipeline] def semClusterLabels(spark: SparkSession,
-      dir: String): DataFrame =
-    graft.Memo.getOrBuild(semClusterCache, (spark, dir)) {
-      val fp = semClusterFingerprint(spark, dir)
-      ArtifactStore.findValid(spark, semClusterArtifactPath(dir), fp)
-        .flatMap(p => ArtifactStore.consistentParquet(spark, p))
-        .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        .getOrElse {
-          val fresh = buildSemClusterLabels(spark, dir)
-          writeSemClusterArtifact(spark, dir, fp, fresh)
-          fresh
-        }
-    }
-
-  private val semClusterCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
-
   /** Bump when the clustering semantics OR the stored schema change. */
   private val SemClusterArtifactVersion = 1
 
-  private[pipeline] def semClusterArtifactPath(dir: String): String =
-    s"${ArtifactStore.artifactRoot}/${ArtifactStore.md5Hex(dir)}_s14_clusters"
-
-  private def semClusterFingerprint(spark: SparkSession,
-      dir: String): String =
-    ArtifactStore.md5Hex(
+  /** The semantic-cluster label table as a DURABLE fingerprint-guarded
+    * artifact + session memo — the shared [[DurableArtifact]] plumbing
+    * (one implementation for d06/m06/s14).
+    */
+  private val semClusterArtifact = new DurableArtifact(
+    "s14_clusters",
+    (spark, dir) => ArtifactStore.md5Hex(
       s"v$SemClusterArtifactVersion|$s07FingerprintParams|" +
-        ArtifactStore.sourceListing(spark, dir + "/embeddings.parquet"))
+        ArtifactStore.sourceListing(spark, dir + "/embeddings.parquet")),
+    buildSemClusterLabels)
 
-  private def writeSemClusterArtifact(spark: SparkSession, dir: String,
-      fingerprint: String, labels: DataFrame): Unit =
-    ArtifactStore.publish(spark, semClusterArtifactPath(dir), fingerprint) {
-      staging => labels.write.mode("overwrite").parquet(staging)
-    }
+  private[pipeline] def semClusterLabels(spark: SparkSession,
+      dir: String): DataFrame = semClusterArtifact.read(spark, dir)
+
+  private[pipeline] def semClusterArtifactPath(dir: String): String =
+    semClusterArtifact.path(dir)
 
   /** s21 — SemDeDup survivor selection: d10 keeps the longest text
     * member, m07 the highest-fidelity media encode; the semantic

@@ -1239,16 +1239,20 @@ object TextAnalysis {
     */
   def p30VocabNovelty(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ev = Tables.documents(spark, dir)
+    // ONE corpus pass: the exploded types LEFT-join the (distinct)
+    // vocabulary and one doc-keyed aggregate counts both the type
+    // total and the unseen subset — a separate anti-join branch would
+    // re-scan and re-tokenize the eval split for the n_types column
+    val seen = trainVocab(spark, dir).withColumn("seen", lit(1))
+    Tables.documents(spark, dir)
       .select($"doc_id", array_distinct(toks($"text")).as("ts"),
         SplitBucket.as("b"))
       .filter($"b" >= ValMax)
-    val novel = ev.select($"doc_id", explode($"ts").as("tok"))
-      .join(trainVocab(spark, dir), Seq("tok"), "left_anti")
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_novel_types"))
-    ev.select($"doc_id", size($"ts").cast("long").as("n_types"))
-      .join(novel, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_novel_types"))
+      .select($"doc_id", explode($"ts").as("tok"))
+      .join(seen, Seq("tok"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_types"),
+        sum(when($"seen".isNull, 1L).otherwise(0L)).as("n_novel_types"))
       .withColumn("novel_ppm",
         expr("CAST(n_novel_types * 1000000 DIV n_types AS BIGINT)"))
       .orderBy($"doc_id")
@@ -1275,11 +1279,22 @@ object TextAnalysis {
     import spark.implicits._
     val tk = Tables.documents(spark, dir)
       .select($"doc_id", toks($"text").as("t"))
+    // NOTE: the rank branch and the first-occurrence branch each scan
+    // the corpus once (two column-pruned scans total) — deliberately
+    // NOT one persisted tokenized pass: carrying the token arrays
+    // through the rank's range repartition would shuffle text, and
+    // pinning them in the cache costs corpus-sized memory; two slim
+    // scans win at scale (the repo invariant is "text never shuffles",
+    // not "one scan per query")
     val (ranked, nDocs) = graft.RangedPrefix.runningSum(spark, s"p29:$dir",
       tk.select($"doc_id", size($"t").cast("long").as("n_tokens")),
       Seq($"doc_id"), lit(1L), "rn")
+    // exact INTEGER division (DIV), matching the oracle's `//` — a
+    // double quotient rounds up at nDocs beyond ~1e15 where 1/nDocs
+    // drops under half an ulp
     val dec = ranked
-      .withColumn("decile", (($"rn" - 1L) * 10L / nDocs).cast("long"))
+      .withColumn("decile",
+        expr(s"CAST((rn - 1) * 10 DIV ${nDocs}L AS BIGINT)"))
     val tokDec = dec.groupBy($"decile")
       .agg(sum($"n_tokens").as("new_tokens"))
     val firstDoc = tk

@@ -291,8 +291,52 @@ class PlanAuditSpec extends SparkSpec {
   test("m07 reads the stored cluster artifact — no propagation stages") {
     // force the durable media-cluster artifact (builds+publishes if cold)
     pipeline.Multimodal.m06MediaClusters(spark, sfDir).collect()
-    val qe = SparkEntry.queries("m07_media_survivors")(spark, sfDir)
-      .queryExecution
+    // CONSTRUCTING m07's frame must launch ZERO Spark jobs: the
+    // pre-fix code ran the whole pair-derivation + star contraction
+    // EAGERLY inside DataFrame construction and returned the result
+    // behind a pinned LogicalRDD leaf — a plan the join/frame_md5
+    // assertions below cannot distinguish from the artifact read
+    // (round-16 review: the audit must pin the fix, not the plan
+    // cosmetics). The listener bus is async, so the counter is read
+    // after it settles.
+    // the bus delivers events asynchronously, so a job STARTED before
+    // registration (m06's collect above) can still be delivered to a
+    // late-registered listener — count only jobs whose start time is
+    // after this point. Spark legitimately runs a parquet
+    // schema-inference job per spark.read (stages named at
+    // Tables.scala) — the invariant here is that NO job touches the
+    // propagation engine: every eager contraction action (the pair
+    // count, the per-alternation probe, the label materialization)
+    // runs stages named at Dedup.scala
+    Thread.sleep(300)
+    val t0 = System.currentTimeMillis()
+    @volatile var jobs = 0
+    val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.time >= t0 &&
+            js.stageInfos.exists(_.name.contains("Dedup.scala"))) {
+          jobs += 1
+          descs.add(js.stageInfos.map(_.name).mkString(" | "))
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val df =
+      try {
+        val d = SparkEntry.queries("m07_media_survivors")(spark, sfDir)
+        var prev = -1
+        var spins = 0
+        while (jobs != prev && spins < 50) {
+          prev = jobs; Thread.sleep(100); spins += 1
+        }
+        d
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs == 0,
+      s"building m07's frame launched $jobs propagation-engine jobs " +
+        s"(${descs.toArray.mkString("; ")}) — it must be a lazy read " +
+        "of the stored cluster table, not an eager recompute")
+    val qe = df.queryExecution
     // the outer plan is exactly: stored labels ⋈ byte catalog, then the
     // cluster-keyed window/rollup — ONE join, and no frame-digest
     // stages anywhere (those live only inside the artifact's build)
