@@ -116,6 +116,12 @@ object BenchBands {
     "x07_dataset_card" -> 0.3379, "x08_epoch_shuffle" -> 0.6477,
     "x09_epoch_plan" -> 0.5618, "x10_temperature_mixture" -> 0.5129,
     "x11_quality_funnel" -> 0.6727, "x12_checksum_manifest" -> 0.4257,
+    // recorded in the round-16 CLOSING run (contention 1.65 — hotter
+    // than the main recording, so these three read slightly loose
+    // until the next full re-record; conservative in the passing
+    // direction only)
+    "p29_vocab_growth" -> 0.7816, "p30_vocab_novelty" -> 0.3486,
+    "v08_twonn_id" -> 0.7616,
   )
 
   /** §O.6 scoped the d01 floor rule to SUB-SECOND queries — applying
