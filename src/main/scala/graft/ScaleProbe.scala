@@ -264,6 +264,10 @@ object ScaleProbe {
       // v08: s03's probed candidate volume at k=2 + a per-query 2-row
       // rollup to one scalar — tracks s03 (~n^1.5 via k=sqrt(n) cells)
       "v08" -> SparkEntry.queries("v08_twonn_id"),
+      // m08: per-row aHash (one HOF pass, no shuffle) + MIH banded
+      // self-join — candidate volume Σ df(block)², ~linear while the
+      // 4-bit blocks stay sparse (the production lever is code width)
+      "m08" -> SparkEntry.queries("m08_image_phash_pairs"),
       // x11: one corpus scan to two longs + its gates' drop lists and
       // per-doc score tables (each probed individually: d06, p09, p22,
       // p24) joined on doc_id — expected ~linear, p22-dominated

@@ -333,6 +333,94 @@ object Multimodal {
       .orderBy($"cluster_id")
   }
 
+  /** m08's perceptual-hash geometry: 56 "pixel" chunks (the repo's
+    * 56-bit signature convention, d04's SimBits — bit 63 stays clear
+    * so neither engine touches BIGINT sign semantics). The Hamming
+    * cap is perceptual-scale, NOT d04's lexical 3: aHash distances
+    * between re-encodes run ~10 % of the bits (classic aHash practice
+    * thresholds 64-bit hashes at ~10), and on this corpus the nearest
+    * image pairs sit at 9-13 bits. Candidate generation is
+    * multi-index hashing (Norouzi, Punjani & Fleet, CVPR 2012):
+    * split the code into cap+1 = 14 blocks of 4 bits — any pair
+    * within the cap agrees on >= one full block by pigeonhole.
+    * Coarser blocks mean denser buckets than d04's 14-bit bands; at
+    * production scale the lever is a longer code (MIH's regime:
+    * 64-128 bits keeps blocks at 8+ bits for the same cap fraction),
+    * not a looser guarantee.
+    */
+  private val PhBits = 56
+  private val PhHammingCap = 13
+  private val PhBands = PhHammingCap + 1
+  private val PhBandBits = PhBits / PhBands
+
+  /** m08 — IMAGE perceptual near-dup pairs by average-hash: the still
+    * half of the media dedup story (m05/m06 cover video via sampled
+    * frame digests; an image has one "frame", so digest equality only
+    * catches byte-exact copies — a re-encode needs a PERCEPTUAL
+    * hash). Classic aHash: divide the image into a fixed grid, set
+    * bit i iff region i's mean intensity clears the global mean, then
+    * pair up at Hamming <= [[PhHammingCap]]. Here the stubbed
+    * decode (the m02 contract: payload bytes ARE the pixel stream,
+    * byte value = intensity, pure-ASCII corpus so both engines read
+    * identical values) makes region i the i-th of [[PhBits]] equal
+    * byte chunks; the mean comparison is EXACT integer
+    * cross-multiplication (chunk_sum * L >= total_sum * chunk_len —
+    * no division, no doubles), so the hash is bit-identical across
+    * engines. A real deployment swaps the chunk sums for decoded
+    * 8x7 luma means behind [[MediaDecoder]]; everything from the bit
+    * pack down is unchanged.
+    *
+    * Scale shape: the hash is one per-row HOF pass over the payload
+    * (no shuffle); candidate generation is d04's banded pigeonhole —
+    * 4 x 14-bit band-equality buckets, hamming filter BEFORE
+    * distinct — so candidate volume is Σ df(band)², never |images|².
+    */
+  def m08ImagePhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ph = imagePhash(spark, dir)
+    val bandVals = array((0 until PhBands).map(b =>
+      shiftright($"ahash", b * PhBandBits)
+        .bitwiseAND(lit((1L << PhBandBits) - 1))): _*)
+    val bands = ph.select($"doc_id", $"ahash",
+      posexplode(bandVals).as(Seq("band", "bv")))
+    bands.as("x")
+      .join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bv" === $"y.bv" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+        bit_count($"x.ahash".bitwiseXOR($"y.ahash")).cast("long")
+          .as("hamming"))
+      .filter($"hamming" <= PhHammingCap)
+      .distinct()
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The per-image 56-bit average hash. Images shorter than [[PhBits]]
+    * bytes are excluded (some grid cells would be empty — the same
+    * degenerate-input rule as videoFrames' empty-payload exclusion).
+    */
+  private def imagePhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter($"media_type" === "image" && length($"payload") >= PhBits)
+      .select($"doc_id", $"payload".cast("string").as("s"))
+      .withColumn("L", length($"s").cast("long"))
+      // chunk boundaries by exact integer division; chunk i covers
+      // 1-based positions ((i*L) DIV 56, ((i+1)*L) DIV 56]
+      .withColumn("sums", expr(s"""transform(sequence(0, ${PhBits - 1}),
+        | i -> aggregate(
+        |   sequence(i * L DIV $PhBits + 1, (i + 1) * L DIV $PhBits),
+        |   0L, (a, p) -> a + ascii(substring(s, CAST(p AS INT), 1))))
+        |""".stripMargin))
+      .withColumn("lens", expr(s"""transform(sequence(0, ${PhBits - 1}),
+        | i -> (i + 1) * L DIV $PhBits - i * L DIV $PhBits)""".stripMargin))
+      .withColumn("tot", expr("aggregate(sums, 0L, (a, x) -> a + x)"))
+      .select($"doc_id", expr(s"""aggregate(sequence(0, ${PhBits - 1}), 0L,
+        | (a, i) -> a + IF(element_at(sums, CAST(i + 1 AS INT)) * L >=
+        |     tot * element_at(lens, CAST(i + 1 AS INT)),
+        |   shiftleft(1L, CAST(i AS INT)), 0L))""".stripMargin).as("ahash"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -343,6 +431,7 @@ object Multimodal {
     "m04_resize_plan" -> m04ResizePlan _,
     "m05_media_neardup" -> m05MediaNearDup _,
     "m06_media_clusters" -> m06MediaClusters _,
+    "m08_image_phash_pairs" -> m08ImagePhashPairs _,
   )
 
   // NOTE: the m02/m03 oracles equate UTF-8 bytes with characters
@@ -405,6 +494,37 @@ object Multimodal {
          |        JOIN nf nb ON nb.doc_id = pr.doc_b
          |ORDER BY pr.doc_a, pr.doc_b""".stripMargin,
     "m06_media_clusters" -> m06Sql,
+    // m08: the same exact-integer aHash — chunk sums over byte values
+    // (ascii == byte on this pure-ASCII corpus, the m02/m03 oracle
+    // convention), cross-multiplied mean test, 56-bit pack — then a
+    // brute-force O(images^2) hamming join (the oracle can afford it;
+    // the engine bands)
+    "m08_image_phash_pairs" ->
+      s"""WITH img AS (SELECT doc_id, text AS s, strlen(text)::BIGINT AS L
+         |  FROM documents
+         |  WHERE doc_id % 3 = 0 AND strlen(text) >= $PhBits),
+         |a1 AS (SELECT doc_id, L,
+         |  list_transform(range(0, $PhBits), i ->
+         |    CAST(list_sum(list_transform(
+         |      range(i * L // $PhBits + 1, (i + 1) * L // $PhBits + 1),
+         |      p -> ascii(substr(s, p, 1)))) AS BIGINT)) AS sums,
+         |  list_transform(range(0, $PhBits), i ->
+         |    (i + 1) * L // $PhBits - i * L // $PhBits) AS lens
+         |  FROM img),
+         |a2 AS (SELECT doc_id, L, sums, lens,
+         |  CAST(list_sum(sums) AS BIGINT) AS tot FROM a1),
+         |ah AS (SELECT doc_id,
+         |  list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(range(0, $PhBits), i ->
+         |      CASE WHEN sums[i + 1] * L >= tot * lens[i + 1]
+         |        THEN (1::BIGINT << i::INTEGER) ELSE 0::BIGINT END)),
+         |    (a, x) -> a + x) AS ahash
+         |  FROM a2)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
+         |FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ahash, b.ahash)) <= $PhHammingCap
+         |ORDER BY doc_a, doc_b""".stripMargin,
   ) ++ Map(
     // m07 embeds m06's recursive clustering SQL as a derived table
     // (the exportSql composition pattern) and ranks members by the

@@ -155,6 +155,40 @@ class MultimodalSpec extends SparkSpec {
       "keep-largest never disagreed with min-id on this corpus")
   }
 
+  test("m08 image aHash pairs equal a brute-force driver replay") {
+    val bits = 56
+    val cap = 13
+    def ahash(s: String): Long = {
+      val L = s.length.toLong
+      val sums = (0 until bits).map { i =>
+        val from = (i * L / bits).toInt
+        val until = ((i + 1) * L / bits).toInt
+        (from until until).map(p => s.charAt(p).toLong).sum
+      }
+      val lens = (0 until bits).map(i => (i + 1) * L / bits - i * L / bits)
+      val tot = sums.sum
+      (0 until bits).foldLeft(0L) { (a, i) =>
+        if (sums(i) * L >= tot * lens(i)) a | (1L << i) else a
+      }
+    }
+    val hashes = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .filter { case (id, t) => id % 3 == 0 && t.length >= bits }
+      .map { case (id, t) => id -> ahash(t) }
+    val want = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= cap
+    } yield (a, b, h.toLong)).toSet
+    val got = Multimodal.m08ImagePhashPairs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming"))).toSet
+    assert(got.nonEmpty, "no image near-dup pairs on this corpus")
+    assert(got == want,
+      s"banded pairs diverge from brute force: got ${got.size}, " +
+        s"want ${want.size}")
+  }
+
   test("m06 artifact: cold reads come from the published parquet; stale fingerprints rebuild") {
     import spark.implicits._
     type HP = org.apache.hadoop.fs.Path
