@@ -401,20 +401,35 @@ object Multimodal {
     */
   private def imagePhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // ONE O(L) byte-value pass per row (split + ascii), then chunk
+    // sums over O(L) total slice work. The staging matters (the p17
+    // lesson, twice over): a substring-per-position variant measured
+    // 240 s at sf0.1 (O(L²) per row), and a version where `bs` had
+    // only ONE lexical use downstream was just as bad — CollapseProject
+    // inlines a single-use alias into the consuming lambda however
+    // expensive, re-running the split per chunk. `bs` is therefore
+    // consumed TWICE in the next projection (the chunk sums AND the
+    // global total), which pins it as a real projection boundary.
+    // Java's split keeps a trailing "" element; the 1..L slices never
+    // read it.
     mediaTable(spark, dir)
       .filter($"media_type" === "image" && length($"payload") >= PhBits)
       .select($"doc_id", $"payload".cast("string").as("s"))
-      .withColumn("L", length($"s").cast("long"))
+      .select($"doc_id", length($"s").cast("long").as("L"),
+        expr("transform(split(s, ''), c -> CAST(ascii(c) AS BIGINT))")
+          .as("bs"))
       // chunk boundaries by exact integer division; chunk i covers
       // 1-based positions ((i*L) DIV 56, ((i+1)*L) DIV 56]
-      .withColumn("sums", expr(s"""transform(sequence(0, ${PhBits - 1}),
-        | i -> aggregate(
-        |   sequence(i * L DIV $PhBits + 1, (i + 1) * L DIV $PhBits),
-        |   0L, (a, p) -> a + ascii(substring(s, CAST(p AS INT), 1))))
-        |""".stripMargin))
+      .select($"doc_id", $"L",
+        expr(s"""transform(sequence(0, ${PhBits - 1}),
+          | i -> aggregate(
+          |   slice(bs, CAST(i * L DIV $PhBits + 1 AS INT),
+          |     CAST((i + 1) * L DIV $PhBits - i * L DIV $PhBits AS INT)),
+          |   0L, (a, x) -> a + x))""".stripMargin).as("sums"),
+        expr("aggregate(slice(bs, 1, CAST(L AS INT)), 0L, (a, x) -> a + x)")
+          .as("tot"))
       .withColumn("lens", expr(s"""transform(sequence(0, ${PhBits - 1}),
         | i -> (i + 1) * L DIV $PhBits - i * L DIV $PhBits)""".stripMargin))
-      .withColumn("tot", expr("aggregate(sums, 0L, (a, x) -> a + x)"))
       .select($"doc_id", expr(s"""aggregate(sequence(0, ${PhBits - 1}), 0L,
         | (a, i) -> a + IF(element_at(sums, CAST(i + 1 AS INT)) * L >=
         |     tot * element_at(lens, CAST(i + 1 AS INT)),
