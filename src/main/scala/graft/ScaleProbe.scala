@@ -258,6 +258,10 @@ object ScaleProbe {
       // d12: one rollup of the stored five-flag pair artifact — the
       // build is detector-dominated (d02..d05 + s07), the query ~flat
       "d12" -> SparkEntry.queries("d12_detector_overlap_full"),
+      // s22: the memoized exact-KNN pool + per-query k²-bounded MMR
+      // fold — pool-dominated (s01's corpus scan), re-rank itself
+      // grows only with |Q| (fixed here), so warm reads stay ~flat
+      "s22" -> SparkEntry.queries("s22_mmr_rerank"),
       // p29: one range-partition global rank + the p06-class vocab
       // shuffle (term keys only) + 10-row arithmetic — ~linear
       "p29" -> SparkEntry.queries("p29_vocab_growth"),

@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: substring filter over query names — dev-time
+    // single-query iteration; the driver's 2-arg invocation dumps all
+    val (sfDir, outDir) = (args(0), args(1))
+    val only = if (args.length > 2) Some(args(2)) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,6 +22,7 @@ object Verify {
     // artifacts are shared within a suite-prefix group, released after,
     // so 59 queries' persisted tables never stack up in one session
     SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(kv._1.contains))
       .groupBy(_._1.takeWhile(_ != '_').takeWhile(!_.isDigit))
       .toSeq.sortBy(_._1).foreach { case (_, group) =>
         group.foreach { case (name, fn) =>
@@ -50,6 +54,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter(kv => only.forall(kv._1.contains))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -628,6 +628,79 @@ object Similarity {
       .orderBy($"cluster_id")
   }
 
+  /** s22's re-rank depth and relevance/diversity weight. λ = 1/2 is
+    * exactly representable, so λ·rel and (1−λ)·sim are exact halvings
+    * of already bit-identical cosines and the MMR score is one exact
+    * IEEE subtraction — the whole greedy selection stays engine-exact
+    * with no quantization step.
+    */
+  private[pipeline] val MmrK = 5
+  private val MmrLambda = 0.5
+
+  /** s22 — MMR diversity re-rank (Carbonell & Goldstein, SIGIR 1998):
+    * greedy maximal-marginal-relevance selection of [[MmrK]] results
+    * out of each query's exact top-[[TopK]] pool — at each step take
+    * the candidate maximizing λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s),
+    * ties to the lower neighbor_id. The retrieval-layer antidote to
+    * near-dup result lists: a pool full of d05-grade near-identical
+    * neighbors collapses to one representative plus genuinely distinct
+    * alternates (the deduped-serving story the s-family's index side
+    * doesn't cover).
+    *
+    * Scale shape: the ONLY corpus-sized work is the pool itself (the
+    * memoized [[exactTopK]] artifact — a production system feeds its
+    * ANN candidates here instead, same contract); everything after is
+    * per-query over k rows: the k² pairwise-sim join co-partitions on
+    * query_id, and the greedy loop is ONE map-side HOF fold over each
+    * query's collected (pool, sims) arrays — k⁴ integer-bounded work
+    * per row, no iteration barrier, no driver loop, |Q|-parallel. At
+    * 100 TB the re-rank cost grows with query volume only, never with
+    * corpus size.
+    */
+  def s22MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pool = exactTopK(spark, dir)
+      .select($"query_id", $"neighbor_id", $"cosine".as("rel"))
+    val pv = pool.join(vectors(spark, dir), $"neighbor_id" === $"vec_id")
+      .select($"query_id", $"neighbor_id", $"rel", $"v")
+    val sims = pv.as("a")
+      .join(pv.as("b"), $"a.query_id" === $"b.query_id" &&
+        $"a.neighbor_id" < $"b.neighbor_id")
+      .select($"a.query_id".as("query_id"), $"a.neighbor_id".as("ia"),
+        $"b.neighbor_id".as("ib"),
+        cosineCol(spark, $"a.v", $"b.v").as("sim"))
+    val gp = pv.groupBy($"query_id")
+      .agg(collect_list(struct($"neighbor_id".as("id"), $"rel")).as("pool"))
+    val gs = sims.groupBy($"query_id")
+      .agg(collect_list(struct($"ia", $"ib", $"sim")).as("sims"))
+    // the fold's sort key k = (1−λ)·maxsim − λ·rel is the NEGATED MMR
+    // score, so array_sort asc (then id asc) IS argmax-with-tiebreak;
+    // the published score 0−k equals the oracle's λ·rel − (1−λ)·maxsim
+    // bit-for-bit (IEEE subtraction is sign-symmetric; equal halves
+    // yield +0.0 on both engines)
+    gp.join(gs, Seq("query_id"), "left")
+      .withColumn("sims", coalesce($"sims", expr(
+        "CAST(array() AS array<struct<ia:bigint,ib:bigint,sim:double>>)")))
+      .select($"query_id", posexplode(expr(
+        s"""aggregate(
+           |  sequence(1, $MmrK),
+           |  CAST(array() AS array<struct<k:double,id:bigint,rel:double>>),
+           |  (sel, step) -> concat(sel, slice(array_sort(transform(
+           |    filter(pool, p -> NOT exists(sel, s -> s.id = p.id)),
+           |    p -> named_struct(
+           |      'k', ${MmrLambda}D * coalesce(array_max(transform(sel,
+           |             s -> element_at(filter(sims, x ->
+           |               x.ia = least(p.id, s.id) AND
+           |               x.ib = greatest(p.id, s.id)), 1).sim)), 0D)
+           |           - ${MmrLambda}D * p.rel,
+           |      'id', p.id,
+           |      'rel', p.rel))), 1, 1)))""".stripMargin)))
+      .select($"query_id", ($"pos" + 1).cast("long").as("mmr_rank"),
+        $"col.id".as("neighbor_id"), $"col.rel".as("relevance"),
+        (lit(0d) - $"col.k").as("mmr_score"))
+      .orderBy($"query_id", $"mmr_rank")
+  }
+
   /** The p07 split-bucket fold applied to `vec_id` — the first 16 bits
     * of md5(vec_id) as a long, the SAME deterministic content-hash
     * split [[graft.pipeline.TextAnalysis.SplitBucket]] applies to
@@ -1512,6 +1585,7 @@ object Similarity {
     "s13_pq_adc" -> s13PqAdc _,
     "s14_semantic_clusters" -> s14SemanticClusters _,
     "s21_semantic_survivors" -> s21SemanticSurvivors _,
+    "s22_mmr_rerank" -> s22MmrRerank _,
     "s15_semantic_decontam" -> s15SemanticDecontam _,
     "s16_ivfpq_search" -> s16IvfPqSearch _,
     "s17_ivfpq_recall" -> s17IvfPqRecall _,
@@ -1564,6 +1638,63 @@ object Similarity {
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+
+  /** s22's oracle: the greedy MMR selection unrolled as [[MmrK]] CTE
+    * steps (select → score remaining against the grown set → pick),
+    * the same math the Spark side folds in one pass — `score DESC` is
+    * exactly the fold's `k ASC` (exact negation), so both engines walk
+    * identical argmax/tie sequences.
+    */
+  private lazy val s22Sql: String = {
+    val sb = new StringBuilder(
+      s"""WITH $VecCte,
+         |q AS (SELECT * FROM n WHERE vec_id < $NumQueries),
+         |scored AS (SELECT q.vec_id query_id, c.vec_id neighbor_id,
+         |    ${cosVSql("q.v", "c.v")} AS rel
+         |  FROM q JOIN n c ON c.vec_id != q.vec_id),
+         |pool AS (SELECT query_id, neighbor_id, rel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, neighbor_id) rk FROM scored)
+         |  WHERE rk <= $TopK),
+         |pv AS (SELECT p.query_id, p.neighbor_id, p.rel, n.v
+         |  FROM pool p JOIN n ON n.vec_id = p.neighbor_id),
+         |sims AS (SELECT a.query_id, a.neighbor_id ia, b.neighbor_id ib,
+         |    ${cosVSql("a.v", "b.v")} AS sim
+         |  FROM pv a JOIN pv b ON a.query_id = b.query_id
+         |    AND a.neighbor_id < b.neighbor_id),
+         |sel1 AS (SELECT query_id, neighbor_id, rel,
+         |    $MmrLambda * rel - $MmrLambda * 0.0 AS score,
+         |    CAST(1 AS BIGINT) AS mmr_rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, neighbor_id) rn FROM pool)
+         |  WHERE rn = 1)""".stripMargin)
+    for (t <- 2 to MmrK) {
+      val p = t - 1
+      sb.append(s""",
+         |cand$t AS (SELECT p.query_id, p.neighbor_id, p.rel,
+         |    $MmrLambda * p.rel - $MmrLambda * MAX(m.sim) AS score
+         |  FROM pool p
+         |  JOIN sel$p s ON s.query_id = p.query_id
+         |  JOIN sims m ON m.query_id = p.query_id
+         |    AND m.ia = LEAST(p.neighbor_id, s.neighbor_id)
+         |    AND m.ib = GREATEST(p.neighbor_id, s.neighbor_id)
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel$p s2
+         |    WHERE s2.query_id = p.query_id
+         |      AND s2.neighbor_id = p.neighbor_id)
+         |  GROUP BY 1, 2, 3),
+         |sel$t AS (SELECT * FROM sel$p UNION ALL
+         |  SELECT query_id, neighbor_id, rel, score,
+         |    CAST($t AS BIGINT) AS mmr_rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) rn FROM cand$t)
+         |  WHERE rn = 1)""".stripMargin)
+    }
+    sb.append(s"""
+       |SELECT query_id, mmr_rank, neighbor_id, rel AS relevance,
+       |  score AS mmr_score
+       |FROM sel$MmrK ORDER BY query_id, mmr_rank""".stripMargin)
+    sb.toString
+  }
 
   private lazy val s02Sql = ivfSql(s"WHERE vec_id < $NumQueries", TopK,
     s"SELECT vec_id cid, v AS cv FROM n WHERE vec_id < $CellsSub")
@@ -1833,6 +1964,7 @@ object Similarity {
          |  (CASE WHEN MAX(CASE WHEN rn = 1 THEN vec_id END) = cluster_id
          |    THEN 1 ELSE 0 END)::BIGINT AS same_as_min_id
          |FROM rk GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    "s22_mmr_rerank" -> s22Sql,
     "s01_knn_bruteforce" -> s01Sql,
     "s02_ivf_knn" -> s02Sql,
     "s05_recall_profile" ->

@@ -246,6 +246,54 @@ class SimilaritySpec extends SparkSpec {
       "keep-most-fluent never disagreed with min-id on this corpus")
   }
 
+  test("s22 equals a driver-side greedy MMR replay and diversifies every list") {
+    // exact same fold order as the cosine_sim expression / oracle
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) v").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1)).toMap
+    val pool = Similarity.s01KnnBruteForce(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine")))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    val got = Similarity.s22MmrRerank(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("mmr_rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("relevance"),
+        r.getAs[Double]("mmr_score")))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toVector).toMap
+    assert(got.keySet == pool.keySet, "5 MMR rows for each s01 query")
+    pool.foreach { case (q, cands) =>
+      // greedy replay: λ·rel − (1−λ)·max sim to selected, ties low id
+      var selected = Vector.empty[(Long, Double, Double)]
+      while (selected.length < 5) {
+        val picked = cands
+          .filterNot(c => selected.exists(_._1 == c._1))
+          .map { case (id, rel) =>
+            val maxSim = selected
+              .map(s => cos(vecs(id), vecs(s._1)))
+              .foldLeft(Option.empty[Double])((m, x) =>
+                Some(m.fold(x)(math.max(_, x))))
+            val score = 0.5 * rel - 0.5 * maxSim.getOrElse(0.0)
+            (id, rel, score)
+          }.minBy { case (id, _, score) => (-score, id) }
+        selected :+= picked
+      }
+      val want = selected.zipWithIndex
+        .map { case ((id, rel, score), i) => (q, (i + 1).toLong, id, rel, score) }
+      assert(got(q) == want, s"query $q MMR sequence")
+      // non-vacuity: diversification must actually reorder vs plain
+      // top-5 relevance somewhere in each list on this corpus
+      val top5 = cands.sortBy { case (id, rel) => (-rel, id) }.take(5).map(_._1)
+      assert(got(q).map(_._3) != top5, s"query $q: MMR degenerated to top-5")
+    }
+  }
+
   test("s14 artifact: cold s21 reads come from the published parquet") {
     import spark.implicits._
     type HP = org.apache.hadoop.fs.Path
