@@ -262,6 +262,10 @@ object ScaleProbe {
       // fold — pool-dominated (s01's corpus scan), re-rank itself
       // grows only with |Q| (fixed here), so warm reads stay ~flat
       "s22" -> SparkEntry.queries("s22_mmr_rerank"),
+      // m09: linear landmark scan + df-capped inverted-index join +
+      // partial-agg vote count — the d02 volume class (Σ df² bounded
+      // by the cap), ~linear in audio bytes
+      "m09" -> SparkEntry.queries("m09_audio_aligned_pairs"),
       // p29: one range-partition global rank + the p06-class vocab
       // shuffle (term keys only) + 10-row arithmetic — ~linear
       "p29" -> SparkEntry.queries("p29_vocab_growth"),

