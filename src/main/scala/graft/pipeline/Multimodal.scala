@@ -475,9 +475,18 @@ object Multimodal {
   private[graft] def audioWindows(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
+    // explode_OUTER, then drop the null rows of anchor-less payloads:
+    // a plain explode makes InferFiltersFromGenerate push an inferred
+    // `size(wins) > 0` clone of the WHOLE landmark expression into the
+    // scan filter, where the filter lambda's element_at re-evaluates
+    // transform(split(payload)) PER POSITION — O(L²) per row, measured
+    // 60 s for an 86k-landmark corpus vs ~1 s staged (the p17/m08
+    // inlining trap in its filter-inference form; the rule skips
+    // outer generates, and the null filter below is post-generate)
     audioWindowArray(media.filter($"media_type" === "audio")
         .select($"doc_id", $"payload"))
-      .select($"doc_id", explode($"wins"))
+      .select($"doc_id", explode_outer($"wins"))
+      .filter($"col".isNotNull)
       .select($"doc_id", $"col.off".as("off"), $"col.h".as("h"))
   }
 

@@ -286,6 +286,26 @@ class PlanAuditSpec extends SparkSpec {
       assert(partials.nonEmpty,
         s"$name has no partial aggregate before its exchange")
     }
+    // m09 carries the same df-cap but also ONE legitimate window (the
+    // per-pair best-offset pick, partitioned on the pair key); its
+    // vote count and df-cap must still be partial-combining aggregates
+    val m09qe = SparkEntry.queries("m09_audio_aligned_pairs")(spark, sfDir)
+      .queryExecution
+    val m09Windows = m09qe.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(m09Windows.size == 1,
+      s"m09 should plan exactly the best-offset window: $m09Windows")
+    assert(m09Windows.head.partitionSpec.nonEmpty,
+      "m09's best-offset window lost its pair partitioning")
+    val m09Partials = m09qe.sparkPlan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.aggregateExpressions.exists(_.mode ==
+            org.apache.spark.sql.catalyst.expressions.aggregate.Partial) => a
+    }
+    assert(m09Partials.size >= 2,
+      s"m09 should partial-aggregate both the df-cap and the votes: " +
+        s"${m09Partials.size}")
   }
 
   test("m07 reads the stored cluster artifact — no propagation stages") {
