@@ -244,8 +244,11 @@ object Multimodal {
     * sibling family's -- the round-16 review caught this family's
     * seam missing from those release blocks).
     */
-  private[graft] def invalidateCaches(): Unit =
+  private[graft] def invalidateCaches(): Unit = {
     mediaClusterArtifact.invalidate()
+    phashCache.keys.foreach(k =>
+      phashCache.remove(k).foreach(_.unpersist()))
+  }
 
   /** Bump when the clustering semantics OR the stored schema change. */
   private val MediaClusterArtifactVersion = 1
@@ -395,11 +398,35 @@ object Multimodal {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** The per-image 56-bit average hash. Images shorter than [[PhBits]]
-    * bytes are excluded (some grid cells would be empty — the same
-    * degenerate-input rule as videoFrames' empty-payload exclusion).
+  private val phashCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
+  /** The per-image 56-bit average hash, memoized + PERSISTED (the
+    * cappedShingles pattern). Two reasons, both load-bearing:
+    * m08's banded self-join consumes it on both sides (unpersisted,
+    * each side recomputes the full hash scan), and — the sharp one —
+    * the join's hamming filter makes constraint propagation infer
+    * `isnotnull(ahash)`, which predicate pushdown substitutes through
+    * the staged projections into the SCAN filter, re-expanding the
+    * nested sums/bs aliases to O(PhBits²·L) interpreted work per row
+    * (one 750+ s task at sf0.1 vs ~3 s against the materialized
+    * table; the projection staging below protects the PLAN's own
+    * evaluation but cannot protect a pushed-down COPY of it). The
+    * InMemoryRelation is a hard boundary no predicate rewrites into.
+    * Images shorter than [[PhBits]] bytes are excluded (some grid
+    * cells would be empty — the same degenerate-input rule as
+    * videoFrames' empty-payload exclusion).
     */
-  private def imagePhash(spark: SparkSession, dir: String): DataFrame = {
+  private def imagePhash(spark: SparkSession, dir: String): DataFrame =
+    Memo.getOrBuild(phashCache, (spark, dir)) {
+      val df = imagePhashPlan(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize: consumers read the table, not the scan
+      df
+    }
+
+  private def imagePhashPlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // ONE O(L) byte-value pass per row (split + ascii), then chunk
     // sums over O(L) total slice work. The staging matters (the p17
