@@ -122,6 +122,11 @@ object BenchBands {
     // direction only)
     "p29_vocab_growth" -> 0.7816, "p30_vocab_novelty" -> 0.3486,
     "v08_twonn_id" -> 0.7616,
+    // recorded in this round's continuation full run (contention 1.24,
+    // floor 0.1903 — near the reference axes; one-run minima, to be
+    // re-tightened at the next dual-pass re-record)
+    "m08_image_phash_pairs" -> 0.447, "m09_audio_aligned_pairs" -> 1.619,
+    "s22_mmr_rerank" -> 0.394,
   )
 
   /** §O.6 scoped the d01 floor rule to SUB-SECOND queries — applying

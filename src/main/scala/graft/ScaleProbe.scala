@@ -266,6 +266,10 @@ object ScaleProbe {
       // partial-agg vote count — the d02 volume class (Σ df² bounded
       // by the cap), ~linear in audio bytes
       "m09" -> SparkEntry.queries("m09_audio_aligned_pairs"),
+      // p31: positional train grams (linear) term-join the test gram
+      // set (the p09 shuffle class), then leak-volume islands + the
+      // p21 indexed cut — ~linear, leak-volume dominated downstream
+      "p31" -> SparkEntry.queries("p31_leak_excision"),
       // p29: one range-partition global rank + the p06-class vocab
       // shuffle (term keys only) + 10-row arithmetic — ~linear
       "p29" -> SparkEntry.queries("p29_vocab_growth"),

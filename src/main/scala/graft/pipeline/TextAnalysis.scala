@@ -993,6 +993,104 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** p31's excision half-window: tokens cut on EACH side of a leaked
+    * gram occurrence. GPT-3's contamination cleanup (Brown et al.
+    * 2020, appendix C) removed a 200-character window around every
+    * leaked 13-gram and kept the clean remainder; this is that policy
+    * in token units on the shared [[ContamN]]-gram definition.
+    */
+  private[pipeline] val LeakPad = 20L
+
+  /** p31 — LEAK-SPAN excision: the span-level alternative to dropping
+    * contaminated train documents whole. For every TRAIN-split
+    * document containing a leaked gram (a [[ContamN]]-gram also
+    * present in the test split — p09's leak definition, THE shared
+    * gram artifact), cut a ±[[LeakPad]]-token window around each
+    * occurrence, merge overlapping windows, and publish the edit:
+    * before/kept token counts, occurrence and merged-span counts, and
+    * the md5 of the cleaned token sequence (the p21 hash-verified-edit
+    * device). Completes the decontamination policy menu: p09 prices
+    * doc-level drops, s15 the paraphrase layer, p31 the surgical cut
+    * that keeps the clean 95 % of a long contaminated document.
+    *
+    * Scale shape: positional train grams are one linear pass (the p20
+    * staging); the leak join is term-keyed against the distinct test
+    * gram set (the p09 shuffle class — no bloom needed since the
+    * output IS the confirmed join); window merging is doc-partitioned
+    * gaps-and-islands over leak-volume rows (a running-max variant,
+    * since padded spans have both ends); the cut is p21's per-row
+    * indexed filter. Nothing is corpus² and text never shuffles.
+    */
+  def p31LeakExcision(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val testGrams = contamGrams(spark, dir).filter($"b" >= ValMax)
+      .select($"g").distinct()
+    val train = Tables.documents(spark, dir)
+      .select($"doc_id", SplitBucket.as("b"), $"text")
+      .filter($"b" < TrainMax)
+      .select($"doc_id", $"text")
+    leakExcisionOn(train, testGrams)
+  }
+
+  /** p31's core over ANY (doc_id, text) frame and leaked-gram set —
+    * factored so the spec can prove the PARTIAL-keep behavior on a
+    * constructed corpus: this test corpus's planted contaminations are
+    * near-complete test copies, so on it every affected doc excises
+    * fully (the gate verifies exactly that), while the surgical
+    * keep-the-clean-remainder path needs a long doc with an isolated
+    * leak to show.
+    */
+  private[pipeline] def leakExcisionOn(docs: DataFrame,
+      testGrams: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // positional grams, token array staged in its own projection
+    val pos = docs
+      .select($"doc_id", toks($"text").as("t"))
+      .filter(size($"t") >= ContamN)
+      .select($"doc_id", size($"t").cast("long").as("n"), explode(transform(
+        sequence(lit(1), greatest(size($"t") - (ContamN - 1), lit(1))),
+        i => struct(i.cast("long").as("i"),
+          md5(array_join(slice($"t", i, lit(ContamN)), " ")).as("g"))))
+        .as("e"))
+      .select($"doc_id", $"n", $"e.i".as("i"), $"e.g".as("g"))
+    val leaks = pos.join(testGrams, Seq("g"), "left_semi")
+      .select($"doc_id", $"n",
+        greatest($"i" - LeakPad, lit(1L)).as("a"),
+        least($"i" + (ContamN - 1) + LeakPad, $"n").as("bnd"))
+    // merge overlapping/adjacent padded windows: island opens where a
+    // clears the running max end of everything before it (ties on
+    // (a, bnd) are safe: a tied row's own bnd >= its a, so whichever
+    // physical order the tie takes, f-values and the RANGE-framed
+    // island sums come out identical on both engines)
+    val W = org.apache.spark.sql.expressions.Window
+    val wd = W.partitionBy($"doc_id").orderBy($"a", $"bnd")
+    val mx = max($"bnd").over(wd.rowsBetween(W.unboundedPreceding, -1))
+    val spans = leaks
+      .withColumn("f", when(mx.isNull || $"a" > mx + 1L, 1L).otherwise(0L))
+      .withColumn("island", sum($"f").over(wd))
+      .groupBy($"doc_id", $"island")
+      .agg(count(lit(1)).as("n_leaks_in"),
+        min($"a").as("sa"), max($"bnd").as("sb"))
+      .groupBy($"doc_id")
+      .agg(sum($"n_leaks_in").as("n_leaks"),
+        count(lit(1)).as("n_spans"),
+        collect_list(struct($"sa".as("a"), $"sb".as("b"))).as("sl"))
+    docs
+      .select($"doc_id", toks($"text").as("t"))
+      .join(spans, Seq("doc_id")) // inner: only affected docs
+      .select($"doc_id", $"t", $"n_leaks", $"n_spans", $"sl",
+        filter($"t", (x, idx) => !exists($"sl",
+          r => (idx + 1) >= r.getField("a") && (idx + 1) <= r.getField("b")))
+          .as("kept"))
+      .select($"doc_id",
+        size($"t").cast("long").as("n_tokens_before"),
+        size($"kept").cast("long").as("n_tokens_kept"),
+        $"n_leaks", $"n_spans",
+        md5(concat_ws(" ", $"kept").cast("binary")).as("cleaned_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** p27's redaction classes — the FineWeb/RefinedWeb anonymization
     * step (Penedo et al. 2024 scrub emails + IPs pre-release; the
     * reference's own NER pools carry emails/phones as first-class PII
@@ -1963,6 +2061,7 @@ object TextAnalysis {
     "p19_bpe_encode" -> p19BpeEncode _,
     "p20_dup_spans" -> p20DupSpans _,
     "p21_span_excision" -> p21SpanExcision _,
+    "p31_leak_excision" -> p31LeakExcision _,
     "p27_pii_redaction" -> p27PiiRedaction _,
     "p28_luhn_redaction" -> p28LuhnRedaction _,
     "p29_vocab_growth" -> p29VocabGrowth _,
@@ -2410,6 +2509,42 @@ object TextAnalysis {
          |  len(sl)::BIGINT AS n_spans,
          |  md5(COALESCE(array_to_string(kept, ' '), ''))
          |    AS cleaned_md5
+         |FROM k ORDER BY doc_id""".stripMargin,
+    "p31_leak_excision" ->
+      s"""WITH tk AS (SELECT doc_id, $TOKS t, $BUCKET AS b FROM documents),
+         |tr AS (SELECT doc_id, t, len(t)::BIGINT n FROM tk
+         |  WHERE b < $TrainMax AND len(t) >= $ContamN),
+         |tg AS (SELECT DISTINCT unnest(list_distinct(
+         |    [md5(array_to_string(t[i:i+12], ' '))
+         |     for i in range(1, len(t)-11)])) g
+         |  FROM tk WHERE b >= $ValMax AND len(t) >= $ContamN),
+         |pos AS (SELECT doc_id, n, u.i::BIGINT AS i,
+         |    md5(array_to_string(t[u.i:u.i+12], ' ')) AS g
+         |  FROM tr CROSS JOIN LATERAL unnest(range(1, (n - 11)::BIGINT)) u(i)),
+         |lk AS (SELECT p.doc_id, p.n,
+         |    greatest(p.i - $LeakPad, 1) AS a,
+         |    least(p.i + ${ContamN - 1} + $LeakPad, p.n) AS bnd
+         |  FROM pos p JOIN tg ON tg.g = p.g),
+         |isl AS (SELECT doc_id, a, bnd,
+         |    CASE WHEN max(bnd) OVER w1 IS NULL
+         |      OR a > max(bnd) OVER w1 + 1 THEN 1 ELSE 0 END AS f
+         |  FROM lk WINDOW w1 AS (PARTITION BY doc_id ORDER BY a, bnd
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |i2 AS (SELECT *, SUM(f) OVER (PARTITION BY doc_id
+         |    ORDER BY a, bnd) AS island FROM isl),
+         |sp AS (SELECT doc_id, island, COUNT(*)::BIGINT AS n_leaks_in,
+         |    MIN(a) AS sa, MAX(bnd) AS sb FROM i2 GROUP BY 1, 2),
+         |ag AS (SELECT doc_id, CAST(SUM(n_leaks_in) AS BIGINT) AS n_leaks,
+         |    COUNT(*)::BIGINT AS n_spans,
+         |    list({'a': sa, 'b': sb}) AS sl FROM sp GROUP BY doc_id),
+         |k AS (SELECT tk.doc_id, t, n_leaks, n_spans, sl,
+         |    list_filter(t, (x, i) ->
+         |      NOT len(list_filter(sl, r -> i >= r.a AND i <= r.b)) > 0)
+         |    AS kept
+         |  FROM tk JOIN ag ON ag.doc_id = tk.doc_id)
+         |SELECT doc_id, len(t)::BIGINT AS n_tokens_before,
+         |  len(kept)::BIGINT AS n_tokens_kept, n_leaks, n_spans,
+         |  md5(COALESCE(array_to_string(kept, ' '), '')) AS cleaned_md5
          |FROM k ORDER BY doc_id""".stripMargin,
     "p15_lexical_diversity" ->
       s"""WITH tk AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),

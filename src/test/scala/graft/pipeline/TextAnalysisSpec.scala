@@ -675,6 +675,95 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("p31 equals a driver-side replay of the GPT-3 window-cut policy") {
+    def hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        TextAnalysis.SplitBucket.as("b"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("b"),
+        r.getAs[String]("text").trim.split("\\s+").toSeq))
+    def grams(t: Seq[String]): Seq[String] =
+      if (t.size < 13) Seq()
+      else (0 to t.size - 13).map(i => hex(t.slice(i, i + 13).mkString(" ")))
+    val testSet = docs.filter(_._2 >= TextAnalysis.ValMax)
+      .flatMap(d => grams(d._3)).toSet
+    val want = docs.filter(_._2 < TextAnalysis.TrainMax).flatMap {
+      case (id, _, t) =>
+        val hits = grams(t).zipWithIndex.collect {
+          case (g, i0) if testSet(g) => i0 + 1 }
+        if (hits.isEmpty) None else {
+          val wins = hits.map(i =>
+            (math.max(i - 20L, 1L), math.min(i + 12L + 20L, t.size.toLong)))
+            .sortBy(identity)
+          // merge overlapping/adjacent padded windows
+          val merged = wins.tail.foldLeft(Vector(wins.head)) {
+            case (acc, (a, b)) =>
+              val (pa, pb) = acc.last
+              if (a <= pb + 1) acc.init :+ ((pa, math.max(pb, b)))
+              else acc :+ ((a, b))
+          }
+          val kept = t.zipWithIndex.collect {
+            case (tok, i0) if !merged.exists(m =>
+              i0 + 1 >= m._1 && i0 + 1 <= m._2) => tok }
+          Some(id -> ((t.size.toLong, kept.size.toLong, hits.size.toLong,
+            merged.size.toLong, hex(kept.mkString(" ")))))
+        }
+    }.toMap
+    val got = TextAnalysis.p31LeakExcision(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens_before"), r.getAs[Long]("n_tokens_kept"),
+          r.getAs[Long]("n_leaks"), r.getAs[Long]("n_spans"),
+          r.getAs[String]("cleaned_md5")))).toMap
+    assert(got.nonEmpty, "no contaminated train docs on this corpus")
+    assert(got == want, s"p31 diverges: got ${got.size}, want ${want.size}")
+  }
+
+  test("p31 keeps the clean remainder around an isolated leak (synthetic)") {
+    import spark.implicits._
+    def hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val leakL = (1 to 13).map(i => s"L$i")
+    val leakM = (1 to 13).map(i => s"M$i")
+    // doc 0: leak at tokens 24..36 of 60 → one span [4, 56], keeps 7
+    val t0 = (1 to 23).map(i => s"a$i") ++ leakL ++ (37 to 60).map(i => s"a$i")
+    // doc 1: leaks at 10..22 and 80..92 of 120 → spans [1,42]+[60,112]
+    val t1 = (1 to 9).map(i => s"b$i") ++ leakL ++
+      (23 to 79).map(i => s"b$i") ++ leakM ++ (93 to 120).map(i => s"b$i")
+    // doc 2: leaks at 30..42 and 45..57 of 90 → padded windows
+    // [10,62]+[25,77] overlap → ONE merged span [10,77], keeps 22
+    val t2 = (1 to 29).map(i => s"c$i") ++ leakL ++ Seq("c30", "c31") ++
+      leakM ++ (58 to 90).map(i => s"c$i")
+    val docs = Seq((0L, t0), (1L, t1), (2L, t2))
+      .map { case (id, t) => (id, t.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val testGrams = Seq(hex(leakL.mkString(" ")), hex(leakM.mkString(" ")))
+      .toDF("g")
+    val got = TextAnalysis.leakExcisionOn(docs, testGrams).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens_before"), r.getAs[Long]("n_tokens_kept"),
+          r.getAs[Long]("n_leaks"), r.getAs[Long]("n_spans"),
+          r.getAs[String]("cleaned_md5")))).toMap
+    def keptOf(t: Seq[String], spans: Seq[(Long, Long)]): Seq[String] =
+      t.zipWithIndex.collect { case (tok, i0) if !spans.exists(s =>
+        i0 + 1 >= s._1 && i0 + 1 <= s._2) => tok }
+    val k0 = keptOf(t0, Seq((4L, 56L)))
+    val k1 = keptOf(t1, Seq((1L, 42L), (60L, 112L)))
+    val k2 = keptOf(t2, Seq((10L, 77L)))
+    assert(k0.size == 7 && k1.size == 25 && k2.size == 22,
+      s"fixture arithmetic: ${k0.size}/${k1.size}/${k2.size}")
+    assert(got(0L) == ((60L, 7L, 1L, 1L, hex(k0.mkString(" ")))),
+      s"doc 0: ${got(0L)}")
+    assert(got(1L) == ((120L, 25L, 2L, 2L, hex(k1.mkString(" ")))),
+      s"doc 1: ${got(1L)}")
+    assert(got(2L) == ((90L, 22L, 2L, 1L, hex(k2.mkString(" ")))),
+      s"doc 2: ${got(2L)}")
+  }
+
   test("p22 perplexity buckets match a first-principles bigram-LM replay") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
