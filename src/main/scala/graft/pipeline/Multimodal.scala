@@ -248,6 +248,8 @@ object Multimodal {
     mediaClusterArtifact.invalidate()
     phashCache.keys.foreach(k =>
       phashCache.remove(k).foreach(_.unpersist()))
+    landmarkCache.keys.foreach(k =>
+      landmarkCache.remove(k).foreach(_.unpersist()))
   }
 
   /** Bump when the clustering semantics OR the stored schema change. */
@@ -542,6 +544,22 @@ object Multimodal {
           .stripMargin).as("wins"))
   }
 
+  /** The corpus landmark table, memoized + persisted per (session,
+    * dir) — m09 consumes it three ways (the df-cap build and both
+    * sides of the inverted-index self-join), and without the memo
+    * each consumer re-runs the linear landmark scan (the
+    * cappedShingles policy, same reason).
+    */
+  private def audioLandmarks(spark: SparkSession, dir: String): DataFrame =
+    Memo.getOrBuild(landmarkCache, (spark, dir)) {
+      audioWindows(mediaTable(spark, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private val landmarkCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
   /** The corpus landmark table as a serialized bloom sketch over
     * xxhash64(h) longs (1 % fp) — the constant-size frozen index the
     * streaming audio-dup guard probes per row. |landmarks|-bounded
@@ -550,7 +568,7 @@ object Multimodal {
   private[graft] def audioLandmarkBloomBytes(spark: SparkSession,
       dir: String): Array[Byte] = {
     import spark.implicits._
-    val w = audioWindows(mediaTable(spark, dir)).select($"h").distinct()
+    val w = audioLandmarks(spark, dir).select($"h").distinct()
     val bf = w.select(xxhash64($"h").as("x"))
       .stat.bloomFilter("x", math.max(w.count(), 1L), 0.01)
     val bos = new java.io.ByteArrayOutputStream()
@@ -577,7 +595,7 @@ object Multimodal {
     */
   def m09AudioAlignedPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val wins = audioWindows(mediaTable(spark, dir))
+    val wins = audioLandmarks(spark, dir)
     val keep = wins.groupBy($"h").agg(count(lit(1)).as("n_"))
       .filter($"n_" <= AuDfCap).select($"h")
     val kept = wins.join(keep, Seq("h"), "left_semi")
