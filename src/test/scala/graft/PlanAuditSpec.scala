@@ -13,6 +13,69 @@ class PlanAuditSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sfDir)
       .queryExecution.explainString(ExplainMode.fromString("simple"))
 
+  test("no Filter re-evaluates a string-scan expression per lambda element") {
+    // The pushdown-inlining trap class (BASELINE P.10): optimizer
+    // rules (CollapseProject, InferFiltersFromGenerate, constraint
+    // propagation) can substitute a staged HOF alias into a FILTER
+    // condition, where an inner split/md5/regexp then re-runs per
+    // array element — the O(L²)-per-row shape behind m09's 60 s and
+    // m08's 750 s tasks. This audits EVERY registered query's physical
+    // plan: no Filter (scan-pushed or standalone) may contain a
+    // string-scan expression under a lambda. Projections may (that is
+    // the staged, evaluated-once home for them); filters must consume
+    // precomputed columns or materialized tables.
+    import org.apache.spark.sql.catalyst.expressions._
+    def scanUnderLambda(e: Expression, inLambda: Boolean): Boolean = e match {
+      case _: StringSplit | _: Md5 | _: RegExpExtract | _: RegExpReplace
+          if inLambda => true
+      case f: HigherOrderFunction =>
+        f.arguments.exists(scanUnderLambda(_, inLambda)) ||
+          f.functions.exists(scanUnderLambda(_, inLambda = true))
+      case _ => e.children.exists(scanUnderLambda(_, inLambda))
+    }
+    def filtersOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[Expression] = p.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => Seq(f.condition)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.dataFilters
+    }.flatten
+    // positive control: the detector must FIRE on a deliberately
+    // trapped plan (single-use split alias inlined into a filter
+    // lambda by CollapseProject, then pushed by the generate's
+    // inferred size>0 — the exact m09 shape), or this audit is a
+    // net with a hole
+    locally {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{expr, explode}
+      // over a real parquet scan — a literal local relation would be
+      // constant-folded before any filter could be inferred
+      val trapped = graft.Tables.documents(spark, sfDir)
+        .select($"doc_id", $"text".as("s"))
+        .select($"doc_id", expr("transform(split(s, ' '), c -> c)").as("bs"))
+        .select($"doc_id",
+          expr("filter(sequence(1, 3), p -> element_at(bs, p) = 'a')")
+            .as("ps"))
+        .select($"doc_id", explode($"ps"))
+      val hits = filtersOf(trapped.queryExecution.sparkPlan)
+        .filter(scanUnderLambda(_, inLambda = false))
+      assert(hits.nonEmpty, "detector self-check: the planted " +
+        "split-under-lambda filter was not flagged — audit is blind")
+    }
+    graft.pipeline.Dedup.invalidateCaches()
+    graft.pipeline.Similarity.invalidateCaches()
+    graft.pipeline.TextAnalysis.invalidateCaches()
+    graft.pipeline.Multimodal.invalidateCaches()
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val qe = SparkEntry.queries(name)(spark, sfDir).queryExecution
+      val bad = filtersOf(qe.sparkPlan)
+        .filter(scanUnderLambda(_, inLambda = false))
+      assert(bad.isEmpty,
+        s"$name evaluates a string scan per lambda element inside a " +
+          s"Filter — the m08/m09 pushdown-inlining trap:\n" +
+          bad.map(_.sql.take(300)).mkString("\n"))
+    }
+  }
+
   test("no registered query plans a CartesianProduct") {
     // d06 iterates to a data-dependent fixpoint at analysis time, so its
     // plan is the post-convergence projection — still covered here.
