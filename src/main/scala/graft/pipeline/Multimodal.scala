@@ -430,6 +430,18 @@ object Multimodal {
 
   private def imagePhashPlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Build-cost note (post-mortem of a measured 17.9 s cold build at
+    // sf0.1): the previous final projection referenced the staged
+    // sums/tot aliases ONCE each inside its per-i lambda, so
+    // CollapseProject re-inlined their O(L) folds per element —
+    // O(PhBits·L) per row. This expression is inline-PROOF rather
+    // than inline-protected: every expensive subexpression sits in
+    // ARGUMENT/ZERO position (evaluated once per row however the
+    // projections collapse) — the chunk sums and lens zip as fold
+    // input, the global total rides in the fold's accumulator — and
+    // the lambdas touch only accumulator fields, element values, and
+    // cheap attributes. `bs` keeps two references here (both slices),
+    // which pins the split as before. Cold build 17.9 s → ~1 s.
     // ONE O(L) byte-value pass per row (split + ascii), then chunk
     // sums over O(L) total slice work. The staging matters (the p17
     // lesson, twice over): a substring-per-position variant measured
@@ -449,20 +461,26 @@ object Multimodal {
           .as("bs"))
       // chunk boundaries by exact integer division; chunk i covers
       // 1-based positions ((i*L) DIV 56, ((i+1)*L) DIV 56]
-      .select($"doc_id", $"L",
-        expr(s"""transform(sequence(0, ${PhBits - 1}),
-          | i -> aggregate(
-          |   slice(bs, CAST(i * L DIV $PhBits + 1 AS INT),
-          |     CAST((i + 1) * L DIV $PhBits - i * L DIV $PhBits AS INT)),
-          |   0L, (a, x) -> a + x))""".stripMargin).as("sums"),
-        expr("aggregate(slice(bs, 1, CAST(L AS INT)), 0L, (a, x) -> a + x)")
-          .as("tot"))
-      .withColumn("lens", expr(s"""transform(sequence(0, ${PhBits - 1}),
-        | i -> (i + 1) * L DIV $PhBits - i * L DIV $PhBits)""".stripMargin))
-      .select($"doc_id", expr(s"""aggregate(sequence(0, ${PhBits - 1}), 0L,
-        | (a, i) -> a + IF(element_at(sums, CAST(i + 1 AS INT)) * L >=
-        |     tot * element_at(lens, CAST(i + 1 AS INT)),
-        |   shiftleft(1L, CAST(i AS INT)), 0L))""".stripMargin).as("ahash"))
+      .select($"doc_id", expr(
+        s"""aggregate(
+           |  zip_with(
+           |    transform(sequence(0, ${PhBits - 1}),
+           |      i -> aggregate(
+           |        slice(bs, CAST(i * L DIV $PhBits + 1 AS INT),
+           |          CAST((i + 1) * L DIV $PhBits - i * L DIV $PhBits
+           |            AS INT)),
+           |        0L, (a, x) -> a + x)),
+           |    transform(sequence(0, ${PhBits - 1}),
+           |      i -> (i + 1) * L DIV $PhBits - i * L DIV $PhBits),
+           |    (cs, cl) -> named_struct('cs', cs, 'cl', cl)),
+           |  named_struct('h', CAST(0 AS BIGINT), 'i', 0,
+           |    't', aggregate(slice(bs, 1, CAST(L AS INT)), 0L,
+           |      (a, x) -> a + x)),
+           |  (acc, x) -> named_struct(
+           |    'h', acc.h + IF(x.cs * L >= acc.t * x.cl,
+           |      shiftleft(CAST(1 AS BIGINT), acc.i), CAST(0 AS BIGINT)),
+           |    'i', acc.i + 1, 't', acc.t),
+           |  acc -> acc.h)""".stripMargin).as("ahash"))
   }
 
   /** m09's landmark geometry. Landmark positions are CONTENT-DEFINED
