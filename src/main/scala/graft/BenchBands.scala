@@ -122,11 +122,13 @@ object BenchBands {
     // direction only)
     "p29_vocab_growth" -> 0.7816, "p30_vocab_novelty" -> 0.3486,
     "v08_twonn_id" -> 0.7616,
-    // recorded in this round's continuation full run (contention 1.24,
-    // floor 0.1903 — near the reference axes; one-run minima, to be
-    // re-tightened at the next dual-pass re-record)
-    "m08_image_phash_pairs" -> 0.447, "m09_audio_aligned_pairs" -> 1.619,
-    "s22_mmr_rerank" -> 0.394,
+    // recorded in this round's continuation full runs (contention
+    // 1.24/floor 0.1903 and 1.40/0.2175 — one-run minima, to be
+    // re-tightened at the next dual-pass re-record); m09's ref is the
+    // closing run's reading, a DELIBERATE plan change (memoized
+    // landmark table) from the 1.619 first recording
+    "m08_image_phash_pairs" -> 0.405, "m09_audio_aligned_pairs" -> 0.772,
+    "s22_mmr_rerank" -> 0.394, "p31_leak_excision" -> 1.154,
   )
 
   /** §O.6 scoped the d01 floor rule to SUB-SECOND queries — applying
