@@ -270,6 +270,9 @@ object ScaleProbe {
       // set (the p09 shuffle class), then leak-volume islands + the
       // p21 indexed cut — ~linear, leak-volume dominated downstream
       "p31" -> SparkEntry.queries("p31_leak_excision"),
+      // m08: linear inline-proof hash build + d04-class pigeonhole
+      // band join — candidate volume Σ df(band)², ~linear
+      "m08" -> SparkEntry.queries("m08_image_phash_pairs"),
       // p29: one range-partition global rank + the p06-class vocab
       // shuffle (term keys only) + 10-row arithmetic — ~linear
       "p29" -> SparkEntry.queries("p29_vocab_growth"),

@@ -38,6 +38,13 @@ class PlanAuditSpec extends SparkSpec {
       case f: org.apache.spark.sql.execution.FilterExec => Seq(f.condition)
       case s: org.apache.spark.sql.execution.FileSourceScanExec =>
         s.dataFilters
+      // join conditions are per-row-PAIR evaluation sites the same
+      // substitution can reach (generators are deliberately excluded:
+      // a generator evaluates once per input row, and per-element
+      // hashing there — one md5 per emitted gram — is the intended
+      // work, not a re-evaluation)
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        j.condition.toSeq
     }.flatten
     // positive control: the detector must FIRE on a deliberately
     // trapped plan (single-use split alias inlined into a filter
