@@ -273,6 +273,10 @@ object ScaleProbe {
       // m08: linear inline-proof hash build + d04-class pigeonhole
       // band join — candidate volume Σ df(band)², ~linear
       "m08" -> SparkEntry.queries("m08_image_phash_pairs"),
+      // q28: one per-user rollup + three RangedPrefix global ranks
+      // (range-partition prefix sums, no single-partition window) —
+      // ~linear in events, |users|-bounded downstream
+      "q28" -> SparkEntry.queries("q28_rfm_segments"),
       // p29: one range-partition global rank + the p06-class vocab
       // shuffle (term keys only) + 10-row arithmetic — ~linear
       "p29" -> SparkEntry.queries("p29_vocab_growth"),

@@ -523,7 +523,11 @@ object StarQueries {
   }
 
   /** Release the memoized q14 ranged projection (and only it). */
-  def invalidateCaches(): Unit = graft.RangedPrefix.invalidateCaches("q14:")
+  def invalidateCaches(): Unit = {
+    graft.RangedPrefix.invalidateCaches("q14:")
+    graft.RangedPrefix.invalidateCaches("q28")
+    rfmCache.keys.foreach(k => rfmCache.remove(k).foreach(_.unpersist()))
+  }
 
   /** SQL-standard NTILE(k) in closed form from a 1-based global rank:
     * with n rows, the first `n % k` buckets hold `n/k + 1` rows and the
@@ -567,6 +571,59 @@ object StarQueries {
         min(money($"c_acctbal")).cast(DoubleType).as("min_acctbal"),
         max(money($"c_acctbal")).cast(DoubleType).as("max_acctbal"))
       .orderBy($"decile")
+  }
+
+  /** q28's per-user RFM rollup, memoized + persisted: three global
+    * quintile ranks AND the segment aggregation consume it, and each
+    * RangedPrefix call would otherwise re-scan the event table to
+    * rebuild it (4 full scans at 100 TB for one |users|-sized frame).
+    */
+  private def rfmUsers(spark: SparkSession, dir: String): DataFrame =
+    graft.Memo.getOrBuild(rfmCache, (spark, dir)) {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .groupBy($"user_id")
+        .agg(max($"ts").as("last_ts"), count(lit(1)).as("n_events"),
+          sum(money($"value")).as("monetary"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private val rfmCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** q28 — RFM user segmentation over the event stream: the classic
+    * recency/frequency/monetary quintile grid (each user bucketed 1-5
+    * on last-activity time, event count, and total spend; bucket 1 =
+    * best), aggregated to the ≤125-cell segment table a lifecycle/
+    * retention team reads. Exactness: recency orders by the raw
+    * timestamp (no date math), spend stays DECIMAL(18,2) until the
+    * final output cast, ties break on user_id, and the quintile is
+    * [[ntileBucket]]'s closed form off a global 1-based rank.
+    *
+    * Scale shape: the per-user rollup is one partial-aggregated
+    * groupBy (memoized — see [[rfmUsers]]); each global rank is the
+    * RangedPrefix range-partition prefix-sum, never a single-partition
+    * window; the three bucket frames join back user-keyed; the final
+    * aggregate is grid-sized.
+    */
+  def q28RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val u = rfmUsers(spark, dir)
+    def bucket(tag: String, order: Seq[Column]): DataFrame = {
+      val (ranked, n) = graft.RangedPrefix.runningSum(spark,
+        s"q28$tag:$dir", u, order, lit(1L), "rank")
+      ranked.select($"user_id",
+        ntileBucket($"rank", n, 5).as(s"${tag}_bucket"))
+    }
+    val r = bucket("r", Seq($"last_ts".desc, $"user_id"))
+    val f = bucket("f", Seq($"n_events".desc, $"user_id"))
+    val m = bucket("m", Seq($"monetary".desc, $"user_id"))
+    u.join(r, Seq("user_id")).join(f, Seq("user_id")).join(m, Seq("user_id"))
+      .groupBy($"r_bucket", $"f_bucket", $"m_bucket")
+      .agg(count(lit(1)).as("n_users"),
+        sum($"n_events").as("total_events"),
+        sum($"monetary").cast(DoubleType).as("total_value"))
+      .orderBy($"r_bucket", $"f_bucket", $"m_bucket")
   }
 
   /** "Above own average" without float division: o_totalprice * n > sum
@@ -695,6 +752,7 @@ object StarQueries {
     "q10_monthly_revenue" -> q10MonthlyRevenue _,
     "q11_event_tumbling" -> q11EventTumbling _,
     "q27_event_hopping" -> q27EventHopping _,
+    "q28_rfm_segments" -> q28RfmSegments _,
     "q12_event_props" -> q12EventProps _,
     "q13_sessionize" -> q13Sessionize _,
     "q14_balance_deciles" -> q14BalanceDeciles _,
@@ -830,6 +888,19 @@ object StarQueries {
          |FROM (SELECT c_acctbal, NTILE(10) OVER
          |       (ORDER BY c_acctbal, c_custkey) AS decile FROM customer)
          |GROUP BY decile ORDER BY decile""".stripMargin,
+    "q28_rfm_segments" ->
+      s"""WITH u AS (SELECT user_id, MAX(ts) AS last_ts,
+         |    COUNT(*) AS n_events, SUM(${m("value")}) AS monetary
+         |  FROM events GROUP BY user_id),
+         |b AS (SELECT user_id, n_events, monetary,
+         |    NTILE(5) OVER (ORDER BY last_ts DESC, user_id) AS r_bucket,
+         |    NTILE(5) OVER (ORDER BY n_events DESC, user_id) AS f_bucket,
+         |    NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS m_bucket
+         |  FROM u)
+         |SELECT r_bucket, f_bucket, m_bucket, COUNT(*) AS n_users,
+         |  CAST(SUM(n_events) AS BIGINT) AS total_events,
+         |  CAST(SUM(monetary) AS DOUBLE) AS total_value
+         |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q15_above_avg_orders" ->
       s"""SELECT o_custkey, COUNT(*) AS n_above
          |FROM orders JOIN (SELECT o_custkey AS agg_custkey,

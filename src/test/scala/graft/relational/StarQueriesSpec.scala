@@ -115,6 +115,59 @@ class StarQueriesSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("n_pairs") > 0))
   }
 
+  test("q28 RFM grid equals a driver-side quintile replay") {
+    import spark.implicits._
+    val users = graft.Tables.events(spark, sfDir)
+      .groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.max($"ts").as("last_ts"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        org.apache.spark.sql.functions.sum(
+          $"value".cast("decimal(18,2)")).as("monetary"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp](1),
+        r.getAs[Long]("n_events"), r.getAs[java.math.BigDecimal]("monetary")))
+    def ntile5(rank: Long, n: Long): Long = {
+      val base = n / 5; val rem = n % 5; val cut = (base + 1) * rem
+      if (base == 0) rank
+      else if (rank <= cut) (rank - 1) / (base + 1) + 1
+      else (rank - 1 - cut) / base + rem + 1
+    }
+    val n = users.length.toLong
+    def buckets(key: ((Long, java.sql.Timestamp, Long, java.math.BigDecimal))
+        => (Long, Long)): Map[Long, Long] =
+      users.sortBy(key).zipWithIndex
+        .map { case (u, i) => u._1 -> ntile5(i + 1L, n) }.toMap
+    // desc metric + asc user_id ties, exactly the engine's orders;
+    // timestamps compared at MICROsecond precision (getTime is only
+    // millis — a micro-distinct pair would tie there and diverge)
+    def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val rb = buckets(u => (-micros(u._2), u._1))
+    val fb = buckets(u => (-u._3, u._1))
+    val mb = buckets(u => (-u._4.unscaledValue().longValueExact(), u._1))
+    val want: Map[(Long, Long, Long), (Long, Long, Double)] =
+      users.groupBy(u => (rb(u._1), fb(u._1), mb(u._1)))
+        .map { case (k, g) =>
+          k -> ((g.length.toLong, g.map(_._3).sum,
+            g.map(_._4.doubleValue()).sum)) }
+    val got = StarQueries.q28RfmSegments(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("r_bucket").toLong,
+        r.getAs[Int]("f_bucket").toLong, r.getAs[Int]("m_bucket").toLong) ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("total_events"),
+          r.getAs[Double]("total_value")))).toMap
+    assert(got.keySet == want.keySet, "segment grid cells")
+    want.foreach { case (k, (nu, te, tv)) =>
+      val (gn, gt, gv) = got(k)
+      assert(gn == nu && gt == te, s"cell $k counts")
+      assert(math.abs(gv - tv) < 1e-6 * math.max(1.0, math.abs(tv)),
+        s"cell $k total value: got $gv want $tv")
+    }
+    // each axis partitions users into 5 non-empty quintiles here
+    assert(Set(rb.values.toSet.size, fb.values.toSet.size,
+      mb.values.toSet.size) == Set(5), "degenerate quintiles")
+  }
+
   test("q13 sessions never exceed event count") {
     val rows = StarQueries.q13Sessionize(spark, sfDir).collect()
     rows.foreach { r =>
