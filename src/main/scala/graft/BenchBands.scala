@@ -129,6 +129,7 @@ object BenchBands {
     // landmark table) from the 1.619 first recording
     "m08_image_phash_pairs" -> 0.405, "m09_audio_aligned_pairs" -> 0.772,
     "s22_mmr_rerank" -> 0.394, "p31_leak_excision" -> 1.154,
+    "q28_rfm_segments" -> 0.823,
   )
 
   /** §O.6 scoped the d01 floor rule to SUB-SECOND queries — applying
