@@ -543,22 +543,45 @@ object Multimodal {
     * explodes it for the batch inverted index. Input must already be
     * (doc_id, payload) of the audio stream.
     */
-  private[graft] def audioWindowArray(docs: DataFrame): DataFrame = {
+  private[graft] def audioWindowArray(docs: DataFrame): DataFrame =
+    audioWindowArray(docs, keepShort = false)
+
+  /** With `keepShort = true`, a payload shorter than [[AuWinLen]]
+    * yields a row with an EMPTY wins array instead of vanishing — the
+    * streaming dup guard's per-arriving-payload contract (every input
+    * row must be profiled, a short clip as clean with n_landmarks = 0;
+    * round-16 advisory). The batch path keeps the filter: its explode
+    * drops empty arrays anyway, and the filter prunes them before the
+    * split. `L` is the CHARACTER count of the decoded payload — the
+    * same unit `bs` (the character split) is indexed in; the previous
+    * byte-length L could exceed the character count on non-ASCII
+    * payloads and produce truncated-slice hashes the DuckDB oracle
+    * (which folds characters) would never see (round-16 advisory; on
+    * this pure-ASCII corpus, asserted by MultimodalSpec, the two
+    * lengths coincide and no oracle value moves).
+    */
+  private[graft] def audioWindowArray(docs: DataFrame,
+      keepShort: Boolean): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .filter(length($"payload") >= AuWinLen)
-      .select($"doc_id", length($"payload").cast("long").as("L"),
-        expr("transform(split(CAST(payload AS STRING), ''), " +
+    val decoded = docs.select($"doc_id", $"payload".cast("string").as("s"))
+    (if (keepShort) decoded else decoded.filter(length($"s") >= AuWinLen))
+      .select($"doc_id", length($"s").cast("long").as("L"),
+        expr("transform(split(s, ''), " +
           "c -> CAST(ascii(c) AS BIGINT))").as("bs"))
+      // the guard: sequence(1, n) with n <= 0 counts DOWNWARD (step
+      // defaults to -1), so the window expression must never see
+      // L < AuWinLen — short rows short-circuit to the typed empty
       .select($"doc_id", expr(
-        s"""transform(
-           |  filter(sequence(1, CAST(L - ${AuWinLen - 1} AS INT)),
-           |    p -> element_at(bs, p) = $AuAnchor),
-           |  p -> named_struct(
-           |    'off', CAST(p - 1 AS BIGINT),
-           |    'h', aggregate(slice(bs, p, $AuWinLen), 0L,
-           |      (a, x) -> (a * $AuHashBase + x) % $AuHashMod)))"""
+        s"""IF(L >= $AuWinLen,
+           |  transform(
+           |    filter(sequence(1, CAST(L - ${AuWinLen - 1} AS INT)),
+           |      p -> element_at(bs, p) = $AuAnchor),
+           |    p -> named_struct(
+           |      'off', CAST(p - 1 AS BIGINT),
+           |      'h', aggregate(slice(bs, p, $AuWinLen), 0L,
+           |        (a, x) -> (a * $AuHashBase + x) % $AuHashMod))),
+           |  CAST(array() AS array<struct<off:bigint,h:bigint>>))"""
           .stripMargin).as("wins"))
   }
 
@@ -738,9 +761,9 @@ object Multimodal {
          |WHERE bit_count(xor(a.ahash, b.ahash)) <= $PhHammingCap
          |ORDER BY doc_a, doc_b""".stripMargin,
     "m09_audio_aligned_pairs" ->
-      s"""WITH au AS (SELECT doc_id, text s, strlen(text)::BIGINT AS L
+      s"""WITH au AS (SELECT doc_id, text s, length(text)::BIGINT AS L
          |  FROM documents
-         |  WHERE doc_id % 3 = 1 AND strlen(text) >= $AuWinLen),
+         |  WHERE doc_id % 3 = 1 AND length(text) >= $AuWinLen),
          |w AS (SELECT doc_id, p::BIGINT - 1 AS off,
          |    list_reduce(list_prepend(0::BIGINT,
          |      list_transform(range(p, p + $AuWinLen),

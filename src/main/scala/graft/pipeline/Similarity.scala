@@ -637,6 +637,16 @@ object Similarity {
   private[pipeline] val MmrK = 5
   private val MmrLambda = 0.5
 
+  /** The diversity coefficient (1 − λ), spelled as its own constant so
+    * the Carbonell-Goldstein form λ·rel − (1−λ)·maxsim appears
+    * LITERALLY in both the Spark fold and the SQL oracle: with both
+    * weights written as MmrLambda the formula was only correct because
+    * λ = 1/2, and a future λ change would drift engine and oracle
+    * together while dual-engine parity kept passing (round-16
+    * advisory). Derived, not assignable — the two can never disagree.
+    */
+  private val MmrLambdaComp = 1.0 - MmrLambda
+
   /** s22 — MMR diversity re-rank (Carbonell & Goldstein, SIGIR 1998):
     * greedy maximal-marginal-relevance selection of [[MmrK]] results
     * out of each query's exact top-[[TopK]] pool — at each step take
@@ -688,7 +698,7 @@ object Similarity {
            |  (sel, step) -> concat(sel, slice(array_sort(transform(
            |    filter(pool, p -> NOT exists(sel, s -> s.id = p.id)),
            |    p -> named_struct(
-           |      'k', ${MmrLambda}D * coalesce(array_max(transform(sel,
+           |      'k', ${MmrLambdaComp}D * coalesce(array_max(transform(sel,
            |             s -> element_at(filter(sims, x ->
            |               x.ia = least(p.id, s.id) AND
            |               x.ib = greatest(p.id, s.id)), 1).sim)), 0D)
@@ -1663,7 +1673,7 @@ object Similarity {
          |  FROM pv a JOIN pv b ON a.query_id = b.query_id
          |    AND a.neighbor_id < b.neighbor_id),
          |sel1 AS (SELECT query_id, neighbor_id, rel,
-         |    $MmrLambda * rel - $MmrLambda * 0.0 AS score,
+         |    $MmrLambda * rel - $MmrLambdaComp * 0.0 AS score,
          |    CAST(1 AS BIGINT) AS mmr_rank FROM (
          |    SELECT *, row_number() OVER (PARTITION BY query_id
          |      ORDER BY rel DESC, neighbor_id) rn FROM pool)
@@ -1672,7 +1682,7 @@ object Similarity {
       val p = t - 1
       sb.append(s""",
          |cand$t AS (SELECT p.query_id, p.neighbor_id, p.rel,
-         |    $MmrLambda * p.rel - $MmrLambda * MAX(m.sim) AS score
+         |    $MmrLambda * p.rel - $MmrLambdaComp * MAX(m.sim) AS score
          |  FROM pool p
          |  JOIN sel$p s ON s.query_id = p.query_id
          |  JOIN sims m ON m.query_id = p.query_id

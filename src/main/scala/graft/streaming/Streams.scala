@@ -365,7 +365,11 @@ object Streams {
     */
   def audioDupGuard(docs: DataFrame, landmarkBloom: Array[Byte]): DataFrame = {
     graft.rass.expressions.BloomMightContain.register(docs.sparkSession)
-    graft.pipeline.Multimodal.audioWindowArray(docs)
+    // keepShort: EVERY arriving payload yields a profile row — a clip
+    // shorter than one landmark window carries no landmarks and reads
+    // clean (n_landmarks = 0), it does not silently vanish from the
+    // dup screen (round-16 advisory)
+    graft.pipeline.Multimodal.audioWindowArray(docs, keepShort = true)
       .select(col("doc_id"), size(col("wins")).cast("long").as("n_landmarks"),
         size(org.apache.spark.sql.functions.filter(col("wins"), w =>
           call_function("bloom_might_contain", lit(landmarkBloom),

@@ -680,8 +680,12 @@ class StreamsSpec extends SparkSpec {
     // gibberish payload
     val clipSrc = audioTexts.head._2
     val clip = "zQx9 " + clipSrc.substring(clipSrc.length / 4)
+    // -3L: SHORTER than one landmark window (AuWinLen = 12 bytes) —
+    // must still yield a profile row (clean, n_landmarks = 0), not
+    // vanish from the screen (round-16 advisory)
     val arriving: Seq[(Long, String)] = audioTexts.take(3).toSeq ++
-      Seq((-1L, clip), (-2L, "qz9xv7 qv8xz3 vxq7zz xqz6vv kk2jj9"))
+      Seq((-1L, clip), (-2L, "qz9xv7 qv8xz3 vxq7zz xqz6vv kk2jj9"),
+        (-3L, " tiny clip"))
     val bloom = graft.pipeline.Multimodal
       .audioLandmarkBloomBytes(spark, sfDir)
 
@@ -734,6 +738,9 @@ class StreamsSpec extends SparkSpec {
       assert(got(id)._4 == 1L, s"verbatim re-upload $id not flagged") }
     // gibberish with no anchored corpus windows stays clean
     assert(got(-2L)._4 == 0L, s"gibberish flagged dup: ${got(-2L)}")
+    // the sub-window payload is PROFILED (not dropped) and reads clean
+    assert(got(-3L) == ((0L, 0L, 0L, 0L)),
+      s"short payload not profiled clean: ${got(-3L)}")
   }
 
   private val twinRunners: Map[String, () => Unit] = Map(
