@@ -47,6 +47,13 @@ object RangedPrefix {
     cache.keys.filter(_._2.startsWith(prefix))
       .foreach(k => cache.remove(k).foreach(_.unpersist()))
 
+  /** The caller keys with a live memoized ranged projection (bench
+    * telemetry — which global-rank artifacts were warm when a query
+    * ran). Plan component dropped: the caller key names the artifact.
+    */
+  private[graft] def warmKeys: Seq[String] =
+    cache.keys.map(_._2).toSeq.distinct.sorted
+
   /** `base` extended with `cumCol` = the running sum of `value` in the
     * global `orderCols` order, INCLUSIVE of the current row (so a
     * global 1-based rank is `value = lit(1L)`, and an exclusive prefix

@@ -49,6 +49,22 @@ object Dedup {
     clusterArtifact.invalidate()
   }
 
+  /** Which of this family's session memos are populated — the bench's
+    * per-query cold/warm marker (round-16 driver runs showed a dedup-
+    * family drift the min-only JSON could not attribute to cold memos
+    * vs box contention; this names the memo state per timed run).
+    */
+  private[graft] def warmMemoNames: Seq[String] = Seq(
+    "d.shingles" -> shingleCache.nonEmpty,
+    "d.cappedShingles" -> cappedShingleCache.nonEmpty,
+    "d.minhashSig" -> sigCache.nonEmpty,
+    "d.simhashSig" -> simhashCache.nonEmpty,
+    "d.signSig" -> signSigCache.nonEmpty,
+    "d.pairs" -> pairsCache.nonEmpty,
+    "d.detectorPairs" -> detectorPairsCache.nonEmpty,
+    "d.clusters" -> clusterArtifact.isWarm,
+  ).collect { case (n, true) => n }
+
   /** Distinct word-3-gram shingles: (doc_id, shingle) rows.
     *
     * Memoized and persisted per (session, dir) — the shingle inverted

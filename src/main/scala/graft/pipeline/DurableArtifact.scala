@@ -68,4 +68,11 @@ private[pipeline] final class DurableArtifact(
 
   def invalidate(): Unit =
     cache.keys.foreach(k => cache.remove(k).foreach(_.unpersist()))
+
+  /** Whether the SESSION memo holds this artifact (bench telemetry:
+    * distinguishes a consumer run that read the hot handle from one
+    * that went to disk or rebuilt — the attribution a cross-round
+    * timing comparison needs).
+    */
+  def isWarm: Boolean = cache.nonEmpty
 }

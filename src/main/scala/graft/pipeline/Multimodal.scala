@@ -252,6 +252,15 @@ object Multimodal {
       landmarkCache.remove(k).foreach(_.unpersist()))
   }
 
+  /** Populated session memos — the bench's per-query cold/warm marker
+    * (see [[graft.pipeline.Dedup.warmMemoNames]]).
+    */
+  private[graft] def warmMemoNames: Seq[String] = Seq(
+    "m.phash" -> phashCache.nonEmpty,
+    "m.landmarks" -> landmarkCache.nonEmpty,
+    "m.clusters" -> mediaClusterArtifact.isWarm,
+  ).collect { case (n, true) => n }
+
   /** Bump when the clustering semantics OR the stored schema change. */
   private val MediaClusterArtifactVersion = 1
 

@@ -317,6 +317,18 @@ object Similarity {
       })
   }
 
+  /** Populated session memos — the bench's per-query cold/warm marker
+    * (see [[Dedup.warmMemoNames]]).
+    */
+  private[graft] def warmMemoNames: Seq[String] = Seq(
+    "s.ivf" -> indexCache.nonEmpty,
+    "s.topk" -> exactCache.nonEmpty,
+    "s.baseCents" -> baseCentCache.nonEmpty,
+    "s.pq" -> pqCache.nonEmpty,
+    "s.counts" -> countCache.nonEmpty,
+    "s.semClusters" -> semClusterArtifact.isWarm,
+  ).collect { case (n, true) => n }
+
   /** Deterministic Lloyd k-means over (vec_id, v) rows — the IVF
     * centroid trainer. Init = first k vectors; each iteration assigns
     * every vector to its max-cosine centroid (broadcast, map-side) and

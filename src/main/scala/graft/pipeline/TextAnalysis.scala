@@ -338,6 +338,22 @@ object TextAnalysis {
     dsirCache.clear() // local relations, nothing to unpersist
   }
 
+  /** Populated session memos — the bench's per-query cold/warm marker
+    * (see [[Dedup.warmMemoNames]]).
+    */
+  private[graft] def warmMemoNames: Seq[String] = Seq(
+    "p.vocab" -> trainVocabCache.nonEmpty,
+    "p.grams" -> gramCache.nonEmpty,
+    "p.contam" -> contamDocsCache.nonEmpty,
+    "p.winnow" -> winnowFpCache.nonEmpty,
+    "p.spans" -> dupSpanCache.nonEmpty,
+    "p.bpe" -> bpeRulesCache.nonEmpty,
+    "p.qc" -> qcCache.nonEmpty,
+    "p.qcModel" -> qcModelCache.nonEmpty,
+    "p.ppl" -> pplCache.nonEmpty,
+    "p.dsir" -> dsirCache.nonEmpty,
+  ).collect { case (n, true) => n }
+
   /** The contaminated-doc LIST p09 implies — the test-split doc_ids
     * sharing a 13-gram with train — a DURABLE ingest artifact under
     * exactly the policy of d06's cluster table: the decontamination

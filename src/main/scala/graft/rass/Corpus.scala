@@ -236,6 +236,14 @@ object Corpus {
     RassQueries.invalidateQvCache()
   }
 
+  /** Populated session memos — the bench's per-query cold/warm marker
+    * (see [[graft.pipeline.Dedup.warmMemoNames]]).
+    */
+  private[graft] def warmMemoNames: Seq[String] = Seq(
+    "r.corpus" -> cache.nonEmpty,
+    "r.stats" -> statsCache.nonEmpty,
+  ).collect { case (n, true) => n }
+
   // ------------------------------------------------------------- sql side
 
   /** DuckDB mirror of the derivation, as WITH-clause entries

@@ -605,4 +605,10 @@ object RassEngine {
     // accept sets derive from the stats tables — same lifetime
     Bm25.invalidateAcceptCache()
   }
+
+  /** Populated session memos — the bench's per-query cold/warm marker
+    * (see [[graft.pipeline.Dedup.warmMemoNames]]).
+    */
+  private[graft] def warmMemoNames: Seq[String] =
+    if (builtStatsCache.nonEmpty) Seq("r.builtStats") else Nil
 }

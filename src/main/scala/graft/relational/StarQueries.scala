@@ -529,6 +529,13 @@ object StarQueries {
     rfmCache.keys.foreach(k => rfmCache.remove(k).foreach(_.unpersist()))
   }
 
+  /** Populated session memos — the bench's per-query cold/warm marker
+    * (see [[graft.pipeline.Dedup.warmMemoNames]]). Ranged-prefix
+    * projections (q14/q28) surface via `RangedPrefix.warmKeys`.
+    */
+  private[graft] def warmMemoNames: Seq[String] =
+    if (rfmCache.nonEmpty) Seq("q.rfm") else Nil
+
   /** SQL-standard NTILE(k) in closed form from a 1-based global rank:
     * with n rows, the first `n % k` buckets hold `n/k + 1` rows and the
     * rest hold `n/k` (what Spark's `ntile` and DuckDB's `NTILE` both
