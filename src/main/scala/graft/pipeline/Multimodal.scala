@@ -362,10 +362,10 @@ object Multimodal {
     * 64-128 bits keeps blocks at 8+ bits for the same cap fraction),
     * not a looser guarantee.
     */
-  private val PhBits = 56
-  private val PhHammingCap = 13
-  private val PhBands = PhHammingCap + 1
-  private val PhBandBits = PhBits / PhBands
+  private[graft] val PhBits = 56
+  private[graft] val PhHammingCap = 13
+  private[graft] val PhBands = PhHammingCap + 1
+  private[graft] val PhBandBits = PhBits / PhBands
 
   /** m08 — IMAGE perceptual near-dup pairs by average-hash: the still
     * half of the media dedup story (m05/m06 cover video via sampled
@@ -409,6 +409,55 @@ object Multimodal {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** The [[PhBands]] band-INDEXED values of one ahash as an array
+    * column: element b is `b * 2^PhBandBits + band_b(ahash)` — the
+    * band id rides in the key so two different bands sharing a bit
+    * pattern can never alias in a set/bloom probe. Shared by the
+    * corpus-side bloom build and the streaming guard's per-row probe
+    * (m08's own self-join keys on the (band, bv) PAIR, the equivalent
+    * two-column form).
+    */
+  private[graft] def phashBandKeys(
+      ahash: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array((0 until PhBands).map(b =>
+      lit(b.toLong << PhBandBits) +
+        shiftright(ahash, b * PhBandBits)
+          .bitwiseAND(lit((1L << PhBandBits) - 1))): _*)
+
+  /** The corpus phash MIH index (Norouzi 2012 — the same banding m08
+    * joins on) as ONE static row: map from band key to the bucket of
+    * (doc_id, ahash) entries sharing it. The static side of the
+    * streaming image-dup guard's stream-static cross join (the
+    * centroidsAsRow/pqCodebookAsRow pattern): per arriving image the
+    * guard reads exactly its [[PhBands]] buckets out of the map and
+    * Hamming-verifies the candidates — EXACT m08 semantics per row,
+    * no sketch approximation.
+    *
+    * Why not a bloom like the audio guard: band values are
+    * [[PhBandBits]]=4 bits wide (pigeonhole over Hamming<=13 forces 14
+    * narrow bands), so the band-key universe is 14x16 = 224 values and
+    * ANY corpus beyond a few hundred images saturates it — a
+    * membership sketch over band keys flags every upload (measured:
+    * 14/14 bands "known" for a gibberish payload at sf0.01). The
+    * screen must carry the buckets, not the key set. Scale shape: the
+    * map row IS the serialized MIH index (|images|x14 entries); a
+    * 100 TB deployment shards the same probe as a stream-static join
+    * against the stored band table co-partitioned on band key — the
+    * per-row map form is its single-executor broadcast face, exactly
+    * as s09's centroid row stands in for the stored IVF index.
+    */
+  private[graft] def phashBandIndexRow(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    imagePhash(spark, dir)
+      .select(explode(phashBandKeys($"ahash")).as("bkey"),
+        $"doc_id", $"ahash")
+      .groupBy($"bkey")
+      .agg(collect_list(struct($"doc_id", $"ahash")).as("entries"))
+      .agg(map_from_arrays(collect_list($"bkey"),
+        collect_list($"entries")).as("idx"))
+  }
+
   private val phashCache =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), DataFrame]
@@ -439,6 +488,23 @@ object Multimodal {
 
   private def imagePhashPlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    imagePhashArray(
+      mediaTable(spark, dir).filter($"media_type" === "image")
+        .select($"doc_id", $"payload"))
+  }
+
+  /** The per-row aHash projection — (doc_id, payload) → (doc_id,
+    * ahash) — shared by the batch m08 build and its streaming dup
+    * guard (the audioWindowArray split, same reason). With
+    * `keepShort = true` a payload shorter than [[PhBits]] yields a
+    * NULL ahash instead of vanishing (the guard's every-row-profiled
+    * contract); the batch path filters them out up front (some grid
+    * cells would be empty — the videoFrames empty-payload rule).
+    */
+  private[graft] def imagePhashArray(docs: DataFrame,
+      keepShort: Boolean = false): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     // Build-cost note (post-mortem of a measured 17.9 s cold build at
     // sf0.1): the previous final projection referenced the staged
     // sums/tot aliases ONCE each inside its per-i lambda, so
@@ -462,16 +528,17 @@ object Multimodal {
     // global total), which pins it as a real projection boundary.
     // Java's split keeps a trailing "" element; the 1..L slices never
     // read it.
-    mediaTable(spark, dir)
-      .filter($"media_type" === "image" && length($"payload") >= PhBits)
-      .select($"doc_id", $"payload".cast("string").as("s"))
+    val decoded = docs.select($"doc_id", $"payload".cast("string").as("s"))
+    (if (keepShort) decoded else decoded.filter(length($"s") >= PhBits))
       .select($"doc_id", length($"s").cast("long").as("L"),
         expr("transform(split(s, ''), c -> CAST(ascii(c) AS BIGINT))")
           .as("bs"))
       // chunk boundaries by exact integer division; chunk i covers
-      // 1-based positions ((i*L) DIV 56, ((i+1)*L) DIV 56]
+      // 1-based positions ((i*L) DIV 56, ((i+1)*L) DIV 56].
+      // The IF short-circuits sub-PhBits rows (possible only under
+      // keepShort) to NULL before any empty-chunk slice is taken.
       .select($"doc_id", expr(
-        s"""aggregate(
+        s"""IF(L < $PhBits, CAST(NULL AS BIGINT), aggregate(
            |  zip_with(
            |    transform(sequence(0, ${PhBits - 1}),
            |      i -> aggregate(
@@ -489,7 +556,7 @@ object Multimodal {
            |    'h', acc.h + IF(x.cs * L >= acc.t * x.cl,
            |      shiftleft(CAST(1 AS BIGINT), acc.i), CAST(0 AS BIGINT)),
            |    'i', acc.i + 1, 't', acc.t),
-           |  acc -> acc.h)""".stripMargin).as("ahash"))
+           |  acc -> acc.h))""".stripMargin).as("ahash"))
   }
 
   /** m09's landmark geometry. Landmark positions are CONTENT-DEFINED
@@ -744,9 +811,9 @@ object Multimodal {
     // brute-force O(images^2) hamming join (the oracle can afford it;
     // the engine bands)
     "m08_image_phash_pairs" ->
-      s"""WITH img AS (SELECT doc_id, text AS s, strlen(text)::BIGINT AS L
+      s"""WITH img AS (SELECT doc_id, text AS s, length(text)::BIGINT AS L
          |  FROM documents
-         |  WHERE doc_id % 3 = 0 AND strlen(text) >= $PhBits),
+         |  WHERE doc_id % 3 = 0 AND length(text) >= $PhBits),
          |a1 AS (SELECT doc_id, L,
          |  list_transform(range(0, $PhBits), i ->
          |    CAST(list_sum(list_transform(

@@ -53,7 +53,8 @@ object Streams {
     "luhn_guard" -> "pipeline.TextAnalysis.p28LuhnRedaction (per-row checksum-gated account-number redaction, shared luhnProfile projection)",
     "quality_guard" -> "pipeline.TextAnalysis.p24QualityClassifier (trained micro-logit scoring vs the frozen 4096-bucket weight vector)",
     "vocab_novelty_guard" -> "pipeline.TextAnalysis.p30VocabNovelty (per-row bloom screen of arriving token types against the frozen train-vocabulary sketch — certain-novel lower bound, <=1% fp undercount; the exact count is p30's anti-join)",
-    "audio_dup_guard" -> "pipeline.Multimodal.m09AudioAlignedPairs (per-row bloom screen of arriving payloads' content-defined landmarks against the frozen corpus landmark sketch — certain-new windows are exact, known-count is a <=1% fp upper bound; offset-aligned confirmation is m09's batch join)")
+    "audio_dup_guard" -> "pipeline.Multimodal.m09AudioAlignedPairs (per-row bloom screen of arriving payloads' content-defined landmarks against the frozen corpus landmark sketch — certain-new windows are exact, known-count is a <=1% fp upper bound; offset-aligned confirmation is m09's batch join)",
+    "phash_guard" -> "pipeline.Multimodal.m08ImagePhashPairs (per-row aHash via the shared imagePhashArray projection, MIH probe of the frozen band-bucketed phash index with in-row Hamming verification — EXACT m08 pair semantics per arriving image: pigeonhole guarantees the twin's bucket is among the 14 read, and candidates are verified, never trusted)")
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
@@ -380,6 +381,58 @@ object Streams {
       .withColumn("likely_dup",
         (col("n_known_landmarks") >= graft.pipeline.Multimodal.AuMinVotes)
           .cast("long"))
+  }
+
+  /** Streaming image-dup guard (batch m08's streaming face): each
+    * arriving image payload is aHashed per row with the SHARED
+    * [[graft.pipeline.Multimodal.imagePhashArray]] projection (the
+    * stubbed decode contract; real deployments swap decoded luma means
+    * behind MediaDecoder), its [[graft.pipeline.Multimodal.PhBands]]
+    * band buckets are read out of the FROZEN corpus MIH index (one
+    * static map row, [[graft.pipeline.Multimodal.phashBandIndexRow]]),
+    * and every candidate is Hamming-VERIFIED in the same per-row
+    * expression — so `n_dup_matches`/`best_hamming`/`likely_dup` carry
+    * EXACT m08 semantics per arriving image, not a sketch screen: an
+    * upload within Hamming <= PhHammingCap of any indexed image always
+    * flags (pigeonhole: 13 differing bits cannot touch all 14 bands,
+    * so at least one band bucket contains the twin), and a novel one
+    * never does (candidates are verified, never trusted). The sketch
+    * route the audio guard takes is VACUOUS here — 4-bit bands give a
+    * 224-value key universe that any real corpus saturates (measured:
+    * a gibberish payload read 14/14 bands "known" at sf0.01) — see the
+    * index-row scaladoc for the full trade.
+    *
+    * A payload shorter than one hash grid
+    * ([[graft.pipeline.Multimodal.PhBits]] bytes) is profiled clean
+    * with a NULL ahash, not dropped (the audio guard's every-row
+    * contract). Scale shape: stateless stream-static cross join of one
+    * broadcast index row, then a per-row HOF touching exactly 14
+    * band buckets (candidate volume is Σ df(band), never |images|);
+    * no state store, no watermark, no shuffle, append mode.
+    */
+  def phashDupGuard(docs: DataFrame, bandIndexRow: DataFrame): DataFrame = {
+    val cap = graft.pipeline.Multimodal.PhHammingCap
+    val cands = flatten(transform(
+      graft.pipeline.Multimodal.phashBandKeys(col("ahash")),
+      k => coalesce(element_at(col("idx"), k),
+        expr("CAST(array() AS array<struct<doc_id:bigint,ahash:bigint>>)"))))
+    val verified = array_distinct(transform(
+      org.apache.spark.sql.functions.filter(cands,
+        c => bit_count(c.getField("ahash").bitwiseXOR(col("ahash"))) <= cap),
+      c => struct(c.getField("doc_id").as("doc_id"),
+        bit_count(c.getField("ahash").bitwiseXOR(col("ahash")))
+          .cast("long").as("hamming"))))
+    graft.pipeline.Multimodal.imagePhashArray(docs, keepShort = true)
+      .crossJoin(bandIndexRow)
+      .withColumn("m", when(col("ahash").isNull,
+        expr("CAST(array() AS array<struct<doc_id:bigint,hamming:bigint>>)"))
+        .otherwise(verified))
+      .select(col("doc_id"), col("ahash"),
+        size(array_distinct(transform(col("m"), c => c.getField("doc_id"))))
+          .cast("long").as("n_dup_matches"),
+        array_min(transform(col("m"), c => c.getField("hamming")))
+          .as("best_hamming"))
+      .withColumn("likely_dup", (col("n_dup_matches") >= 1).cast("long"))
   }
 
   /** The frozen p24 weight vector as one broadcastable static row —

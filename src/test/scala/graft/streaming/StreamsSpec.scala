@@ -743,7 +743,124 @@ class StreamsSpec extends SparkSpec {
       s"short payload not profiled clean: ${got(-3L)}")
   }
 
+  private def phashGuardTwin(): Unit = {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val Ph = graft.pipeline.Multimodal.PhBits
+    // corpus-side truth: the ENGINE's stored per-image hashes (so the
+    // stream-vs-batch hash equality below is engine-to-engine, not
+    // replica-to-replica)
+    val corpusHash = graft.pipeline.Multimodal
+      .imagePhashArray(graft.pipeline.Multimodal.mediaTable(spark, sfDir)
+        .filter(col("media_type") === "image")
+        .select(col("doc_id"), col("payload")))
+      .as[(Long, Long)].collect().toMap
+    // driver-side aHash replica (independent of both engines; ASCII
+    // corpus so bytes == chars, asserted by MultimodalSpec)
+    def ahash(s: String): Long = {
+      val bs = s.getBytes("UTF-8").map(_.toLong & 0xff)
+      val L = bs.length.toLong
+      val tot = bs.sum
+      (0 until Ph).foldLeft(0L) { (h, i) =>
+        val lo = (i * L / Ph).toInt; val hi = ((i + 1) * L / Ph).toInt
+        val cs = bs.slice(lo, hi).sum; val cl = (hi - lo).toLong
+        h + (if (cs * L >= tot * cl) 1L << i else 0L)
+      }
+    }
+    val imgTexts = graft.pipeline.Multimodal.mediaTable(spark, sfDir)
+      .filter(col("media_type") === "image")
+      .select(col("doc_id"), col("payload").cast("string"))
+      .as[(Long, String)].collect().filter(_._2.length >= Ph)
+      .sortBy { case (id, t) => (-t.length, id) }
+    // planted NEAR-dup: bump single bytes of corpus images until the
+    // perturbed hash lands at 1 <= Hamming <= cap — the re-encode the
+    // guard exists to catch (byte-exact re-uploads flag trivially)
+    val nearDup = imgTexts.take(5).iterator.flatMap { case (_, t) =>
+      (Ph until t.length by 7).iterator.map { p =>
+        t.updated(p, (((t(p) - 32 + 1) % 94) + 32).toChar)
+      }.filter { t2 =>
+        val d = java.lang.Long.bitCount(ahash(t) ^ ahash(t2))
+        d >= 1 && d <= graft.pipeline.Multimodal.PhHammingCap
+      }
+    }.buffered.headOption.getOrElse(
+      fail("no single-byte perturbation landed in (0, cap] — corpus anomaly"))
+    val arriving: Seq[(Long, String)] =
+      imgTexts.take(2).toSeq ++ Seq((-1L, nearDup),
+        (-2L, "zq9xv7pLm" * 12), (-3L, "tiny image"))
+    val idxRow = graft.pipeline.Multimodal.phashBandIndexRow(spark, sfDir)
+
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "payload")
+    val query = phashDupGuard(docs, idxRow)
+      .writeStream.format("memory").queryName("phash_guard")
+      .outputMode("append").start()
+    val (a, b) = arriving.splitAt(2)
+    input.addData(a)
+    query.processAllAvailable()
+    input.addData(b)
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("phash_guard").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4))))
+      .toMap
+    assert(got.size == arriving.size, "one profile per arriving image")
+    // the guard's EXACT contract, per arriving payload: n_dup_matches
+    // and best_hamming equal the full-scan truth over the engine's own
+    // stored hash table (no sketch slack on either side)
+    arriving.foreach { case (id, s) =>
+      val (gh, gn, gbest, gdup) = got(id)
+      if (s.length < Ph) {
+        // sub-grid payload: profiled clean, not dropped
+        assert(gh.isEmpty && gn == 0L && gbest.isEmpty && gdup == 0L,
+          s"short payload $id not profiled clean: ${got(id)}")
+      } else {
+        val h = ahash(s)
+        // stream hash == driver replica (and for verbatim re-uploads,
+        // == the batch imagePhash value read above)
+        assert(gh.contains(h), s"doc $id stream ahash ${gh} != replica $h")
+        val matches = corpusHash.filter { case (_, ch) =>
+          java.lang.Long.bitCount(ch ^ h) <=
+            graft.pipeline.Multimodal.PhHammingCap
+        }
+        assert(gn == matches.size,
+          s"doc $id match count $gn != exact ${matches.size}")
+        val best = matches.values.map(ch =>
+          java.lang.Long.bitCount(ch ^ h).toLong).minOption
+        assert(gbest == best, s"doc $id best hamming $gbest != $best")
+        assert(gdup == (if (gn >= 1L) 1L else 0L), s"doc $id dup flag")
+      }
+    }
+    // verbatim re-uploads carry the batch hash, flag (they match at
+    // least themselves at Hamming 0), and agree with batch m08: the
+    // match count is 1 + X's m08 pair degree (pairs are doc_a < doc_b,
+    // the guard sees both directions plus self)
+    val m08Pairs = graft.pipeline.Multimodal
+      .m08ImagePhashPairs(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    arriving.take(2).foreach { case (id, _) =>
+      assert(got(id)._1.contains(corpusHash(id)),
+        s"verbatim $id stream hash != batch imagePhash")
+      assert(got(id)._4 == 1L, s"verbatim re-upload $id not flagged")
+      assert(got(id)._3.contains(0L), s"verbatim $id best hamming != 0")
+      val degree = m08Pairs.count(p => p._1 == id || p._2 == id).toLong
+      assert(got(id)._2 == degree + 1L,
+        s"verbatim $id guard matches ${got(id)._2} != m08 degree $degree + self")
+    }
+    // the planted near-dup MUST flag (pigeonhole puts its twin in one
+    // of the 14 buckets read; verification keeps it)
+    assert(got(-1L)._4 == 1L, s"planted near-dup not flagged: ${got(-1L)}")
+    // the novel payload stays clean — candidates are Hamming-verified,
+    // so unlike a saturated band sketch it CANNOT false-flag unless a
+    // real <=cap neighbor exists (the driver replica above proves none
+    // does)
+    assert(got(-2L)._4 == 0L, s"novel image flagged dup: ${got(-2L)}")
+  }
+
   private val twinRunners: Map[String, () => Unit] = Map(
+    "phash_guard" -> (phashGuardTwin _),
     "audio_dup_guard" -> (audioDupGuardTwin _),
     "vocab_novelty_guard" -> (vocabNoveltyGuardTwin _),
     "luhn_guard" -> (luhnGuardTwin _),
