@@ -1012,7 +1012,7 @@ object Dedup {
     * [[SignLshTau]], s07's params), so changing a cut invalidates the
     * artifact automatically instead of depending on a version bump.
     */
-  private def d11Fingerprint(spark: SparkSession, dir: String): String =
+  private[graft] def d11Fingerprint(spark: SparkSession, dir: String): String =
     ArtifactStore.md5Hex(
       s"v$D11ArtifactVersion|cap=$ShingleDfCap|" +
         s"j>=$JaccardCutNum/$JaccardCutDen|" +
@@ -1336,6 +1336,35 @@ object Dedup {
     "list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip(a.v, b.v)," +
       " p -> p[1] * p[2])), (s, x) -> s + x)"
 
+  /** The FULL five-detector chain through `g5` = the per-pair flag
+    * table the d12 artifact stores — extracted so m10's media audit
+    * oracle composes the identical lexical/embedding pair space the
+    * engine reads from the stored d11 artifact (exactly as d10 embeds
+    * d06's SQL). Ends WITHOUT a final SELECT: the consumer appends its
+    * own rollup over `g5`.
+    */
+  private[graft] lazy val fullDetectorPairsCtes: String =
+    s"""$lexicalDetectorCtes,
+       |${Similarity.s07PairsCteSql},
+       |enrm AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+       |  list_transform(v, x -> x * x)), (s, x) -> s + x)) AS nrm FROM n),
+       |esig AS (${signSigSqlFrom("n")}),
+       |ebands AS (${signBandsSqlFrom("esig")}),
+       |ecand AS (SELECT DISTINCT x.vec_id a_id, y.vec_id b_id
+       |  FROM ebands x JOIN ebands y
+       |    ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id),
+       |elsh AS (SELECT a_id, b_id FROM (
+       |  SELECT c.a_id, c.b_id, $SeqFoldDot / (a.nrm * b.nrm) AS cosine
+       |  FROM ecand c JOIN enrm a ON a.vec_id = c.a_id
+       |              JOIN enrm b ON b.vec_id = c.b_id)
+       |  WHERE cosine > $SignLshTau),
+       |u5 AS (SELECT a_id, b_id, fn, fm, fs, 0 AS fl, 0 AS fe FROM u
+       |  UNION ALL SELECT a_id, b_id, 0, 0, 0, 1, 0 FROM elsh
+       |  UNION ALL SELECT a_id, b_id, 0, 0, 0, 0, 1 FROM sem),
+       |g5 AS (SELECT a_id, b_id, MAX(fn) fn, MAX(fm) fm, MAX(fs) fs,
+       |    MAX(fl) fl, MAX(fe) fe
+       |  FROM u5 GROUP BY 1, 2)""".stripMargin
+
   /** Hyperplane h as a DuckDB literal array — emitted from the same
     * Scala derivation the Spark side uses, so both engines project onto
     * bit-identical planes.
@@ -1404,26 +1433,7 @@ object Dedup {
          |FROM g GROUP BY 1, 2, 3
          |ORDER BY in_ngram, in_minhash, in_simhash""".stripMargin,
     "d12_detector_overlap_full" ->
-      s"""WITH $lexicalDetectorCtes,
-         |${Similarity.s07PairsCteSql},
-         |enrm AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-         |  list_transform(v, x -> x * x)), (s, x) -> s + x)) AS nrm FROM n),
-         |esig AS (${signSigSqlFrom("n")}),
-         |ebands AS (${signBandsSqlFrom("esig")}),
-         |ecand AS (SELECT DISTINCT x.vec_id a_id, y.vec_id b_id
-         |  FROM ebands x JOIN ebands y
-         |    ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id),
-         |elsh AS (SELECT a_id, b_id FROM (
-         |  SELECT c.a_id, c.b_id, $SeqFoldDot / (a.nrm * b.nrm) AS cosine
-         |  FROM ecand c JOIN enrm a ON a.vec_id = c.a_id
-         |              JOIN enrm b ON b.vec_id = c.b_id)
-         |  WHERE cosine > $SignLshTau),
-         |u5 AS (SELECT a_id, b_id, fn, fm, fs, 0 AS fl, 0 AS fe FROM u
-         |  UNION ALL SELECT a_id, b_id, 0, 0, 0, 1, 0 FROM elsh
-         |  UNION ALL SELECT a_id, b_id, 0, 0, 0, 0, 1 FROM sem),
-         |g5 AS (SELECT a_id, b_id, MAX(fn) fn, MAX(fm) fm, MAX(fs) fs,
-         |    MAX(fl) fl, MAX(fe) fe
-         |  FROM u5 GROUP BY 1, 2)
+      s"""WITH $fullDetectorPairsCtes
          |SELECT fn::BIGINT AS in_ngram, fm::BIGINT AS in_minhash,
          |  fs::BIGINT AS in_simhash, fl::BIGINT AS in_signlsh,
          |  fe::BIGINT AS in_semantic, COUNT(*)::BIGINT AS n_pairs

@@ -478,6 +478,60 @@ object Export {
       .orderBy($"split", $"lang")
   }
 
+  /** x13 — the release-provenance manifest: per x06 shard, the CONTENT
+    * fingerprints of the stored ingest artifacts the shard's
+    * membership was derived under — the reproducibility record a
+    * release ships beside x12's checksums, so a loader (or an auditor
+    * re-running the release) can verify WHICH dedup drop list and
+    * WHICH decontamination sweep produced its shards before trusting
+    * them: re-derive the two lists from the claimed corpus snapshot,
+    * re-fold, compare. Completes the loop the fingerprint-guarded
+    * artifacts opened: d06/p09 publish under source-listing
+    * fingerprints (path/mtime-bound, machine-local), while these are
+    * CONTENT folds — the same order-invariant 48-bit md5 xor x12 uses,
+    * over the drop/contam doc_id lists themselves — so they survive a
+    * copy to another cluster and are recomputable by any engine
+    * (DuckDB re-derives both lists from scratch in the oracle; a
+    * listing fingerprint could never cross that boundary). The packing
+    * constants ride along because shard identity depends on them.
+    *
+    * Scope note: only artifacts the x01→x02→x03→x06 chain actually
+    * CONSUMES are recorded — the d06 cluster drop list and the p09
+    * contaminated list. The IVF index is deliberately absent: the
+    * lexical release path never reads it (s15's semantic decontam is a
+    * reporting view, not a drop gate), and a provenance row naming an
+    * artifact the shards don't derive from would be a false record. A
+    * deployment that gates on s15 adds that artifact's fold here the
+    * day the gate lands.
+    *
+    * Scale shape: the two lists are dup/contam-fraction-sized stored
+    * artifacts reduced to ONE row each (count + commuting xor fold —
+    * partial-aggregatable, layout-independent), cross-joined as
+    * broadcast single rows onto the shard-count-sized x06 rollup.
+    * Nothing corpus-sized moves.
+    */
+  def x13ReleaseProvenance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def fp48(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      conv(substring(md5(c.cast("string").cast("binary")), 1, 12), 16, 10)
+        .cast("long")
+    val drops = Dedup.clusterDropList(spark, dir)
+      .select(fp48($"doc_id").as("fp"))
+      .agg(count(lit(1)).as("n_dup_dropped"),
+        coalesce(expr("bit_xor(fp)"), lit(0L)).as("dup_drop_xor"))
+    val contam = TextAnalysis.contaminatedDocs(spark, dir)
+      .select(fp48($"doc_id").as("fp"))
+      .agg(count(lit(1)).as("n_contaminated"),
+        coalesce(expr("bit_xor(fp)"), lit(0L)).as("contam_xor"))
+    x06ShardManifest(spark, dir)
+      .select($"shard_id", $"n_docs", $"n_tokens")
+      .crossJoin(broadcast(drops))
+      .crossJoin(broadcast(contam))
+      .withColumn("block_tokens", lit(BlockTokens))
+      .withColumn("blocks_per_shard", lit(BlocksPerShard))
+      .orderBy($"shard_id")
+  }
+
   def x06ShardManifest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     x03PackingLayout(spark, dir)
@@ -663,10 +717,25 @@ object Export {
     "x04_mixture_plan" -> x04MixturePlan _,
     "x05_mixture_sample" -> x05MixtureSample _,
     "x06_shard_manifest" -> x06ShardManifest _,
+    "x13_release_provenance" -> x13ReleaseProvenance _,
     "x08_epoch_shuffle" -> x08EpochShuffle _,
     "x09_epoch_plan" -> x09EpochPlan _,
     "x10_temperature_mixture" -> x10TemperatureMixture _,
   )
+
+  /** x06's full oracle SQL, named so x13's provenance oracle embeds
+    * the identical shard rollup (the d10-embeds-d06 pattern).
+    */
+  private lazy val x06Sql: String =
+    s"""SELECT CAST(start_block // $BlocksPerShard AS BIGINT) AS shard_id,
+       | COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       | MIN(start_block) AS first_block, MAX(start_block) AS last_block
+       |FROM (SELECT doc_id, n_tokens,
+       |   CAST((c - n_tokens) // $BlockTokens AS BIGINT) AS start_block
+       |  FROM (SELECT doc_id, n_tokens,
+       |     SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c
+       |    FROM (${exportSql(decontamWhere)}) WHERE split = 'train'))
+       |GROUP BY 1 ORDER BY shard_id""".stripMargin
 
   /** The oracle composes the published d06 clustering SQL as a
     * subquery (DuckDB allows WITH RECURSIVE inside a derived table),
@@ -861,16 +930,40 @@ object Export {
          |ORDER BY lang, stratum_rank""".stripMargin,
     // the x03 layout SQL rolled up by shard — same composition the
     // engine applies over its memoized prefix sum
-    "x06_shard_manifest" ->
-      s"""SELECT CAST(start_block // $BlocksPerShard AS BIGINT) AS shard_id,
-         | COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-         | MIN(start_block) AS first_block, MAX(start_block) AS last_block
-         |FROM (SELECT doc_id, n_tokens,
-         |   CAST((c - n_tokens) // $BlockTokens AS BIGINT) AS start_block
-         |  FROM (SELECT doc_id, n_tokens,
-         |     SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c
-         |    FROM (${exportSql(decontamWhere)}) WHERE split = 'train'))
-         |GROUP BY 1 ORDER BY shard_id""".stripMargin,
+    "x06_shard_manifest" -> x06Sql,
+    // x06's shard rollup joined with one-row content folds over the
+    // SAME drop/contam lists the export chain consumes — the oracle
+    // re-derives both lists from scratch (the d06/p09 SQL embedded as
+    // derived tables, the exportSql composition pattern) and re-folds,
+    // which is exactly the verification a provenance record exists to
+    // enable
+    "x13_release_provenance" -> {
+      def fold48(src: String): String =
+        s"""list_reduce(list_prepend(0::BIGINT, list_transform(
+           |  string_split(substr(md5($src::VARCHAR), 1, 12), ''),
+           |  ch -> (instr('0123456789abcdef', ch) - 1)::BIGINT)),
+           |  (h, c) -> h * 16 + c)""".stripMargin
+      s"""WITH sm AS ($x06Sql),
+         |dl AS (SELECT doc_id FROM
+         |  (${Dedup.oracles("d06_neardup_clusters")}) WHERE keep = 0),
+         |dfp AS (SELECT COUNT(*)::BIGINT AS n_dup_dropped,
+         |    COALESCE(bit_xor(${fold48("doc_id")}), 0)::BIGINT
+         |      AS dup_drop_xor
+         |  FROM dl),
+         |cl AS (SELECT doc_id FROM
+         |  (${TextAnalysis.oracles("p09_contamination")})
+         |  WHERE contaminated = 1),
+         |cfp AS (SELECT COUNT(*)::BIGINT AS n_contaminated,
+         |    COALESCE(bit_xor(${fold48("doc_id")}), 0)::BIGINT
+         |      AS contam_xor
+         |  FROM cl)
+         |SELECT sm.shard_id, sm.n_docs, sm.n_tokens,
+         |  dfp.n_dup_dropped, dfp.dup_drop_xor,
+         |  cfp.n_contaminated, cfp.contam_xor,
+         |  CAST($BlockTokens AS BIGINT) AS block_tokens,
+         |  CAST($BlocksPerShard AS BIGINT) AS blocks_per_shard
+         |FROM sm, dfp, cfp ORDER BY sm.shard_id""".stripMargin
+    },
     // the same publishable manifest reduced to per-stratum unique
     // token mass; budget, epoch, and geometric-value math mirror the
     // engine's BIGINT div/shift expressions exactly (DuckDB's

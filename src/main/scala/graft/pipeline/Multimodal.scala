@@ -250,6 +250,8 @@ object Multimodal {
       phashCache.remove(k).foreach(_.unpersist()))
     landmarkCache.keys.foreach(k =>
       landmarkCache.remove(k).foreach(_.unpersist()))
+    mediaDetectorPairsCache.keys.foreach(k =>
+      mediaDetectorPairsCache.remove(k).foreach(_.unpersist()))
   }
 
   /** Populated session memos — the bench's per-query cold/warm marker
@@ -259,6 +261,7 @@ object Multimodal {
     "m.phash" -> phashCache.nonEmpty,
     "m.landmarks" -> landmarkCache.nonEmpty,
     "m.clusters" -> mediaClusterArtifact.isWarm,
+    "m.detectorPairs" -> mediaDetectorPairsCache.nonEmpty,
   ).collect { case (n, true) => n }
 
   /** Bump when the clustering semantics OR the stored schema change. */
@@ -731,6 +734,119 @@ object Multimodal {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** m10 — the MEDIA detector-lineup audit (the m-family's d12): every
+    * verified pair from the three perceptual detectors — m05's
+    * containment-qualified frame-digest pairs (video), m08's
+    * Hamming-capped phash pairs (image), m09's offset-aligned landmark
+    * pairs (audio) — overlaid with the STORED d12 lexical/embedding
+    * detector-pair artifact on the same id space (payloads derive from
+    * the documents' text, so the text detectors see the same pair
+    * universe). The three media detectors partition by modality
+    * (doc_id % 3), so overlap AMONG them is structurally empty — the
+    * priceable question is CROSS-family: rows with a media flag and
+    * `in_lexical` = 0 are dups only perceptual hashing catches (the
+    * recall a text-only pipeline ships), and `in_lexical`-only rows
+    * within one modality are near-dup payloads the modality's
+    * perceptual detector MISSED — each media detector's recall gap,
+    * priced per modality exactly as d11/d12 price the text lineup.
+    * `media_type` = 'cross' marks lexical pairs spanning modalities
+    * (no media detector is defined there).
+    *
+    * Like d11's table, the per-pair flag set is a DURABLE
+    * fingerprint-guarded artifact: detectors run once per corpus
+    * snapshot, the union is dup-fraction-sized, audits re-read
+    * verdicts. The fingerprint chains every media threshold constant
+    * AND the full d11 fingerprint (which already covers the five
+    * text/embedding detectors' params + source listings), so a cut
+    * change ANYWHERE in either lineup invalidates the stored table.
+    *
+    * Scale shape: one map-side rollup of the stored artifact to at
+    * most 4·2⁴ rows; the build inherits each detector's banded/
+    * df-capped candidate volume plus one pair-keyed flag aggregation.
+    */
+  def m10MediaDetectorOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaDetectorPairs(spark, dir)
+      .groupBy($"media_type", $"in_frames", $"in_phash", $"in_landmark",
+        $"in_lexical")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"media_type", $"in_frames", $"in_phash", $"in_landmark",
+        $"in_lexical")
+  }
+
+  private[graft] def mediaDetectorPairs(spark: SparkSession,
+      dir: String): DataFrame =
+    Memo.getOrBuild(mediaDetectorPairsCache, (spark, dir)) {
+      import spark.implicits._
+      // fingerprint captured BEFORE the detectors read any source data
+      // (the ArtifactStore write-side TOCTOU rule)
+      val fp = m10Fingerprint(spark, dir)
+      ArtifactStore.findValid(spark, m10ArtifactPath(dir), fp)
+        .flatMap(p => ArtifactStore.consistentParquet(spark, p))
+        .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .getOrElse {
+          def flagged(df: DataFrame, which: Int): DataFrame = {
+            val flags = (0 until 4).map(i =>
+              lit(if (i == which) 1L else 0L).as(s"f$i"))
+            df.select(($"doc_a" +: $"doc_b" +: flags): _*)
+          }
+          val frames = m05Pairs(spark, dir)
+            .filter(mediaDup($"n_shared_frames", $"n_frames_a",
+              $"n_frames_b"))
+            .select($"doc_a", $"doc_b")
+          val phash = m08ImagePhashPairs(spark, dir)
+            .select($"doc_a", $"doc_b")
+          val landmark = m09AudioAlignedPairs(spark, dir)
+            .select($"doc_a", $"doc_b")
+          val lexical = Dedup.detectorPairs(spark, dir)
+            .select($"a_id".as("doc_a"), $"b_id".as("doc_b"))
+          val df = flagged(frames, 0)
+            .unionAll(flagged(phash, 1))
+            .unionAll(flagged(landmark, 2))
+            .unionAll(flagged(lexical, 3))
+            .groupBy($"doc_a", $"doc_b")
+            .agg(max($"f0").as("in_frames"), max($"f1").as("in_phash"),
+              max($"f2").as("in_landmark"), max($"f3").as("in_lexical"))
+            .withColumn("media_type",
+              when($"doc_a" % 3 =!= $"doc_b" % 3, "cross")
+                .when($"doc_a" % 3 === 0, "image")
+                .when($"doc_a" % 3 === 1, "audio")
+                .otherwise("video"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          df.count() // materialize: consumers read the set, not the joins
+          ArtifactStore.publish(spark, m10ArtifactPath(dir), fp) {
+            staging => df.write.mode("overwrite").parquet(staging)
+          }
+          df
+        }
+    }
+
+  private val mediaDetectorPairsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** Bump when any media detector's pair semantics change in a way the
+    * fingerprint's named parameters don't capture, or when the stored
+    * schema changes. v1: three media flags + the lexical overlay.
+    */
+  private val M10ArtifactVersion = 1
+
+  private def m10ArtifactPath(dir: String): String =
+    s"${ArtifactStore.artifactRoot}/${ArtifactStore.md5Hex(dir)}_m10_pairs"
+
+  /** Staleness guard: every named constant the three media detectors
+    * filter with, plus d11's OWN fingerprint — which already hashes
+    * the five text/embedding detectors' thresholds and the documents/
+    * embeddings source listings — so either lineup's cut change (or a
+    * corpus change) invalidates this artifact transitively.
+    */
+  private def m10Fingerprint(spark: SparkSession, dir: String): String =
+    ArtifactStore.md5Hex(
+      s"v$M10ArtifactVersion|cont=1/2|frame=$FrameLen/$FrameStep|" +
+        s"ph=$PhBits/$PhBands/$PhBandBits/ham<=$PhHammingCap|" +
+        s"au=$AuWinLen/$AuAnchor/$AuDfCap/$AuMinVotes/" +
+        s"$AuHashBase/$AuHashMod|" +
+        Dedup.d11Fingerprint(spark, dir))
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -743,7 +859,65 @@ object Multimodal {
     "m06_media_clusters" -> m06MediaClusters _,
     "m08_image_phash_pairs" -> m08ImagePhashPairs _,
     "m09_audio_aligned_pairs" -> m09AudioAlignedPairs _,
+    "m10_media_detector_overlap" -> m10MediaDetectorOverlap _,
   )
+
+  // Composable oracle CTE fragments (no WITH, no final SELECT) — each
+  // detector's chain is embedded by its own oracle AND by m10's
+  // combined audit, the d10-embeds-d06 pattern. CTE names (m05: fr/nf/
+  // pr; m08: img/a1/a2/ah; m09: au/w/keep/wk/v) are disjoint from each
+  // other and from Dedup.fullDetectorPairsCtes' names.
+  private lazy val m05Ctes: String =
+    s"""fr AS (SELECT DISTINCT doc_id,
+       |    md5(substr(text, (i * $FrameLen + 1)::BIGINT, $FrameLen)) AS g
+       |  FROM documents, unnest(range(0, (strlen(text) - 1) // $FrameLen + 1,
+       |                                $FrameStep)) t(i)
+       |  WHERE doc_id % 3 = 2 AND strlen(text) > 0),
+       |nf AS (SELECT doc_id, COUNT(*) AS nf FROM fr GROUP BY doc_id),
+       |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    COUNT(*) AS n_shared_frames
+       |  FROM fr a JOIN fr b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private lazy val m08Ctes: String =
+    s"""img AS (SELECT doc_id, text AS s, length(text)::BIGINT AS L
+       |  FROM documents
+       |  WHERE doc_id % 3 = 0 AND length(text) >= $PhBits),
+       |a1 AS (SELECT doc_id, L,
+       |  list_transform(range(0, $PhBits), i ->
+       |    CAST(list_sum(list_transform(
+       |      range(i * L // $PhBits + 1, (i + 1) * L // $PhBits + 1),
+       |      p -> ascii(substr(s, p, 1)))) AS BIGINT)) AS sums,
+       |  list_transform(range(0, $PhBits), i ->
+       |    (i + 1) * L // $PhBits - i * L // $PhBits) AS lens
+       |  FROM img),
+       |a2 AS (SELECT doc_id, L, sums, lens,
+       |  CAST(list_sum(sums) AS BIGINT) AS tot FROM a1),
+       |ah AS (SELECT doc_id,
+       |  list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(range(0, $PhBits), i ->
+       |      CASE WHEN sums[i + 1] * L >= tot * lens[i + 1]
+       |        THEN (1::BIGINT << i::INTEGER) ELSE 0::BIGINT END)),
+       |    (a, x) -> a + x) AS ahash
+       |  FROM a2)""".stripMargin
+
+  private lazy val m09Ctes: String =
+    s"""au AS (SELECT doc_id, text s, length(text)::BIGINT AS L
+       |  FROM documents
+       |  WHERE doc_id % 3 = 1 AND length(text) >= $AuWinLen),
+       |w AS (SELECT doc_id, p::BIGINT - 1 AS off,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(range(p, p + $AuWinLen),
+       |        i -> ascii(substr(s, i, 1))::BIGINT)),
+       |      (a, x) -> (a * $AuHashBase + x) % $AuHashMod) AS h
+       |  FROM au, unnest(range(1, L - ${AuWinLen - 2})) t(p)
+       |  WHERE ascii(substr(s, p, 1)) = $AuAnchor),
+       |keep AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) <= $AuDfCap),
+       |wk AS (SELECT w.* FROM w JOIN keep USING (h)),
+       |v AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+       |    a.off - b.off AS dt, COUNT(*)::BIGINT AS votes
+       |  FROM wk a JOIN wk b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3)""".stripMargin
 
   // NOTE: the m02/m03 oracles equate UTF-8 bytes with characters
   // (ascii()/substr() on text vs byte ops on the payload) — valid only
@@ -789,16 +963,7 @@ object Multimodal {
         |       FROM documents WHERE doc_id % 3 = 0))
         |ORDER BY doc_id""".stripMargin,
     "m05_media_neardup" ->
-      s"""WITH fr AS (SELECT DISTINCT doc_id,
-         |    md5(substr(text, (i * $FrameLen + 1)::BIGINT, $FrameLen)) AS g
-         |  FROM documents, unnest(range(0, (strlen(text) - 1) // $FrameLen + 1,
-         |                                $FrameStep)) t(i)
-         |  WHERE doc_id % 3 = 2 AND strlen(text) > 0),
-         |nf AS (SELECT doc_id, COUNT(*) AS nf FROM fr GROUP BY doc_id),
-         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    COUNT(*) AS n_shared_frames
-         |  FROM fr a JOIN fr b ON a.g = b.g AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
+      s"""WITH $m05Ctes
          |SELECT pr.doc_a, pr.doc_b, pr.n_shared_frames,
          | na.nf AS n_frames_a, nb.nf AS n_frames_b
          |FROM pr JOIN nf na ON na.doc_id = pr.doc_a
@@ -811,53 +976,61 @@ object Multimodal {
     // brute-force O(images^2) hamming join (the oracle can afford it;
     // the engine bands)
     "m08_image_phash_pairs" ->
-      s"""WITH img AS (SELECT doc_id, text AS s, length(text)::BIGINT AS L
-         |  FROM documents
-         |  WHERE doc_id % 3 = 0 AND length(text) >= $PhBits),
-         |a1 AS (SELECT doc_id, L,
-         |  list_transform(range(0, $PhBits), i ->
-         |    CAST(list_sum(list_transform(
-         |      range(i * L // $PhBits + 1, (i + 1) * L // $PhBits + 1),
-         |      p -> ascii(substr(s, p, 1)))) AS BIGINT)) AS sums,
-         |  list_transform(range(0, $PhBits), i ->
-         |    (i + 1) * L // $PhBits - i * L // $PhBits) AS lens
-         |  FROM img),
-         |a2 AS (SELECT doc_id, L, sums, lens,
-         |  CAST(list_sum(sums) AS BIGINT) AS tot FROM a1),
-         |ah AS (SELECT doc_id,
-         |  list_reduce(list_prepend(0::BIGINT,
-         |    list_transform(range(0, $PhBits), i ->
-         |      CASE WHEN sums[i + 1] * L >= tot * lens[i + 1]
-         |        THEN (1::BIGINT << i::INTEGER) ELSE 0::BIGINT END)),
-         |    (a, x) -> a + x) AS ahash
-         |  FROM a2)
+      s"""WITH $m08Ctes
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
          |FROM ah a JOIN ah b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.ahash, b.ahash)) <= $PhHammingCap
          |ORDER BY doc_a, doc_b""".stripMargin,
     "m09_audio_aligned_pairs" ->
-      s"""WITH au AS (SELECT doc_id, text s, length(text)::BIGINT AS L
-         |  FROM documents
-         |  WHERE doc_id % 3 = 1 AND length(text) >= $AuWinLen),
-         |w AS (SELECT doc_id, p::BIGINT - 1 AS off,
-         |    list_reduce(list_prepend(0::BIGINT,
-         |      list_transform(range(p, p + $AuWinLen),
-         |        i -> ascii(substr(s, i, 1))::BIGINT)),
-         |      (a, x) -> (a * $AuHashBase + x) % $AuHashMod) AS h
-         |  FROM au, unnest(range(1, L - ${AuWinLen - 2})) t(p)
-         |  WHERE ascii(substr(s, p, 1)) = $AuAnchor),
-         |keep AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) <= $AuDfCap),
-         |wk AS (SELECT w.* FROM w JOIN keep USING (h)),
-         |v AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
-         |    a.off - b.off AS dt, COUNT(*)::BIGINT AS votes
-         |  FROM wk a JOIN wk b ON a.h = b.h AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2, 3)
+      s"""WITH $m09Ctes
          |SELECT doc_a, doc_b, dt AS best_offset, votes FROM (
          |  SELECT *, row_number() OVER (PARTITION BY doc_a, doc_b
          |    ORDER BY votes DESC, dt) rn FROM v)
          |WHERE rn = 1 AND votes >= $AuMinVotes
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // m10: the three media pair chains + the full five-detector
+    // lexical chain (Dedup.fullDetectorPairsCtes — the IDENTICAL pair
+    // space the engine reads from the stored d11 artifact), overlaid
+    // with max-flags per pair exactly as d12's oracle overlays its
+    // five. CTE names across the four chains are disjoint by
+    // construction (documented on each fragment).
+    "m10_media_detector_overlap" ->
+      s"""WITH ${Dedup.fullDetectorPairsCtes},
+         |$m05Ctes,
+         |$m08Ctes,
+         |$m09Ctes,
+         |frq AS (SELECT pr.doc_a, pr.doc_b
+         |  FROM pr JOIN nf na ON na.doc_id = pr.doc_a
+         |          JOIN nf nb ON nb.doc_id = pr.doc_b
+         |  WHERE 2 * pr.n_shared_frames >= least(na.nf, nb.nf)),
+         |phq AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.ahash, b.ahash)) <= $PhHammingCap),
+         |lmq AS (SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b, votes, row_number() OVER (
+         |      PARTITION BY doc_a, doc_b ORDER BY votes DESC, dt) rn
+         |    FROM v)
+         |  WHERE rn = 1 AND votes >= $AuMinVotes),
+         |lxq AS (SELECT a_id AS doc_a, b_id AS doc_b FROM g5),
+         |u4 AS (SELECT doc_a, doc_b, 1 AS q0, 0 AS q1, 0 AS q2, 0 AS q3
+         |    FROM frq
+         |  UNION ALL SELECT doc_a, doc_b, 0, 1, 0, 0 FROM phq
+         |  UNION ALL SELECT doc_a, doc_b, 0, 0, 1, 0 FROM lmq
+         |  UNION ALL SELECT doc_a, doc_b, 0, 0, 0, 1 FROM lxq),
+         |g4 AS (SELECT doc_a, doc_b, MAX(q0) q0, MAX(q1) q1,
+         |    MAX(q2) q2, MAX(q3) q3
+         |  FROM u4 GROUP BY 1, 2)
+         |SELECT CASE WHEN doc_a % 3 != doc_b % 3 THEN 'cross'
+         |    WHEN doc_a % 3 = 0 THEN 'image'
+         |    WHEN doc_a % 3 = 1 THEN 'audio'
+         |    ELSE 'video' END AS media_type,
+         |  q0::BIGINT AS in_frames, q1::BIGINT AS in_phash,
+         |  q2::BIGINT AS in_landmark, q3::BIGINT AS in_lexical,
+         |  COUNT(*)::BIGINT AS n_pairs
+         |FROM g4 GROUP BY 1, 2, 3, 4, 5
+         |ORDER BY media_type, in_frames, in_phash, in_landmark,
+         |  in_lexical""".stripMargin,
   ) ++ Map(
     // m07 embeds m06's recursive clustering SQL as a derived table
     // (the exportSql composition pattern) and ranks members by the

@@ -170,6 +170,40 @@ class ExportSpec extends SparkSpec {
     assert(ids == (0L until ids.length.toLong))
   }
 
+  test("x13 provenance reconciles x06's shard set; folds replay from the stored lists") {
+    val prov = Export.x13ReleaseProvenance(spark, sfDir).collect()
+    val shards = Export.x06ShardManifest(spark, sfDir).collect()
+    // one provenance row per x06 shard, carrying ITS (n_docs, n_tokens)
+    assert(prov.map(r => (r.getAs[Long]("shard_id"), r.getAs[Long]("n_docs"),
+      r.getAs[Long]("n_tokens"))).toSet ==
+      shards.map(r => (r.getAs[Long]("shard_id"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"))).toSet)
+    // the release-level provenance columns are one record, constant
+    // across shards (the artifact identity, not a per-shard quantity)
+    val recs = prov.map(r => (r.getAs[Long]("n_dup_dropped"),
+      r.getAs[Long]("dup_drop_xor"), r.getAs[Long]("n_contaminated"),
+      r.getAs[Long]("contam_xor"), r.getAs[Long]("block_tokens"),
+      r.getAs[Long]("blocks_per_shard"))).distinct
+    assert(recs.length == 1, s"provenance record not constant: $recs")
+    val (nDrop, dropXor, nContam, contamXor, bt, bps) = recs.head
+    assert(bt == Export.BlockTokens && bps == Export.BlocksPerShard)
+    // content folds replay driver-side from the same stored artifacts
+    // the export chain consumes — the verification a loader performs
+    def fold48(ids: Seq[Long]): Long = ids.map { id =>
+      java.lang.Long.parseLong(
+        graft.pipeline.ArtifactStore.md5Hex(id.toString).take(12), 16)
+    }.foldLeft(0L)(_ ^ _)
+    val dropIds = graft.pipeline.Dedup.clusterDropList(spark, sfDir)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(nDrop == dropIds.length.toLong)
+    assert(dropXor == fold48(dropIds), "dup drop-list fold mismatch")
+    val contamIds = graft.pipeline.TextAnalysis
+      .contaminatedDocs(spark, sfDir)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(nContam == contamIds.length.toLong)
+    assert(contamXor == fold48(contamIds), "contam-list fold mismatch")
+  }
+
   test("x07 card reconciles the corpus total and x02's published set exactly") {
     val card = Export.x07DatasetCard(spark, sfDir).collect()
     assert(card.nonEmpty)
