@@ -116,20 +116,20 @@ object BenchBands {
     "x07_dataset_card" -> 0.3379, "x08_epoch_shuffle" -> 0.6477,
     "x09_epoch_plan" -> 0.5618, "x10_temperature_mixture" -> 0.5129,
     "x11_quality_funnel" -> 0.6727, "x12_checksum_manifest" -> 0.4257,
-    // recorded in the round-16 CLOSING run (contention 1.65 — hotter
-    // than the main recording, so these three read slightly loose
-    // until the next full re-record; conservative in the passing
-    // direction only)
-    "p29_vocab_growth" -> 0.7816, "p30_vocab_novelty" -> 0.3486,
-    "v08_twonn_id" -> 0.7616,
-    // recorded in this round's continuation full runs (contention
-    // 1.24/floor 0.1903 and 1.40/0.2175 — one-run minima, to be
-    // re-tightened at the next dual-pass re-record); m09's ref is the
-    // closing run's reading, a DELIBERATE plan change (memoized
-    // landmark table) from the 1.619 first recording
-    "m08_image_phash_pairs" -> 0.405, "m09_audio_aligned_pairs" -> 0.772,
+    // round-17 re-record of the 8 formerly-provisional entries
+    // (VERDICT r16 item 2): two further FULL dual-pass runs (axes
+    // 1.72/0.2476 and 1.66/0.2420), each ref the MIN over every
+    // observed run including the round-16 readings — more observations
+    // of byte-identical code can only tighten the quiet-floor
+    // estimate, and tighter refs mean stricter bands
+    "p29_vocab_growth" -> 0.6642, "p30_vocab_novelty" -> 0.3197,
+    "v08_twonn_id" -> 0.7369,
+    "m08_image_phash_pairs" -> 0.405, "m09_audio_aligned_pairs" -> 0.7066,
     "s22_mmr_rerank" -> 0.394, "p31_leak_excision" -> 1.154,
     "q28_rfm_segments" -> 0.823,
+    // round-17 additions, recorded in the same two dual-pass runs
+    "m10_media_detector_overlap" -> 0.2065,
+    "x13_release_provenance" -> 0.4772,
   )
 
   /** §O.6 scoped the d01 floor rule to SUB-SECOND queries — applying
