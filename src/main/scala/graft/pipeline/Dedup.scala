@@ -886,6 +886,101 @@ object Dedup {
       .orderBy($"cluster_id")
   }
 
+  /** Exact-purity audit cap: clusters with more members than this are
+    * reported but not pairwise-priced — C(n,2) pair volume is the one
+    * quadratic term in the audit, and a cluster this large is ITSELF
+    * the chaining alarm the audit exists to raise (its exact minimum
+    * adds nothing to the drop/keep decision). 64 members caps the
+    * per-cluster pair count at 2016; vacuous on this corpus (largest
+    * cluster: 4), load-bearing at 100 TB.
+    */
+  private[graft] val PurityExactCap = 64L
+
+  /** d13 — cluster-purity audit: the price of TRANSITIVE closure.
+    * d06's connected components admit a pair into one cluster through
+    * any CHAIN of >= 0.8 edges, so two retained-cluster members can sit
+    * far below the pairwise cut (A~B~C with J(A,B), J(B,C) >= 0.8 but
+    * J(A,C) = 0.5 — the classic false-merge, and the reason published
+    * pipelines report cluster-size distributions next to their dedup
+    * rates). Per multi-member cluster: the MIN and MAX pairwise capped
+    * Jaccard over all member pairs (exact integer ppm), the `chained`
+    * flag (min below the d02 cut — some retained pair would never have
+    * been flagged directly), and `audited` ([[PurityExactCap]]). On
+    * this corpus every cluster reads pure (min 0.90 at sf0.01, cut
+    * 0.8) — the audit CERTIFIES the clustering rather than flagging
+    * it; the chained path is spec-proven on a constructed A~B~C corpus
+    * (the p31 partial-keep pattern).
+    *
+    * Scale shape: reads the stored cluster artifact (never
+    * re-propagates) and the memoized capped-shingle index; in-cluster
+    * pairing is dup-volume-sized and [[PurityExactCap]]²-bounded per
+    * cluster; the intersection count is the d02 verify join keyed on
+    * (doc, shingle); min/max are partial-aggregatable.
+    */
+  def d13ClusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val labels = clusterLabels(spark, dir)
+      .select($"label".as("cluster_id"), $"id".as("doc_id"))
+    clusterPurityFrom(labels, cappedShingles(spark, dir))
+  }
+
+  /** d13's testable core — purity over ANY (cluster_id, doc_id) label
+    * table and (doc_id, shingle) index, so the spec can prove the
+    * chained path on a constructed corpus without touching the stored
+    * artifact.
+    */
+  private[graft] def clusterPurityFrom(labels: DataFrame,
+      shingles: DataFrame): DataFrame = {
+    val spark = labels.sparkSession
+    import spark.implicits._
+    val sizes = labels.groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"))
+      .filter($"n_members" >= 2)
+    val members = labels.join(
+      sizes.filter($"n_members" <= PurityExactCap).select($"cluster_id"),
+      Seq("cluster_id"), "left_semi")
+    val pairs = members.as("a")
+      .join(members.as("b"),
+        $"a.cluster_id" === $"b.cluster_id" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.cluster_id".as("cluster_id"),
+        $"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+    val csz = shingles.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(shingles.as("sa"), $"a_id" === $"sa.doc_id")
+      .join(shingles.as("sb"),
+        $"b_id" === $"sb.doc_id" && $"sa.shingle" === $"sb.shingle")
+      .groupBy($"cluster_id", $"a_id", $"b_id")
+      .agg(count(lit(1)).as("inter"))
+    // zero-intersection pairs vanish from the verify join — the LEFT
+    // join puts them back at inter = 0 (a chained cluster can contain
+    // a pair sharing NOTHING)
+    val jac = pairs
+      .join(inter, Seq("cluster_id", "a_id", "b_id"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(csz.select($"doc_id".as("a_id"), $"n".as("na")), Seq("a_id"))
+      .join(csz.select($"doc_id".as("b_id"), $"n".as("nb")), Seq("b_id"))
+      .select($"cluster_id",
+        expr("inter * 1000000 DIV (na + nb - inter)").as("ppm"))
+    val per = jac.groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min($"ppm").as("min_jaccard_ppm"),
+        max($"ppm").as("max_jaccard_ppm"))
+    sizes.join(per, Seq("cluster_id"), "left")
+      .withColumn("audited",
+        when($"n_members" <= PurityExactCap, 1L).otherwise(0L))
+      .withColumn("n_pairs", coalesce($"n_pairs", lit(0L)))
+      // floor(J·1e6)·Den < Num·1e6 ⟺ J < Num/Den exactly (integer
+      // threshold, so the ppm floor loses nothing at the boundary)
+      .withColumn("chained",
+        when($"audited" === 1L,
+          ($"min_jaccard_ppm" * JaccardCutDen <
+            lit(1000000L) * JaccardCutNum).cast("long"))
+          .otherwise(lit(null).cast("long")))
+      .select($"cluster_id", $"n_members", $"n_pairs",
+        $"min_jaccard_ppm", $"max_jaccard_ppm", $"chained", $"audited")
+      .orderBy($"cluster_id")
+  }
+
   /** d11 — the detector-overlap audit: which near-dup detector is
     * load-bearing. A production pipeline typically ships ONE detector
     * and assumes coverage; this audit takes every verified pair from
@@ -1247,6 +1342,7 @@ object Dedup {
     "d10_longest_survivors" -> d10LongestSurvivors _,
     "d11_detector_overlap" -> d11DetectorOverlap _,
     "d12_detector_overlap_full" -> d12DetectorOverlapFull _,
+    "d13_cluster_purity" -> d13ClusterPurity _,
   )
 
   // Shared oracle CTEs (DuckDB SQL mirroring the Spark expressions).
@@ -1440,6 +1536,50 @@ object Dedup {
          |FROM g5 GROUP BY 1, 2, 3, 4, 5
          |ORDER BY in_ngram, in_minhash, in_simhash, in_signlsh,
          |  in_semantic""".stripMargin,
+    // d13: d06's clustering embedded as a derived table (the d10
+    // pattern), the d02 capped-shingle rule rebuilt at the outer
+    // level (the inner chain's same-named CTEs shadow cleanly inside
+    // their own scope), exact integer ppm floors on both engines
+    "d13_cluster_purity" ->
+      s"""WITH $ShingleCte,
+         |capped AS (SELECT doc_id, shingle FROM sh
+         |  WHERE shingle IN (SELECT shingle FROM sh
+         |                    GROUP BY shingle HAVING count(*) <= $ShingleDfCap)),
+         |csz AS (SELECT doc_id, count(*) n FROM capped GROUP BY doc_id),
+         |cl AS (SELECT cluster_id, doc_id FROM ($d06Sql)),
+         |szs AS (SELECT cluster_id, COUNT(*)::BIGINT AS n_members
+         |  FROM cl GROUP BY 1 HAVING COUNT(*) >= 2),
+         |mem AS (SELECT cl.* FROM cl JOIN szs USING (cluster_id)
+         |  WHERE szs.n_members <= $PurityExactCap),
+         |prs AS (SELECT a.cluster_id, a.doc_id a_id, b.doc_id b_id
+         |  FROM mem a JOIN mem b
+         |    ON a.cluster_id = b.cluster_id AND a.doc_id < b.doc_id),
+         |iv AS (SELECT p.cluster_id, p.a_id, p.b_id, COUNT(*) AS inter
+         |  FROM prs p JOIN capped sa ON sa.doc_id = p.a_id
+         |              JOIN capped sb ON sb.doc_id = p.b_id
+         |                AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2, 3),
+         |jj AS (SELECT p.cluster_id,
+         |    (COALESCE(iv.inter, 0) * 1000000
+         |      // (sa.n + sb.n - COALESCE(iv.inter, 0)))::BIGINT AS ppm
+         |  FROM prs p LEFT JOIN iv ON iv.cluster_id = p.cluster_id
+         |    AND iv.a_id = p.a_id AND iv.b_id = p.b_id
+         |  JOIN csz sa ON sa.doc_id = p.a_id
+         |  JOIN csz sb ON sb.doc_id = p.b_id),
+         |per AS (SELECT cluster_id, COUNT(*)::BIGINT AS n_pairs,
+         |    MIN(ppm) AS min_jaccard_ppm, MAX(ppm) AS max_jaccard_ppm
+         |  FROM jj GROUP BY 1)
+         |SELECT s.cluster_id, s.n_members,
+         |  COALESCE(p.n_pairs, 0)::BIGINT AS n_pairs,
+         |  p.min_jaccard_ppm, p.max_jaccard_ppm,
+         |  CASE WHEN s.n_members <= $PurityExactCap THEN
+         |    (CASE WHEN p.min_jaccard_ppm * $JaccardCutDen
+         |        < 1000000 * $JaccardCutNum THEN 1 ELSE 0 END)::BIGINT
+         |  ELSE NULL END AS chained,
+         |  (CASE WHEN s.n_members <= $PurityExactCap
+         |    THEN 1 ELSE 0 END)::BIGINT AS audited
+         |FROM szs s LEFT JOIN per p USING (cluster_id)
+         |ORDER BY s.cluster_id""".stripMargin,
     "d10_longest_survivors" ->
       raw"""WITH cl AS (SELECT cluster_id, doc_id FROM
          |  ($d06Sql)),

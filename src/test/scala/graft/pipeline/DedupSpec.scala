@@ -551,6 +551,54 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d13 certifies this corpus pure; a constructed A~B~C chain flags as chained") {
+    import spark.implicits._
+    // on the real corpus: every multi-member cluster audited, pair
+    // count is exactly C(n,2), and min >= the cut (chained = 0) — the
+    // certification reading, cross-checked by the DuckDB oracle gate
+    val rows = Dedup.d13ClusterPurity(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, np) = (r.getAs[Long]("n_members"), r.getAs[Long]("n_pairs"))
+      assert(r.getAs[Long]("audited") == 1L)
+      assert(np == n * (n - 1) / 2, s"pair count $np for $n members")
+      val (mn, mx) = (r.getAs[Long]("min_jaccard_ppm"),
+        r.getAs[Long]("max_jaccard_ppm"))
+      assert(mn <= mx && mx <= 1000000L)
+      assert(r.getAs[Long]("chained") == (if (mn * Dedup.JaccardCutDen <
+        1000000L * Dedup.JaccardCutNum) 1L else 0L))
+    }
+    // constructed chain: J(A,B) = J(B,C) = 9/11 >= 0.8 (direct edges)
+    // but J(A,C) = 8/12 < 0.8 — transitive closure retains the A-C
+    // pair, and the audit must price it
+    def shingles(id: Long, lo: Int, hi: Int) =
+      (lo to hi).map(i => (id, s"s$i"))
+    val sh = (shingles(10L, 1, 10) ++ shingles(20L, 2, 11) ++
+      shingles(30L, 3, 12)).toDF("doc_id", "shingle")
+    val labels = Seq((1L, 10L), (1L, 20L), (1L, 30L))
+      .toDF("cluster_id", "doc_id")
+    val audit = Dedup.clusterPurityFrom(labels, sh).collect()
+    assert(audit.length == 1)
+    val c = audit.head
+    assert(c.getAs[Long]("n_members") == 3L && c.getAs[Long]("n_pairs") == 3L)
+    assert(c.getAs[Long]("min_jaccard_ppm") == 666666L) // floor(8/12 ppm)
+    assert(c.getAs[Long]("max_jaccard_ppm") == 818181L) // floor(9/11 ppm)
+    assert(c.getAs[Long]("chained") == 1L, "false-merge not flagged")
+    // over-cap cluster: reported, counted, NOT pairwise-priced
+    val bigN = (Dedup.PurityExactCap + 6).toInt
+    val bigLabels = (0 until bigN).map(i => (2L, 1000L + i))
+      .toDF("cluster_id", "doc_id")
+    val bigSh = (0 until bigN).map(i => (1000L + i, "common"))
+      .toDF("doc_id", "shingle")
+    val big = Dedup.clusterPurityFrom(bigLabels, bigSh).collect()
+    assert(big.length == 1)
+    assert(big.head.getAs[Long]("n_members") == bigN.toLong)
+    assert(big.head.getAs[Long]("audited") == 0L)
+    assert(big.head.getAs[Long]("n_pairs") == 0L)
+    assert(big.head.isNullAt(big.head.fieldIndex("min_jaccard_ppm")))
+    assert(big.head.isNullAt(big.head.fieldIndex("chained")))
+  }
+
   test("d10 picks each cluster's true longest member, flagging policy disagreements") {
     import spark.implicits._
     val ntok = graft.Tables.documents(spark, sfDir).collect()
