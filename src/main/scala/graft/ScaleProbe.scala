@@ -317,7 +317,19 @@ object ScaleProbe {
       // doc_id-partitioned occ plus a FIXED 4096-key collapse, and the
       // model stays a constant 32 KB driver array at any R (the same
       // hashed-feature property p23 probes) — ~linear
-      "p24" -> SparkEntry.queries("p24_quality_classifier"))
+      "p24" -> SparkEntry.queries("p24_quality_classifier"),
+      // m10: one rollup of the stored four-flag media pair artifact —
+      // the build is detector-dominated (m05/m08/m09 + the stored d11
+      // table), the query itself ~flat
+      "m10" -> SparkEntry.queries("m10_media_detector_overlap"),
+      // x13: x06's shard rollup + two ONE-ROW broadcast folds over the
+      // dup/contam-fraction-sized stored lists — ~linear,
+      // x03-dominated
+      "x13" -> SparkEntry.queries("x13_release_provenance"),
+      // d13: stored cluster artifact + memoized capped index;
+      // in-cluster pair volume is dup-sized and PurityExactCap²-
+      // bounded per cluster — ~linear in dup volume
+      "d13" -> SparkEntry.queries("d13_cluster_purity"))
 
     // optional args after reps: probe only the named targets (dev
     // iteration on a new operator without re-running all 35)
