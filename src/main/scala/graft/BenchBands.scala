@@ -130,6 +130,10 @@ object BenchBands {
     // round-17 additions, recorded in the same two dual-pass runs
     "m10_media_detector_overlap" -> 0.2065,
     "x13_release_provenance" -> 0.4772,
+    // recorded in the round's CLOSING dual-pass run (1.62/0.2177,
+    // band_fail [], the round's quietest) — one run only; re-tighten
+    // at the next full re-record if a quieter reading appears
+    "d13_cluster_purity" -> 0.7152,
   )
 
   /** §O.6 scoped the d01 floor rule to SUB-SECOND queries — applying
