@@ -329,7 +329,11 @@ object ScaleProbe {
       // d13: stored cluster artifact + memoized capped index;
       // in-cluster pair volume is dup-sized and PurityExactCap²-
       // bounded per cluster — ~linear in dup volume
-      "d13" -> SparkEntry.queries("d13_cluster_purity"))
+      "d13" -> SparkEntry.queries("d13_cluster_purity"),
+      // p32: one term-keyed map-side-combined count + a RangedPrefix
+      // global rank + a 5-sum single-row aggregate — ~linear in
+      // tokens, vocab-bounded downstream
+      "p32" -> SparkEntry.queries("p32_zipf_slope"))
 
     // optional args after reps: probe only the named targets (dev
     // iteration on a new operator without re-running all 35)

@@ -320,6 +320,7 @@ object TextAnalysis {
 
   def invalidateCaches(): Unit = {
     graft.RangedPrefix.invalidateCaches("p29:")
+    graft.RangedPrefix.invalidateCaches("p32:")
     trainVocabCache.keys.foreach(k =>
       trainVocabCache.remove(k).foreach(_.unpersist()))
     gramCache.keys.foreach(k => gramCache.remove(k).foreach(_.unpersist()))
@@ -1426,6 +1427,88 @@ object TextAnalysis {
       .orderBy($"decile")
   }
 
+  /** p32 — the Zipf rank-frequency slope: the OTHER classic corpus law
+    * next to p29's Heaps profile, and the single exponent a corpus
+    * datasheet reports (natural text: ln f ≈ a − s·ln r with s ≈ 1;
+    * a flattened head flags boilerplate/duplication, a steepened tail
+    * flags vocabulary collapse — the composition alarms that pair with
+    * p29's growth kink). Least-squares fit of quantized (ln rank,
+    * ln freq) over the FULL vocabulary, published as the negated slope
+    * in exact ppm.
+    *
+    * Determinism: both logs quantize through the x10/p22 ln-space
+    * convention — floor(2²⁰·ln x) — so both engines reduce each term
+    * to the same INTEGERS before any cross-row arithmetic (the 1-ulp
+    * libm license sits ~9 orders below the unit grid; the x10-style
+    * stability guard below fails LOUDLY if any product lands within
+    * 8e-9 of an integer, and the engines' ranks agree because the
+    * total order (f desc, term) is collation-free binary on both).
+    * Sums run in DECIMAL(38,0) (Σ lx·ly can pass 2⁶³ at ~100k vocab;
+    * the x10 HUGEINT lesson), and the closed-form slope is one wide-
+    * integer division: neg_slope_ppm = (Σx·Σy − n·Σxy)·10⁶ div
+    * (n·Σxx − Σx²), numerator required non-negative so the floor
+    * division never crosses the engines' negative-rounding split — a
+    * non-negative Zipf slope is a data anomaly worth the loud failure.
+    *
+    * Scale shape: one term-keyed count (map-side combined), one
+    * RangedPrefix global rank (no single-partition window), one
+    * 5-sum aggregate to a single row. Nothing corpus-sized moves
+    * except term keys.
+    */
+  def p32ZipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cnt = Tables.documents(spark, dir)
+      .select(explode(toks($"text")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("f"))
+    val (ranked, _) = graft.RangedPrefix.runningSum(spark, s"p32:$dir",
+      cnt, Seq($"f".desc, $"term"), lit(1L), "r")
+    val q = ranked.select(
+        (lit(1048576.0) * log($"r".cast("double"))).as("lxr"),
+        (lit(1048576.0) * log($"f".cast("double"))).as("lyr"))
+      .select(floor($"lxr").cast("long").as("lx"),
+        floor($"lyr").cast("long").as("ly"),
+        // per-COMPONENT distances: an input of exactly 0.0 is ln 1,
+        // IEEE-exact on both engines and deliberately exempt (log(1.0)
+        // == +0.0 is guaranteed; a nonzero 2^20·ln(integer) can never
+        // be mathematically integer, so any other exact landing is
+        // itself the hazard and must not be masked by its row-mate)
+        least(
+          when($"lxr" === 0.0, lit(Double.MaxValue))
+            .otherwise(abs($"lxr" - round($"lxr"))),
+          when($"lyr" === 0.0, lit(Double.MaxValue))
+            .otherwise(abs($"lyr" - round($"lyr")))).as("gd"))
+    val s = q.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum($"lx".cast("decimal(38,0)")).as("sx"),
+      sum($"ly".cast("decimal(38,0)")).as("sy"),
+      sum(($"lx" * $"ly").cast("decimal(38,0)")).as("sxy"),
+      sum(($"lx" * $"lx").cast("decimal(38,0)")).as("sxx"),
+      min($"gd").as("gmin"))
+    // floor-stability guard (engine-side, the x10 backstop): a
+    // quantization input within 8e-9 (≈ 4 ulp at the ~1.5e7 value
+    // scale) of an integer could floor differently under the engines'
+    // 1-ulp licenses; exact-zero components (ln 1) are exempted in
+    // the projection above. Deterministic per corpus.
+    val row = s.head()
+    val gmin = Option(row.get(5)).map(_.asInstanceOf[Double])
+    require(gmin.forall(_ > 8e-9),
+      s"p32 ln-quantization lands within 8e-9 of an integer ($gmin): " +
+        "the engines could floor differently; adjust the scale")
+    // the slope sign check runs on the SAME collected stats row (a
+    // projected column would be pruned before evaluation): num < 0
+    // would push the floor division onto the engines' negative-
+    // rounding split, and a non-negative Zipf slope is a data anomaly
+    // regardless
+    val num = row.getDecimal(1).multiply(row.getDecimal(2))
+      .subtract(row.getDecimal(0).multiply(row.getDecimal(3)))
+    require(num.signum() >= 0,
+      "p32: non-negative Zipf slope — data anomaly (or a corpus this " +
+        "law does not describe); the ppm floor would be engine-split")
+    s.select($"n".cast("long").as("n_terms"),
+      expr("""CAST(((sx * sy - n * sxy) * 1000000)
+              DIV (n * sxx - sx * sx) AS BIGINT)""").as("neg_slope_ppm"))
+  }
+
   private[pipeline] val WinnowK = 4
   private[pipeline] val WinnowW = 8
 
@@ -2078,6 +2161,7 @@ object TextAnalysis {
     "p20_dup_spans" -> p20DupSpans _,
     "p21_span_excision" -> p21SpanExcision _,
     "p31_leak_excision" -> p31LeakExcision _,
+    "p32_zipf_slope" -> p32ZipfSlope _,
     "p27_pii_redaction" -> p27PiiRedaction _,
     "p28_luhn_redaction" -> p28LuhnRedaction _,
     "p29_vocab_growth" -> p29VocabGrowth _,
@@ -2526,6 +2610,24 @@ object TextAnalysis {
          |  md5(COALESCE(array_to_string(kept, ' '), ''))
          |    AS cleaned_md5
          |FROM k ORDER BY doc_id""".stripMargin,
+    // p32: identical quantized-ln least squares — both engines reduce
+    // every term to the same integers (floor(2^20 ln)) before any
+    // cross-row arithmetic; HUGEINT mirrors the engine's DECIMAL(38,0)
+    "p32_zipf_slope" ->
+      raw"""WITH tf AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+         |    AS term FROM documents),
+         |cnt AS (SELECT term, COUNT(*)::BIGINT AS f FROM tf GROUP BY term),
+         |rk AS (SELECT f, row_number() OVER (ORDER BY f DESC, term) AS r
+         |  FROM cnt),
+         |q AS (SELECT CAST(floor(ln(r) * 1048576) AS BIGINT) AS lx,
+         |    CAST(floor(ln(f) * 1048576) AS BIGINT) AS ly FROM rk),
+         |s AS (SELECT COUNT(*)::HUGEINT AS n, SUM(lx)::HUGEINT AS sx,
+         |    SUM(ly)::HUGEINT AS sy, SUM(lx * ly)::HUGEINT AS sxy,
+         |    SUM(lx * lx)::HUGEINT AS sxx FROM q)
+         |SELECT CAST(n AS BIGINT) AS n_terms,
+         |  CAST(((sx * sy - n * sxy) * 1000000)
+         |    // (n * sxx - sx * sx) AS BIGINT) AS neg_slope_ppm
+         |FROM s""".stripMargin,
     "p31_leak_excision" ->
       s"""WITH tk AS (SELECT doc_id, $TOKS t, $BUCKET AS b FROM documents),
          |tr AS (SELECT doc_id, t, len(t)::BIGINT n FROM tk

@@ -1053,6 +1053,39 @@ class TextAnalysisSpec extends SparkSpec {
       "no doc carries two emails — multi-match counting unexercised")
   }
 
+  test("p32 Zipf slope equals an exact driver-side quantized-LSQ replay") {
+    import spark.implicits._
+    val got = TextAnalysis.p32ZipfSlope(spark, sfDir).collect().head
+    // driver replay: same tokenization, same (f desc, term) total
+    // order, same floor(2^20 ln) quantization, same closed form in
+    // exact BigInt arithmetic
+    val freq = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .flatMap(_._2.trim.split("\\s+")).groupBy(t => t)
+      .map { case (t, o) => (t, o.length.toLong) }.toSeq
+    val ranked = freq.sortBy { case (t, f) => (-f, t) }.zipWithIndex
+      .map { case ((_, f), i) => (i + 1L, f) }
+    def q(x: Long): BigInt =
+      BigInt(math.floor(1048576.0 * math.log(x.toDouble)).toLong)
+    val n = BigInt(ranked.size)
+    val (sx, sy, sxy, sxx) = ranked.foldLeft(
+      (BigInt(0), BigInt(0), BigInt(0), BigInt(0))) {
+      case ((ax, ay, axy, axx), (r, f)) =>
+        (ax + q(r), ay + q(f), axy + q(r) * q(f), axx + q(r) * q(r))
+    }
+    val expected = (sx * sy - n * sxy) * 1000000 / (n * sxx - sx * sx)
+    assert(got.getAs[Long]("n_terms") == ranked.size.toLong)
+    assert(BigInt(got.getAs[Long]("neg_slope_ppm")) == expected,
+      s"engine slope ${got.getAs[Long]("neg_slope_ppm")} != replay $expected")
+    // the reading itself: this SYNTHETIC corpus (pool-drawn tokens,
+    // near-uniform frequencies) is deliberately non-Zipfian, and the
+    // audit must SAY so — slope far below the natural-text s ≈ 1 is
+    // exactly the flattened-head composition alarm p32 exists to raise
+    assert(got.getAs[Long]("neg_slope_ppm") < 800000L,
+      "synthetic pool corpus unexpectedly reads Zipfian")
+    assert(got.getAs[Long]("neg_slope_ppm") > 0L)
+  }
+
   test("p29 vocabulary growth equals a driver-side Heaps replay in doc_id order") {
     val docs = graft.Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
