@@ -130,10 +130,11 @@ object BenchBands {
     // round-17 additions, recorded in the same two dual-pass runs
     "m10_media_detector_overlap" -> 0.2065,
     "x13_release_provenance" -> 0.4772,
-    // recorded in the round's CLOSING dual-pass run (1.62/0.2177,
-    // band_fail [], the round's quietest) — one run only; re-tighten
-    // at the next full re-record if a quieter reading appears
+    // recorded in the round's two closing dual-pass runs (1.62/0.2177
+    // and 1.48/0.1795, both band_fail []; each ref its min across all
+    // observed runs)
     "d13_cluster_purity" -> 0.7152,
+    "p32_zipf_slope" -> 0.3825,
   )
 
   /** §O.6 scoped the d01 floor rule to SUB-SECOND queries — applying
