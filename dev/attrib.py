@@ -68,11 +68,26 @@ def main():
           f"floor={a.get('floor')} total={a.get('total_sec')}")
     print(f"B: {args[1]}  contention={b.get('contention')} "
           f"floor={b.get('floor')} total={b.get('total_sec')}")
-    common = sorted(set(a["queries"]) & set(b["queries"]),
+    shared = set(a["queries"]) & set(b["queries"])
+    # failed queries record min = -1.0; they are the WORST regressions
+    # and must never sort out of sight (nor produce nonsense ratios)
+    broke = sorted(n for n in shared
+                   if b["queries"][n] < 0 <= a["queries"][n])
+    fixed = sorted(n for n in shared
+                   if a["queries"][n] < 0 <= b["queries"][n])
+    failing = sorted(n for n in shared
+                     if a["queries"][n] < 0 and b["queries"][n] < 0)
+    for label, names in (("BROKE in B (ran in A)", broke),
+                         ("fixed in B (failed in A)", fixed),
+                         ("failing in BOTH", failing)):
+        if names:
+            print(f"\n{label}: {', '.join(names)}")
+    common = sorted((n for n in shared
+                     if a["queries"][n] >= 0 and b["queries"][n] >= 0),
                     key=lambda n: b["queries"][n] - a["queries"][n],
                     reverse=True)
-    print(f"\n{len(common)} shared queries; top {top} min-time regressions"
-          " of B over A:\n")
+    print(f"\n{len(common)} shared passing queries; top {top} min-time"
+          " regressions of B over A:\n")
     for name in common[:top]:
         da, db = a["queries"][name], b["queries"][name]
         if db <= da:

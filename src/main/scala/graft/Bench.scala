@@ -94,6 +94,8 @@ object Bench {
       graft.pipeline.Multimodal.warmMemoNames ++
       graft.rass.Corpus.warmMemoNames ++
       graft.rass.RassEngine.warmMemoNames ++
+      graft.rass.Bm25.warmMemoNames ++
+      graft.rass.RassQueries.warmMemoNames ++
       graft.relational.StarQueries.warmMemoNames ++
       graft.RangedPrefix.warmKeys.map("rp:" + _)
 
@@ -190,13 +192,27 @@ object Bench {
             val w1 = warmTags().mkString(",")
             val before = storageSnap(spark)
             val t1 = once(name)
+            // MID snapshot (round-17 review): an eviction during t1
+            // that t2's re-read fully re-caches leaves after == before
+            // — only a between-runs snapshot witnesses it; likewise an
+            // RDD first persisted during t1 is absent from `before`
+            // and its t2-window eviction only shows against `mid`
+            val mid = storageSnap(spark)
             val w2 = warmTags().mkString(",")
             val t2 = once(name)
             val after = storageSnap(spark)
-            val beforeCached = before.map(s => s._1 -> s._2).toMap
-            val evict = after.exists(s =>
-              beforeCached.get(s._1).exists(_ > s._2))
-            val partial = after.exists(s => s._2 > 0 && s._2 < s._3)
+            def cached(s: Seq[(Int, Int, Int, Long)]) =
+              s.map(x => x._1 -> x._2).toMap
+            val (bm, mm) = (cached(before), cached(mid))
+            val evict =
+              mid.exists(s => bm.get(s._1).exists(_ > s._2)) ||
+                after.exists(s => mm.get(s._1).exists(_ > s._2))
+            // pp marks partial-cache state this query INTRODUCED — a
+            // partial RDD inherited from an earlier group member would
+            // otherwise re-flag on every subsequent query (review)
+            def partials(s: Seq[(Int, Int, Int, Long)]) =
+              s.collect { case (id, c, t, _) if c > 0 && c < t => id }.toSet
+            val partial = (partials(after) -- partials(before)).nonEmpty
             val mb = after.map(_._4).sum >> 20
             RunRec(name, t1, t2, w1, w2, evict, partial, mb)
           }
@@ -292,10 +308,19 @@ object Bench {
       case (p, (g, s, f)) =>
         s"""{"pass":$p,"group":"$g","sent":${round(s, 10000)},"floor":${round(f, 10000)}}"""
     }.mkString("[", ",", "]")
+    // JSON string escape for interpolated values: the rp: warm tags
+    // embed the raw sf dir (RangedPrefix caller keys), and an exotic
+    // path must corrupt neither the detail record nor the compact line
+    def jesc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     // the per-query per-pass telemetry: raw run times, warm-memo set
     // before each run, eviction/partial-cache flags, pinned MB
     def recJson(r: RunRec): String =
-      s"""{"t":[${r4(r.t1)},${r4(r.t2)}],"w1":"${r.warm1}","w2":"${r.warm2}",""" +
+      s"""{"t":[${r4(r.t1)},${r4(r.t2)}],"w1":"${jesc(r.warm1)}","w2":"${jesc(r.warm2)}",""" +
         s""""ev":${if (r.evictDuring) 1 else 0},"pp":${if (r.partialAfter) 1 else 0},"mb":${r.cachedMb}}"""
     val attribJson = recs1.zip(recs2).map { case (a, b) =>
       "\"" + a.name + "\":[" + recJson(a) + "," + recJson(b) + "]"
@@ -324,7 +349,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val bandJson = s""""band_ok":$bandOkJson,"band_fail":${jsonNames(
       bandFail)},"band_new":${jsonNames(bandNew)}"""
-    val fullLine = s"""{"metric":"total","value":${r4(total)},"unit":"sec","passes":2,"queries_max":$qsMax,"total_max_sec":${r4(totalMax)},"warm_queries":$warm,"sentinel_sec":$sentArr,"contention":$contention,"sent_spread":${spread(sentinel)},"floor_sec":$floorArr,"floor":${r4(floorMedian)},"floor_spread":${spread(floorSent)},"axes":$axesJson,"attrib":$attribJson,$bandJson,"sf":"$sfDir","total_sec":${r4(total)},"queries":$qs}"""
+    val fullLine = s"""{"metric":"total","value":${r4(total)},"unit":"sec","passes":2,"queries_max":$qsMax,"total_max_sec":${r4(totalMax)},"warm_queries":$warm,"sentinel_sec":$sentArr,"contention":$contention,"sent_spread":${spread(sentinel)},"floor_sec":$floorArr,"floor":${r4(floorMedian)},"floor_spread":${spread(floorSent)},"axes":$axesJson,"attrib":$attribJson,$bandJson,"sf":"${jesc(sfDir)}","total_sec":${r4(total)},"queries":$qs}"""
     println(fullLine)
     // the full-resolution record also lands in a local file: the
     // driver archives only a bounded stdout TAIL, so the long line
@@ -363,7 +388,7 @@ object Bench {
     // sent/floor spreads ride along so a contended run self-identifies
     // even when only the tail survives.
     val compact =
-      s"""{"metric":"total_min","value":${r4(total)},"unit":"sec","sf":"$sfDir","contention":$contention,"floor":${r4(floorMedian)},"sent_spread":${spread(sentinel)},"floor_spread":${spread(floorSent)},"band_fail":${jsonNames(bandFail)},"band_new_count":${bandNew.size},"queries_min":$qsMin}"""
+      s"""{"metric":"total_min","value":${r4(total)},"unit":"sec","sf":"${jesc(sfDir)}","contention":$contention,"floor":${r4(floorMedian)},"sent_spread":${spread(sentinel)},"floor_spread":${spread(floorSent)},"band_fail":${jsonNames(bandFail)},"band_new_count":${bandNew.size},"queries_min":$qsMin}"""
     println(compact)
     // quiesce shutdown logging, stop Spark, then print the compact line
     // ONCE MORE: spark.stop() can emit late stderr lines after the

@@ -953,14 +953,22 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
     // zero-intersection pairs vanish from the verify join — the LEFT
     // join puts them back at inter = 0 (a chained cluster can contain
-    // a pair sharing NOTHING)
+    // a pair sharing NOTHING). The size joins are LEFT too: a member
+    // with ZERO index rows (every shingle df-capped away, or a label
+    // table from another family) must read as an empty set — J = 0,
+    // the maximally impure retained pair — not silently vanish from
+    // the audit (round-17 review); greatest(…, 1) keeps the
+    // empty-vs-empty division defined at ppm 0.
     val jac = pairs
       .join(inter, Seq("cluster_id", "a_id", "b_id"), "left")
-      .na.fill(0L, Seq("inter"))
-      .join(csz.select($"doc_id".as("a_id"), $"n".as("na")), Seq("a_id"))
-      .join(csz.select($"doc_id".as("b_id"), $"n".as("nb")), Seq("b_id"))
+      .join(csz.select($"doc_id".as("a_id"), $"n".as("na")),
+        Seq("a_id"), "left")
+      .join(csz.select($"doc_id".as("b_id"), $"n".as("nb")),
+        Seq("b_id"), "left")
+      .na.fill(0L, Seq("inter", "na", "nb"))
       .select($"cluster_id",
-        expr("inter * 1000000 DIV (na + nb - inter)").as("ppm"))
+        expr("inter * 1000000 DIV greatest(na + nb - inter, 1)")
+          .as("ppm"))
     val per = jac.groupBy($"cluster_id")
       .agg(count(lit(1)).as("n_pairs"),
         min($"ppm").as("min_jaccard_ppm"),
@@ -1561,11 +1569,12 @@ object Dedup {
          |  GROUP BY 1, 2, 3),
          |jj AS (SELECT p.cluster_id,
          |    (COALESCE(iv.inter, 0) * 1000000
-         |      // (sa.n + sb.n - COALESCE(iv.inter, 0)))::BIGINT AS ppm
+         |      // greatest(COALESCE(sa.n, 0) + COALESCE(sb.n, 0)
+         |                 - COALESCE(iv.inter, 0), 1))::BIGINT AS ppm
          |  FROM prs p LEFT JOIN iv ON iv.cluster_id = p.cluster_id
          |    AND iv.a_id = p.a_id AND iv.b_id = p.b_id
-         |  JOIN csz sa ON sa.doc_id = p.a_id
-         |  JOIN csz sb ON sb.doc_id = p.b_id),
+         |  LEFT JOIN csz sa ON sa.doc_id = p.a_id
+         |  LEFT JOIN csz sb ON sb.doc_id = p.b_id),
          |per AS (SELECT cluster_id, COUNT(*)::BIGINT AS n_pairs,
          |    MIN(ppm) AS min_jaccard_ppm, MAX(ppm) AS max_jaccard_ppm
          |  FROM jj GROUP BY 1)

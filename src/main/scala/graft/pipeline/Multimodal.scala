@@ -193,14 +193,22 @@ object Multimodal {
         $"n_frames_a", $"n_frames_b")
   }
 
-  /** m06's duplicate criterion over m05's pairs: containment >= 1/2 —
-    * the shared frames cover at least half of the smaller video's
-    * sampled frames (clip-in-compilation). Integer arithmetic.
+  /** m06's duplicate criterion over m05's pairs: containment >=
+    * [[ContainNum]]/[[ContainDen]] — the shared frames cover at least
+    * half of the smaller video's sampled frames (clip-in-compilation).
+    * Integer arithmetic. NAMED constants because two artifact
+    * fingerprints (m06's clusters, m10's pair table) must track any
+    * change to this cut — an inline ratio here with a literal in the
+    * fingerprint string is exactly the silent-staleness hole the
+    * fingerprints exist to close (round-17 review).
     */
+  private[pipeline] val ContainNum = 1L
+  private[pipeline] val ContainDen = 2L
+
   private def mediaDup(shared: org.apache.spark.sql.Column,
       nfa: org.apache.spark.sql.Column,
       nfb: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    shared * 2 >= least(nfa, nfb)
+    shared * ContainDen >= least(nfa, nfb) * ContainNum
 
   /** m06 — media near-dup CLUSTERS: connected components over m05's
     * containment-qualified pairs, each cluster keeping its lowest id —
@@ -278,7 +286,7 @@ object Multimodal {
     "m06_clusters",
     (spark, dir) => ArtifactStore.md5Hex(
       s"v$MediaClusterArtifactVersion|frames=${FrameLen}x$FrameStep|" +
-        "contain=1/2|" +
+        s"contain=$ContainNum/$ContainDen|" +
         ArtifactStore.sourceListing(spark, dir + "/documents.parquet")),
     buildMediaClusterLabels)
 
@@ -841,7 +849,8 @@ object Multimodal {
     */
   private def m10Fingerprint(spark: SparkSession, dir: String): String =
     ArtifactStore.md5Hex(
-      s"v$M10ArtifactVersion|cont=1/2|frame=$FrameLen/$FrameStep|" +
+      s"v$M10ArtifactVersion|cont=$ContainNum/$ContainDen|" +
+        s"frame=$FrameLen/$FrameStep|" +
         s"ph=$PhBits/$PhBands/$PhBandBits/ham<=$PhHammingCap|" +
         s"au=$AuWinLen/$AuAnchor/$AuDfCap/$AuMinVotes/" +
         s"$AuHashBase/$AuHashMod|" +

@@ -1504,9 +1504,20 @@ object TextAnalysis {
     require(num.signum() >= 0,
       "p32: non-negative Zipf slope — data anomaly (or a corpus this " +
         "law does not describe); the ppm floor would be engine-split")
-    s.select($"n".cast("long").as("n_terms"),
-      expr("""CAST(((sx * sy - n * sxy) * 1000000)
-              DIV (n * sxx - sx * sx) AS BIGINT)""").as("neg_slope_ppm"))
+    val den = row.getDecimal(0).multiply(row.getDecimal(4))
+      .subtract(row.getDecimal(1).multiply(row.getDecimal(1)))
+    require(den.signum() > 0,
+      "p32: degenerate rank variance (single-term vocabulary?)")
+    // the collected stats row already holds every sum the result needs
+    // — re-selecting over `s` would run the vocab-wide aggregation a
+    // SECOND time (round-17 review); the closed form is exact BigDecimal
+    // integer arithmetic, and divideToIntegralValue == floor here
+    // because both operands are non-negative by the requires above
+    val slope = num
+      .multiply(java.math.BigDecimal.valueOf(1000000L))
+      .divideToIntegralValue(den).longValueExact()
+    spark.createDataFrame(Seq((row.getDecimal(0).longValueExact(), slope)))
+      .toDF("n_terms", "neg_slope_ppm")
   }
 
   private[pipeline] val WinnowK = 4

@@ -179,6 +179,16 @@ object Bm25 {
     statsRowCache.clear()
   }
 
+  /** Populated session memos — the bench's per-query cold/warm marker
+    * (see [[graft.pipeline.Dedup.warmMemoNames]]; these two were
+    * missing from the round-17 first cut, leaving r-family BM25
+    * accept-set/stats rebuilds unattributable).
+    */
+  private[graft] def warmMemoNames: Seq[String] = Seq(
+    "r.bm25Accept" -> acceptCache.nonEmpty,
+    "r.bm25Stats" -> statsRowCache.nonEmpty,
+  ).collect { case (n, true) => n }
+
   private def buildFuzzyAcceptSets(termStats: DataFrame, fields: Seq[String],
       terms: Seq[String]): Map[(String, String), Seq[String]] = {
     val conds = terms.distinct.map { t =>

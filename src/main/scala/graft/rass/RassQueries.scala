@@ -26,6 +26,12 @@ object RassQueries {
 
   private[rass] def invalidateQvCache(): Unit = qvCache.clear()
 
+  /** Populated session memo — bench cold/warm telemetry (see
+    * [[graft.pipeline.Dedup.warmMemoNames]]).
+    */
+  private[graft] def warmMemoNames: Seq[String] =
+    if (qvCache.nonEmpty) Seq("r.qv") else Nil
+
   private def qv(spark: SparkSession, dir: String, vecId: Long = 0): Seq[Double] =
     graft.Memo.getOrBuild(qvCache, (spark, dir, vecId)) {
       Tables.embeddings(spark, dir)

@@ -584,6 +584,16 @@ class DedupSpec extends SparkSpec {
     assert(c.getAs[Long]("min_jaccard_ppm") == 666666L) // floor(8/12 ppm)
     assert(c.getAs[Long]("max_jaccard_ppm") == 818181L) // floor(9/11 ppm)
     assert(c.getAs[Long]("chained") == 1L, "false-merge not flagged")
+    // a member with ZERO index rows (every shingle df-capped away)
+    // reads as an empty set — J = 0, the maximally impure retained
+    // pair — not silently dropped by the size join (round-17 review)
+    val emptyAudit = Dedup.clusterPurityFrom(
+      Seq((5L, 50L), (5L, 60L)).toDF("cluster_id", "doc_id"),
+      shingles(50L, 1, 10).toDF("doc_id", "shingle")).collect()
+    assert(emptyAudit.length == 1)
+    val e = emptyAudit.head
+    assert(e.getAs[Long]("n_pairs") == 1L && e.getAs[Long]("min_jaccard_ppm") == 0L)
+    assert(e.getAs[Long]("chained") == 1L, "empty-member pair not flagged")
     // over-cap cluster: reported, counted, NOT pairwise-priced
     val bigN = (Dedup.PurityExactCap + 6).toInt
     val bigLabels = (0 until bigN).map(i => (2L, 1000L + i))
