@@ -92,8 +92,11 @@ def main():
         da, db = a["queries"][name], b["queries"][name]
         if db <= da:
             break
+        # the JSON stores 4-decimal times, so a sub-0.05 ms min can
+        # round to 0.0 — print x(inf) instead of aborting the printout
+        ratio = f"x{db / da:.2f}" if da > 0 else "x(inf)"
         print(f"{name}: min {da:.3f} -> {db:.3f}  (+{db - da:.3f}s,"
-              f" x{db / da:.2f})")
+              f" {ratio})")
         for tag, d in (("A", a), ("B", b)):
             recs = d.get("attrib", {}).get(name)
             ax = axes_for(d, name)

@@ -67,16 +67,40 @@ object Multimodal {
     */
   private val DecodeBatch = 64
 
+  /** The id→modality convention: `doc_id mod [[MediaModalities]]`
+    * assigns each document its media type ([[ImageMod]]/[[AudioMod]]/
+    * [[VideoMod]]). NAMED because the catalog, every detector's
+    * modality filter, the m10 audit's media_type column, and both
+    * oracle SQL sides must agree on it, and the m06/m10 artifact
+    * fingerprints must track any change — the same staleness argument
+    * that named the containment cut.
+    */
+  private[pipeline] val MediaModalities = 3L
+  private[pipeline] val ImageMod = 0L
+  private[pipeline] val AudioMod = 1L
+  private[pipeline] val VideoMod = 2L
+
+  private[pipeline] def modality(doc: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = doc % MediaModalities
+
+  private[pipeline] def modalityName(doc: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(modality(doc) === ImageMod, "image")
+      .when(modality(doc) === AudioMod, "audio")
+      .otherwise("video")
+
+  /** The oracle-side spelling of the same convention. */
+  private def modSql(col: String): String = s"$col % $MediaModalities"
+
   /** The synthetic media table: (doc_id, media_type, payload, meta).
-    * media_type and metadata derive from doc_id; payload is the utf-8
-    * text bytes.
+    * media_type and metadata derive from doc_id ([[modalityName]]);
+    * payload is the utf-8 text bytes.
     */
   def mediaTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir).select(
       $"doc_id",
-      element_at(lit(Array("image", "audio", "video")),
-        ($"doc_id" % 3).cast("int") + 1).as("media_type"),
+      modalityName($"doc_id").as("media_type"),
       $"text".cast("binary").as("payload"),
       struct(
         (lit(64) + ($"doc_id" % 64) * lit(16)).cast("long").as("width"),
@@ -272,8 +296,11 @@ object Multimodal {
     "m.detectorPairs" -> mediaDetectorPairsCache.nonEmpty,
   ).collect { case (n, true) => n }
 
-  /** Bump when the clustering semantics OR the stored schema change. */
-  private val MediaClusterArtifactVersion = 1
+  /** Bump when the clustering semantics OR the stored schema change.
+    * v2: the id→modality convention joined the fingerprint's named
+    * parameters.
+    */
+  private val MediaClusterArtifactVersion = 2
 
   /** The media cluster table as a durable fingerprint-guarded
     * artifact + session memo -- the shared [[DurableArtifact]]
@@ -287,6 +314,7 @@ object Multimodal {
     (spark, dir) => ArtifactStore.md5Hex(
       s"v$MediaClusterArtifactVersion|frames=${FrameLen}x$FrameStep|" +
         s"contain=$ContainNum/$ContainDen|" +
+        s"mod=$MediaModalities:$ImageMod/$AudioMod/$VideoMod|" +
         ArtifactStore.sourceListing(spark, dir + "/documents.parquet")),
     buildMediaClusterLabels)
 
@@ -816,10 +844,8 @@ object Multimodal {
             .agg(max($"f0").as("in_frames"), max($"f1").as("in_phash"),
               max($"f2").as("in_landmark"), max($"f3").as("in_lexical"))
             .withColumn("media_type",
-              when($"doc_a" % 3 =!= $"doc_b" % 3, "cross")
-                .when($"doc_a" % 3 === 0, "image")
-                .when($"doc_a" % 3 === 1, "audio")
-                .otherwise("video"))
+              when(modality($"doc_a") =!= modality($"doc_b"), "cross")
+                .otherwise(modalityName($"doc_a")))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           df.count() // materialize: consumers read the set, not the joins
           ArtifactStore.publish(spark, m10ArtifactPath(dir), fp) {
@@ -834,9 +860,11 @@ object Multimodal {
 
   /** Bump when any media detector's pair semantics change in a way the
     * fingerprint's named parameters don't capture, or when the stored
-    * schema changes. v1: three media flags + the lexical overlay.
+    * schema changes. v1: three media flags + the lexical overlay. v2:
+    * the id→modality convention joined the fingerprint's named
+    * parameters.
     */
-  private val M10ArtifactVersion = 1
+  private val M10ArtifactVersion = 2
 
   private def m10ArtifactPath(dir: String): String =
     s"${ArtifactStore.artifactRoot}/${ArtifactStore.md5Hex(dir)}_m10_pairs"
@@ -850,6 +878,7 @@ object Multimodal {
   private def m10Fingerprint(spark: SparkSession, dir: String): String =
     ArtifactStore.md5Hex(
       s"v$M10ArtifactVersion|cont=$ContainNum/$ContainDen|" +
+        s"mod=$MediaModalities:$ImageMod/$AudioMod/$VideoMod|" +
         s"frame=$FrameLen/$FrameStep|" +
         s"ph=$PhBits/$PhBands/$PhBandBits/ham<=$PhHammingCap|" +
         s"au=$AuWinLen/$AuAnchor/$AuDfCap/$AuMinVotes/" +
@@ -881,7 +910,7 @@ object Multimodal {
        |    md5(substr(text, (i * $FrameLen + 1)::BIGINT, $FrameLen)) AS g
        |  FROM documents, unnest(range(0, (strlen(text) - 1) // $FrameLen + 1,
        |                                $FrameStep)) t(i)
-       |  WHERE doc_id % 3 = 2 AND strlen(text) > 0),
+       |  WHERE ${modSql("doc_id")} = $VideoMod AND strlen(text) > 0),
        |nf AS (SELECT doc_id, COUNT(*) AS nf FROM fr GROUP BY doc_id),
        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    COUNT(*) AS n_shared_frames
@@ -891,7 +920,7 @@ object Multimodal {
   private lazy val m08Ctes: String =
     s"""img AS (SELECT doc_id, text AS s, length(text)::BIGINT AS L
        |  FROM documents
-       |  WHERE doc_id % 3 = 0 AND length(text) >= $PhBits),
+       |  WHERE ${modSql("doc_id")} = $ImageMod AND length(text) >= $PhBits),
        |a1 AS (SELECT doc_id, L,
        |  list_transform(range(0, $PhBits), i ->
        |    CAST(list_sum(list_transform(
@@ -913,7 +942,7 @@ object Multimodal {
   private lazy val m09Ctes: String =
     s"""au AS (SELECT doc_id, text s, length(text)::BIGINT AS L
        |  FROM documents
-       |  WHERE doc_id % 3 = 1 AND length(text) >= $AuWinLen),
+       |  WHERE ${modSql("doc_id")} = $AudioMod AND length(text) >= $AuWinLen),
        |w AS (SELECT doc_id, p::BIGINT - 1 AS off,
        |    list_reduce(list_prepend(0::BIGINT,
        |      list_transform(range(p, p + $AuWinLen),
@@ -933,8 +962,9 @@ object Multimodal {
   // because this corpus is pure ASCII, which MultimodalSpec asserts.
   val oracles: Map[String, String] = Map(
     "m01_media_catalog" ->
-      """SELECT doc_id,
-        | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      s"""SELECT doc_id,
+        | CASE ${modSql("doc_id")} WHEN $ImageMod THEN 'image'
+        |      WHEN $AudioMod THEN 'audio'
         |   ELSE 'video' END AS media_type,
         | strlen(text) AS n_bytes, md5(text) AS payload_md5,
         | 64 + (doc_id % 64) * 16 AS width,
@@ -956,10 +986,10 @@ object Multimodal {
          |   [{'frame_idx': i // $FrameStep,
          |     'frame_md5': md5(substr(text, (i * $FrameLen + 1)::BIGINT, $FrameLen))}
          |    for i in range(0, (strlen(text) - 1) // $FrameLen + 1, $FrameStep)]) AS u
-         |  FROM documents WHERE doc_id % 3 = 2 AND strlen(text) > 0)
+         |  FROM documents WHERE ${modSql("doc_id")} = $VideoMod AND strlen(text) > 0)
          |ORDER BY doc_id, frame_idx""".stripMargin,
     "m04_resize_plan" ->
-      """SELECT doc_id, width, height, out_w, out_h,
+      s"""SELECT doc_id, width, height, out_w, out_h,
         | 224 - out_w AS pad_x, 224 - out_h AS pad_y
         |FROM (
         | SELECT doc_id, width, height,
@@ -969,7 +999,7 @@ object Multimodal {
         |       ELSE 224 END AS out_h
         | FROM (SELECT doc_id, 64 + (doc_id % 64) * 16 AS width,
         |              64 + (doc_id % 48) * 16 AS height
-        |       FROM documents WHERE doc_id % 3 = 0))
+        |       FROM documents WHERE ${modSql("doc_id")} = $ImageMod))
         |ORDER BY doc_id""".stripMargin,
     "m05_media_neardup" ->
       s"""WITH $m05Ctes
@@ -1012,7 +1042,8 @@ object Multimodal {
          |frq AS (SELECT pr.doc_a, pr.doc_b
          |  FROM pr JOIN nf na ON na.doc_id = pr.doc_a
          |          JOIN nf nb ON nb.doc_id = pr.doc_b
-         |  WHERE 2 * pr.n_shared_frames >= least(na.nf, nb.nf)),
+         |  WHERE pr.n_shared_frames * $ContainDen >=
+         |    least(na.nf, nb.nf) * $ContainNum),
          |phq AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM ah a JOIN ah b ON a.doc_id < b.doc_id
          |  WHERE bit_count(xor(a.ahash, b.ahash)) <= $PhHammingCap),
@@ -1030,9 +1061,9 @@ object Multimodal {
          |g4 AS (SELECT doc_a, doc_b, MAX(q0) q0, MAX(q1) q1,
          |    MAX(q2) q2, MAX(q3) q3
          |  FROM u4 GROUP BY 1, 2)
-         |SELECT CASE WHEN doc_a % 3 != doc_b % 3 THEN 'cross'
-         |    WHEN doc_a % 3 = 0 THEN 'image'
-         |    WHEN doc_a % 3 = 1 THEN 'audio'
+         |SELECT CASE WHEN ${modSql("doc_a")} != ${modSql("doc_b")} THEN 'cross'
+         |    WHEN ${modSql("doc_a")} = $ImageMod THEN 'image'
+         |    WHEN ${modSql("doc_a")} = $AudioMod THEN 'audio'
          |    ELSE 'video' END AS media_type,
          |  q0::BIGINT AS in_frames, q1::BIGINT AS in_phash,
          |  q2::BIGINT AS in_landmark, q3::BIGINT AS in_lexical,
@@ -1047,7 +1078,7 @@ object Multimodal {
     "m07_media_survivors" ->
       s"""WITH cl AS (SELECT cluster_id, doc_id FROM ($m06Sql)),
          |nb AS (SELECT doc_id, strlen(text)::BIGINT AS n_bytes
-         |  FROM documents WHERE doc_id % 3 = 2),
+         |  FROM documents WHERE ${modSql("doc_id")} = $VideoMod),
          |rk AS (SELECT cl.cluster_id, cl.doc_id, nb.n_bytes,
          |    row_number() OVER (PARTITION BY cl.cluster_id
          |      ORDER BY nb.n_bytes DESC, cl.doc_id) AS rn
@@ -1067,7 +1098,7 @@ object Multimodal {
          |    md5(substr(text, (i * $FrameLen + 1)::BIGINT, $FrameLen)) AS g
          |  FROM documents, unnest(range(0, (strlen(text) - 1) // $FrameLen + 1,
          |                                $FrameStep)) t(i)
-         |  WHERE doc_id % 3 = 2 AND strlen(text) > 0),
+         |  WHERE ${modSql("doc_id")} = $VideoMod AND strlen(text) > 0),
          |nf AS (SELECT doc_id, COUNT(*) AS nf FROM fr GROUP BY doc_id),
          |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    COUNT(*) AS n_shared_frames
@@ -1076,7 +1107,8 @@ object Multimodal {
          |dup AS (SELECT pr.doc_a a_id, pr.doc_b b_id FROM pr
          |  JOIN nf na ON na.doc_id = pr.doc_a
          |  JOIN nf nb ON nb.doc_id = pr.doc_b
-         |  WHERE pr.n_shared_frames * 2 >= least(na.nf, nb.nf)),
+         |  WHERE pr.n_shared_frames * $ContainDen >=
+         |    least(na.nf, nb.nf) * $ContainNum),
          |edges AS (SELECT a_id s, b_id d FROM dup
          |          UNION ALL SELECT b_id, a_id FROM dup),
          |reach(id, lab) AS (

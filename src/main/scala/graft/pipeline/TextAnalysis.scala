@@ -1494,6 +1494,10 @@ object TextAnalysis {
     require(gmin.forall(_ > 8e-9),
       s"p32 ln-quantization lands within 8e-9 of an integer ($gmin): " +
         "the engines could floor differently; adjust the scale")
+    // an empty corpus reaches here with n = 0 and NULL sums (the gmin
+    // guard passes vacuously on None) — fail loudly like the other
+    // degenerate cases instead of NPEing on getDecimal below
+    require(row.getDecimal(0).signum() > 0, "p32: empty vocabulary")
     // the slope sign check runs on the SAME collected stats row (a
     // projected column would be pruned before evaluation): num < 0
     // would push the floor division onto the engines' negative-

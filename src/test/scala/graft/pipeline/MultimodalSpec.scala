@@ -20,7 +20,9 @@ class MultimodalSpec extends SparkSpec {
     def tot(sel: ((String, Long, Long, Long, Long)) => Boolean): Long =
       rows.collect { case (k, n) if sel(k) => n }.sum
     val framesQ = Multimodal.m05MediaNearDup(spark, sfDir)
-      .filter("n_shared_frames * 2 >= least(n_frames_a, n_frames_b)").count()
+      .filter(s"n_shared_frames * ${Multimodal.ContainDen} >= " +
+        s"least(n_frames_a, n_frames_b) * ${Multimodal.ContainNum}")
+      .count()
     assert(tot(_._2 == 1L) == framesQ, "frame-detector total")
     assert(tot(_._3 == 1L) ==
       Multimodal.m08ImagePhashPairs(spark, sfDir).count(), "phash total")
@@ -134,8 +136,9 @@ class MultimodalSpec extends SparkSpec {
     val rows = Multimodal.m06MediaClusters(spark, sfDir).collect()
     assert(rows.nonEmpty)
     val pairs = Multimodal.m05MediaNearDup(spark, sfDir).collect()
-      .filter(r => r.getAs[Long]("n_shared_frames") * 2 >=
-        math.min(r.getAs[Long]("n_frames_a"), r.getAs[Long]("n_frames_b")))
+      .filter(r => r.getAs[Long]("n_shared_frames") * Multimodal.ContainDen >=
+        math.min(r.getAs[Long]("n_frames_a"), r.getAs[Long]("n_frames_b")) *
+          Multimodal.ContainNum)
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
     // driver-side union-find as the reference
     val parent = scala.collection.mutable.Map.empty[Long, Long]
