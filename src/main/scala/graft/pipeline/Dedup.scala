@@ -1335,9 +1335,98 @@ object Dedup {
       .orderBy($"cluster_id", $"doc_id")
   }
 
+  /** d14's "line" granularity in tokens. The corpus carries no newlines
+    * (measured: zero `\n` across every SF), so the RefinedWeb/CCNet
+    * line unit is stood in by fixed [[LineTokens]]-token non-overlapping
+    * windows — the paragraph-granularity variant of the same policy,
+    * and NON-vacuous on the real data (sf0.01: 108 duplicated lines
+    * across 47 documents; a `\n` split would have made d14 a restatement
+    * of d01). A trailing partial window is never a "line" and is never
+    * excised. NAMED because both engines' window arithmetic and any
+    * future fingerprint must track it.
+    */
+  private[graft] val LineTokens = 10L
+
+  /** d14 — LINE-level exact dedup (RefinedWeb §. / CCNet's paragraph
+    * dedup): the granularity between d01's whole-document hash and
+    * p20's positional 13-gram spans. Every document splits into
+    * [[LineTokens]]-token lines; a line whose md5 occurs in MORE THAN
+    * ONE distinct document is corpus-duplicated boilerplate and is
+    * excised from EVERY document carrying it (CCNet drops duplicated
+    * paragraphs from all copies — unlike d06's keep-one-survivor
+    * policy, boilerplate has no survivor worth keeping). Per document:
+    * line/excision counts, before/kept token counts, and the md5 of
+    * the cleaned token sequence — the p21 hash-verified-edit device,
+    * so the gate verifies the exact edit without shipping strings.
+    *
+    * On the df cap: d02/d03/d08 cap df because an inverted-index
+    * SELF-JOIN enumerates C(df, 2) pairs — quadratic in df. d14 never
+    * enumerates pairs: the df reduction is a (line, doc) distinct +
+    * count (both with map-side partial combine, so a line duplicated
+    * in a billion documents collapses executor-side exactly like d02's
+    * capped index absorbs heavy hitters), and the dup-line list joins
+    * back ONE ROW PER KEY (left-semi), linear in occurrence count.
+    * With no quadratic term to bound, a cap would change published
+    * semantics (an over-cap boilerplate line is exactly what must be
+    * excised) while buying nothing — omitted with this reasoning
+    * rather than dead-coded, the m05 convention.
+    *
+    * Scale shape: one corpus scan tokenizes; only (doc_id, line_idx,
+    * 16-byte hash) rows shuffle (text never moves); the per-doc span
+    * list is bounded by document length; the excision is a per-row
+    * columnar filter.
+    */
+  def d14LineDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    d14Core(Tables.documents(spark, dir)).orderBy($"doc_id")
+  }
+
+  /** The testable core over any (doc_id, text) frame — the p31
+    * constructed-corpus device: the real corpus exercises the pipeline
+    * shape, the spec plants a boilerplate line at DIFFERENT window
+    * offsets in two documents and hash-verifies the edit.
+    */
+  private[graft] def d14Core(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = docs
+      .select($"doc_id", graft.pipeline.TextAnalysis.toks($"text").as("t"))
+      .select($"doc_id", $"t",
+        floor(size($"t") / lit(LineTokens)).cast("long").as("nl"))
+    // sequence(0, nl-1) only under nl >= 1 (Spark's sequence(0, -1)
+    // DESCENDS where the oracle's range(0, 0) is empty)
+    val seg = t.filter($"nl" > 0)
+      .select($"doc_id", posexplode(expr(
+        s"""transform(sequence(0L, nl - 1L), i ->
+           |  md5(cast(concat_ws(' ',
+           |    slice(t, cast(i * $LineTokens + 1 as int), $LineTokens))
+           |  as binary)))""".stripMargin)))
+      .select($"doc_id", $"pos".cast("long").as("si"), $"col".as("h"))
+    val dup = seg.select($"h", $"doc_id").distinct()
+      .groupBy($"h").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2).select($"h")
+    val dl = seg.join(dup, Seq("h"), "left_semi")
+      .groupBy($"doc_id").agg(collect_list($"si").as("dl"))
+    t.join(dl, Seq("doc_id"), "left")
+      .select($"doc_id", $"t", $"nl",
+        coalesce($"dl", array().cast("array<bigint>")).as("dl"))
+      // kept gets its OWN projection (the p17/p21 staging rule): two
+      // downstream consumers (size + md5) must not re-run the filter
+      .select($"doc_id", $"t", $"nl", $"dl",
+        filter($"t", (x, i) =>
+          !exists($"dl", j => j === floor(i / lit(LineTokens)))).as("kept"))
+      .select($"doc_id",
+        $"nl".as("n_lines"),
+        size($"dl").cast("long").as("n_dup_lines"),
+        size($"t").cast("long").as("n_tokens_before"),
+        size($"kept").cast("long").as("n_tokens_kept"),
+        md5(concat_ws(" ", $"kept").cast("binary")).as("cleaned_md5"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_line_dedup" -> d14LineDedup _,
     "d01_exact_dedup" -> d01ExactDedup _,
     "d02_ngram_jaccard_pairs" -> d02NgramJaccardPairs _,
     "d03_minhash_lsh_pairs" -> d03MinhashLshPairs _,
@@ -1604,6 +1693,34 @@ object Dedup {
          |  CAST(CASE WHEN MAX(CASE WHEN rn = 1 THEN doc_id END) = cluster_id
          |    THEN 1 ELSE 0 END AS BIGINT) AS same_as_min_id
          |FROM r GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    // d14: the same fixed-window line split, df over DISTINCT docs,
+    // excision as an indexed list_filter (DuckDB lambda index is
+    // 1-based where Spark's is 0-based, hence the i - 1); the empty
+    // kept list COALESCEs before array_to_string (NULL, not '', on
+    // DuckDB) and before list_contains (NULL list poisons the lambda)
+    "d14_line_dedup" ->
+      raw"""WITH tk AS (SELECT doc_id,
+           |    regexp_split_to_array(trim(text), '\s+') AS t
+           |  FROM documents),
+           |seg AS (SELECT doc_id, i AS si,
+           |    md5(array_to_string(
+           |      t[(i*$LineTokens+1)::BIGINT:((i+1)*$LineTokens)::BIGINT],
+           |      ' ')) AS h
+           |  FROM tk, unnest(range(0, len(t) // $LineTokens)) u(i)),
+           |dup AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM seg)
+           |  GROUP BY h HAVING COUNT(*) >= 2),
+           |dl AS (SELECT doc_id, list(si) AS dl FROM seg
+           |  WHERE h IN (SELECT h FROM dup) GROUP BY doc_id),
+           |k AS (SELECT tk.doc_id, tk.t, COALESCE(dl.dl, []) AS dl,
+           |    list_filter(tk.t, (x, i) -> NOT list_contains(
+           |      COALESCE(dl.dl, []), (i - 1) // $LineTokens)) AS kept
+           |  FROM tk LEFT JOIN dl USING (doc_id))
+           |SELECT doc_id, (len(t) // $LineTokens)::BIGINT AS n_lines,
+           |  COALESCE(len(dl), 0)::BIGINT AS n_dup_lines,
+           |  len(t)::BIGINT AS n_tokens_before,
+           |  len(kept)::BIGINT AS n_tokens_kept,
+           |  md5(COALESCE(array_to_string(kept, ' '), '')) AS cleaned_md5
+           |FROM k ORDER BY doc_id""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT source, COUNT(*) AS n_docs,
         | COUNT(DISTINCT md5(text)) AS n_uniq_texts,

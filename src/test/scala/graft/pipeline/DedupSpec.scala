@@ -632,4 +632,53 @@ class DedupSpec extends SparkSpec {
       assert((same == 1L) == (sid == c), s"cluster $c disagreement flag")
     }
   }
+
+  test("d14 excises a planted boilerplate line shared across docs, hash-verified") {
+    import spark.implicits._
+    val L = Dedup.LineTokens.toInt
+    val boiler = (1 to L).map(i => s"b$i").mkString(" ")
+    val aTail = (1 to L).map(i => s"a$i").mkString(" ")
+    val bHead = (1 to L).map(i => s"c$i").mkString(" ")
+    val uniq = (1 to 2 * L).map(i => s"u$i").mkString(" ")
+    // the boilerplate sits at window 0 of doc 1 but window 1 of doc 2:
+    // line identity is CONTENT, not position
+    val docs = Seq(
+      (1L, s"$boiler $aTail"),
+      (2L, s"$bHead $boiler tail1 tail2 tail3"), // + a sub-line tail
+      (3L, uniq)).toDF("doc_id", "text")
+    val got = Dedup.d14Core(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_dup_lines"),
+          r.getAs[Long]("n_tokens_before"), r.getAs[Long]("n_tokens_kept"),
+          r.getAs[String]("cleaned_md5"))).toMap
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 1: boilerplate (window 0) excised, the unique tail survives
+    assert(got(1L) == (2L, 1L, 2L * L, L.toLong, md5(aTail)))
+    // doc 2: boilerplate at window 1 excised; the unique head AND the
+    // partial-window tail (never a line, never excisable) survive
+    assert(got(2L) == (2L, 1L, 2L * L + 3L, L + 3L,
+      md5(s"$bHead tail1 tail2 tail3")))
+    // doc 3: untouched — the cleaned hash is the full token sequence
+    assert(got(3L) == (2L, 0L, 2L * L, 2L * L, md5(uniq)))
+  }
+
+  test("d14 on the real corpus: non-vacuous, counts reconcile, unaffected docs keep their full hash") {
+    import spark.implicits._
+    val rows = Dedup.d14LineDedup(spark, sfDir).collect()
+    assert(rows.length ==
+      graft.Tables.documents(spark, sfDir).count().toInt)
+    // the operator must FIRE on the real corpus (the vacuity rule that
+    // sized the line window: a newline split would excise nothing)
+    assert(rows.count(_.getAs[Long]("n_dup_lines") > 0) > 0,
+      "d14 excised nothing at this SF — line unit is vacuous")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dup_lines") <= r.getAs[Long]("n_lines"))
+      assert(r.getAs[Long]("n_tokens_kept") ==
+        r.getAs[Long]("n_tokens_before") -
+          r.getAs[Long]("n_dup_lines") * Dedup.LineTokens,
+        s"doc ${r.getAs[Long]("doc_id")}: kept count does not reconcile")
+    }
+  }
 }
