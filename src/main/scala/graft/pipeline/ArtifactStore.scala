@@ -196,6 +196,18 @@ private[graft] object ArtifactStore {
   private val locks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
 
+  /** Telemetry: publish() promotions this session, keyed by artifact
+    * path. The Release orchestrator's specs read this to prove a warm
+    * second build performs ZERO rebuilds (no new events) and that a
+    * bumped upstream constant rebuilds exactly its downstream cone
+    * (the event-key delta IS the cone).
+    */
+  private val publishEventCounts =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private[graft] def publishEvents: Map[String, Long] =
+    publishEventCounts.toMap
+
   /** Publish an artifact: `write` stages everything under the staging
     * directory it is handed, then the `_fingerprint` is stamped with
     * the CALLER-CAPTURED (pre-build) fingerprint and the whole
@@ -210,5 +222,6 @@ private[graft] object ArtifactStore {
       try out.write(fingerprint.getBytes("UTF-8"))
       finally out.close()
       graft.rass.ingest.IngestCommit.swapIn(fs, path)
+      publishEventCounts.updateWith(path)(c => Some(c.getOrElse(0L) + 1L))
     }
 }

@@ -37,9 +37,23 @@ private[pipeline] final class DurableArtifact(
   def path(dir: String): String =
     s"${ArtifactStore.artifactRoot}/${ArtifactStore.md5Hex(dir)}_$suffix"
 
+  /** The artifact's CURRENT expected fingerprint: the declared function
+    * plus any test salt ([[DurableArtifact.salts]]). Exposed so a
+    * DOWNSTREAM artifact whose content derives from this one can CHAIN
+    * it into its own fingerprint (the m10-chains-d11 staleness rule —
+    * a version/threshold bump upstream must invalidate the whole
+    * derived cone, not just the artifact whose constant moved).
+    */
+  def currentFingerprint(spark: SparkSession, dir: String): String = {
+    val base = fingerprint(spark, dir)
+    DurableArtifact.salts.get(suffix)
+      .map(s => ArtifactStore.md5Hex(s"$base|salt=$s"))
+      .getOrElse(base)
+  }
+
   def read(spark: SparkSession, dir: String): DataFrame =
     graft.Memo.getOrBuild(cache, (spark, dir)) {
-      val fp = fingerprint(spark, dir)
+      val fp = currentFingerprint(spark, dir)
       ArtifactStore.findValid(spark, path(dir), fp)
         .flatMap(p => ArtifactStore.consistentParquet(spark, p))
         .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -51,7 +65,7 @@ private[pipeline] final class DurableArtifact(
     }
 
   def rebuildAndPublish(spark: SparkSession, dir: String): DataFrame = {
-    val fp = fingerprint(spark, dir) // pre-build capture (TOCTOU rule)
+    val fp = currentFingerprint(spark, dir) // pre-build capture (TOCTOU rule)
     val fresh = build(spark, dir)
     write(spark, dir, fp, fresh)
     cache.synchronized {
@@ -75,4 +89,18 @@ private[pipeline] final class DurableArtifact(
     * timing comparison needs).
     */
   def isWarm: Boolean = cache.nonEmpty
+}
+
+private[pipeline] object DurableArtifact {
+
+  /** TEST hook — a per-suffix fingerprint salt that emulates a
+    * compile-time version/threshold bump on ONE artifact, so the
+    * Release orchestrator's cone spec can prove "bump upstream →
+    * exactly the downstream cone rebuilds" without recompiling.
+    * EMPTY in production: no library code writes here; a set salt
+    * changes the artifact's expected fingerprint exactly as editing
+    * its version constant would.
+    */
+  private[graft] val salts =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 }

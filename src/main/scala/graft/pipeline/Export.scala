@@ -53,14 +53,16 @@ object Export {
       .orderBy($"doc_id")
   }
 
-  /** x02 — the decontaminated manifest: x01 minus the TEST-split
-    * documents p09 flags as sharing a 13-gram with train. This is the
-    * version of the manifest a pipeline can actually publish: an eval
-    * split that leaks training n-grams overstates every model trained
-    * on the corpus, so the leaked docs are dropped (train/val rows are
-    * untouched — p09 only ever flags test docs). Scale shape: x01's
-    * manifest anti-joins a contaminated-doc list that is at most the
-    * test split's dup fraction — a broadcast.
+  /** x02 — the LEXICALLY-decontaminated manifest: x01 minus the
+    * TEST-split documents p09 flags as sharing a 13-gram with train
+    * (an eval split that leaks training n-grams overstates every model
+    * trained on the corpus, so the leaked docs are dropped; train/val
+    * rows are untouched — p09 only ever flags test docs). Since the
+    * semantic gates landed, the manifest the release actually ships is
+    * [[x14SemanticExport]]; x02 remains the lexical accounting stage
+    * between x01 and x14. Scale shape: x01's manifest anti-joins a
+    * contaminated-doc list that is at most the test split's dup
+    * fraction — a broadcast.
     */
   def x02DecontaminatedExport(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -72,6 +74,41 @@ object Export {
     // cold session reads the disk artifact instead of re-sweeping
     x01CorpusExport(spark, dir)
       .join(TextAnalysis.contaminatedDocs(spark, dir), Seq("doc_id"), "left_anti")
+      .orderBy($"doc_id")
+  }
+
+  /** [[graft.pipeline.Similarity.SemDedupTau]] in exact parts-per-
+    * million, for x13's provenance columns (the threshold a shard's
+    * semantic drop lists were cut at rides the manifest like the
+    * packing constants do). Asserted against the double at class load
+    * so the two spellings can never drift.
+    */
+  private[graft] val SemDedupTauPpm = 400000L
+  require(SemDedupTauPpm == math.round(Similarity.SemDedupTau * 1e6),
+    "SemDedupTauPpm and Similarity.SemDedupTau disagree")
+
+  /** x14 — the PUBLISHED manifest: x02's lexically-clean rows minus the
+    * two SEMANTIC drop lists — (a) SemDeDup pruning: non-survivor
+    * members of s14's embedding-space clusters, per s21's keep-most-
+    * fluent rule (Abbas et al. 2023 prune semantic duplicates the
+    * lexical detectors cannot see); (b) semantic decontamination:
+    * s15's tau-contaminated test docs — the paraphrase-level eval
+    * leakage p09's verbatim 13-gram sweep cannot catch. This is the
+    * manifest the release actually ships: every downstream packing /
+    * mixture / provenance table (x03–x13) derives from it, so x13's
+    * provenance record of the semantic lists is a true record, not a
+    * reporting view.
+    *
+    * Scale shape: both drop lists are STORED dup/contam-fraction-sized
+    * artifacts ([[Similarity.semDropList]] / [[Similarity
+    * .semContamList]]) — broadcast anti-joins on doc_id, exactly x01's
+    * d06 pattern; no embedding or text column moves.
+    */
+  def x14SemanticExport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    x02DecontaminatedExport(spark, dir)
+      .join(Similarity.semDropList(spark, dir), Seq("doc_id"), "left_anti")
+      .join(Similarity.semContamList(spark, dir), Seq("doc_id"), "left_anti")
       .orderBy($"doc_id")
   }
 
@@ -98,7 +135,7 @@ object Export {
   def x03PackingLayout(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (cum, _) = graft.RangedPrefix.runningSum(spark, s"x03:$dir",
-      x02DecontaminatedExport(spark, dir)
+      x14SemanticExport(spark, dir)
         .filter($"split" === "train")
         .select($"doc_id", $"n_tokens"),
       Seq($"doc_id"), $"n_tokens", "cum")
@@ -175,7 +212,7 @@ object Export {
   private[graft] def mixtureParts(lang: Column): Column =
     when(lang === "en", 6L).otherwise(1L)
 
-  /** x04 — the mixture-allocation plan over the publishable (x02)
+  /** x04 — the mixture-allocation plan over the published (x14)
     * manifest: how many documents of each language stratum a training
     * run can draw while holding the target mixture exactly. `units` is
     * the binding constraint — the largest number of whole "recipe
@@ -199,7 +236,7 @@ object Export {
     // units reduction does NOT re-run the manifest subtree — the
     // measured ReuseExchange non-firing the dsirModel/p26 fix records
     val avail = statsLocal(spark,
-      x02DecontaminatedExport(spark, dir)
+      x14SemanticExport(spark, dir)
         .join(lang, "doc_id")
         .groupBy($"lang").agg(count(lit(1)).as("n_available"))
         .withColumn("parts", mixtureParts($"lang")))
@@ -260,7 +297,7 @@ object Export {
     * which stratum's data shortage caps the whole run.
     *
     * Scale shape: the corpus reduces to ONE row per language stratum
-    * (map-side collapse over the x02 manifest join), the corpus
+    * (map-side collapse over the x14 manifest join), the corpus
     * totals arrive as a broadcast one-row frame (the Bm25-stats
     * pattern), and every budget/epoch/value column is row-local
     * BIGINT arithmetic on that stats-sized frame — the plan costs
@@ -275,7 +312,7 @@ object Export {
     // |langs|-row rollup collected once (statsLocal): the totals
     // would otherwise re-run the manifest subtree (no exchange reuse)
     val uniq = statsLocal(spark,
-      x02DecontaminatedExport(spark, dir)
+      x14SemanticExport(spark, dir)
         .filter($"split" === "train")
         .join(lang, "doc_id")
         .groupBy($"lang").agg(sum($"n_tokens").as("n_tokens_unique"))
@@ -331,7 +368,7 @@ object Export {
     * defensive (DuckDB mirrors it in HUGEINT).
     *
     * Scale shape: identical to x09 — the corpus collapses map-side
-    * to one row per language off x02's manifest join, totals ride a
+    * to one row per language off x14's manifest join, totals ride a
     * one-row broadcast frame, and everything after is row-local
     * integer arithmetic on a stats-sized frame.
     */
@@ -341,7 +378,7 @@ object Export {
     // |langs|-row rollup collected once (statsLocal): the totals
     // would otherwise re-run the manifest subtree (no exchange reuse)
     val massRaw = statsLocal(spark,
-      x02DecontaminatedExport(spark, dir)
+      x14SemanticExport(spark, dir)
         .filter($"split" === "train")
         .join(lang, "doc_id")
         .groupBy($"lang").agg(sum($"n_tokens").as("n_tokens"))
@@ -428,10 +465,12 @@ object Export {
     * filter order the export pipeline applies: quality-filtered
     * (x01's length/stopword cut), dup-dropped (the stored d06 drop
     * list), contaminated (the stored p09 list — test split by
-    * construction), else published. The card rolls these up with the
-    * published token mass, so the release's composition and every
-    * drop channel reconcile against the corpus total (the spec pins
-    * the reconciliation against x02's manifest row-for-row).
+    * construction), semdedup (s21's stored SemDeDup drop list),
+    * sem_contaminated (s15's stored tau-contaminated test list), else
+    * published. The card rolls these up with the published token
+    * mass, so the release's composition and every drop channel
+    * reconcile against the corpus total (the spec pins the
+    * reconciliation against x14's published manifest row-for-row).
     *
     * Scale shape: one corpus scan computes the quality stats; both
     * drop lists are broadcast-sized stored artifacts (anti-join
@@ -455,13 +494,21 @@ object Export {
       .withColumn("is_dup", lit(true))
     val contam = TextAnalysis.contaminatedDocs(spark, dir)
       .withColumn("is_contam", lit(true))
+    val semdrop = Similarity.semDropList(spark, dir)
+      .withColumn("is_semdup", lit(true))
+    val semcontam = Similarity.semContamList(spark, dir)
+      .withColumn("is_semcontam", lit(true))
     stats
       .join(broadcast(drops), Seq("doc_id"), "left")
       .join(broadcast(contam), Seq("doc_id"), "left")
+      .join(broadcast(semdrop), Seq("doc_id"), "left")
+      .join(broadcast(semcontam), Seq("doc_id"), "left")
       .withColumn("status",
         when($"n_tokens" < 30 || $"n_stop" * 5 >= $"n_tokens", "quality")
           .when($"is_dup", "dup")
           .when($"is_contam", "contaminated")
+          .when($"is_semdup", "semdedup")
+          .when($"is_semcontam", "sem_contaminated")
           .otherwise("published"))
       .groupBy($"split", $"lang")
       .agg(
@@ -474,7 +521,11 @@ object Export {
         sum(when($"status" === "dup", 1L).otherwise(0L))
           .as("n_dup_dropped"),
         sum(when($"status" === "contaminated", 1L).otherwise(0L))
-          .as("n_contaminated"))
+          .as("n_contaminated"),
+        sum(when($"status" === "semdedup", 1L).otherwise(0L))
+          .as("n_semdedup_dropped"),
+        sum(when($"status" === "sem_contaminated", 1L).otherwise(0L))
+          .as("n_sem_contaminated"))
       .orderBy($"split", $"lang")
   }
 
@@ -495,16 +546,16 @@ object Export {
     * listing fingerprint could never cross that boundary). The packing
     * constants ride along because shard identity depends on them.
     *
-    * Scope note: only artifacts the x01→x02→x03→x06 chain actually
-    * CONSUMES are recorded — the d06 cluster drop list and the p09
-    * contaminated list. The IVF index is deliberately absent: the
-    * lexical release path never reads it (s15's semantic decontam is a
-    * reporting view, not a drop gate), and a provenance row naming an
-    * artifact the shards don't derive from would be a false record. A
-    * deployment that gates on s15 adds that artifact's fold here the
-    * day the gate lands.
+    * Scope note: only artifacts the x01→x02→x14→x03→x06 chain actually
+    * CONSUMES are recorded — the d06 cluster drop list, the p09
+    * contaminated list, and (since the semantic gates landed in the
+    * published manifest) s21's SemDeDup drop list and s15's semantic
+    * contamination list, each as its own content fold. The semantic
+    * THRESHOLD rides along as [[SemDedupTauPpm]], exactly as the
+    * packing constants do: shard membership now depends on it, so an
+    * auditor re-deriving the lists must know which tau cut them.
     *
-    * Scale shape: the two lists are dup/contam-fraction-sized stored
+    * Scale shape: the four lists are dup/contam-fraction-sized stored
     * artifacts reduced to ONE row each (count + commuting xor fold —
     * partial-aggregatable, layout-independent), cross-joined as
     * broadcast single rows onto the shard-count-sized x06 rollup.
@@ -515,20 +566,27 @@ object Export {
     def fp48(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       conv(substring(md5(c.cast("string").cast("binary")), 1, 12), 16, 10)
         .cast("long")
-    val drops = Dedup.clusterDropList(spark, dir)
-      .select(fp48($"doc_id").as("fp"))
-      .agg(count(lit(1)).as("n_dup_dropped"),
-        coalesce(expr("bit_xor(fp)"), lit(0L)).as("dup_drop_xor"))
-    val contam = TextAnalysis.contaminatedDocs(spark, dir)
-      .select(fp48($"doc_id").as("fp"))
-      .agg(count(lit(1)).as("n_contaminated"),
-        coalesce(expr("bit_xor(fp)"), lit(0L)).as("contam_xor"))
+    def fold(df: DataFrame, nName: String, xName: String): DataFrame =
+      df.select(fp48($"doc_id").as("fp"))
+        .agg(count(lit(1)).as(nName),
+          coalesce(expr("bit_xor(fp)"), lit(0L)).as(xName))
+    val drops = fold(Dedup.clusterDropList(spark, dir),
+      "n_dup_dropped", "dup_drop_xor")
+    val contam = fold(TextAnalysis.contaminatedDocs(spark, dir),
+      "n_contaminated", "contam_xor")
+    val semdrops = fold(Similarity.semDropList(spark, dir),
+      "n_semdedup_dropped", "semdedup_xor")
+    val semcontam = fold(Similarity.semContamList(spark, dir),
+      "n_sem_contaminated", "semcontam_xor")
     x06ShardManifest(spark, dir)
       .select($"shard_id", $"n_docs", $"n_tokens")
       .crossJoin(broadcast(drops))
       .crossJoin(broadcast(contam))
+      .crossJoin(broadcast(semdrops))
+      .crossJoin(broadcast(semcontam))
       .withColumn("block_tokens", lit(BlockTokens))
       .withColumn("blocks_per_shard", lit(BlocksPerShard))
+      .withColumn("sem_tau_ppm", lit(SemDedupTauPpm))
       .orderBy($"shard_id")
   }
 
@@ -546,7 +604,7 @@ object Export {
 
   /** x05 — materialize x04's quota plan as a concrete, deterministic
     * document sample: within each language stratum of the publishable
-    * (x02) manifest, the `quota` documents with the LOWEST selection
+    * (x14) manifest, the `quota` documents with the LOWEST selection
     * hash (md5 of the doc_id string) are drawn, ranked 1..quota.
     * Deterministic (same corpus → same sample), stratum-exact (each
     * lang contributes exactly its x04 quota), and order-reproducible
@@ -564,7 +622,7 @@ object Export {
   def x05MixtureSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val lang = Tables.documents(spark, dir).select($"doc_id", $"lang")
-    val member = x02DecontaminatedExport(spark, dir)
+    val member = x14SemanticExport(spark, dir)
       .join(lang, "doc_id")
       .select($"doc_id", $"lang",
         substring(md5($"doc_id".cast("string").cast("binary")), 1, 8)
@@ -648,11 +706,19 @@ object Export {
     *   3 decontaminated — minus p09's 13-gram contaminated docs
     *   4 perplexity     — p22's head+middle kept, CCNet's tail dropped
     *   5 classifier     — p24's trained gate, predicted positives only
+    *   6 semdedup       — minus s21's SemDeDup drop list (non-survivor
+    *                      members of s14's embedding clusters)
+    *   7 semantic_decontam — minus s15's tau-contaminated test docs
     *
     * Gates are CUMULATIVE (a stage only sees the previous stage's
     * survivors), so the rows reconcile: n_docs is non-increasing and
-    * stage 5 is the final publishable cut a FineWeb-Edu-style release
-    * trains on.
+    * stage 7 is the final publishable cut a FineWeb-Edu-style release
+    * trains on — the SemDeDup recipe's ordering (Abbas et al. 2023
+    * prune semantically AFTER the lexical pipeline; decontamination
+    * closes the funnel). Stage 7's increment can legitimately read
+    * zero at small SF when every semantically-contaminated doc was
+    * already a semantic dup — a priced fact, not a vacuous stage (the
+    * stage's own drop list is non-empty and verified by s15's gate).
     *
     * Scale shape: one scan reduces each document to two longs; the
     * drop lists (dup/contam fractions) broadcast into left joins; the
@@ -678,31 +744,41 @@ object Export {
       .select($"doc_id", $"ppl_bucket")
     val qc = TextAnalysis.p24QualityClassifier(spark, dir)
       .select($"doc_id", $"predicted")
+    val semdrop = Similarity.semDropList(spark, dir)
+      .select($"doc_id", lit(1L).as("is_semdup"))
+    val semcontam = Similarity.semContamList(spark, dir)
+      .select($"doc_id", lit(1L).as("is_semcontam"))
     val f = stats
       .join(broadcast(drops), Seq("doc_id"), "left")
       .join(broadcast(contam), Seq("doc_id"), "left")
       .join(ppl, Seq("doc_id"), "left")
       .join(qc, Seq("doc_id"), "left")
+      .join(broadcast(semdrop), Seq("doc_id"), "left")
+      .join(broadcast(semcontam), Seq("doc_id"), "left")
       .withColumn("s1", $"n_tokens" >= 30 && $"n_stop" * 5 < $"n_tokens")
       .withColumn("s2", $"s1" && $"is_dup".isNull)
       .withColumn("s3", $"s2" && $"is_contam".isNull)
       .withColumn("s4", $"s3" &&
         coalesce($"ppl_bucket", lit("tail")) =!= "tail")
       .withColumn("s5", $"s4" && coalesce($"predicted", lit(0L)) === 1L)
+      .withColumn("s6", $"s5" && $"is_semdup".isNull)
+      .withColumn("s7", $"s6" && $"is_semcontam".isNull)
     def stage(c: Column): Seq[Column] = Seq(
       sum(when(c, 1L).otherwise(0L)),
       sum(when(c, $"n_tokens").otherwise(0L)))
     val aggs = (Seq(count(lit(1)).cast("long"), sum($"n_tokens")) ++
-      Seq($"s1", $"s2", $"s3", $"s4", $"s5").flatMap(stage))
+      Seq($"s1", $"s2", $"s3", $"s4", $"s5", $"s6", $"s7").flatMap(stage))
       .zipWithIndex.map { case (c, i) => c.as(s"c$i") }
     f.agg(aggs.head, aggs.tail: _*)
-      .selectExpr("""stack(6,
+      .selectExpr("""stack(8,
         0L, 'total',          c0, c1,
         1L, 'quality',        c2, c3,
         2L, 'dedup',          c4, c5,
         3L, 'decontaminated', c6, c7,
         4L, 'perplexity',     c8, c9,
-        5L, 'classifier',     c10, c11
+        5L, 'classifier',     c10, c11,
+        6L, 'semdedup',       c12, c13,
+        7L, 'semantic_decontam', c14, c15
       ) AS (stage, stage_name, n_docs, n_tokens)""")
       .orderBy($"stage")
   }
@@ -712,6 +788,7 @@ object Export {
     "x12_checksum_manifest" -> x12ChecksumManifest _,
     "x01_corpus_export" -> x01CorpusExport _,
     "x02_decontaminated_export" -> x02DecontaminatedExport _,
+    "x14_semantic_export" -> x14SemanticExport _,
     "x07_dataset_card" -> x07DatasetCard _,
     "x03_packing_layout" -> x03PackingLayout _,
     "x04_mixture_plan" -> x04MixturePlan _,
@@ -734,7 +811,7 @@ object Export {
        |   CAST((c - n_tokens) // $BlockTokens AS BIGINT) AS start_block
        |  FROM (SELECT doc_id, n_tokens,
        |     SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c
-       |    FROM (${exportSql(decontamWhere)}) WHERE split = 'train'))
+       |    FROM (${exportSql(publishedWhere)}) WHERE split = 'train'))
        |GROUP BY 1 ORDER BY shard_id""".stripMargin
 
   /** The oracle composes the published d06 clustering SQL as a
@@ -774,6 +851,33 @@ object Export {
        |    (${TextAnalysis.oracles("p09_contamination")})
        |    WHERE contaminated = 1)""".stripMargin
 
+  /** The two SEMANTIC drop predicates, each re-derived FROM SCRATCH by
+    * the oracle: the SemDeDup drop list is the s14 cluster membership
+    * joined against s21's survivor table (both embedded as the SQL
+    * their own gates verify — the exportSql composition pattern), and
+    * the semantic contamination list is s15's verdict SQL filtered at
+    * tau. DuckDB recomputes the k-means chains and the recursive
+    * closures inside the derived tables, so the published manifest's
+    * semantic cut is verified end-to-end by an independent engine, not
+    * trusted from the stored artifacts.
+    */
+  private def semanticWhere: String =
+    s"""
+       |  AND s.doc_id NOT IN (SELECT m.vec_id FROM
+       |    (${Similarity.oracles("s14_semantic_clusters")}) m
+       |    JOIN (${Similarity.oracles("s21_semantic_survivors")}) sv
+       |      USING (cluster_id)
+       |    WHERE m.vec_id != sv.survivor_vec_id)
+       |  AND s.doc_id NOT IN (SELECT test_id FROM
+       |    (${Similarity.oracles("s15_semantic_decontam")})
+       |    WHERE contaminated = 1)""".stripMargin
+
+  /** The PUBLISHED manifest's full predicate chain — lexical decontam
+    * plus both semantic gates; every downstream packing / mixture /
+    * provenance oracle composes THIS (they derive from x14).
+    */
+  private def publishedWhere: String = decontamWhere + semanticWhere
+
   /** x11's oracle: the same five cumulative gates, each drop list a
     * derived table of the SQL its own gate already verifies (the
     * exportSql composition pattern), the funnel a one-row conditional
@@ -801,10 +905,20 @@ object Export {
        |  (${TextAnalysis.oracles("p22_perplexity_buckets")})),
        |qc AS (SELECT doc_id, predicted FROM
        |  (${TextAnalysis.oracles("p24_quality_classifier")})),
+       |semdrop AS (SELECT m.vec_id AS doc_id FROM
+       |  (${Similarity.oracles("s14_semantic_clusters")}) m
+       |  JOIN (${Similarity.oracles("s21_semantic_survivors")}) sv
+       |    USING (cluster_id)
+       |  WHERE m.vec_id != sv.survivor_vec_id),
+       |semcon AS (SELECT test_id AS doc_id FROM
+       |  (${Similarity.oracles("s15_semantic_decontam")})
+       |  WHERE contaminated = 1),
        |f AS (SELECT s.n_tokens,
        |    (s.n_tokens >= 30 AND s.n_stop * 5 < s.n_tokens) AS s1,
        |    s.doc_id IN (SELECT doc_id FROM drops) AS dup,
        |    s.doc_id IN (SELECT doc_id FROM contam) AS cont,
+       |    s.doc_id IN (SELECT doc_id FROM semdrop) AS sdup,
+       |    s.doc_id IN (SELECT doc_id FROM semcon) AS scont,
        |    coalesce(p.ppl_bucket, 'tail') AS pb,
        |    coalesce(q.predicted, 0) AS pred
        |  FROM stats s LEFT JOIN ppl p USING (doc_id)
@@ -814,7 +928,11 @@ object Export {
        |    (s1 AND NOT dup AND NOT cont) AS s3,
        |    (s1 AND NOT dup AND NOT cont AND pb != 'tail') AS s4,
        |    (s1 AND NOT dup AND NOT cont AND pb != 'tail' AND pred = 1)
-       |      AS s5
+       |      AS s5,
+       |    (s1 AND NOT dup AND NOT cont AND pb != 'tail' AND pred = 1
+       |      AND NOT sdup) AS s6,
+       |    (s1 AND NOT dup AND NOT cont AND pb != 'tail' AND pred = 1
+       |      AND NOT sdup AND NOT scont) AS s7
        |  FROM f)
        |${row(0, "total", "TRUE")}
        |UNION ALL ${row(1, "quality", "s1")}
@@ -822,6 +940,8 @@ object Export {
        |UNION ALL ${row(3, "decontaminated", "s3")}
        |UNION ALL ${row(4, "perplexity", "s4")}
        |UNION ALL ${row(5, "classifier", "s5")}
+       |UNION ALL ${row(6, "semdedup", "s6")}
+       |UNION ALL ${row(7, "semantic_decontam", "s7")}
        |ORDER BY stage""".stripMargin
   }
 
@@ -836,7 +956,7 @@ object Export {
          |  FROM (SELECT doc_id, n_tokens,
          |     SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
          |       AS c
-         |    FROM (${exportSql(decontamWhere)}) WHERE split = 'train')),
+         |    FROM (${exportSql(publishedWhere)}) WHERE split = 'train')),
          |fp AS (SELECT start_block // $BlocksPerShard AS shard_id,
          |   list_reduce(list_prepend(0::BIGINT, list_transform(
          |     string_split(substr(md5(doc_id::VARCHAR || ':' ||
@@ -850,6 +970,10 @@ object Export {
          |FROM fp GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     "x01_corpus_export" -> exportSql(""),
     "x02_decontaminated_export" -> exportSql(decontamWhere),
+    // x14: the published manifest — the same export SQL with the two
+    // semantic gates appended (semanticWhere re-derives both drop
+    // lists from scratch)
+    "x14_semantic_export" -> exportSql(publishedWhere),
     "x07_dataset_card" -> {
       val toks = raw"regexp_split_to_array(trim(text), '\s+')"
       val stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
@@ -860,6 +984,14 @@ object Export {
          |  (${Dedup.oracles("d06_neardup_clusters")}) WHERE keep = 0),
          |contam AS (SELECT doc_id FROM
          |  (${TextAnalysis.oracles("p09_contamination")})
+         |  WHERE contaminated = 1),
+         |semdrop AS (SELECT m.vec_id AS doc_id FROM
+         |  (${Similarity.oracles("s14_semantic_clusters")}) m
+         |  JOIN (${Similarity.oracles("s21_semantic_survivors")}) sv
+         |    USING (cluster_id)
+         |  WHERE m.vec_id != sv.survivor_vec_id),
+         |semcon AS (SELECT test_id AS doc_id FROM
+         |  (${Similarity.oracles("s15_semantic_decontam")})
          |  WHERE contaminated = 1),
          |b AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
          |    list_transform(string_split(substr(md5(doc_id::VARCHAR), 1, 4), ''),
@@ -874,6 +1006,10 @@ object Export {
          |        WHEN s.doc_id IN (SELECT doc_id FROM drops) THEN 'dup'
          |        WHEN s.doc_id IN (SELECT doc_id FROM contam)
          |          THEN 'contaminated'
+         |        WHEN s.doc_id IN (SELECT doc_id FROM semdrop)
+         |          THEN 'semdedup'
+         |        WHEN s.doc_id IN (SELECT doc_id FROM semcon)
+         |          THEN 'sem_contaminated'
          |        ELSE 'published' END AS status
          |  FROM stats s JOIN b USING (doc_id))
          |SELECT split, lang,
@@ -886,7 +1022,11 @@ object Export {
          | CAST(SUM(CASE WHEN status = 'dup' THEN 1 ELSE 0 END)
          |   AS BIGINT) AS n_dup_dropped,
          | CAST(SUM(CASE WHEN status = 'contaminated' THEN 1 ELSE 0 END)
-         |   AS BIGINT) AS n_contaminated
+         |   AS BIGINT) AS n_contaminated,
+         | CAST(SUM(CASE WHEN status = 'semdedup' THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_semdedup_dropped,
+         | CAST(SUM(CASE WHEN status = 'sem_contaminated' THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_sem_contaminated
          |FROM st GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
     },
     // the running sum is over the SAME manifest SQL x02 publishes; the
@@ -898,12 +1038,12 @@ object Export {
          | CAST((c - n_tokens) % $BlockTokens AS BIGINT) AS start_offset
          |FROM (SELECT doc_id, n_tokens,
          |   SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c
-         |  FROM (${exportSql(decontamWhere)}) WHERE split = 'train')
+         |  FROM (${exportSql(publishedWhere)}) WHERE split = 'train')
          |ORDER BY doc_id""".stripMargin,
     // the same publishable manifest, reduced to per-language counts and
     // the integer recipe-unit bound (min over n_available // parts)
     "x04_mixture_plan" ->
-      s"""WITH man AS (${exportSql(decontamWhere)}),
+      s"""WITH man AS (${exportSql(publishedWhere)}),
          |av AS (SELECT d.lang AS lang, COUNT(*) AS n_available,
          |    (CASE WHEN d.lang = 'en' THEN 6 ELSE 1 END)::BIGINT AS parts
          |  FROM man m JOIN documents d USING (doc_id) GROUP BY d.lang),
@@ -914,7 +1054,7 @@ object Export {
     // engine's global-rank-minus-stratum-offset formulation (the same
     // relationship x03's oracle has to its RangedPrefix running sum)
     "x05_mixture_sample" ->
-      s"""WITH man AS (${exportSql(decontamWhere)}),
+      s"""WITH man AS (${exportSql(publishedWhere)}),
          |l AS (SELECT m.doc_id AS doc_id, d.lang AS lang
          |  FROM man m JOIN documents d USING (doc_id)),
          |av AS (SELECT lang, COUNT(*) AS n_available,
@@ -956,13 +1096,32 @@ object Export {
          |cfp AS (SELECT COUNT(*)::BIGINT AS n_contaminated,
          |    COALESCE(bit_xor(${fold48("doc_id")}), 0)::BIGINT
          |      AS contam_xor
-         |  FROM cl)
+         |  FROM cl),
+         |sdl AS (SELECT m.vec_id AS doc_id FROM
+         |  (${Similarity.oracles("s14_semantic_clusters")}) m
+         |  JOIN (${Similarity.oracles("s21_semantic_survivors")}) sv
+         |    USING (cluster_id)
+         |  WHERE m.vec_id != sv.survivor_vec_id),
+         |sfp AS (SELECT COUNT(*)::BIGINT AS n_semdedup_dropped,
+         |    COALESCE(bit_xor(${fold48("doc_id")}), 0)::BIGINT
+         |      AS semdedup_xor
+         |  FROM sdl),
+         |scl AS (SELECT test_id AS doc_id FROM
+         |  (${Similarity.oracles("s15_semantic_decontam")})
+         |  WHERE contaminated = 1),
+         |scfp AS (SELECT COUNT(*)::BIGINT AS n_sem_contaminated,
+         |    COALESCE(bit_xor(${fold48("doc_id")}), 0)::BIGINT
+         |      AS semcontam_xor
+         |  FROM scl)
          |SELECT sm.shard_id, sm.n_docs, sm.n_tokens,
          |  dfp.n_dup_dropped, dfp.dup_drop_xor,
          |  cfp.n_contaminated, cfp.contam_xor,
+         |  sfp.n_semdedup_dropped, sfp.semdedup_xor,
+         |  scfp.n_sem_contaminated, scfp.semcontam_xor,
          |  CAST($BlockTokens AS BIGINT) AS block_tokens,
-         |  CAST($BlocksPerShard AS BIGINT) AS blocks_per_shard
-         |FROM sm, dfp, cfp ORDER BY sm.shard_id""".stripMargin
+         |  CAST($BlocksPerShard AS BIGINT) AS blocks_per_shard,
+         |  CAST($SemDedupTauPpm AS BIGINT) AS sem_tau_ppm
+         |FROM sm, dfp, cfp, sfp, scfp ORDER BY sm.shard_id""".stripMargin
     },
     // the same publishable manifest reduced to per-stratum unique
     // token mass; budget, epoch, and geometric-value math mirror the
@@ -970,7 +1129,7 @@ object Export {
     // range(1, n+1) and COALESCE stand in for Spark's guarded
     // sequence + aggregate)
     "x09_epoch_plan" ->
-      s"""WITH man AS (${exportSql(decontamWhere)}),
+      s"""WITH man AS (${exportSql(publishedWhere)}),
          |uq AS (SELECT d.lang AS lang, SUM(m.n_tokens)::BIGINT AS u,
          |    (CASE WHEN d.lang = 'en' THEN 6 ELSE 1 END)::BIGINT AS parts
          |  FROM man m JOIN documents d USING (doc_id)
@@ -1000,7 +1159,7 @@ object Export {
          |FROM c ORDER BY lang""".stripMargin,
     // blocks never move: the shuffle is a rank over md5(epoch:block)
     "x08_epoch_shuffle" ->
-      s"""WITH man AS (${exportSql(decontamWhere)}),
+      s"""WITH man AS (${exportSql(publishedWhere)}),
          |tot AS (SELECT COALESCE(SUM(n_tokens), 0)::BIGINT t
          |  FROM man WHERE split = 'train'),
          |nb AS (SELECT (t + ${BlockTokens - 1}) // $BlockTokens AS n
@@ -1016,7 +1175,7 @@ object Export {
          |  AS shuffle_rank
          |FROM keyed ORDER BY epoch, shuffle_rank""".stripMargin,
     "x10_temperature_mixture" ->
-      s"""WITH man AS (${exportSql(decontamWhere)}),
+      s"""WITH man AS (${exportSql(publishedWhere)}),
          |g AS (SELECT d.lang AS lang, SUM(m.n_tokens)::BIGINT AS n_tokens
          |  FROM man m JOIN documents d USING (doc_id)
          |  WHERE m.split = 'train'

@@ -303,6 +303,8 @@ object Similarity {
   def invalidateCaches(): Unit = {
     countCache.clear()
     semClusterArtifact.invalidate()
+    semDropArtifact.invalidate()
+    semContamArtifact.invalidate()
     indexCache.keys.foreach(k =>
       indexCache.remove(k).foreach { case (c, a) =>
         c.unpersist(); a.unpersist()
@@ -327,6 +329,8 @@ object Similarity {
     "s.pq" -> pqCache.nonEmpty,
     "s.counts" -> countCache.nonEmpty,
     "s.semClusters" -> semClusterArtifact.isWarm,
+    "s.semDrops" -> semDropArtifact.isWarm,
+    "s.semContam" -> semContamArtifact.isWarm,
   ).collect { case (n, true) => n }
 
   /** Deterministic Lloyd k-means over (vec_id, v) rows — the IVF
@@ -639,6 +643,94 @@ object Similarity {
         when($"survivor_vec_id" === $"cluster_id", 1L).otherwise(0L))
       .orderBy($"cluster_id")
   }
+
+  /** Bump when the survivor policy or stored schema changes. */
+  private val SemDropArtifactVersion = 1
+
+  /** The SemDeDup DROP list — every s14 cluster member EXCEPT s21's
+    * perplexity-ranked survivor — as a durable fingerprint-guarded
+    * artifact, the semantic twin of [[graft.pipeline.Dedup
+    * .clusterDropList]]: the release path (x14's published manifest,
+    * x11's funnel stage, x13's provenance fold) anti-joins a stored
+    * list, never re-propagates. The fingerprint chains the semantic
+    * THRESHOLDS by name — [[SemDedupTau]] and the trained-IVF geometry
+    * arrive through the CHAINED s14 artifact fingerprint (which hashes
+    * [[s07FingerprintParams]] and the embeddings listing) — plus the
+    * s21 keep-rule tag and the documents listing (the perplexity
+    * ranking's source).
+    *
+    * Scale shape: reads the durable s14 label table and p22's memoized
+    * scored frame; one cluster-keyed window over dup-fraction-sized
+    * rows (the s21 shape); the published list is dup-fraction-sized —
+    * broadcast material for every consumer.
+    */
+  // the s14 artifact's OWN fingerprint is CHAINED (the m10-chains-d11
+  // rule): the drop list's content derives from the stored labels, so
+  // an s14 version bump must invalidate this list too — s14's
+  // fingerprint already covers the embeddings listing and the s07
+  // params. p22's scoring model has no fingerprint of its own to chain
+  // (session memo, not an artifact) — a change to its bigram scoring
+  // needs a SemDropArtifactVersion bump here.
+  private val semDropArtifact = new DurableArtifact(
+    "s21_drops",
+    (spark, dir) => ArtifactStore.md5Hex(
+      s"v$SemDropArtifactVersion|" +
+        s"s14=${semClusterArtifact.currentFingerprint(spark, dir)}|" +
+        "keep=max-mean-qll|" +
+        ArtifactStore.sourceListing(spark, dir + "/documents.parquet")),
+    buildSemDropList)
+
+  private def buildSemDropList(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val scores = TextAnalysis.pplScored(spark, dir)
+      .select($"doc_id".as("vec_id"), $"n_bigrams", $"sum_qll")
+    val mean = $"sum_qll".cast("double") / $"n_bigrams"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster_id").orderBy(mean.desc_nulls_last, $"vec_id")
+    semClusterLabels(spark, dir)
+      .select($"label".as("cluster_id"), $"id".as("vec_id"))
+      .join(scores, Seq("vec_id"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" > 1)
+      .select($"vec_id".as("doc_id"))
+  }
+
+  private[graft] def semDropList(spark: SparkSession,
+      dir: String): DataFrame = semDropArtifact.read(spark, dir)
+
+  private[graft] def semDropArtifactPath(dir: String): String =
+    semDropArtifact.path(dir)
+
+  /** Bump when the s15 screen semantics or stored schema change. */
+  private val SemContamArtifactVersion = 1
+
+  /** s15's tau-contaminated TEST doc list as a durable artifact — the
+    * embedding-space counterpart of [[graft.pipeline.TextAnalysis
+    * .contaminatedDocs]], published once per corpus snapshot for the
+    * release path's anti-join. The fingerprint chains [[SemDedupTau]],
+    * the trained-IVF geometry, the probe depth, and the split
+    * thresholds the screen's test/train sides derive from.
+    */
+  private val semContamArtifact = new DurableArtifact(
+    "s15_contam",
+    (spark, dir) => ArtifactStore.md5Hex(
+      s"v$SemContamArtifactVersion|$s07FingerprintParams|" +
+        s"probe=$NProbe|train=${graft.pipeline.TextAnalysis.TrainMax}|" +
+        s"val=${graft.pipeline.TextAnalysis.ValMax}|" +
+        ArtifactStore.sourceListing(spark, dir + "/embeddings.parquet")),
+    (spark, dir) => {
+      import spark.implicits._
+      s15SemanticDecontam(spark, dir)
+        .filter($"contaminated" === 1L)
+        .select($"test_id".as("doc_id"))
+    })
+
+  private[graft] def semContamList(spark: SparkSession,
+      dir: String): DataFrame = semContamArtifact.read(spark, dir)
+
+  private[graft] def semContamArtifactPath(dir: String): String =
+    semContamArtifact.path(dir)
 
   /** s22's re-rank depth and relevance/diversity weight. λ = 1/2 is
     * exactly representable, so λ·rel and (1−λ)·sim are exact halvings

@@ -53,13 +53,59 @@ class ExportSpec extends SparkSpec {
       "decontamination must never touch train/val rows")
   }
 
+  test("x14 drops exactly the semantic lists; a lexically-unique doc falls ONLY to the semantic gate") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val x02 = Export.x02DecontaminatedExport(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val x14 = Export.x14SemanticExport(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(x14.subsetOf(x02), "x14 must be a subset of x02")
+    val semDrops = Similarity.semDropList(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val semContam = Similarity.semContamList(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(x02 -- x14 == (semDrops ++ semContam).intersect(x02),
+      "x14's drop set is not exactly the semantic lists' x02 members")
+    // the stored drop artifact equals an independent re-derivation
+    // from the PUBLISHED s14/s21 query outputs (keep rule: everyone
+    // but the survivor goes)
+    val members = Similarity.s14SemanticClusters(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("vec_id")))
+    val survivors = Similarity.s21SemanticSurvivors(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("cluster_id") ->
+        r.getAs[Long]("survivor_vec_id")).toMap
+    val rederived = members.collect {
+      case (c, v) if survivors(c) != v => v
+    }.toSet
+    assert(semDrops == rederived, "stored s21 drop list diverges from " +
+      "the published cluster/survivor tables")
+    // THE PIN: a document every lexical gate passed (x02 membership =
+    // quality-clean, not in d06's drop list, not p09-contaminated)
+    // that the release still drops — because the embedding space sees
+    // the near-dup the lexical detectors cannot
+    val semOnly = (x02 -- x14).intersect(semDrops)
+    assert(semOnly.nonEmpty,
+      "no doc is dropped ONLY by the semantic gate — the gate is vacuous")
+    val clusterOf = members.groupBy(_._2).view.mapValues(_.head._1).toMap
+    val sizes = members.groupBy(_._1).view.mapValues(_.length).toMap
+    semOnly.foreach { id =>
+      assert(sizes(clusterOf(id)) >= 2,
+        s"doc $id dropped from a singleton semantic cluster")
+    }
+    // and the lexical gate really did pass it: not in d06's drop list
+    val lexDrops = graft.pipeline.Dedup.clusterDropList(spark, sfDir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(semOnly.forall(id => !lexDrops(id)))
+  }
+
   test("x03 packs the train split gaplessly into fixed blocks") {
     import spark.implicits._
     val rows = Export.x03PackingLayout(spark, sfDir)
       .collect().sortBy(_.getAs[Long]("doc_id"))
     assert(rows.nonEmpty)
-    // exactly x02's train docs, in doc_id order
-    val train = Export.x02DecontaminatedExport(spark, sfDir)
+    // exactly x14's (the published manifest's) train docs, in doc_id order
+    val train = Export.x14SemanticExport(spark, sfDir)
       .filter($"split" === "train").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
     assert(rows.map(_.getAs[Long]("doc_id")).toSet == train.keySet)
@@ -88,7 +134,7 @@ class ExportSpec extends SparkSpec {
     val rows = Export.x04MixturePlan(spark, sfDir).collect()
     assert(rows.nonEmpty)
     // availability recomputed from the publishable manifest directly
-    val avail = Export.x02DecontaminatedExport(spark, sfDir).select($"doc_id")
+    val avail = Export.x14SemanticExport(spark, sfDir).select($"doc_id")
       .join(graft.Tables.documents(spark, sfDir).select($"doc_id", $"lang"), "doc_id")
       .groupBy($"lang").count().collect()
       .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
@@ -130,7 +176,7 @@ class ExportSpec extends SparkSpec {
       d.digest(id.toString.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(8)
     }
-    val all = Export.x02DecontaminatedExport(spark, sfDir).select($"doc_id")
+    val all = Export.x14SemanticExport(spark, sfDir).select($"doc_id")
       .join(graft.Tables.documents(spark, sfDir).select($"doc_id", $"lang"), "doc_id")
       .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id")))
     val chosen = sample.map(r =>
@@ -182,11 +228,17 @@ class ExportSpec extends SparkSpec {
     // across shards (the artifact identity, not a per-shard quantity)
     val recs = prov.map(r => (r.getAs[Long]("n_dup_dropped"),
       r.getAs[Long]("dup_drop_xor"), r.getAs[Long]("n_contaminated"),
-      r.getAs[Long]("contam_xor"), r.getAs[Long]("block_tokens"),
-      r.getAs[Long]("blocks_per_shard"))).distinct
+      r.getAs[Long]("contam_xor"), r.getAs[Long]("n_semdedup_dropped"),
+      r.getAs[Long]("semdedup_xor"), r.getAs[Long]("n_sem_contaminated"),
+      r.getAs[Long]("semcontam_xor"), r.getAs[Long]("block_tokens"),
+      r.getAs[Long]("blocks_per_shard"),
+      r.getAs[Long]("sem_tau_ppm"))).distinct
     assert(recs.length == 1, s"provenance record not constant: $recs")
-    val (nDrop, dropXor, nContam, contamXor, bt, bps) = recs.head
+    val (nDrop, dropXor, nContam, contamXor, nSem, semXor,
+      nSemCon, semConXor, bt, bps, tau) = recs.head
     assert(bt == Export.BlockTokens && bps == Export.BlocksPerShard)
+    // the semantic threshold rides the record, exact-ppm
+    assert(tau == Export.SemDedupTauPpm)
     // content folds replay driver-side from the same stored artifacts
     // the export chain consumes — the verification a loader performs
     def fold48(ids: Seq[Long]): Long = ids.map { id =>
@@ -202,22 +254,35 @@ class ExportSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).toSeq
     assert(nContam == contamIds.length.toLong)
     assert(contamXor == fold48(contamIds), "contam-list fold mismatch")
+    // the SEMANTIC folds replay the same way, from the stored semantic
+    // artifacts the published manifest anti-joins
+    val semIds = Similarity.semDropList(spark, sfDir)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(nSem == semIds.length.toLong)
+    assert(semXor == fold48(semIds), "semdedup drop-list fold mismatch")
+    assert(nSem > 0, "semdedup fold over an empty list proves nothing")
+    val semConIds = Similarity.semContamList(spark, sfDir)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(nSemCon == semConIds.length.toLong)
+    assert(semConXor == fold48(semConIds), "sem-contam fold mismatch")
   }
 
-  test("x07 card reconciles the corpus total and x02's published set exactly") {
+  test("x07 card reconciles the corpus total and x14's published set exactly") {
     val card = Export.x07DatasetCard(spark, sfDir).collect()
     assert(card.nonEmpty)
     def col(n: String) = card.map(_.getAs[Long](n)).sum
     // every document is accounted in exactly one status bucket
     val accounted = col("n_published") + col("n_quality_filtered") +
-      col("n_dup_dropped") + col("n_contaminated")
+      col("n_dup_dropped") + col("n_contaminated") +
+      col("n_semdedup_dropped") + col("n_sem_contaminated")
     assert(accounted == graft.Tables.documents(spark, sfDir).count())
-    // the published cells ARE x02's manifest, split & token mass included
-    val x02 = Export.x02DecontaminatedExport(spark, sfDir).collect()
-    assert(col("n_published") == x02.length)
+    // the published cells ARE x14's manifest (the one the release
+    // ships), split & token mass included
+    val x14 = Export.x14SemanticExport(spark, sfDir).collect()
+    assert(col("n_published") == x14.length)
     assert(col("n_tokens_published") ==
-      x02.map(_.getAs[Long]("n_tokens")).sum)
-    val bySplit = x02.groupBy(_.getAs[String]("split"))
+      x14.map(_.getAs[Long]("n_tokens")).sum)
+    val bySplit = x14.groupBy(_.getAs[String]("split"))
       .view.mapValues(_.length.toLong)
     card.groupBy(_.getAs[String]("split"))
       .foreach { case (s, rows) =>
@@ -229,13 +294,22 @@ class ExportSpec extends SparkSpec {
     // difference (a contaminated doc already dropped as quality/dup is
     // NOT the card's contamination — at sf0.001 the one planted
     // contaminated doc is also a dup, so this cell is legitimately 0)
+    val x02 = Export.x02DecontaminatedExport(spark, sfDir).collect()
     assert(col("n_quality_filtered") > 0)
     assert(col("n_dup_dropped") > 0)
     assert(col("n_contaminated") ==
       Export.x01CorpusExport(spark, sfDir).count() - x02.length)
+    // the two SEMANTIC channels cover exactly the x02-to-x14
+    // difference, and the SemDeDup channel is live on the fixture
+    assert(col("n_semdedup_dropped") + col("n_sem_contaminated") ==
+      x02.length - x14.length)
+    assert(col("n_semdedup_dropped") > 0,
+      "semdedup channel silent — the semantic gate is vacuous here")
     card.filter(_.getAs[String]("split") != "test").foreach { r =>
       assert(r.getAs[Long]("n_contaminated") == 0L,
         "contaminated docs outside the test split — p09 semantics broken")
+      assert(r.getAs[Long]("n_sem_contaminated") == 0L,
+        "sem-contaminated docs outside the test split — s15 semantics broken")
     }
   }
 
@@ -276,7 +350,7 @@ class ExportSpec extends SparkSpec {
     val lang = graft.Tables.documents(spark, sfDir)
       .select($"doc_id", $"lang").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
-    val uniq = Export.x02DecontaminatedExport(spark, sfDir)
+    val uniq = Export.x14SemanticExport(spark, sfDir)
       .filter($"split" === "train").collect()
       .groupBy(r => lang(r.getAs[Long]("doc_id")))
       .view.mapValues(_.map(_.getAs[Long]("n_tokens")).sum)
@@ -315,12 +389,12 @@ class ExportSpec extends SparkSpec {
     assert(got.values.exists(_._4 > 1L), "no stratum needed a repeat epoch")
   }
 
-  test("x10 temperature mixture matches a first-principles replay off x02") {
+  test("x10 temperature mixture matches a first-principles replay off the published manifest") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val lang = graft.Tables.documents(spark, sfDir)
       .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
-    val mass = Export.x02DecontaminatedExport(spark, sfDir).collect()
+    val mass = Export.x14SemanticExport(spark, sfDir).collect()
       .filter(_.getAs[String]("split") == "train")
       .map(r => (lang(r.getAs[Long]("doc_id")), r.getAs[Long]("n_tokens")))
       .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sum }
@@ -417,7 +491,7 @@ class ExportSpec extends SparkSpec {
     assert((got(s0)._3 ^ good ^ bad) != got(s0)._3)
   }
 
-  test("x11 funnel matches a cumulative replay of its five gates and reconciles") {
+  test("x11 funnel matches a cumulative replay of its seven gates and reconciles") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sfDir)
@@ -438,6 +512,10 @@ class ExportSpec extends SparkSpec {
     val pred = TextAnalysis.p24QualityClassifier(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("predicted"))
       .toMap
+    val semDropped = Similarity.semDropList(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val semContam = Similarity.semContamList(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
     def survives(stage: Int)(d: (Long, Long, Long)): Boolean = {
       val (id, n, stp) = d
       val gates = Seq[Boolean](
@@ -445,12 +523,14 @@ class ExportSpec extends SparkSpec {
         !dropped(id),
         !contaminated(id),
         pb.getOrElse(id, "tail") != "tail",
-        pred.getOrElse(id, 0L) == 1L)
+        pred.getOrElse(id, 0L) == 1L,
+        !semDropped(id),
+        !semContam(id))
       gates.take(stage).forall(identity)
     }
     val got = Export.x11QualityFunnel(spark, sfDir).collect()
-    assert(got.length == 6)
-    assert(got.map(_.getAs[Long]("stage")).toSeq == (0L to 5L))
+    assert(got.length == 8)
+    assert(got.map(_.getAs[Long]("stage")).toSeq == (0L to 7L))
     got.foreach { r =>
       val st = r.getAs[Long]("stage").toInt
       val keep = docs.filter(survives(st))
@@ -461,8 +541,10 @@ class ExportSpec extends SparkSpec {
     }
     // the funnel narrows monotonically; the quality, dedup,
     // perplexity and classifier gates all fire on this corpus
-    // (decontamination may legitimately drop 0 — its flagged docs can
-    // already be gone by stage 2); something survives the final cut
+    // (decontamination and BOTH semantic stages may legitimately drop
+    // 0 here — their flagged docs can already be gone by an earlier
+    // stage; the semantic gates' manifest-level firing is pinned by
+    // the x14 spec instead); something survives the final cut
     val ns = got.sortBy(_.getAs[Long]("stage")).map(_.getAs[Long]("n_docs"))
     assert(ns.zip(ns.tail).forall { case (a, b) => b <= a })
     Seq(0, 1, 3, 4).foreach(i => assert(ns(i + 1) < ns(i),
