@@ -333,7 +333,16 @@ object ScaleProbe {
       // p32: one term-keyed map-side-combined count + a RangedPrefix
       // global rank + a 5-sum single-row aggregate — ~linear in
       // tokens, vocab-bounded downstream
-      "p32" -> SparkEntry.queries("p32_zipf_slope"))
+      "p32" -> SparkEntry.queries("p32_zipf_slope"),
+      // d14: line hashes are ~token volume through one distinct+count
+      // (map-side combined); replicas share no lines (disjoint
+      // vocabulary) so the dup-line list scales ~R and the excision is
+      // a per-row filter — ~linear
+      "d14" -> SparkEntry.queries("d14_line_dedup"),
+      // x14: x02's manifest scan + two broadcast anti-joins against
+      // the stored dup-fraction-sized semantic lists — ~linear,
+      // manifest-scan dominated (list builds probed via s14/s15/s21)
+      "x14" -> SparkEntry.queries("x14_semantic_export"))
 
     // optional args after reps: probe only the named targets (dev
     // iteration on a new operator without re-running all 35)

@@ -1381,6 +1381,52 @@ object Dedup {
     d14Core(Tables.documents(spark, dir)).orderBy($"doc_id")
   }
 
+  /** The per-document line-hash rows (doc_id, si, h) — d14's segment
+    * table, factored out so the batch pass and the streaming
+    * line-dedup guard hash through ONE projection and can never
+    * drift. Pure per-row columnar work (token split + HOF transform +
+    * posexplode), no aggregation — stream-safe by construction.
+    * sequence(0, nl-1) only under nl >= 1 (Spark's sequence(0, -1)
+    * DESCENDS where the oracle's range(0, 0) is empty).
+    */
+  private[graft] def lineHashes(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select($"doc_id", graft.pipeline.TextAnalysis.toks($"text").as("t"))
+      .select($"doc_id", $"t",
+        floor(size($"t") / lit(LineTokens)).cast("long").as("nl"))
+      .filter($"nl" > 0)
+      .select($"doc_id", posexplode(expr(
+        s"""transform(sequence(0L, nl - 1L), i ->
+           |  md5(cast(concat_ws(' ',
+           |    slice(t, cast(i * $LineTokens + 1 as int), $LineTokens))
+           |  as binary)))""".stripMargin)))
+      .select($"doc_id", $"pos".cast("long").as("si"), $"col".as("h"))
+  }
+
+  /** d14's duplication criterion over a segment table: line hashes in
+    * MORE THAN ONE distinct document. distinct + count, both with
+    * map-side partial combine (the heavy-hitter argument in
+    * [[d14LineDedup]]'s doc).
+    */
+  private def dupFrom(seg: DataFrame): DataFrame = {
+    val spark = seg.sparkSession
+    import spark.implicits._
+    seg.select($"h", $"doc_id").distinct()
+      .groupBy($"h").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2).select($"h")
+  }
+
+  /** The corpus's duplicated-line hash set as a static table — d14's
+    * excision criterion, the frozen side of the streaming line-dedup
+    * guard (dup-fraction-sized: broadcast material at any corpus
+    * scale; a deployment publishes it like the corpus band table).
+    */
+  private[graft] def dupLineTable(spark: SparkSession,
+      dir: String): DataFrame =
+    dupFrom(lineHashes(Tables.documents(spark, dir)))
+
   /** The testable core over any (doc_id, text) frame — the p31
     * constructed-corpus device: the real corpus exercises the pipeline
     * shape, the spec plants a boilerplate line at DIFFERENT window
@@ -1393,18 +1439,8 @@ object Dedup {
       .select($"doc_id", graft.pipeline.TextAnalysis.toks($"text").as("t"))
       .select($"doc_id", $"t",
         floor(size($"t") / lit(LineTokens)).cast("long").as("nl"))
-    // sequence(0, nl-1) only under nl >= 1 (Spark's sequence(0, -1)
-    // DESCENDS where the oracle's range(0, 0) is empty)
-    val seg = t.filter($"nl" > 0)
-      .select($"doc_id", posexplode(expr(
-        s"""transform(sequence(0L, nl - 1L), i ->
-           |  md5(cast(concat_ws(' ',
-           |    slice(t, cast(i * $LineTokens + 1 as int), $LineTokens))
-           |  as binary)))""".stripMargin)))
-      .select($"doc_id", $"pos".cast("long").as("si"), $"col".as("h"))
-    val dup = seg.select($"h", $"doc_id").distinct()
-      .groupBy($"h").agg(count(lit(1)).as("df"))
-      .filter($"df" >= 2).select($"h")
+    val seg = lineHashes(docs)
+    val dup = dupFrom(seg)
     val dl = seg.join(dup, Seq("h"), "left_semi")
       .groupBy($"doc_id").agg(collect_list($"si").as("dl"))
     t.join(dl, Seq("doc_id"), "left")

@@ -46,6 +46,7 @@ object Streams {
     "ivf_ingest_assign" -> "nearest-frozen-centroid argmax (s09's index-add path)",
     "funnel" -> "relational.StarQueries.q25Funnel (view→click→purchase min-chain)",
     "delta_dedup_guard" -> "pipeline.Dedup.deltaCandidates (d08's batch x corpus LSH banding)",
+    "line_dedup_guard" -> "pipeline.Dedup.d14LineDedup excision list (per-row fixed-width line hashing via the shared lineHashes projection, joined against the frozen duplicated-line table — the flagged (doc, line) set equals d14's per-doc excision list exactly, proven by replaying the cut and matching d14's cleaned-sequence md5 per document)",
     "pq_encode" -> "pipeline.Similarity.pqIndex code table (s12/s13's stored 8-byte codes)",
     "semantic_decontam_guard" -> "pipeline.Similarity.s15Scored tau-screen (s15's batch candidate set at cosine >= tau)",
     "dsir_guard" -> "pipeline.TextAnalysis.p23DsirWeights (hashed-bigram importance weights vs the frozen 4096-bucket model)",
@@ -188,6 +189,29 @@ object Streams {
     graft.pipeline.Dedup.rowBands(docs)
       .join(corpusBands, Seq("band", "bucket"))
       .select(col("doc_id"), col("c_id"), col("band"))
+
+  /** Streaming line-dedup guard (the streaming face of batch d14's
+    * excision criterion): each arriving document's fixed-width line
+    * hashes — the shared [[graft.pipeline.Dedup.lineHashes]]
+    * projection, so the stream and the batch pass can never hash
+    * differently — join the STATIC duplicated-line table, and every
+    * (doc_id, line_idx) carrying corpus-duplicated boilerplate is
+    * emitted as it arrives. A consumer excises exactly those windows
+    * (d14's edit) before the document lands in the corpus — boilerplate
+    * never accumulates instead of being cleaned after the fact. The
+    * twin spec proves the flagged set IS d14's per-doc excision list by
+    * replaying the cut and matching d14's published cleaned-sequence
+    * md5 for every document.
+    *
+    * Scale shape: stateless stream-static inner join — no watermark, no
+    * state store, append mode; the static side is the dup-fraction-
+    * sized frozen line table (broadcast at any corpus scale), and the
+    * per-row work is one token split + HOF hash pass.
+    */
+  def lineDedupGuard(docs: DataFrame, dupLines: DataFrame): DataFrame =
+    graft.pipeline.Dedup.lineHashes(docs)
+      .join(dupLines, Seq("h"))
+      .select(col("doc_id"), col("si"), col("h"))
 
   /** Streaming semantic-decontamination guard (the streaming face of
     * batch s15's candidate screen): each arriving vector — a candidate

@@ -292,6 +292,54 @@ class StreamsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  private def lineDedupGuardTwin(): Unit = {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dupLines = graft.pipeline.Dedup.dupLineTable(spark, sfDir)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+
+    val input = MemoryStream[(Long, String)]
+    val query = lineDedupGuard(input.toDF().toDF("doc_id", "text"), dupLines)
+      .writeStream.format("memory").queryName("line_guard")
+      .outputMode("append").start()
+    // two batches: the guard is stateless, so a doc's flagged lines
+    // must not depend on which micro-batch carried it
+    val (first, rest) = docs.splitAt(docs.size / 2)
+    input.addData(first)
+    query.processAllAvailable()
+    input.addData(rest)
+    query.processAllAvailable()
+    query.stop()
+
+    val flagged = spark.table("line_guard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(flagged.nonEmpty,
+      "fixture must carry duplicated lines to make this twin real")
+    // the batch twin: replaying the stream's cut per document must
+    // reproduce d14's published excision counts AND cleaned-sequence
+    // md5 — the full hash-verified edit, not just the candidate set
+    val L = graft.pipeline.Dedup.LineTokens.toInt
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val batch = graft.pipeline.Dedup.d14LineDedup(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_dup_lines"), r.getAs[String]("cleaned_md5")))
+      .toMap
+    docs.foreach { case (id, text) =>
+      val cut = flagged.getOrElse(id, Set.empty)
+      val toks = text.trim.split("\\s+").toSeq
+      val kept = toks.zipWithIndex
+        .collect { case (w, i) if !cut(i.toLong / L) => w }
+      val (nDup, wantMd5) = batch(id)
+      assert(cut.size.toLong == nDup, s"doc $id: flagged ${cut.size} lines, d14 excised $nDup")
+      assert(md5(kept.mkString(" ")) == wantMd5,
+        s"doc $id: stream-guided cut diverges from d14's cleaned hash")
+    }
+  }
+
   private def deltaDedupGuardTwin(): Unit = {
     import spark.implicits._
     implicit val sc = spark.sqlContext
@@ -871,6 +919,7 @@ class StreamsSpec extends SparkSpec {
     "pq_encode" -> (pqEncodeTwin _),
     "semantic_decontam_guard" -> (semanticDecontamGuardTwin _),
     "delta_dedup_guard" -> (deltaDedupGuardTwin _),
+    "line_dedup_guard" -> (lineDedupGuardTwin _),
     "ivf_ingest_assign" -> (ivfIngestAssignTwin _),
     "funnel" -> (funnelTwin _),
     "windowed_counts" -> (windowedCountsTwin _),
