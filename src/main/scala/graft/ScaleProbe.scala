@@ -270,9 +270,6 @@ object ScaleProbe {
       // set (the p09 shuffle class), then leak-volume islands + the
       // p21 indexed cut — ~linear, leak-volume dominated downstream
       "p31" -> SparkEntry.queries("p31_leak_excision"),
-      // m08: linear inline-proof hash build + d04-class pigeonhole
-      // band join — candidate volume Σ df(band)², ~linear
-      "m08" -> SparkEntry.queries("m08_image_phash_pairs"),
       // q28: one per-user rollup + three RangedPrefix global ranks
       // (range-partition prefix sums, no single-partition window) —
       // ~linear in events, |users|-bounded downstream
@@ -322,9 +319,9 @@ object ScaleProbe {
       // the build is detector-dominated (m05/m08/m09 + the stored d11
       // table), the query itself ~flat
       "m10" -> SparkEntry.queries("m10_media_detector_overlap"),
-      // x13: x06's shard rollup + two ONE-ROW broadcast folds over the
-      // dup/contam-fraction-sized stored lists — ~linear,
-      // x03-dominated
+      // x13: x06's shard rollup + four ONE-ROW broadcast folds over
+      // the dup/contam-fraction-sized stored lists (d06, p09, s21,
+      // s15 since the semantic gates landed) — ~linear, x03-dominated
       "x13" -> SparkEntry.queries("x13_release_provenance"),
       // d13: stored cluster artifact + memoized capped index;
       // in-cluster pair volume is dup-sized and PurityExactCap²-
@@ -345,7 +342,7 @@ object ScaleProbe {
       "x14" -> SparkEntry.queries("x14_semantic_export"))
 
     // optional args after reps: probe only the named targets (dev
-    // iteration on a new operator without re-running all 35)
+    // iteration on a new operator without re-running the full set)
     val only = args.drop(1).toSet
     val selected =
       if (only.isEmpty) targets

@@ -43,7 +43,7 @@ object Dedup {
   def invalidateCaches(): Unit = {
     Seq(shingleCache, cappedShingleCache, sigCache, simhashCache,
       signSigCache, pairsCache,
-      detectorPairsCache).foreach { c =>
+      detectorPairsCache, lineSegCache).foreach { c =>
       c.keys.foreach(k => c.remove(k).foreach(_.unpersist()))
     }
     clusterArtifact.invalidate()
@@ -63,6 +63,7 @@ object Dedup {
     "d.pairs" -> pairsCache.nonEmpty,
     "d.detectorPairs" -> detectorPairsCache.nonEmpty,
     "d.clusters" -> clusterArtifact.isWarm,
+    "d.lineSeg" -> lineSegCache.nonEmpty,
   ).collect { case (n, true) => n }
 
   /** Distinct word-3-gram shingles: (doc_id, shingle) rows.
@@ -1378,7 +1379,8 @@ object Dedup {
     */
   def d14LineDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    d14Core(Tables.documents(spark, dir)).orderBy($"doc_id")
+    d14Core(Tables.documents(spark, dir), corpusLineHashes(spark, dir))
+      .orderBy($"doc_id")
   }
 
   /** The per-document line-hash rows (doc_id, si, h) — d14's segment
@@ -1418,6 +1420,26 @@ object Dedup {
       .filter($"df" >= 2).select($"h")
   }
 
+  private val lineSegCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** The CORPUS line-segment table, memoized + persisted under the
+    * ingest-artifact policy (the d02 capped-index pattern): d14
+    * consumes it through two plan subtrees (the df reduction and the
+    * excision-list semi join) and [[dupLineTable]] through a third —
+    * without the memo each consumer re-ran the tokenize + hash scan
+    * (round-18 review: three corpus scans where one suffices; at the
+    * 100 TB target the segment table is written once at ingest).
+    */
+  private[graft] def corpusLineHashes(spark: SparkSession,
+      dir: String): DataFrame =
+    Memo.getOrBuild(lineSegCache, (spark, dir)) {
+      val df = lineHashes(Tables.documents(spark, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize: consumers read the rows, not the scan
+      df
+    }
+
   /** The corpus's duplicated-line hash set as a static table — d14's
     * excision criterion, the frozen side of the streaming line-dedup
     * guard (dup-fraction-sized: broadcast material at any corpus
@@ -1425,21 +1447,23 @@ object Dedup {
     */
   private[graft] def dupLineTable(spark: SparkSession,
       dir: String): DataFrame =
-    dupFrom(lineHashes(Tables.documents(spark, dir)))
+    dupFrom(corpusLineHashes(spark, dir))
 
   /** The testable core over any (doc_id, text) frame — the p31
     * constructed-corpus device: the real corpus exercises the pipeline
     * shape, the spec plants a boilerplate line at DIFFERENT window
     * offsets in two documents and hash-verifies the edit.
     */
-  private[graft] def d14Core(docs: DataFrame): DataFrame = {
+  private[graft] def d14Core(docs: DataFrame): DataFrame =
+    d14Core(docs, lineHashes(docs))
+
+  private[graft] def d14Core(docs: DataFrame, seg: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val t = docs
       .select($"doc_id", graft.pipeline.TextAnalysis.toks($"text").as("t"))
       .select($"doc_id", $"t",
         floor(size($"t") / lit(LineTokens)).cast("long").as("nl"))
-    val seg = lineHashes(docs)
     val dup = dupFrom(seg)
     val dl = seg.join(dup, Seq("h"), "left_semi")
       .groupBy($"doc_id").agg(collect_list($"si").as("dl"))

@@ -60,7 +60,19 @@ private[pipeline] final class DurableArtifact(
         .getOrElse {
           val fresh = build(spark, dir)
           write(spark, dir, fp, fresh)
-          fresh
+          // serve the JUST-PUBLISHED store, not the raw build plan: a
+          // build that does not persist its result would otherwise
+          // re-execute the whole DAG on every consumer action AND
+          // re-read sources that may no longer match the stamped
+          // pre-build fingerprint (the TOCTOU window the pre-build
+          // capture exists to close). The publish above already paid
+          // the materialization; the parquet is the truth. Fallback to
+          // the fresh frame only if a concurrent republish races the
+          // re-read (then its own memo swap supersedes this handle).
+          ArtifactStore.consistentParquet(spark, path(dir))
+            .map(_.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+            .getOrElse(fresh)
         }
     }
 

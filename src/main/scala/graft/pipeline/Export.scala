@@ -695,7 +695,7 @@ object Export {
 
   /** x11 — the quality-gated export funnel: the full FineWeb-style
     * data recipe (Penedo et al. 2024's pipeline figure) as ONE staged
-    * accounting table. Each document flows through the five gates the
+    * accounting table. Each document flows through the seven gates the
     * suite trains/derives elsewhere, and every stage row reports how
     * much survives — docs AND tokens — so the recipe's cost is read
     * off one table:

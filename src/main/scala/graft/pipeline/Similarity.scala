@@ -644,8 +644,11 @@ object Similarity {
       .orderBy($"cluster_id")
   }
 
-  /** Bump when the survivor policy or stored schema changes. */
-  private val SemDropArtifactVersion = 1
+  /** Bump when the survivor policy or stored schema changes. v2: the
+    * p22 scoring-model params joined the fingerprint (chained, not
+    * comment-documented).
+    */
+  private val SemDropArtifactVersion = 2
 
   /** The SemDeDup DROP list — every s14 cluster member EXCEPT s21's
     * perplexity-ranked survivor — as a durable fingerprint-guarded
@@ -656,8 +659,9 @@ object Similarity {
     * THRESHOLDS by name — [[SemDedupTau]] and the trained-IVF geometry
     * arrive through the CHAINED s14 artifact fingerprint (which hashes
     * [[s07FingerprintParams]] and the embeddings listing) — plus the
-    * s21 keep-rule tag and the documents listing (the perplexity
-    * ranking's source).
+    * s21 keep-rule tag, the p22 scoring-model params
+    * ([[TextAnalysis.pplFingerprintParams]] — the ranking model), and
+    * the documents listing (the perplexity ranking's source).
     *
     * Scale shape: reads the durable s14 label table and p22's memoized
     * scored frame; one cluster-keyed window over dup-fraction-sized
@@ -668,15 +672,17 @@ object Similarity {
   // rule): the drop list's content derives from the stored labels, so
   // an s14 version bump must invalidate this list too — s14's
   // fingerprint already covers the embeddings listing and the s07
-  // params. p22's scoring model has no fingerprint of its own to chain
-  // (session memo, not an artifact) — a change to its bigram scoring
-  // needs a SemDropArtifactVersion bump here.
+  // params. The RANKING model's params chain the same way: p22 is a
+  // session memo with no artifact fingerprint of its own, so its named
+  // parameter string travels here (round-18 review — a comment telling
+  // a future editor to bump the version is exactly the forgotten-bump
+  // staleness class chaining exists to eliminate).
   private val semDropArtifact = new DurableArtifact(
     "s21_drops",
     (spark, dir) => ArtifactStore.md5Hex(
       s"v$SemDropArtifactVersion|" +
         s"s14=${semClusterArtifact.currentFingerprint(spark, dir)}|" +
-        "keep=max-mean-qll|" +
+        s"keep=max-mean-qll|${TextAnalysis.pplFingerprintParams}|" +
         ArtifactStore.sourceListing(spark, dir + "/documents.parquet")),
     buildSemDropList)
 

@@ -1715,6 +1715,19 @@ object TextAnalysis {
     */
   private[pipeline] val PplScale = 1048576L
 
+  /** The p22 scoring-model parameters a DERIVED artifact must chain —
+    * s21's drop list ranks cluster members by this model, so any
+    * change here must invalidate that stored list, not wait for a
+    * manual version bump (the m10-chains-d11 staleness rule; p22
+    * itself is a session memo with no artifact of its own, so its
+    * params travel as this named string): the surprisal quantization
+    * scale, the add-one smoothing tag, and the train-split threshold
+    * the LM trains under. The head/tail cutpoints are deliberately
+    * absent — they bucket, they do not rank.
+    */
+  private[graft] def pplFingerprintParams: String =
+    s"ppl=scale:$PplScale/addone/train:$TrainMax"
+
   /** p22's head/middle/tail cutpoints in micro-nats of average
     * bigram surprisal — the trained constants of this corpus release
     * (≈ its terciles), fixed like [[SampleEnMax]] so scoring stays a
