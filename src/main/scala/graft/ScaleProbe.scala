@@ -339,7 +339,11 @@ object ScaleProbe {
       // x14: x02's manifest scan + two broadcast anti-joins against
       // the stored dup-fraction-sized semantic lists — ~linear,
       // manifest-scan dominated (list builds probed via s14/s15/s21)
-      "x14" -> SparkEntry.queries("x14_semantic_export"))
+      "x14" -> SparkEntry.queries("x14_semantic_export"),
+      // x15: each doc explodes to its resident block range off x03's
+      // memoized layout — emission volume ~tokens/2048 + n_docs with a
+      // block-keyed partial agg — ~linear
+      "x15" -> SparkEntry.queries("x15_block_map"))
 
     // optional args after reps: probe only the named targets (dev
     // iteration on a new operator without re-running the full set)

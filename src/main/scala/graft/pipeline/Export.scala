@@ -590,6 +590,42 @@ object Export {
       .orderBy($"shard_id")
   }
 
+  /** x15 — the block→document residency map: for every packed training
+    * block of x03's layout, which documents' tokens live in it — doc
+    * count, first/last resident doc_id, and the EXACT token fill. This
+    * is the index a random-access loader consults to materialize block
+    * b without scanning the manifest (x06 answers it per shard; x15
+    * per block, the granularity a __getitem__ actually needs), and the
+    * packing audit that proves the layout gapless: every block's fill
+    * is exactly [[BlockTokens]] except the last (the spec pins it).
+    *
+    * Scale shape: each doc explodes to its resident block range, so
+    * emission volume is total_blocks + n_docs (~tokens/2048 — linear,
+    * map-side); the per-block rollup is a block-keyed aggregate with
+    * partial combine. Overlap arithmetic is exact BIGINT min/max — the
+    * oracle's LEAST/GREATEST mirrors it verbatim.
+    */
+  def x15BlockMap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    x03PackingLayout(spark, dir)
+      .withColumn("sp",
+        shiftleft($"start_block", BlockShift) + $"start_offset")
+      .withColumn("ep", $"sp" + $"n_tokens") // exclusive end
+      .select($"doc_id", $"sp", $"ep",
+        explode(expr(
+          s"sequence(start_block, shiftright(ep - 1, $BlockShift))"))
+          .as("block_id"))
+      .select($"doc_id", $"block_id",
+        (least($"ep", ($"block_id" + 1) * BlockTokens) -
+          greatest($"sp", $"block_id" * BlockTokens)).as("tok"))
+      .groupBy($"block_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"doc_id").as("first_doc_id"),
+        max($"doc_id").as("last_doc_id"),
+        sum($"tok").as("n_tokens"))
+      .orderBy($"block_id")
+  }
+
   def x06ShardManifest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     x03PackingLayout(spark, dir)
@@ -795,6 +831,7 @@ object Export {
     "x05_mixture_sample" -> x05MixtureSample _,
     "x06_shard_manifest" -> x06ShardManifest _,
     "x13_release_provenance" -> x13ReleaseProvenance _,
+    "x15_block_map" -> x15BlockMap _,
     "x08_epoch_shuffle" -> x08EpochShuffle _,
     "x09_epoch_plan" -> x09EpochPlan _,
     "x10_temperature_mixture" -> x10TemperatureMixture _,
@@ -1071,6 +1108,25 @@ object Export {
     // the x03 layout SQL rolled up by shard — same composition the
     // engine applies over its memoized prefix sum
     "x06_shard_manifest" -> x06Sql,
+    // x15: each doc unnests its resident block range off the same
+    // running sum; overlap is exact integer LEAST/GREATEST
+    "x15_block_map" ->
+      s"""WITH lay AS (SELECT doc_id,
+         |    CAST(c - n_tokens AS BIGINT) AS sp, CAST(c AS BIGINT) AS ep
+         |  FROM (SELECT doc_id, n_tokens,
+         |     SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |       AS c
+         |    FROM (${exportSql(publishedWhere)}) WHERE split = 'train')),
+         |b AS (SELECT doc_id, sp, ep,
+         |    unnest(range(sp // $BlockTokens, (ep - 1) // $BlockTokens + 1))
+         |      AS block_id
+         |  FROM lay)
+         |SELECT block_id, COUNT(*)::BIGINT AS n_docs,
+         |  MIN(doc_id) AS first_doc_id, MAX(doc_id) AS last_doc_id,
+         |  CAST(SUM(LEAST(ep, (block_id + 1) * $BlockTokens) -
+         |           GREATEST(sp, block_id * $BlockTokens)) AS BIGINT)
+         |    AS n_tokens
+         |FROM b GROUP BY block_id ORDER BY block_id""".stripMargin,
     // x06's shard rollup joined with one-row content folds over the
     // SAME drop/contam lists the export chain consumes — the oracle
     // re-derives both lists from scratch (the d06/p09 SQL embedded as

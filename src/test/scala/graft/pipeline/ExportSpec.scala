@@ -216,6 +216,38 @@ class ExportSpec extends SparkSpec {
     assert(ids == (0L until ids.length.toLong))
   }
 
+  test("x15 block map: gapless full blocks, conserved tokens, residency matches a driver replay") {
+    val layout = Export.x03PackingLayout(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("start_block") * Export.BlockTokens +
+          r.getAs[Long]("start_offset")))
+    val rows = Export.x15BlockMap(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("block_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("first_doc_id"),
+          r.getAs[Long]("last_doc_id"), r.getAs[Long]("n_tokens"))).toMap
+    // gapless: blocks 0..max, every block FULL except possibly the last
+    val ids = rows.keys.toSeq.sorted
+    assert(ids == (0L until ids.length.toLong))
+    ids.init.foreach { b =>
+      assert(rows(b)._4 == Export.BlockTokens, s"block $b not full")
+    }
+    // conservation: the map's fill sums to the layout's token total
+    assert(rows.values.map(_._4).sum == layout.map(_._2).sum)
+    // residency equals a driver replay of the span arithmetic
+    val B = Export.BlockTokens
+    val want = layout.flatMap { case (id, n, sp) =>
+      (sp / B to (sp + n - 1) / B).map { b =>
+        b -> (id, math.min(sp + n, (b + 1) * B) - math.max(sp, b * B))
+      }
+    }.groupBy(_._1).map { case (b, xs) =>
+      val docs = xs.map(_._2._1)
+      b -> (docs.length.toLong, docs.min, docs.max, xs.map(_._2._2).sum)
+    }
+    assert(rows == want)
+    // multi-doc blocks exist (the map is not a trivial 1:1 table)
+    assert(rows.values.exists(_._1 > 1))
+  }
+
   test("x13 provenance reconciles x06's shard set; folds replay from the stored lists") {
     val prov = Export.x13ReleaseProvenance(spark, sfDir).collect()
     val shards = Export.x06ShardManifest(spark, sfDir).collect()
