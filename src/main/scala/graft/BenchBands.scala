@@ -56,8 +56,12 @@ object BenchBands {
     * the round-18 closing runs because their SEMANTICS changed (the
     * published manifest gained the SemDeDup + semantic-decontamination
     * gates, so the whole packing/mixture/provenance chain now reads
-    * two more stored artifacts) — x07/x09/x10 rose 6–10% for exactly
-    * that reason, the rest absorbed the gates inside their old refs.
+    * two more stored artifacts). x07/x09/x10 were re-recorded for that
+    * semantics change and then MIN-merged BELOW their pre-change refs
+    * by the faster round-18 closing runs (BASELINE R.6/R.6b), so the
+    * shipped entries are the closing-run minima, not the intermediate
+    * re-record values; the rest absorbed the gates inside their old
+    * refs.
     * d14 (line dedup) and x14 (semantic export) are new this round.
     * The round-18 box read sentinel contention ~5.3 with floor and all
     * query minima AT OR UNDER the 1.3-contention refs — a per-core-

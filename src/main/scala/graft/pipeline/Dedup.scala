@@ -41,12 +41,13 @@ object Dedup {
     * next group's execution memory.
     */
   def invalidateCaches(): Unit = {
-    Seq(shingleCache, cappedShingleCache, sigCache, simhashCache,
-      signSigCache, pairsCache,
+    Seq(shingleCache, cappedShingleCache, sigCache, sizesCache,
+      simhashCache, signSigCache, pairsCache,
       detectorPairsCache, lineSegCache).foreach { c =>
       c.keys.foreach(k => c.remove(k).foreach(_.unpersist()))
     }
     clusterArtifact.invalidate()
+    corpusBandArtifact.invalidate()
   }
 
   /** Which of this family's session memos are populated — the bench's
@@ -58,6 +59,8 @@ object Dedup {
     "d.shingles" -> shingleCache.nonEmpty,
     "d.cappedShingles" -> cappedShingleCache.nonEmpty,
     "d.minhashSig" -> sigCache.nonEmpty,
+    "d.sizes" -> sizesCache.nonEmpty,
+    "d.corpusBands" -> corpusBandArtifact.isWarm,
     "d.simhashSig" -> simhashCache.nonEmpty,
     "d.signSig" -> signSigCache.nonEmpty,
     "d.pairs" -> pairsCache.nonEmpty,
@@ -224,6 +227,28 @@ object Dedup {
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), DataFrame]
 
+  /** Per-document distinct-shingle counts (doc_id, n) — the Jaccard
+    * denominators. Memoized + persisted per (session, dir) like the
+    * signature table: d03's and d07's verify joins and d08's delta
+    * verify each re-aggregated the full shingle table inside their own
+    * plans (three identical groupBy subtrees per bench group; the
+    * round-18 driver bench billed one of them inside d08's 14-stage
+    * plan). At 100 TB the count is a COLUMN of the stored signature
+    * artifact written once at ingest, which is exactly what one shared
+    * persisted table emulates.
+    */
+  private def shingleSizes(spark: SparkSession, dir: String): DataFrame =
+    Memo.getOrBuild(sizesCache, (spark, dir)) {
+      import spark.implicits._
+      shingleRows(spark, dir).groupBy($"doc_id")
+        .agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private val sizesCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
   /** d03 — MinHash + LSH banding near-dup pairs, verified by true
     * Jaccard (integer threshold, same as d02). The band-bucket join is
     * the scale path: candidate volume is proportional to true-duplicate
@@ -272,7 +297,7 @@ object Dedup {
       .join(sh.as("sb"), $"b_id" === $"sb.doc_id" && $"sa.shingle" === $"sb.shingle")
       .groupBy($"a_id", $"b_id")
       .agg(count(lit(1)).as("inter"))
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val sizes = shingleSizes(spark, dir)
     // per-document table — size-based join choice left to Catalyst,
     // same reasoning as d02
     inter
@@ -323,7 +348,7 @@ object Dedup {
         $"b_id" === $"sb.doc_id" && $"sa.shingle" === $"sb.shingle")
       .groupBy($"a_id", $"b_id")
       .agg(count(lit(1)).as("inter"))
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val sizes = shingleSizes(spark, dir)
     matches.join(inter, Seq("a_id", "b_id"))
       .join(sizes.as("za"), $"a_id" === $"za.doc_id")
       .join(sizes.as("zb"), $"b_id" === $"zb.doc_id")
@@ -377,9 +402,10 @@ object Dedup {
     * and each batch document gets a keep/drop verdict plus its best
     * corpus match.
     *
-    * Scale shape: the corpus side reads the STORED signature/band
-    * artifact ([[minhashSig]] — at 100 TB a bucket-partitioned table,
-    * so the band join partition-prunes to the batch's buckets); the
+    * Scale shape: the corpus side reads the STORED band artifact
+    * ([[corpusBandArtifact]] — a durable fingerprint-guarded parquet
+    * table, at 100 TB bucket-partitioned, so the band join
+    * partition-prunes to the batch's buckets); the
     * verify join touches only candidate documents' shingles; candidate
     * volume is batch-size x collision rate, independent of corpus
     * pair count. Per-doc decision windows partition by batch doc —
@@ -392,15 +418,38 @@ object Dedup {
     */
   private def isBatchDoc = col("doc_id") % DeltaMod === DeltaRem
 
-  /** The stored corpus side's (c_id, band, bucket) table — d08's join
-    * target, and the STATIC side of the streaming delta-dedup guard.
-    * At 100 TB this is a bucket-partitioned artifact next to the
-    * signature table.
+  /** Bump when the band/bucket semantics OR the stored schema change:
+    * a stale stored band table must never satisfy a newer reader.
     */
+  private val CorpusBandsVersion = 1
+
+  /** The stored corpus side's (c_id, band, bucket) table — d08's join
+    * target, and the STATIC side of the streaming delta-dedup guard —
+    * as a DURABLE fingerprint-guarded artifact (the d06/d11 plumbing).
+    * Its scaladoc always called it a bucket-partitioned STORED
+    * artifact at 100 TB; until round 19 the implementation still
+    * re-derived the band rows live from the session signature memo,
+    * which made d08's plan the suite's most stage-dense (the round-18
+    * driver box taxed exactly that: 14 stages re-built per pass even
+    * with warm memos). Now the daily delta-dedup reads the table a
+    * production ingest would actually have published — the d11
+    * precedent (2.38 s → 0.16 s) applied to the band table. The
+    * fingerprint hashes the documents listing plus every constant the
+    * band definition depends on (hash count x bands, and the delta
+    * split that defines which docs are "corpus").
+    */
+  private val corpusBandArtifact = new DurableArtifact(
+    "d08_corpus_bands",
+    (spark, dir) => ArtifactStore.md5Hex(
+      s"v$CorpusBandsVersion|minhash=${NumHashes}x$Bands|" +
+        s"delta=$DeltaMod/$DeltaRem|" +
+        ArtifactStore.sourceListing(spark, dir + "/documents.parquet")),
+    (spark, dir) => bandRows(spark, dir).filter(!isBatchDoc)
+      .select(col("doc_id").as("c_id"), col("band"), col("bucket")))
+
   private[graft] def corpusBandTable(spark: SparkSession,
       dir: String): DataFrame =
-    bandRows(spark, dir).filter(!isBatchDoc)
-      .select(col("doc_id").as("c_id"), col("band"), col("bucket"))
+    corpusBandArtifact.read(spark, dir)
 
   /** d08's candidate pairs — batch band rows joined against the stored
     * corpus band table, distinct over (b_id, c_id). Shared with the
@@ -419,7 +468,6 @@ object Dedup {
   def d08DeltaDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = shingleRows(spark, dir)
-    val isBatch = isBatchDoc
     val cand = deltaCandidates(spark, dir)
     val inter = cand
       .join(sh.as("sa"), $"b_id" === $"sa.doc_id")
@@ -427,31 +475,56 @@ object Dedup {
         $"c_id" === $"sb.doc_id" && $"sa.shingle" === $"sb.shingle")
       .groupBy($"b_id", $"c_id")
       .agg(count(lit(1)).as("inter"))
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val sizes = shingleSizes(spark, dir)
     val verified = inter
       .join(sizes.as("za"), $"b_id" === $"za.doc_id")
       .join(sizes.as("zb"), $"c_id" === $"zb.doc_id")
       .select($"b_id", $"c_id", $"inter",
         when(jaccardAtLeast08($"inter", $"za.n", $"zb.n"), 1L)
           .otherwise(0L).as("is_dup"))
-    val agg = verified.groupBy($"b_id")
-      .agg(count(lit(1)).as("n_cand"), sum($"is_dup").as("n_dup"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"b_id").orderBy($"inter".desc, $"c_id")
-    val best = verified.withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"b_id", $"c_id".as("best_id"), $"inter".as("best_inter"))
-    Tables.documents(spark, dir)
-      .filter(isBatch).select($"doc_id".as("b_id"))
-      .join(agg, Seq("b_id"), "left")
-      .join(best, Seq("b_id"), "left")
+    d08Verdicts(verified,
+      Tables.documents(spark, dir)
+        .filter(isBatchDoc).select($"doc_id".as("b_id")))
+      .orderBy($"doc_id")
+  }
+
+  /** d08's per-batch-doc decision over a verified candidate frame
+    * (b_id, c_id, inter, is_dup) — the counts, the best match, and the
+    * keep/drop verdict, in ONE aggregation.
+    *
+    * Round-19 restructure (the round-18 driver bench's sole band_fail
+    * was this query's stage count): the previous form computed the
+    * count/sum pair and the best match as SEPARATE consumers of
+    * `verified` — two subtree executions of the whole candidate
+    * pipeline plus a row_number window's partition sort, three
+    * exchanges where one suffices. `max_by(struct(c_id, inter),
+    * struct(inter, -c_id))` folds the best match into the same
+    * hash-aggregate that counts: max inter first, then LOWEST c_id
+    * (the -c_id term), which is exactly the window's
+    * `orderBy(inter.desc, c_id)` rank-1 row — the ordering struct is
+    * unique per group (c_id is distinct within a b_id group), so the
+    * pick is deterministic, proven tie-for-inter by D08DecisionSpec
+    * against a window-ranked reference. Factored over the input frame
+    * (the p31 testable-core device) so the spec can feed constructed
+    * ties without a corpus.
+    */
+  private[graft] def d08Verdicts(verified: DataFrame,
+      batchDocs: DataFrame): DataFrame = {
+    val spark = verified.sparkSession
+    import spark.implicits._
+    val per = verified.groupBy($"b_id")
+      .agg(count(lit(1)).as("n_cand"), sum($"is_dup").as("n_dup"),
+        max_by(struct($"c_id", $"inter"), struct($"inter", -$"c_id"))
+          .as("best"))
+    batchDocs
+      .join(per, Seq("b_id"), "left")
       .select($"b_id".as("doc_id"),
         coalesce($"n_cand", lit(0L)).as("n_cand"),
         coalesce($"n_dup", lit(0L)).as("n_dup"),
-        $"best_id", $"best_inter",
+        $"best".getField("c_id").as("best_id"),
+        $"best".getField("inter").as("best_inter"),
         when(coalesce($"n_dup", lit(0L)) > 0, "drop")
           .otherwise("keep").as("verdict"))
-      .orderBy($"doc_id")
   }
 
   /** d09's Jaccard thresholds, in percent. 80 must be a member so the

@@ -80,10 +80,20 @@ private[pipeline] final class DurableArtifact(
     val fp = currentFingerprint(spark, dir) // pre-build capture (TOCTOU rule)
     val fresh = build(spark, dir)
     write(spark, dir, fp, fresh)
+    // memoize the JUST-PUBLISHED parquet handle, not the raw build
+    // plan — the same rule read()'s cold path applies: an unpersisted
+    // build plan re-executes the whole DAG on every later consumer
+    // action AND re-reads sources that may no longer match the stamped
+    // pre-build fingerprint (the TOCTOU window). Fallback to the fresh
+    // frame only if a concurrent republish races the re-read (its own
+    // memo swap then supersedes this handle).
+    val served = ArtifactStore.consistentParquet(spark, path(dir))
+      .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .getOrElse(fresh)
     cache.synchronized {
-      cache.put((spark, dir), fresh).foreach(_.unpersist())
+      cache.put((spark, dir), served).foreach(_.unpersist())
     }
-    fresh
+    served
   }
 
   private def write(spark: SparkSession, dir: String, fp: String,
