@@ -58,6 +58,20 @@ def fmt_rec(rec):
     return f"t={t}s warm2=[{w2}]" + (f" {' '.join(flags)}" if flags else "")
 
 
+def fmt_prof(rec):
+    """The execution profile (since round 19): per timed run, completed
+    stages / task-time sum / GC / shuffle read+write — the WHERE behind
+    a regression. 'same stages+bytes, task-time Nx' reads as a box tax;
+    'stage count grew' reads as a plan or memo change."""
+    ps = rec.get("prof")
+    if not ps:
+        return None
+    return "  ".join(
+        f"run{i + 1}: st={p['st']} task={p['task']:.1f}s gc={p['gc']:.1f}s"
+        f" shuf={p['sr']:.0f}/{p['sw']:.0f}MB"
+        for i, p in enumerate(ps))
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     top = 10
@@ -108,6 +122,9 @@ def main():
                 win = (f"window sent={s:.2f} floor={f:.2f}"
                        if s is not None else "window n/a")
                 print(f"  {tag} pass{i}: {fmt_rec(rec)}  {win}")
+                prof = fmt_prof(rec)
+                if prof:
+                    print(f"           {prof}")
         wa = a.get("attrib", {}).get(name)
         wb = b.get("attrib", {}).get(name)
         if wa and wb:

@@ -343,7 +343,14 @@ object ScaleProbe {
       // x15: each doc explodes to its resident block range off x03's
       // memoized layout — emission volume ~tokens/2048 + n_docs with a
       // block-keyed partial agg — ~linear
-      "x15" -> SparkEntry.queries("x15_block_map"))
+      "x15" -> SparkEntry.queries("x15_block_map"),
+      // x16: pure shift-mask projection over x03's memoized layout
+      // into a histogram-sized partial agg — ~linear, layout-dominated
+      "x16" -> SparkEntry.queries("x16_fragmentation_audit"),
+      // x17: two conditional aggregates over the published manifest to
+      // stats-row scalars + constant arithmetic — ~linear,
+      // manifest-scan dominated
+      "x17" -> SparkEntry.queries("x17_delta_dirtiness"))
 
     // optional args after reps: probe only the named targets (dev
     // iteration on a new operator without re-running the full set)

@@ -1513,14 +1513,37 @@ object Dedup {
       df
     }
 
+  /** The corpus's FULL distinct line-hash table with each line's
+    * document frequency (h, df), df >= 1 — the frozen side of the
+    * streaming line-dedup guard. The guard joins this, not the df>=2
+    * subset, because the admission decision needs BOTH strata
+    * (ADVICE r18): df >= 2 lines are boilerplate d14 would excise from
+    * the corpus today, and df == 1 lines are FIRST collisions — an
+    * arriving new document matching a line that occurs exactly once in
+    * the corpus creates, if admitted unedited, a df=2 line the next
+    * batch d14 would excise from both carriers; flagging it at ingest
+    * is what makes "boilerplate never accumulates" actually true.
+    * One row per distinct corpus line: larger than the dup subset but
+    * the same stored-artifact shape as the corpus band table (a
+    * deployment publishes it hash-bucket-partitioned; the guard's join
+    * prunes to the arriving batch's hash buckets).
+    */
+  private[graft] def corpusLineTable(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    corpusLineHashes(spark, dir).select($"h", $"doc_id").distinct()
+      .groupBy($"h").agg(count(lit(1)).as("df"))
+  }
+
   /** The corpus's duplicated-line hash set as a static table — d14's
-    * excision criterion, the frozen side of the streaming line-dedup
-    * guard (dup-fraction-sized: broadcast material at any corpus
-    * scale; a deployment publishes it like the corpus band table).
+    * excision criterion (the df >= 2 stratum of [[corpusLineTable]];
+    * dup-fraction-sized, broadcast material at any corpus scale).
     */
   private[graft] def dupLineTable(spark: SparkSession,
-      dir: String): DataFrame =
-    dupFrom(corpusLineHashes(spark, dir))
+      dir: String): DataFrame = {
+    import spark.implicits._
+    corpusLineTable(spark, dir).filter($"df" >= 2).select($"h")
+  }
 
   /** The testable core over any (doc_id, text) frame — the p31
     * constructed-corpus device: the real corpus exercises the pipeline

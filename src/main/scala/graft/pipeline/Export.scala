@@ -626,6 +626,139 @@ object Export {
       .orderBy($"block_id")
   }
 
+  /** x16 — the packing fragmentation/truncation audit: what x03's
+    * concat-and-slice layout DOES to documents. x15 proves the layout
+    * gapless (every block exactly [[BlockTokens]] full), but gapless
+    * is not fragment-free: a document straddling block boundaries is
+    * cut into n_fragments pieces, and each cut is a truncation — the
+    * head fragment ends mid-thought and the tail fragment starts with
+    * no context. "Fewer Truncations Improve Language Modeling" (Ding
+    * et al., ICML 2024) prices exactly this cost and motivates
+    * best-fit packing; this table is the datasheet entry that says
+    * what the shipped layout pays, per fragment-count bucket:
+    * document/token mass, the truncation count (n_fragments - 1 per
+    * document), and the head/tail partial-fragment token masses (the
+    * tokens actually sitting in a cut-off context — interior
+    * fragments are exactly-full blocks and derivable by difference).
+    *
+    * Scale shape: a pure map-side projection over x03's memoized
+    * layout (block/offset shift-mask arithmetic, no new corpus scan)
+    * into a histogram-sized aggregate with partial combine. All exact
+    * BIGINT — hash-exact vs the oracle at any SF.
+    */
+  def x16FragmentationAudit(spark: SparkSession, dir: String): DataFrame =
+    x16Core(x03PackingLayout(spark, dir))
+
+  /** The audit over any (doc_id, n_tokens, start_block, start_offset)
+    * layout frame — the p31 testable-core device: the spec pins a
+    * constructed document straddling exactly two blocks (head/tail
+    * masses, one truncation) where the real corpus only exercises
+    * whatever fragmentation it happens to have.
+    */
+  private[graft] def x16Core(layout: DataFrame): DataFrame = {
+    val spark = layout.sparkSession
+    import spark.implicits._
+    layout
+      // sp/ep get their own projection (the p17 staging rule) before
+      // the fragment arithmetic consumes them twice
+      .select($"doc_id", $"n_tokens", $"start_offset",
+        (shiftleft($"start_block", BlockShift) + $"start_offset").as("sp"))
+      .select($"n_tokens", $"start_offset", $"sp",
+        (shiftright($"sp" + $"n_tokens" - 1, BlockShift) -
+          shiftright($"sp", BlockShift) + 1).as("n_frag"))
+      .select($"n_tokens", $"n_frag",
+        least($"n_tokens", lit(BlockTokens) - $"start_offset")
+          .as("head_tok"),
+        when($"n_frag" === 1, 0L)
+          .otherwise(($"sp" + $"n_tokens" - 1)
+            .bitwiseAND(lit(BlockTokens - 1L)) + 1).as("tail_tok"))
+      .groupBy($"n_frag".as("n_fragments"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"),
+        sum($"n_frag" - 1).as("n_truncations"),
+        sum($"head_tok").as("head_tokens"),
+        sum($"tail_tok").as("tail_tokens"))
+      .orderBy($"n_fragments")
+  }
+
+  /** x17 — the delta-release dirtiness audit: what a day-2 ingest
+    * batch (d08's split) costs the release under x03's concat-slice
+    * layout, priced for BOTH admission policies. `insert` keeps
+    * doc_id order (x03's invariant): every token after the FIRST
+    * inserted document shifts, so every old block from that point on
+    * — and every shard containing one — must be rewritten; measuring
+    * that prefix-sum cliff is the point of the table (it is why a
+    * 100 TB deployment either appends or accepts a near-full
+    * recompute, and what prices `Release.build`'s whole-cone
+    * invalidation against an incremental path). `append` packs the
+    * batch after the existing corpus: only the final partial block
+    * (if any) rewrites, everything else is net-new.
+    *
+    * One row per scenario: batch size, the first dirty old block
+    * (NULL when nothing dirties), dirty old block/shard counts, and
+    * the net-new block/shard counts. Scale shape: two conditional
+    * aggregates over the published train manifest reduced to
+    * stats-row scalars (the sanctioned driver-side composition — no
+    * per-row work depends on another row), then pure shift-mask
+    * arithmetic; no new corpus scan, no shuffle beyond the aggregates.
+    */
+  def x17DeltaDirtiness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    x17Core(x14SemanticExport(spark, dir)
+      .filter($"split" === "train")
+      .select($"doc_id", $"n_tokens",
+        ($"doc_id" % Dedup.DeltaMod === Dedup.DeltaRem).as("is_batch")))
+  }
+
+  /** The audit over any (doc_id, n_tokens, is_batch) manifest — the
+    * testable core: the spec proves an EMPTY batch prices zero dirty
+    * blocks/shards in both scenarios, and pins a constructed
+    * insertion's shift cliff.
+    */
+  private[graft] def x17Core(manifest: DataFrame): DataFrame = {
+    val spark = manifest.sparkSession
+    import spark.implicits._
+    val s = manifest.agg(
+      coalesce(sum(when(!$"is_batch", $"n_tokens")), lit(0L)).as("t_old"),
+      coalesce(sum(when($"is_batch", $"n_tokens")), lit(0L)).as("t_batch"),
+      coalesce(count(when($"is_batch", lit(1))), lit(0L)).as("n_batch"),
+      min(when($"is_batch", $"doc_id")).as("first_b")).collect()(0)
+    val (tOld, tBatch, nBatch) =
+      (s.getAs[Long]("t_old"), s.getAs[Long]("t_batch"),
+        s.getAs[Long]("n_batch"))
+    // corpus tokens BEFORE the first insertion point (0 if no batch)
+    val pIns =
+      if (nBatch == 0) 0L
+      else manifest
+        .filter(!$"is_batch" && $"doc_id" < s.getAs[Long]("first_b"))
+        .agg(coalesce(sum($"n_tokens"), lit(0L))).collect()(0).getLong(0)
+    val B = BlockTokens
+    val S = BlocksPerShard
+    def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
+    val oldBlocks = ceilDiv(tOld, B)
+    val oldShards = ceilDiv(oldBlocks, S)
+    val newBlocks = ceilDiv(tOld + tBatch, B)
+    val newShards = ceilDiv(newBlocks, S)
+    def row(scenario: String, firstDirty: Option[Long]):
+        (String, Long, Long, Option[Long], Long, Long, Long, Long) = {
+      val dirtyBlocks = firstDirty.map(oldBlocks - _).getOrElse(0L)
+      val dirtyShards = firstDirty.map(fb => oldShards - fb / S)
+        .getOrElse(0L)
+      (scenario, nBatch, tBatch, firstDirty, dirtyBlocks, dirtyShards,
+        newBlocks - oldBlocks, newShards - oldShards)
+    }
+    val insertFirst =
+      if (nBatch == 0) None else Some(pIns / B)
+    val appendFirst =
+      if (tBatch > 0 && tOld % B != 0) Some(oldBlocks - 1) else None
+    spark.createDataFrame(Seq(
+      row("append", appendFirst), row("insert", insertFirst)))
+      .toDF("scenario", "n_batch_docs", "batch_tokens",
+        "first_dirty_block", "n_dirty_blocks", "n_dirty_shards",
+        "n_new_blocks", "n_new_shards")
+      .orderBy($"scenario")
+  }
+
   def x06ShardManifest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     x03PackingLayout(spark, dir)
@@ -832,6 +965,8 @@ object Export {
     "x06_shard_manifest" -> x06ShardManifest _,
     "x13_release_provenance" -> x13ReleaseProvenance _,
     "x15_block_map" -> x15BlockMap _,
+    "x16_fragmentation_audit" -> x16FragmentationAudit _,
+    "x17_delta_dirtiness" -> x17DeltaDirtiness _,
     "x08_epoch_shuffle" -> x08EpochShuffle _,
     "x09_epoch_plan" -> x09EpochPlan _,
     "x10_temperature_mixture" -> x10TemperatureMixture _,
@@ -1127,6 +1262,79 @@ object Export {
          |           GREATEST(sp, block_id * $BlockTokens)) AS BIGINT)
          |    AS n_tokens
          |FROM b GROUP BY block_id ORDER BY block_id""".stripMargin,
+    // the fragment arithmetic mirrors the Spark shift/mask forms as
+    // integer // and % on the same CAST-to-BIGINT running sum (the
+    // x15 HUGEINT lesson); head/tail masses and the truncation count
+    // are exact integers
+    "x16_fragmentation_audit" ->
+      s"""WITH lay AS (SELECT doc_id, n_tokens,
+         |    CAST(c - n_tokens AS BIGINT) AS sp
+         |  FROM (SELECT doc_id, n_tokens,
+         |     SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |       AS c
+         |    FROM (${exportSql(publishedWhere)}) WHERE split = 'train')),
+         |f AS (SELECT n_tokens,
+         |    (sp + n_tokens - 1) // $BlockTokens - sp // $BlockTokens + 1
+         |      AS n_frag,
+         |    LEAST(n_tokens, $BlockTokens - sp % $BlockTokens) AS head_tok,
+         |    CASE WHEN (sp + n_tokens - 1) // $BlockTokens = sp // $BlockTokens
+         |         THEN 0 ELSE (sp + n_tokens - 1) % $BlockTokens + 1 END
+         |      AS tail_tok
+         |  FROM lay)
+         |SELECT CAST(n_frag AS BIGINT) AS n_fragments,
+         | COUNT(*)::BIGINT AS n_docs,
+         | CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         | CAST(SUM(n_frag - 1) AS BIGINT) AS n_truncations,
+         | CAST(SUM(head_tok) AS BIGINT) AS head_tokens,
+         | CAST(SUM(tail_tok) AS BIGINT) AS tail_tokens
+         |FROM f GROUP BY n_frag ORDER BY n_fragments""".stripMargin,
+    // the dirtiness scalars re-derive from the same published-manifest
+    // SQL; the scenario rows are pure integer arithmetic over them
+    // (CASTs everywhere — SUM of BIGINT is HUGEINT in DuckDB)
+    "x17_delta_dirtiness" ->
+      s"""WITH m AS (SELECT doc_id, n_tokens,
+         |    (doc_id % ${Dedup.DeltaMod} = ${Dedup.DeltaRem}) AS is_b
+         |  FROM (${exportSql(publishedWhere)}) WHERE split = 'train'),
+         |s AS (SELECT
+         |   CAST(COALESCE(SUM(CASE WHEN NOT is_b THEN n_tokens END), 0)
+         |     AS BIGINT) AS t_old,
+         |   CAST(COALESCE(SUM(CASE WHEN is_b THEN n_tokens END), 0)
+         |     AS BIGINT) AS t_batch,
+         |   CAST(COALESCE(SUM(CASE WHEN is_b THEN 1 END), 0) AS BIGINT)
+         |     AS n_batch,
+         |   MIN(CASE WHEN is_b THEN doc_id END) AS first_b FROM m),
+         |p AS (SELECT CAST(COALESCE(SUM(m.n_tokens), 0) AS BIGINT) AS p_ins
+         |  FROM m, s WHERE NOT m.is_b AND m.doc_id < s.first_b),
+         |d AS (SELECT s.*, p.p_ins,
+         |   (s.t_old + $BlockTokens - 1) // $BlockTokens AS old_blocks,
+         |   (s.t_old + s.t_batch + $BlockTokens - 1) // $BlockTokens
+         |     AS new_blocks
+         |  FROM s, p),
+         |e AS (SELECT *,
+         |   (old_blocks + $BlocksPerShard - 1) // $BlocksPerShard
+         |     AS old_shards,
+         |   (new_blocks + $BlocksPerShard - 1) // $BlocksPerShard
+         |     AS new_shards,
+         |   CASE WHEN t_batch > 0 AND t_old % $BlockTokens != 0
+         |        THEN old_blocks - 1 END AS fd_app,
+         |   CASE WHEN n_batch > 0 THEN p_ins // $BlockTokens END AS fd_ins
+         |  FROM d)
+         |SELECT 'append' AS scenario, n_batch AS n_batch_docs,
+         | t_batch AS batch_tokens, CAST(fd_app AS BIGINT) AS first_dirty_block,
+         | CAST(COALESCE(old_blocks - fd_app, 0) AS BIGINT) AS n_dirty_blocks,
+         | CAST(COALESCE(old_shards - fd_app // $BlocksPerShard, 0) AS BIGINT)
+         |   AS n_dirty_shards,
+         | CAST(new_blocks - old_blocks AS BIGINT) AS n_new_blocks,
+         | CAST(new_shards - old_shards AS BIGINT) AS n_new_shards
+         |FROM e
+         |UNION ALL
+         |SELECT 'insert', n_batch, t_batch, CAST(fd_ins AS BIGINT),
+         | CAST(COALESCE(old_blocks - fd_ins, 0) AS BIGINT),
+         | CAST(COALESCE(old_shards - fd_ins // $BlocksPerShard, 0) AS BIGINT),
+         | CAST(new_blocks - old_blocks AS BIGINT),
+         | CAST(new_shards - old_shards AS BIGINT)
+         |FROM e
+         |ORDER BY scenario""".stripMargin,
     // x06's shard rollup joined with one-row content folds over the
     // SAME drop/contam lists the export chain consumes — the oracle
     // re-derives both lists from scratch (the d06/p09 SQL embedded as

@@ -46,7 +46,7 @@ object Streams {
     "ivf_ingest_assign" -> "nearest-frozen-centroid argmax (s09's index-add path)",
     "funnel" -> "relational.StarQueries.q25Funnel (view→click→purchase min-chain)",
     "delta_dedup_guard" -> "pipeline.Dedup.deltaCandidates (d08's batch x corpus LSH banding)",
-    "line_dedup_guard" -> "pipeline.Dedup.d14LineDedup excision list (per-row fixed-width line hashing via the shared lineHashes projection, joined against the frozen duplicated-line table — the flagged (doc, line) set equals d14's per-doc excision list exactly, proven by replaying the cut and matching d14's cleaned-sequence md5 per document)",
+    "line_dedup_guard" -> "pipeline.Dedup.d14LineDedup excision list + first-collision screen (per-row fixed-width line hashing via the shared lineHashes projection, joined against the frozen FULL corpus line table with df — the df>=2 stratum equals d14's per-doc excision list exactly, proven by replaying the cut and matching d14's cleaned-sequence md5 per document; the df==1 stratum flags lines whose admission would CREATE df=2 boilerplate, pinned on a constructed corpus)",
     "pq_encode" -> "pipeline.Similarity.pqIndex code table (s12/s13's stored 8-byte codes)",
     "semantic_decontam_guard" -> "pipeline.Similarity.s15Scored tau-screen (s15's batch candidate set at cosine >= tau)",
     "dsir_guard" -> "pipeline.TextAnalysis.p23DsirWeights (hashed-bigram importance weights vs the frozen 4096-bucket model)",
@@ -194,24 +194,37 @@ object Streams {
     * excision criterion): each arriving document's fixed-width line
     * hashes — the shared [[graft.pipeline.Dedup.lineHashes]]
     * projection, so the stream and the batch pass can never hash
-    * differently — join the STATIC duplicated-line table, and every
-    * (doc_id, line_idx) carrying corpus-duplicated boilerplate is
-    * emitted as it arrives. A consumer excises exactly those windows
-    * (d14's edit) before the document lands in the corpus — boilerplate
-    * never accumulates instead of being cleaned after the fact. The
-    * twin spec proves the flagged set IS d14's per-doc excision list by
+    * differently — join the STATIC full corpus line table
+    * ([[graft.pipeline.Dedup.corpusLineTable]]), and every
+    * (doc_id, line_idx) colliding with a known corpus line is emitted
+    * as it arrives, carrying that line's corpus document frequency.
+    * Two strata, both needed for admission (ADVICE r18 closed the
+    * df==1 gap): `df >= 2` rows are boilerplate d14 would excise from
+    * the corpus TODAY — a consumer excises exactly those windows
+    * (d14's edit) before the document lands; `df == 1` rows are FIRST
+    * collisions — admitting the line unedited creates a df=2
+    * boilerplate pair the next batch d14 would excise from both
+    * carriers, so the consumer routes them to review/excision too.
+    * That is what makes "boilerplate never accumulates" true rather
+    * than "already-known boilerplate never accumulates". The twin spec
+    * proves the df>=2 stratum IS d14's per-doc excision list by
     * replaying the cut and matching d14's published cleaned-sequence
-    * md5 for every document.
+    * md5 for every document, and pins the df==1 first-collision path
+    * on a constructed corpus (the real corpus replay can't exercise
+    * it: replayed docs match themselves).
     *
-    * Scale shape: stateless stream-static inner join — no watermark, no
-    * state store, append mode; the static side is the dup-fraction-
-    * sized frozen line table (broadcast at any corpus scale), and the
-    * per-row work is one token split + HOF hash pass.
+    * Scale shape: stateless stream-static inner join — no watermark,
+    * no state store, append mode; the static side is one row per
+    * distinct corpus line (the d08-corpus-band-table shape: a stored
+    * hash-bucket-partitioned artifact whose join prunes to the
+    * arriving batch's buckets — bigger than the dup-only subset, the
+    * price of screening first collisions), and the per-row work is one
+    * token split + HOF hash pass.
     */
-  def lineDedupGuard(docs: DataFrame, dupLines: DataFrame): DataFrame =
+  def lineDedupGuard(docs: DataFrame, corpusLines: DataFrame): DataFrame =
     graft.pipeline.Dedup.lineHashes(docs)
-      .join(dupLines, Seq("h"))
-      .select(col("doc_id"), col("si"), col("h"))
+      .join(corpusLines, Seq("h"))
+      .select(col("doc_id"), col("si"), col("h"), col("df"))
 
   /** Streaming semantic-decontamination guard (the streaming face of
     * batch s15's candidate screen): each arriving vector — a candidate

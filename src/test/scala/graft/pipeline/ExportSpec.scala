@@ -583,4 +583,105 @@ class ExportSpec extends SparkSpec {
       s"stage ${i + 1} dropped nothing: $ns"))
     assert(ns.last > 0, "nothing survives the funnel")
   }
+
+  test("x16 prices a constructed straddle exactly and reconciles the real layout") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val B = Export.BlockTokens
+    // the constructed-corpus device: the real corpus only exercises
+    // whatever fragmentation it happens to have, so the head/tail
+    // arithmetic is pinned on three hand-computable documents — one
+    // that fits (1 fragment), a two-block straddle (head 48 / tail 52,
+    // ONE truncation), and a three-block span (head 1048, one
+    // exactly-full interior block, tail 500, TWO truncations)
+    val layout = Seq(
+      (1L, 100L, 0L, 0L),      // fits: frag 1, head 100, tail 0
+      (2L, 100L, 0L, 2000L),   // straddles blocks 0|1: 48 + 52
+      (3L, 3596L, 2L, 1000L))  // blocks 2..4: 1048 + 2048 + 500
+      .toDF("doc_id", "n_tokens", "start_block", "start_offset")
+    val got = Export.x16Core(layout).collect()
+      .map(r => r.getAs[Long]("n_fragments") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_truncations"), r.getAs[Long]("head_tokens"),
+          r.getAs[Long]("tail_tokens"))).toMap
+    assert(got == Map(
+      1L -> (1L, 100L, 0L, 100L, 0L),
+      2L -> (1L, 100L, 1L, 48L, 52L),
+      3L -> (1L, 3596L, 2L, 1048L, 500L)))
+
+    // the real layout reconciles: every train doc lands in exactly one
+    // bucket, token mass is conserved, and each bucket satisfies the
+    // exact-interior identity (interior fragments are full blocks, so
+    // n_tokens = head + tail + (n_frag - 2) * B per doc for n_frag >= 2
+    // and n_tokens = head for unfragmented docs)
+    val lay = Export.x03PackingLayout(spark, sfDir)
+    val rows = Export.x16FragmentationAudit(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == lay.count())
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum ==
+      lay.agg(sum($"n_tokens")).collect()(0).getLong(0))
+    rows.foreach { r =>
+      val (nf, nd, nt, tr, h, t) = (r.getAs[Long]("n_fragments"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_truncations"), r.getAs[Long]("head_tokens"),
+        r.getAs[Long]("tail_tokens"))
+      assert(tr == (nf - 1) * nd, s"bucket $nf truncation count")
+      if (nf == 1) assert(t == 0L && h == nt, s"bucket 1 identity")
+      else assert(nt == h + t + (nf - 2) * B * nd, s"bucket $nf identity")
+    }
+    // the corpus actually fragments (docs longer than a block exist),
+    // so the audit is non-vacuous here
+    assert(rows.exists(_.getAs[Long]("n_fragments") >= 2),
+      "no fragmented bucket — the audit is vacuous on this corpus")
+  }
+
+  test("x17: an empty batch prices zero dirty shards; a constructed insertion shows the shift cliff") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def run(m: Seq[(Long, Long, Boolean)]) =
+      Export.x17Core(m.toDF("doc_id", "n_tokens", "is_batch")).collect()
+        .map(r => r.getAs[String]("scenario") ->
+          (Option(r.getAs[Any]("first_dirty_block"))
+            .map(_.asInstanceOf[Long]),
+            r.getAs[Long]("n_dirty_blocks"), r.getAs[Long]("n_dirty_shards"),
+            r.getAs[Long]("n_new_blocks"), r.getAs[Long]("n_new_shards")))
+        .toMap
+
+    // the ReleaseSpec-style gate: an EMPTY batch dirties nothing and
+    // creates nothing, in BOTH admission policies
+    val empty = run(Seq((10L, 5000L, false), (30L, 5000L, false)))
+    assert(empty("append") == (None, 0L, 0L, 0L, 0L))
+    assert(empty("insert") == (None, 0L, 0L, 0L, 0L))
+
+    // the shift cliff, hand-computed at B=2048, S=8: old docs 10 and
+    // 30 carry 5000 tokens each (oldBlocks ceil(10000/2048) = 5, one
+    // shard); batch doc 20 (100 tokens) inserts between them. Insert:
+    // the first shifted token sits at offset 5000 -> block 2, so
+    // blocks 2..4 (3) and the one shard rewrite while total blocks
+    // stay 5 (nothing net-new). Append: only the partial last block 4
+    // rewrites. The cliff is the point: a 100-token insertion dirties
+    // 3x what appending it does, and the gap GROWS with everything
+    // packed after the insertion point.
+    val ins = run(Seq((10L, 5000L, false), (20L, 100L, true),
+      (30L, 5000L, false)))
+    assert(ins("insert") == (Some(2L), 3L, 1L, 0L, 0L))
+    assert(ins("append") == (Some(4L), 1L, 1L, 0L, 0L))
+
+    // block-aligned corpus: appending never touches an old block (no
+    // partial block to top up) — the batch is purely net-new
+    val aligned = run(Seq((10L, 2048L, false), (20L, 100L, true),
+      (30L, 2048L, false)))
+    assert(aligned("append") == (None, 0L, 0L, 1L, 0L))
+    assert(aligned("insert") == (Some(1L), 1L, 1L, 1L, 0L))
+
+    // the real manifest's audit: both scenarios present, the batch is
+    // non-empty under the d08 split, and insert dirties at least as
+    // much as append (the cliff holds on real data)
+    val real = Export.x17DeltaDirtiness(spark, sfDir).collect()
+      .map(r => r.getAs[String]("scenario") -> r).toMap
+    assert(real.keySet == Set("append", "insert"))
+    assert(real("insert").getAs[Long]("n_batch_docs") > 0,
+      "the d08 split selects no batch docs — the audit is vacuous")
+    assert(real("insert").getAs[Long]("n_dirty_blocks") >=
+      real("append").getAs[Long]("n_dirty_blocks"))
+  }
 }

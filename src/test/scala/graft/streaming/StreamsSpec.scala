@@ -295,12 +295,12 @@ class StreamsSpec extends SparkSpec {
   private def lineDedupGuardTwin(): Unit = {
     import spark.implicits._
     implicit val sc = spark.sqlContext
-    val dupLines = graft.pipeline.Dedup.dupLineTable(spark, sfDir)
+    val corpusLines = graft.pipeline.Dedup.corpusLineTable(spark, sfDir)
     val docs = graft.Tables.documents(spark, sfDir)
       .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
 
     val input = MemoryStream[(Long, String)]
-    val query = lineDedupGuard(input.toDF().toDF("doc_id", "text"), dupLines)
+    val query = lineDedupGuard(input.toDF().toDF("doc_id", "text"), corpusLines)
       .writeStream.format("memory").queryName("line_guard")
       .outputMode("append").start()
     // two batches: the guard is stateless, so a doc's flagged lines
@@ -312,7 +312,12 @@ class StreamsSpec extends SparkSpec {
     query.processAllAvailable()
     query.stop()
 
-    val flagged = spark.table("line_guard").collect()
+    val rows = spark.table("line_guard").collect()
+    // replayed corpus docs match at least themselves: every hashed
+    // line of every replayed doc flags with df >= 1
+    assert(rows.forall(_.getAs[Long]("df") >= 1))
+    // d14's excision list is the df >= 2 stratum
+    val flagged = rows.filter(_.getAs[Long]("df") >= 2)
       .map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert(flagged.nonEmpty,
@@ -338,6 +343,35 @@ class StreamsSpec extends SparkSpec {
       assert(md5(kept.mkString(" ")) == wantMd5,
         s"doc $id: stream-guided cut diverges from d14's cleaned hash")
     }
+
+    // the df==1 FIRST-COLLISION path (ADVICE r18's admission gap) on a
+    // constructed corpus — the real-corpus replay above can't exercise
+    // it because replayed docs always match themselves. Corpus: line A
+    // occurs once (doc 1), line B twice (docs 1 and 2). A NEW doc
+    // carries A + a novel line C: A must flag with df=1 (admitting it
+    // unedited would create df=2 boilerplate), C must not flag.
+    val L2 = graft.pipeline.Dedup.LineTokens.toInt
+    def line(tag: String): String =
+      (1 to L2).map(i => s"$tag$i").mkString(" ")
+    val miniCorpus = Seq(
+      (1L, line("a") + " " + line("b")),
+      (2L, line("b") + " " + line("z"))).toDF("doc_id", "text")
+    val miniLines = graft.pipeline.Dedup.lineHashes(miniCorpus)
+      .select($"h", $"doc_id").distinct()
+      .groupBy($"h").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("df"))
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = lineDedupGuard(
+      input2.toDF().toDF("doc_id", "text"), miniLines)
+      .writeStream.format("memory").queryName("line_guard_fc")
+      .outputMode("append").start()
+    input2.addData(Seq((99L, line("a") + " " + line("c"))))
+    q2.processAllAvailable()
+    q2.stop()
+    val fc = spark.table("line_guard_fc").collect()
+      .map(r => (r.getAs[Long]("si"), r.getAs[Long]("df")))
+    assert(fc.toSeq == Seq((0L, 1L)),
+      s"new doc: expected exactly line 0 flagged at df=1, got ${fc.toSeq}")
   }
 
   private def deltaDedupGuardTwin(): Unit = {
