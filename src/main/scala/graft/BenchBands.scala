@@ -85,65 +85,75 @@ object BenchBands {
     * The round-18 box read sentinel contention ~5.3 with floor and all
     * query minima AT OR UNDER the 1.3-contention refs — a per-core-
     * throttled box whose 32-way throughput matched the reference box —
-    * so the 1.3/0.1625 axes remain the binding quiet-box anchor.
+    * the anomaly that motivated round 19's robustScale axis (the
+    * sentinel anchors above are telemetry now).
+    *
+    * Round-19 merge: 41 refs MIN-merged lower from the two round-19
+    * dual-pass runs (66.53 / 69.94 s, band_fail [] both, box_scale
+    * 1.07/1.10). d08's 0.778 → 0.539 records the DELIBERATE plan
+    * change (the one-aggregate decision + stored corpus band table +
+    * shared shingle-size memo, BASELINE S.1) — the re-record-on-plan-
+    * change rule, landing 31% under the old plan's quiet minimum.
+    * x16 (fragmentation audit) and x17 (delta dirtiness) seeded from
+    * the same runs.
     */
   val refs: Map[String, Double] = Map(
-    "d01_exact_dedup" -> 0.1933, "d02_ngram_jaccard_pairs" -> 1.681,
-    "d03_minhash_lsh_pairs" -> 0.4779, "d04_simhash_pairs" -> 0.8544,
-    "d05_embedding_neardup" -> 0.6821, "d06_neardup_clusters" -> 0.6842,
-    "d07_minhash_calibration" -> 0.6298, "d08_delta_dedup" -> 0.7778,
+    "d01_exact_dedup" -> 0.174, "d02_ngram_jaccard_pairs" -> 1.681,
+    "d03_minhash_lsh_pairs" -> 0.4779, "d04_simhash_pairs" -> 0.83,
+    "d05_embedding_neardup" -> 0.659, "d06_neardup_clusters" -> 0.6842,
+    "d07_minhash_calibration" -> 0.548, "d08_delta_dedup" -> 0.539,
     "d09_threshold_curve" -> 1.902, "d10_longest_survivors" -> 0.1699,
-    "d11_detector_overlap" -> 0.1095, "d12_detector_overlap_full" -> 0.1172,
+    "d11_detector_overlap" -> 0.097, "d12_detector_overlap_full" -> 0.11,
     "d13_cluster_purity" -> 0.5787, "d14_line_dedup" -> 0.5491,
     "m01_media_catalog" -> 0.1248, "m02_decoded_features" -> 0.1305,
     "m03_frame_sample" -> 0.1441, "m04_resize_plan" -> 0.1229,
     "m05_media_neardup" -> 0.2851, "m06_media_clusters" -> 1.0794,
     "m07_media_survivors" -> 0.1634, "m08_image_phash_pairs" -> 0.2243,
     "m09_audio_aligned_pairs" -> 0.528,
-    "m10_media_detector_overlap" -> 0.0808, "p01_token_stats" -> 0.6126,
+    "m10_media_detector_overlap" -> 0.0808, "p01_token_stats" -> 0.56,
     "p02_quality_buckets" -> 0.2309, "p03_lang_profile" -> 0.1649,
     "p04_langid_confusion" -> 0.2795, "p05_fingerprint" -> 0.2597,
     "p06_vocab_top_terms" -> 0.2766, "p07_split_profile" -> 0.2047,
     "p08_repetition_profile" -> 0.8301, "p09_contamination" -> 0.4554,
-    "p10_leaked_grams" -> 0.3535, "p11_length_quantiles" -> 0.1735,
+    "p10_leaked_grams" -> 0.319, "p11_length_quantiles" -> 0.1735,
     "p12_sample_manifest" -> 0.1261, "p13_freq_quality" -> 0.3028,
-    "p14_cross_source_leakage" -> 0.8094, "p15_lexical_diversity" -> 0.3563,
-    "p16_bpe_merges" -> 0.7217, "p17_winnowing" -> 1.3344,
+    "p14_cross_source_leakage" -> 0.806, "p15_lexical_diversity" -> 0.354,
+    "p16_bpe_merges" -> 0.7217, "p17_winnowing" -> 1.329,
     "p18_fingerprint_overlap" -> 0.1941, "p19_bpe_encode" -> 0.44,
-    "p20_dup_spans" -> 0.0546, "p21_span_excision" -> 0.4042,
-    "p22_perplexity_buckets" -> 0.0827, "p23_dsir_weights" -> 0.8092,
-    "p24_quality_classifier" -> 0.1277, "p25_gram_df_spectrum" -> 0.2943,
+    "p20_dup_spans" -> 0.053, "p21_span_excision" -> 0.399,
+    "p22_perplexity_buckets" -> 0.082, "p23_dsir_weights" -> 0.8092,
+    "p24_quality_classifier" -> 0.12, "p25_gram_df_spectrum" -> 0.2943,
     "p26_tokenizer_fertility" -> 0.418, "p27_pii_redaction" -> 0.8772,
-    "p28_luhn_redaction" -> 1.0097, "p29_vocab_growth" -> 0.4975,
-    "p30_vocab_novelty" -> 0.257, "p31_leak_excision" -> 0.9652,
+    "p28_luhn_redaction" -> 1.0097, "p29_vocab_growth" -> 0.44,
+    "p30_vocab_novelty" -> 0.243, "p31_leak_excision" -> 0.9652,
     "p32_zipf_slope" -> 0.1762, "q01_pricing_summary" -> 0.268,
     "q02_top_parts" -> 0.226, "q03_shipping_priority" -> 0.4076,
     "q04_region_revenue" -> 0.6783, "q05_customers_without_orders" -> 0.2332,
-    "q06_active_suppliers" -> 0.3365,
+    "q06_active_suppliers" -> 0.331,
     "q07_top_orders_per_customer" -> 0.3538, "q08_status_rollup" -> 0.3801,
-    "q09_set_ops" -> 0.3401, "q10_monthly_revenue" -> 0.2285,
-    "q11_event_tumbling" -> 0.2631, "q12_event_props" -> 0.1564,
+    "q09_set_ops" -> 0.323, "q10_monthly_revenue" -> 0.2285,
+    "q11_event_tumbling" -> 0.263, "q12_event_props" -> 0.1564,
     "q13_sessionize" -> 0.2541, "q14_balance_deciles" -> 0.2601,
-    "q15_above_avg_orders" -> 0.421, "q16_status_cube" -> 0.4729,
-    "q17_asof_join" -> 0.3179, "q18_distinct_profile" -> 0.2913,
-    "q19_event_range_join" -> 0.4806, "q20_session_window" -> 0.5628,
+    "q15_above_avg_orders" -> 0.412, "q16_status_cube" -> 0.4729,
+    "q17_asof_join" -> 0.3179, "q18_distinct_profile" -> 0.238,
+    "q19_event_range_join" -> 0.4806, "q20_session_window" -> 0.561,
     "q21_status_pivot" -> 0.1908, "q22_metrics_unpivot" -> 0.5897,
-    "q23_grouping_sets" -> 0.2042, "q24_full_outer_reconcile" -> 0.2332,
-    "q25_funnel" -> 0.338, "q26_cohort_retention" -> 0.4041,
+    "q23_grouping_sets" -> 0.2042, "q24_full_outer_reconcile" -> 0.213,
+    "q25_funnel" -> 0.338, "q26_cohort_retention" -> 0.379,
     "q27_event_hopping" -> 0.3219, "q28_rfm_segments" -> 0.385,
     "r00_corpus_structured" -> 0.3196, "r00_corpus_unstructured" -> 0.4209,
-    "r01_exact_match" -> 0.2713, "r02_semantic_knn" -> 0.072,
-    "r03_hybrid" -> 0.8916, "r04_structured" -> 0.151,
-    "r05_hybrid_structured" -> 0.148, "r06_aggregate" -> 0.2224,
+    "r01_exact_match" -> 0.252, "r02_semantic_knn" -> 0.072,
+    "r03_hybrid" -> 0.869, "r04_structured" -> 0.151,
+    "r05_hybrid_structured" -> 0.148, "r06_aggregate" -> 0.209,
     "r07_comparison" -> 0.1969, "r08_temporal" -> 0.2096,
     "r09_explanatory" -> 0.2706, "r10_multi_intent" -> 0.6404,
-    "r11_entity_specific" -> 0.0911, "r12_document_fetch" -> 0.0848,
-    "s01_knn_bruteforce" -> 0.2577, "s02_ivf_knn" -> 0.289,
-    "s03_knn_join" -> 0.8887, "s04_ivf_kmeans" -> 0.3388,
-    "s05_recall_profile" -> 0.4137, "s06_cell_profile" -> 0.1008,
+    "r11_entity_specific" -> 0.0911, "r12_document_fetch" -> 0.084,
+    "s01_knn_bruteforce" -> 0.218, "s02_ivf_knn" -> 0.266,
+    "s03_knn_join" -> 0.8887, "s04_ivf_kmeans" -> 0.332,
+    "s05_recall_profile" -> 0.386, "s06_cell_profile" -> 0.099,
     "s07_semantic_dedup" -> 0.2325, "s08_sq8_rescore" -> 0.3878,
     "s09_incremental_assign" -> 0.443, "s10_filtered_knn" -> 0.2955,
-    "s11_nprobe_curve" -> 0.267, "s12_pq_profile" -> 0.1263,
+    "s11_nprobe_curve" -> 0.267, "s12_pq_profile" -> 0.125,
     "s13_pq_adc" -> 0.5158, "s14_semantic_clusters" -> 1.3105,
     "s15_semantic_decontam" -> 0.536, "s16_ivfpq_search" -> 0.5227,
     "s17_ivfpq_recall" -> 0.7893, "s18_pq_refine" -> 0.6736,
@@ -151,15 +161,17 @@ object BenchBands {
     "s21_semantic_survivors" -> 0.1505, "s22_mmr_rerank" -> 0.2863,
     "v01_norm_profile" -> 0.1744, "v02_quantize_profile" -> 0.1919,
     "v03_dim_stats" -> 0.1519, "v04_drift_profile" -> 0.252,
-    "v05_pc1_profile" -> 1.735, "v06_class_separation" -> 0.4052,
+    "v05_pc1_profile" -> 1.735, "v06_class_separation" -> 0.385,
     "v07_anisotropy_profile" -> 1.649, "v08_twonn_id" -> 0.5646,
-    "x01_corpus_export" -> 0.4338, "x02_decontaminated_export" -> 0.4402,
-    "x03_packing_layout" -> 0.2155, "x04_mixture_plan" -> 0.4269,
+    "x01_corpus_export" -> 0.4338, "x02_decontaminated_export" -> 0.426,
+    "x03_packing_layout" -> 0.2155, "x04_mixture_plan" -> 0.395,
     "x05_mixture_sample" -> 0.3412, "x06_shard_manifest" -> 0.2541,
     "x07_dataset_card" -> 0.3333, "x08_epoch_shuffle" -> 0.3059,
     "x09_epoch_plan" -> 0.5457, "x10_temperature_mixture" -> 0.4745,
     "x11_quality_funnel" -> 0.4885, "x12_checksum_manifest" -> 0.239,
-    "x13_release_provenance" -> 0.3362, "x14_semantic_export" -> 0.428, "x15_block_map" -> 0.3038,
+    "x13_release_provenance" -> 0.306, "x14_semantic_export" -> 0.428,
+    "x15_block_map" -> 0.299, "x16_fragmentation_audit" -> 0.252,
+    "x17_delta_dirtiness" -> 0.563,
   )
 
   /** §O.6 scoped the d01 floor rule to SUB-SECOND queries — applying
