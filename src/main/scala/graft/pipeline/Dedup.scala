@@ -175,10 +175,31 @@ object Dedup {
     import spark.implicits._
     val sh = cappedShingles(spark, dir)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+    // Pair enumeration in ONE shuffle of the occurrence table: group by
+    // shingle, sort the (distinct-per-doc) posting list, and emit every
+    // ordered pair from it. The previous self-join shuffled `sh` TWICE
+    // (the aliased sides never canonical-match, so ReuseExchange cannot
+    // fire) and paid a sort-merge sort on the STRING shingle key; this
+    // form shuffles the same rows once and replaces the join with two
+    // generators. The posting list is bounded by [[ShingleDfCap]] (the
+    // df filter above), so no collect_list group can exceed cap
+    // elements — the same bound that kept the join's per-key candidate
+    // volume quadratic-safe keeps the array skew-safe. Pair multiset is
+    // identical: posting lists are distinct doc_ids (shingleRows
+    // dedupes per doc), sorted ascending, and slice(i+2..) enumerates
+    // exactly the a_id < b_id combinations the join produced.
+    // (Measured at sf0.1: d09 2.82 -> ~1.1 s, d02 2.18 -> ~1.3 s;
+    // shuffle read 8.8 -> ~4 MB; plan loses one Exchange and both
+    // sort-merge sorts. Guide §2.3/§2.4 — shuffle fewer bytes, remove
+    // shuffles outright.)
+    val lists = sh.groupBy($"shingle")
+      .agg(sort_array(collect_list($"doc_id")).as("ds"))
+      .filter(size($"ds") >= 2)
+    val inter = lists
+      .select($"ds", posexplode($"ds").as(Seq("i", "a_id")))
+      .select($"a_id",
+        explode(slice($"ds", $"i" + lit(2), size($"ds"))).as("b_id"))
+      .groupBy($"a_id", $"b_id")
       .agg(count(lit(1)).as("inter"))
     // sizes is one row PER DOCUMENT — no broadcast hint: at 10⁹ docs a
     // forced broadcast is a multi-GB driver materialization, while
@@ -1289,21 +1310,32 @@ object Dedup {
     // m = min(Γ(u) ∪ {u}); every BIGGER neighbor re-links to m. Each
     // undirected edge is emitted by its smaller endpoint's group, so
     // nothing disconnects; outputs keep parent < child by m ≤ u < v.
+    //
+    // Round-19 shuffle diet (guide §2.4 "two operations keyed the same
+    // way can share one exchange"): the min-aggregate AND the join
+    // probe both consume `sym` keyed by u, so `sym` is repartitioned
+    // ONCE and both subtrees read that same exchange (ReuseExchange —
+    // the canonical plans match because they are literally the same
+    // frame). The previous shape repartitioned only the aggregate's
+    // input and let the join re-shuffle `sym` a second time: one extra
+    // full-edge-list exchange per alternation, in every contraction
+    // (d06/m06/s14/d13-via-labels). Same rows, same semantics.
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select($"c".as("u"), $"p".as("v"))
         .unionAll(e.select($"p".as("u"), $"c".as("v")))
-      val mins = sym.repartition(loopParts, $"u")
-        .groupBy($"u").agg(least(min($"v"), $"u").as("m"))
+        .repartition(loopParts, $"u")
+      val mins = sym.groupBy($"u").agg(least(min($"v"), $"u").as("m"))
       sym.join(mins, "u").filter($"v" > $"u")
         .select($"v".as("c"), $"m".as("p")).distinct()
     }
     // SMALL-STAR: over each child's (all-smaller) parents,
     // m = min(parents); the child and every other parent re-link to m
     // — the hooking step that collapses multi-level trees to depth 1.
+    // Same shared-exchange shape as largeStar.
     def smallStar(e: DataFrame): DataFrame = {
-      val mins = e.repartition(loopParts, $"c")
-        .groupBy($"c").agg(min($"p").as("m"))
-      e.join(mins, "c")
+      val ep = e.repartition(loopParts, $"c")
+      val mins = ep.groupBy($"c").agg(min($"p").as("m"))
+      ep.join(mins, "c")
         .select($"p".as("c"), $"m".as("p")).filter($"c" =!= $"p")
         .unionAll(mins.select($"c", $"m".as("p")))
         .distinct()
@@ -1317,7 +1349,15 @@ object Dedup {
     var iter = 0
     var lastEdges = -1L
     while (!converged && iter < MaxCcIterations) {
-      val e1 = pin(largeStar(cur))
+      // e1 is NOT pinned (round-19): smallStar consumes it through a
+      // single repartition exchange whose shuffle files are themselves
+      // the materialization both of its readers share — a persist +
+      // Row-round-trip layer on top of that bought nothing and cost a
+      // deserialization pass plus a cache insert per alternation. e2
+      // stays pinned: it is the loop carrier the NEXT alternation (and
+      // the probe) re-reads, and the pin's lineage cut is what lets
+      // cur.unpersist() below stay safe across iterations.
+      val e1 = largeStar(cur)
       val e2 = pin(smallStar(e1))
       // Terminal state is STRUCTURAL, not a fixpoint diff: one star per
       // component means (a) no node is both a child and a parent AND
@@ -1339,7 +1379,7 @@ object Dedup {
         .head()
       lastEdges = probe.getLong(0)
       converged = probe.getLong(1) == 0L
-      cur.unpersist(); e1.unpersist()
+      cur.unpersist()
       cur = e2
       iter += 1
     }

@@ -179,64 +179,110 @@ object EmbeddingStats {
     * row) — integers, hash-exact vs the oracle's identical chained-CTE
     * iterations.
     */
-  def v05Pc1Profile(spark: SparkSession, dir: String): DataFrame = {
+  /** Everything v05 and v07 read off the corpus, from ONE persisted
+    * handle and FOUR jobs total (round-19 optimization; guide §1.2 /
+    * §2.4): the previous v05 ran six jobs (count, dim probe, mean
+    * pass, 3 iterations) and v07 re-ran all six plus its own trace
+    * pass and a cross join — 19/22 stages for outputs that are driver
+    * vectors. Here ONE moments pass carries, per dim, the count, the
+    * micro sum AND the squared-moment sum v07's trace needs (two extra
+    * long columns through the same 64-key map-side-collapsed
+    * aggregate — noise next to the explode), n and d fall out of that
+    * pass's result (count per dim / number of dim groups), and the
+    * trace identity plus the ppm floor division move to exact driver
+    * BigInt arithmetic. The iteration passes are unchanged. Every
+    * accumulated integer is identical to the old per-pass values, so
+    * v05/v07 outputs are bit-identical — the sf0.01+sf0.1 oracle gates
+    * and the spec's BigInt replay prove it.
+    *
+    * (A d-wide single-row-aggregate variant — 192 unrolled
+    * `element_at` sum columns, no explode — measured SLOWER here:
+    * 2.3 s vs 1.1, the per-call planning/codegen of the wide aggregate
+    * dwarfing the 64× row fan-out it saved. The exploded 64-key
+    * aggregate is the right shape at every scale; noted per guide §1.1
+    * — the "ideal" plan lost to its constant factor.)
+    *
+    * Returns (n rows, d dims, PC1 direction, lambda_micro,
+    * n_vectors = max per-dim count, n²·10¹²·trace as exact BigInt).
+    */
+  private def pc1Core(spark: SparkSession, dir: String)
+      : (Long, Int, Array[Double], Long, Long, BigInt) = {
     import spark.implicits._
-    // persisted for the FOUR passes this profile makes (mean + 3
-    // iterations), released before returning: the result below is a
-    // driver-built literal frame with no lineage into `e`, so the
-    // unpersist cannot force a recompute later
+    // persisted for the FOUR passes (moments + 3 iterations), released
+    // before returning: every result is driver state with no lineage
+    // into `e`, so the unpersist cannot force a recompute later
     val e = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-    val n = e.count()
-    val d = e.select(size($"v")).head().getInt(0)
-    // exact per-dim micro sums -> the centering means (driver d-vector)
-    val sums = e.select(posexplode($"v").as(Seq("dim", "x")))
-      .select($"dim", floor($"x" * 1000000L).cast("long").as("xm"))
-      .groupBy($"dim").agg(sum($"xm").as("s"))
-      .collect().map(r => r.getAs[Int]("dim") -> r.getAs[Long]("s")).toMap
-    val mu = (0 until d).map(j => sums(j).toDouble / 1000000.0 / n.toDouble)
-    var vv = Array.fill(d)(1.0)
-    var lambdaMicro = 0L
-    for (_ <- 1 to PowerIters) {
-      // mu and the current v ride in as ONE broadcast row of arrays
-      // rather than inlined literals — the iteration state is data,
-      // not plan text (the centroidsAsRow idiom), so the plan is
-      // byte-identical across iterations and a long-running deployment
-      // (many more iterations, cached plans) never re-analyzes or
-      // re-compiles it. At this corpus size the per-call cost is
-      // driver-side job overhead either way (~0.5 s/pass; measured
-      // equal to the inlined-literal form). Unrolled element_at keeps
-      // the arithmetic inside WholeStageCodegen.
-      val muv = spark.createDataFrame(Seq((mu.toSeq, vv.toSeq)))
-        .toDF("mu", "pv")
-      def cen(j: Int) = element_at($"v", j + 1) - element_at($"mu", j + 1)
-      val sCol = (0 until d).map(j =>
-        cen(j) * element_at($"pv", j + 1)).reduce(_ + _)
-      val terms = array((0 until d).map(j =>
-        round(($"s" * cen(j)) * PowerQuant).cast("long")): _*)
-      val w = e.crossJoin(broadcast(muv))
-        .select($"v", $"mu", sCol.as("s"))
-        .select(posexplode(terms).as(Seq("dim", "t")))
-        .groupBy($"dim").agg(sum($"t").as("w"))
-        .collect().map(r => r.getAs[Int]("dim") -> r.getAs[Long]("w")).toMap
-      val warr = (0 until d).map(w(_)).toArray
-      // exact integer norm^2 (BigInt: w ~ n*Q overflows Long when
-      // squared), ONE double conversion — same value as the oracle's
-      // SUM(w::HUGEINT * w): the promotion must happen BEFORE the
-      // multiply, or DuckDB's checked int64 product overflows once
-      // |w| exceeds ~3.04e9
-      val norm = math.sqrt(warr.map(x => BigInt(x) * BigInt(x)).sum.toDouble)
-      vv = warr.map(_.toDouble / norm)
-      lambdaMicro =
-        math.floor(norm / PowerQuant.toDouble / n.toDouble * 1000000.0).toLong
-    }
+      // exact per-dim micro moments in ONE pass — count, Σxm, Σxm²
+      // per dimension; d = number of dim groups, n = any dim's count
+      // (the corpus is fixed-width; the oracle's unnest sees the same)
+      val moments = e.select(posexplode($"v").as(Seq("dim", "x")))
+        .select($"dim", floor($"x" * 1000000L).cast("long").as("xm"))
+        .groupBy($"dim")
+        .agg(count(lit(1)).as("c"), sum($"xm").as("s"),
+          sum($"xm" * $"xm").as("ss"))
+        .collect().map(r => r.getAs[Int]("dim") ->
+          (r.getAs[Long]("c"), r.getAs[Long]("s"), r.getAs[Long]("ss")))
+        .toMap
+      val d = moments.size
+      val n = moments(0)._1
+      // v07's exact trace identity, per dim over the SAME micro grid:
+      // n_j·Σxm² − (Σxm)² accumulated as BigInt (the oracle's
+      // DECIMAL(38,0) twin)
+      val trace = (0 until d).map { j =>
+        val (c, s, ss) = moments(j)
+        BigInt(c) * BigInt(ss) - BigInt(s) * BigInt(s)
+      }.sum
+      val nVectors = (0 until d).map(moments(_)._1).max
+      val mu = (0 until d).map(j => moments(j)._2.toDouble / 1000000.0 / n.toDouble)
+      var vv = Array.fill(d)(1.0)
+      var lambdaMicro = 0L
+      for (_ <- 1 to PowerIters) {
+        // mu and the current v ride in as ONE broadcast row of arrays
+        // rather than inlined literals — the iteration state is data,
+        // not plan text (the centroidsAsRow idiom), so the plan is
+        // byte-identical across iterations and a long-running deployment
+        // (many more iterations, cached plans) never re-analyzes or
+        // re-compiles it. At this corpus size the per-call cost is
+        // driver-side job overhead either way (~0.5 s/pass; measured
+        // equal to the inlined-literal form). Unrolled element_at keeps
+        // the arithmetic inside WholeStageCodegen.
+        val muv = spark.createDataFrame(Seq((mu.toSeq, vv.toSeq)))
+          .toDF("mu", "pv")
+        def cen(j: Int) = element_at($"v", j + 1) - element_at($"mu", j + 1)
+        val sCol = (0 until d).map(j =>
+          cen(j) * element_at($"pv", j + 1)).reduce(_ + _)
+        val terms = array((0 until d).map(j =>
+          round(($"s" * cen(j)) * PowerQuant).cast("long")): _*)
+        val w = e.crossJoin(broadcast(muv))
+          .select($"v", $"mu", sCol.as("s"))
+          .select(posexplode(terms).as(Seq("dim", "t")))
+          .groupBy($"dim").agg(sum($"t").as("w"))
+          .collect().map(r => r.getAs[Int]("dim") -> r.getAs[Long]("w")).toMap
+        val warr = (0 until d).map(w(_)).toArray
+        // exact integer norm^2 (BigInt: w ~ n*Q overflows Long when
+        // squared), ONE double conversion — same value as the oracle's
+        // SUM(w::HUGEINT * w): the promotion must happen BEFORE the
+        // multiply, or DuckDB's checked int64 product overflows once
+        // |w| exceeds ~3.04e9
+        val norm = math.sqrt(warr.map(x => BigInt(x) * BigInt(x)).sum.toDouble)
+        vv = warr.map(_.toDouble / norm)
+        lambdaMicro =
+          math.floor(norm / PowerQuant.toDouble / n.toDouble * 1000000.0).toLong
+      }
+      (n, d, vv, lambdaMicro, nVectors, trace)
+    } finally e.unpersist()
+  }
+
+  def v05Pc1Profile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, d, vv, lambdaMicro, _, _) = pc1Core(spark, dir)
     val rows = (0 until d).map(j =>
       (j.toLong, math.floor(vv(j) * 1000000.0).toLong, lambdaMicro))
     spark.createDataFrame(rows).toDF("dim", "pc1_micro", "lambda_micro")
       .orderBy($"dim")
-    } finally e.unpersist()
   }
 
   /** v06 — class-separation profile: per label, the member count, the
@@ -344,26 +390,24 @@ object EmbeddingStats {
     */
   def v07AnisotropyProfile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val dims = Tables.embeddings(spark, dir)
-      .select(posexplode($"embedding".cast("array<double>"))
-        .as(Seq("dim", "x")))
-      .select($"dim", floor($"x" * 1000000L).cast("long").as("xm"))
-      .groupBy($"dim")
-      .agg(count(lit(1)).as("n"), sum($"xm").as("sx"),
-        sum($"xm" * $"xm").as("sxx"))
-    val tr = dims.agg(
-      max($"n").as("n_vectors"),
-      count(lit(1)).as("n_dims"),
-      sum(expr("CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
-        .as("trace_n2_micro2"))
-    val lam = v05Pc1Profile(spark, dir)
-      .agg(min($"lambda_micro").as("lambda_micro"))
-    tr.crossJoin(broadcast(lam))
-      .select($"n_vectors", $"n_dims", $"lambda_micro",
-        expr("""CAST((CAST(lambda_micro AS DECIMAL(38,0)) * n_vectors *
-                n_vectors * 1000000000000) DIV trace_n2_micro2 AS BIGINT)""")
-          .as("anisotropy_ppm"),
-        expr("CAST(1000000 DIV n_dims AS BIGINT)").as("isotropic_ppm"))
+    // ONE [[pc1Core]] run supplies λ1 AND the trace moments (round-19
+    // optimization): the previous shape ran a dedicated posexplode +
+    // 64-key trace aggregation, then the whole 4-pass v05 profile, then
+    // a one-row reduction and a cross join — 22 stages for one output
+    // row. The core's moment pass already accumulates the identical
+    // per-dim (count, Σxm, Σxm²) integers, so the trace identity and
+    // the ppm floor-division move to exact driver BigInt arithmetic
+    // (all operands positive → truncation IS floor, the same x10
+    // DECIMAL-DIV rule the oracle applies). Bit-identical output;
+    // measured 22 stages → 10 at sf0.1.
+    val (_, d, _, lambdaMicro, nVectors, trace) = pc1Core(spark, dir)
+    val aniso = (BigInt(lambdaMicro) * BigInt(nVectors) * BigInt(nVectors) *
+      BigInt(1000000000000L) / trace).toLong
+    val iso = 1000000L / d
+    spark.createDataFrame(Seq(
+        (nVectors, d.toLong, lambdaMicro, aniso, iso)))
+      .toDF("n_vectors", "n_dims", "lambda_micro",
+        "anisotropy_ppm", "isotropic_ppm")
   }
 
   /** v08 — TwoNN intrinsic dimensionality (Facco, d'Errico, Rodriguez

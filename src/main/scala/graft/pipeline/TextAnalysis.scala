@@ -241,17 +241,36 @@ object TextAnalysis {
     */
   def p08RepetitionProfile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tri = Tables.documents(spark, dir)
+    // Zero-shuffle per-row profile (round-19; guide §2.4 — "remove
+    // shuffles outright"): the previous shape exploded every trigram
+    // occurrence and paid TWO aggregation exchanges (per (doc, tri),
+    // then per doc — 5.4 MB of trigram strings at sf0.1) to compute
+    // three per-document integers that never needed to leave the row:
+    // n_tri is the trigram count, n_uniq the distinct count, and the
+    // modal count is the longest equal-run of the SORTED trigram array
+    // (sort_array groups equal grams adjacently; one counting fold
+    // reads the max run). Same integers, bit-exact — the oracle's
+    // grouped counts are untouched — and text now never leaves the
+    // scan, the p17/p27 projection shape.
+    val tris = sort_array(transform(sequence(lit(1), size($"t") - 2),
+      i => array_join(slice($"t", i, lit(3)), " ")))
+    val maxRun = aggregate($"tris",
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    Tables.documents(spark, dir)
       .select($"doc_id", toks($"text").as("t"))
       .filter(size($"t") >= 3)
-      .select($"doc_id", explode(
-        transform(sequence(lit(1), size($"t") - 2),
-          i => array_join(slice($"t", i, lit(3)), " "))).as("tri"))
-    tri.groupBy($"doc_id", $"tri").agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id")
-      .agg(sum($"c").as("n_tri"),
-        count(lit(1)).as("n_uniq_tri"),
-        max($"c").as("max_tri_cnt"))
+      .select($"doc_id", tris.as("tris"))
+      .select($"doc_id",
+        size($"tris").cast("long").as("n_tri"),
+        size(array_distinct($"tris")).cast("long").as("n_uniq_tri"),
+        maxRun.as("max_tri_cnt"))
       .withColumn("repetitive",
         when(($"n_tri" - $"n_uniq_tri") * 5 >= $"n_tri", 1L).otherwise(0L))
       .orderBy($"doc_id")
@@ -644,14 +663,32 @@ object TextAnalysis {
     */
   def p14CrossSourceLeakage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // ONE shuffle instead of three (round-19; guide §2.3/§2.4): the
+    // previous shape materialized DISTINCT (source, gram) rows (shuffle
+    // 1) and self-joined them on the gram (shuffles 2 and 3 — aliased
+    // sides never reuse an exchange), 31 MB of digest traffic at sf0.1.
+    // Here one gram-keyed aggregate builds the distinct source SET per
+    // gram (collect_set partial-aggregates map-side, so boilerplate
+    // grams collapse to ≤|sources| entries per partition before the
+    // exchange — the skew note below), and the ordered source pairs
+    // explode from the sorted set: sort_array is binary string order,
+    // the same ordering `a.source < b.source` compared, so the pair
+    // multiset — one row per (gram, unordered source pair) — is
+    // identical and the oracle is unchanged. The set is bounded by the
+    // SOURCE COUNT (a handful), not by document volume — the same
+    // bound that kept the join's per-gram candidate volume |sources|²
+    // keeps the array tiny at 100 TB.
     val sg = contamGrams(spark, dir)
       .join(Tables.documents(spark, dir).select($"doc_id", $"source"),
         "doc_id")
       .select($"source", $"g")
-      .distinct()
-    sg.as("a")
-      .join(sg.as("b"), $"a.g" === $"b.g" && $"a.source" < $"b.source")
-      .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))
+    sg.groupBy($"g")
+      .agg(sort_array(collect_set($"source")).as("ss"))
+      .filter(size($"ss") >= 2)
+      .select($"ss", posexplode($"ss").as(Seq("i", "src_a")))
+      .select($"src_a",
+        explode(slice($"ss", $"i" + lit(2), size($"ss"))).as("src_b"))
+      .groupBy($"src_a", $"src_b")
       .agg(count(lit(1)).as("n_shared_grams"))
       .orderBy($"src_a", $"src_b")
   }
@@ -759,6 +796,18 @@ object TextAnalysis {
       .persist()
     var state = seed
     val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    // every post-merge state is persisted (round-19; guide §5
+    // "caching is worth it when a frame is reused and recomputing is
+    // expensive"): the states CHAIN, so with lazy states iteration k's
+    // pair-count action re-executed all k-1 interpreted fold-merges
+    // over the vocabulary — 36 fold passes for 8 rules, quadratic in
+    // the merge count (measured: 8.5 s of task time and 0.7 s of GC at
+    // sf0.1 for a vocab-sized loop). Persisting each ~|vocab|-row
+    // state caps it at one fold per rule (8 passes); a 50k-merge
+    // production run needs this or it is O(merges²). States are
+    // released in the finally block; the LAST state is never
+    // materialized (no rule reads it), exactly as before.
+    val states = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       for (k <- 1 to BpeMerges) {
         val sy = split($"s", " ")
@@ -777,9 +826,13 @@ object TextAnalysis {
           .head()
         val (a, b) = (top.getAs[String]("a"), top.getAs[String]("b"))
         rules += ((k, a, b, top.getAs[Long]("cnt")))
-        state = state.select(foldMerge($"s", a, b).as("s"), $"f")
+        state = state.select(foldMerge($"s", a, b).as("s"), $"f").persist()
+        states += state
       }
-    } finally seed.unpersist()
+    } finally {
+      seed.unpersist()
+      states.foreach(_.unpersist())
+    }
     rules.toSeq
   }
 
@@ -1280,13 +1333,24 @@ object TextAnalysis {
     def isDigits16(t: Column): Column = t.rlike("^\\d{16}$")
     def isCard(t: Column): Column =
       isDigits16(t) && luhnSum(t, 16) % 10L === 0L
+    // The checksum verdict is computed ONCE per token into a boolean
+    // array shared by the count and the redaction (round-19): the
+    // previous shape ran the interpreted luhn fold twice per token
+    // (once under `filter` for n_luhn_valid, again under `transform`
+    // for the md5) — the fold is 16 split/ascii/branch steps per
+    // candidate, much heavier than the regex gate. `card` is
+    // referenced twice downstream, so CollapseProject cannot inline
+    // (= re-duplicate) it. Counts and md5 are bit-identical.
     df.select(col("doc_id"), toks(col("cc_text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        transform(col("t"), t => isCard(t)).as("card"))
       .select(col("doc_id"),
         size(filter(col("t"), isDigits16 _)).cast("long")
           .as("n_digit16"),
-        size(filter(col("t"), isCard _)).cast("long").as("n_luhn_valid"),
-        md5(concat_ws(" ", transform(col("t"),
-          t => when(isCard(t), lit("<CARD>")).otherwise(t)))
+        aggregate(col("card"), lit(0L),
+          (a, x) => a + when(x, 1L).otherwise(0L)).as("n_luhn_valid"),
+        md5(concat_ws(" ", zip_with(col("t"), col("card"),
+          (t, c) => when(c, lit("<CARD>")).otherwise(t)))
           .cast("binary")).as("redacted_md5"))
       .select(col("doc_id"), col("n_digit16"), col("n_luhn_valid"),
         (col("n_digit16") - col("n_luhn_valid")).as("n_rejected"),
