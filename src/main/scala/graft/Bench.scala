@@ -295,8 +295,14 @@ object Bench {
     // once the per-query map grows long enough
     // warm_queries: measured against ingest artifacts another query in
     // their group already built (the production shape for consumers of
-    // stored artifacts); their cold cost includes that build
-    val warm = Seq("x01_corpus_export", "x02_decontaminated_export",
+    // stored artifacts); their cold cost includes that build.
+    // d08 is listed because its corpus band table is a DURABLE artifact
+    // (survives sessions in ~/.graft-artifacts): a driver run whose
+    // artifact store already holds the table measures d08 warm — the
+    // declared batch-vs-STORED-index semantics, but a disclosure the
+    // JSON must carry (VERDICT r19 item 4; cold-build cost recorded in
+    // BASELINE).
+    val warm = Seq("d08_delta_dedup", "x01_corpus_export", "x02_decontaminated_export",
       "x03_packing_layout", "x04_mixture_plan", "x05_mixture_sample",
       "x06_shard_manifest", "s05_recall_profile", "s08_sq8_rescore",
       "s09_incremental_assign", "s10_filtered_knn", "p10_leaked_grams",
@@ -386,11 +392,14 @@ object Bench {
     // above is the first casualty as the suite grows — the file keeps
     // full names + 0.1 ms resolution reviewable regardless of suite
     // size
-    // filename carries the sf dir so back-to-back runs from one CWD
-    // (sf0.01 then sf0.1) don't overwrite each other's record
+    // filename carries the sf dir AND the core count so back-to-back
+    // runs from one CWD (sf0.01 then sf0.1, or the driver's c32 then c8
+    // scaling pass) don't overwrite each other's record — the round-19
+    // c8 run clobbered the c32 attribution the d06 adjudication needed
+    // (VERDICT r19 item 5)
     val sfTag = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"bench_detail_$sfTag.json"),
+      java.nio.file.Paths.get(s"bench_detail_${sfTag}_c$cpus.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] detail file write failed: ${e.getMessage}")
