@@ -572,16 +572,37 @@ object Dedup {
     import spark.implicits._
     def qualifies(t: Int): Column =
       $"inter" * 100 >= ($"na" + $"nb" - $"inter") * t
-    val aggs = ThresholdSweep.flatMap { t =>
-      Seq(sum(when(qualifies(t), 1L).otherwise(0L)).as(s"np_$t"),
-        countDistinct(when(qualifies(t), $"b_id")).as(s"nd_$t"))
+    // Two-level aggregation instead of 5 countDistinct(when(...)) in
+    // one global agg: multiple distinct aggregates plan as an Expand
+    // that multiplies every pair-stats row by (sweep size + 1) BEFORE
+    // the shuffle (6x rows through the first hash aggregate, measured
+    // in the r19 plan/profile — d09's task time ran ~2.5x d02's over
+    // the same pair stats). Level 1 groups by b_id with plain
+    // sum/max aggregates — map-side partial combine collapses the
+    // pair list to one row per distinct b_id before the exchange —
+    // and level 2 reduces those flags to the same integers:
+    // nd_t = countDistinct(b_id where qualifies(t)) = sum over b_ids
+    // of max(qualifies(t)); np_t = sum of per-b_id qualifying counts.
+    // Guide §2.3 (aggregate before you shuffle / shuffle fewer bytes).
+    val perB = ThresholdSweep.flatMap { t =>
+      Seq(sum(when(qualifies(t), 1L).otherwise(0L)).as(s"c_$t"),
+        max(when(qualifies(t), 1L).otherwise(0L)).as(s"q_$t"))
+    }
+    // coalesce on nd only: countDistinct over an empty input was 0
+    // where sum is NULL, and the old np (a sum) was NULL there too —
+    // the empty-input corner matches the r19 form bit for bit
+    val totals = ThresholdSweep.flatMap { t =>
+      Seq(sum(col(s"c_$t")).as(s"np_$t"),
+        coalesce(sum(col(s"q_$t")), lit(0L)).as(s"nd_$t"))
     }
     val stackExpr = s"stack(${ThresholdSweep.size}, " +
       ThresholdSweep.map(t => s"CAST($t AS BIGINT), np_$t, nd_$t")
         .mkString(", ") +
       ") AS (threshold_pct, n_pairs, n_docs_dropped)"
     cappedPairStats(spark, dir)
-      .agg(aggs.head, aggs.tail: _*)
+      .groupBy($"b_id")
+      .agg(perB.head, perB.tail: _*)
+      .agg(totals.head, totals.tail: _*)
       .select(expr(stackExpr))
       .orderBy($"threshold_pct")
   }
@@ -1311,33 +1332,51 @@ object Dedup {
     // undirected edge is emitted by its smaller endpoint's group, so
     // nothing disconnects; outputs keep parent < child by m ≤ u < v.
     //
-    // Round-19 shuffle diet (guide §2.4 "two operations keyed the same
-    // way can share one exchange"): the min-aggregate AND the join
-    // probe both consume `sym` keyed by u, so `sym` is repartitioned
-    // ONCE and both subtrees read that same exchange (ReuseExchange —
-    // the canonical plans match because they are literally the same
-    // frame). The previous shape repartitioned only the aggregate's
-    // input and let the join re-shuffle `sym` a second time: one extra
-    // full-edge-list exchange per alternation, in every contraction
-    // (d06/m06/s14/d13-via-labels). Same rows, same semantics.
+    // Round-20 stage diet (guide §2.4/§1.2 — the loop's cost at high
+    // core counts is its SEQUENTIAL STAGE CHAIN, measured d06 3.04 s
+    // c32 vs 0.92 s c8 on 0.07 MB of shuffle): the round-19 shape
+    // computed the per-u minimum as a groupBy and re-attached it with
+    // a join — two consumers of one exchange, a sort-merge sort on
+    // each side, and a distinct exchange behind them. A min() WINDOW
+    // over the same repartition computes the same per-u minimum and
+    // re-attaches it IN PLACE: one exchange, one sort, no join, and
+    // the output is consumed exactly once so the mid-iteration pin
+    // (its cache write + read + RDD round-trip) is deleted too.
+    // WindowExec spills per-group buffers to disk, so a hub node's
+    // neighborhood degrades to disk instead of OOM — the same skew
+    // safety the streaming sort-merge join had. The trailing distinct
+    // moves into smallStar's tail (min() is duplicate-insensitive, so
+    // inter-star duplicate edges are harmless in flight and every
+    // edge list the probe or the caller sees is still distinct).
     def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.select($"c".as("u"), $"p".as("v"))
+      val wu = org.apache.spark.sql.expressions.Window.partitionBy($"u")
+      e.select($"c".as("u"), $"p".as("v"))
         .unionAll(e.select($"p".as("u"), $"c".as("v")))
         .repartition(loopParts, $"u")
-      val mins = sym.groupBy($"u").agg(least(min($"v"), $"u").as("m"))
-      sym.join(mins, "u").filter($"v" > $"u")
-        .select($"v".as("c"), $"m".as("p")).distinct()
+        .withColumn("m", least(min($"v").over(wu), $"u"))
+        .filter($"v" > $"u")
+        .select($"v".as("c"), $"m".as("p"))
     }
     // SMALL-STAR: over each child's (all-smaller) parents,
     // m = min(parents); the child and every other parent re-link to m
     // — the hooking step that collapses multi-level trees to depth 1.
-    // Same shared-exchange shape as largeStar.
+    // Same one-exchange window shape as largeStar: the row carrying
+    // the minimum parent (p == m, unique value per child; duplicate
+    // carriers collapse in the distinct) stands in for the old
+    // `mins` union leg by re-emitting the child itself. The closing
+    // distinct runs on the c-keyed repartition's exchange — a
+    // partitioning on a SUBSET of the grouping keys already satisfies
+    // the aggregation's required distribution, so the distinct adds
+    // no exchange of its own and the whole alternation's edge list
+    // crosses the wire three times total (sym, re-key, dedup) instead
+    // of round 19's five.
     def smallStar(e: DataFrame): DataFrame = {
-      val ep = e.repartition(loopParts, $"c")
-      val mins = ep.groupBy($"c").agg(min($"p").as("m"))
-      ep.join(mins, "c")
-        .select($"p".as("c"), $"m".as("p")).filter($"c" =!= $"p")
-        .unionAll(mins.select($"c", $"m".as("p")))
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy($"c")
+      e.repartition(loopParts, $"c")
+        .withColumn("m", min($"p").over(wc))
+        .select(when($"p" === $"m", $"c").otherwise($"p").as("c"),
+          $"m".as("p"))
+        .repartition(loopParts, $"c")
         .distinct()
     }
 
@@ -1349,16 +1388,17 @@ object Dedup {
     var iter = 0
     var lastEdges = -1L
     while (!converged && iter < MaxCcIterations) {
-      // e1 IS pinned: smallStar consumes it twice (the min-aggregate
-      // and the join probe), and an A/B on the unpinned form measured
-      // the largeStar subtree RECOMPUTED per consumer — AQE does not
-      // reuse the repartition exchange across the deduplicated
-      // self-join sides here, so the shuffle files are NOT a shared
-      // materialization (m06 task-time 1.6 -> 7-11 s, 40 -> 55 stages,
-      // +49% wall; d06 +26%, s14 +48%). The pin's cache read is the
-      // cheaper way to share one computation of e1.
-      val e1 = pin(largeStar(cur))
-      val e2 = pin(smallStar(e1))
+      // No mid-iteration pin: round 19 pinned largeStar's output
+      // because its join+aggregate shape consumed it twice and AQE
+      // does not share the exchange across deduplicated self-join
+      // sides (measured: m06 +49% wall unpinned). The window forms
+      // consume each intermediate exactly ONCE, so one alternation is
+      // a single linear plan cur → largeStar → smallStar with nothing
+      // to share — the pin's cache write + read + RDD round-trip per
+      // iteration is deleted rather than optimized. Only e2 pins: it
+      // is the next iteration's `cur` (consumed twice by sym) and the
+      // lineage cut that keeps the loop's plan depth constant.
+      val e2 = pin(smallStar(largeStar(cur)))
       // Terminal state is STRUCTURAL, not a fixpoint diff: one star per
       // component means (a) no node is both a child and a parent AND
       // (b) every child has exactly ONE parent. (a) alone is unsound:
@@ -1379,7 +1419,7 @@ object Dedup {
         .head()
       lastEdges = probe.getLong(0)
       converged = probe.getLong(1) == 0L
-      cur.unpersist(); e1.unpersist()
+      cur.unpersist()
       cur = e2
       iter += 1
     }

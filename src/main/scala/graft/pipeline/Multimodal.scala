@@ -205,13 +205,18 @@ object Multimodal {
     val fr = videoFrames(spark, dir)
       .select($"doc_id", $"frame_md5").distinct()
     val nf = fr.groupBy($"doc_id").agg(count(lit(1)).as("nf"))
+    // no broadcast hint on nf: it is one row PER MEDIA DOCUMENT, so a
+    // forced broadcast is an unbounded driver materialization at 10⁹
+    // docs (the cappedPairStats sizing policy, r20 audit). Catalyst
+    // still broadcasts it below the threshold on its own — the sf0.1
+    // plan is unchanged — and picks a doc-keyed shuffled join above it.
     fr.as("a").join(fr.as("b"),
         $"a.frame_md5" === $"b.frame_md5" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("n_shared_frames"))
-      .join(broadcast(nf).withColumnRenamed("doc_id", "doc_a")
+      .join(nf.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("nf", "n_frames_a"), "doc_a")
-      .join(broadcast(nf).withColumnRenamed("doc_id", "doc_b")
+      .join(nf.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("nf", "n_frames_b"), "doc_b")
       .select($"doc_a", $"doc_b", $"n_shared_frames",
         $"n_frames_a", $"n_frames_b")

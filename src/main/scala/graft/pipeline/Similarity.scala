@@ -350,14 +350,21 @@ object Similarity {
     import spark.implicits._
     var cents = e.filter($"vec_id" < k).select($"vec_id".as("cid"), $"v".as("cv"))
     for (_ <- 1 to iters) {
+      // the vector rides THROUGH the assignment aggregate (first(v) is
+      // deterministic — every scored row of one vec_id group carries
+      // the same v), so the update pass below needs no join back to e:
+      // one exchange per iteration instead of two, same bytes across
+      // the wire (the old assign exchange was id-only but the e-join
+      // re-shuffled every vector anyway). Round-20, guide §2.4.
       val assign = e.as("x").join(broadcast(cents.as("c")))
-        .select($"vec_id", $"cid",
+        .select($"vec_id", $"x.v".as("v"), $"cid",
           cosineCol(spark, $"x.v", $"c.cv").as("cc"))
         .groupBy($"vec_id")
         // max cosine, ties to the smallest cid (same order as the
         // row_number assignment in ivfKnn and the oracle)
-        .agg(max_by($"cid", struct($"cc", -$"cid")).as("cell"))
-      val sums = e.join(assign, "vec_id")
+        .agg(max_by($"cid", struct($"cc", -$"cid")).as("cell"),
+          first($"v").as("v"))
+      val sums = assign
         .select($"cell", posexplode($"v").as(Seq("pos", "x")))
         .withColumn("xq", round($"x" * Quant).cast("long"))
         .groupBy($"cell", $"pos")
@@ -1455,15 +1462,26 @@ object Similarity {
     val e = vectors(spark, dir)
     val (_, assign) = ivfIndex(spark, dir, TrainedVariant,
       corpusCells(spark, dir))
-    assign.as("a")
-      .join(assign.as("b"),
+    // Attach each vector to its assignment row BEFORE the in-cell
+    // self-join (guide §8: make every shuffle but the last move a
+    // lightweight proxy — here the one payload-carrying move is the
+    // cell-keyed self-join itself, n·d doubles per side). The r19
+    // shape enumerated id-only pairs and then fetched both vectors by
+    // id, which shuffled the PAIR table twice — the second fetch with
+    // av already attached, i.e. pair-volume × vector-size bytes
+    // (Σ|cell|² rows · d doubles) through an exchange that the
+    // attach-first form never materializes: the cosine is computed
+    // inside the join stage and only (cell, a_id, b_id, cosine)
+    // survives. Same pair enumeration (one assignment row per vec_id,
+    // a.cell == b.cell ∧ a < b), same cosineCol on the same vectors —
+    // bit-identical rows.
+    val av = assign.join(e, "vec_id")
+    av.as("a")
+      .join(av.as("b"),
         $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
       .select($"a.cell".as("cell"), $"a.vec_id".as("a_id"),
-        $"b.vec_id".as("b_id"))
-      .join(e.select($"vec_id".as("a_id"), $"v".as("av")), "a_id")
-      .join(e.select($"vec_id".as("b_id"), $"v".as("bv")), "b_id")
-      .select($"cell", $"a_id", $"b_id",
-        cosineCol(spark, $"av", $"bv").as("cosine"))
+        $"b.vec_id".as("b_id"),
+        cosineCol(spark, $"a.v", $"b.v").as("cosine"))
       .filter($"cosine" >= SemDedupTau)
   }
 

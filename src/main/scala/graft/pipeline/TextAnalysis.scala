@@ -767,13 +767,46 @@ object TextAnalysis {
         .otherwise(concat(acc, lit(" "), x)))
   }
 
+  /** Interval-persist period for [[trainBpe]]'s merge chain: persist
+    * (and cut the lazy fold chain at) every K-th post-merge state, so
+    * recompute depth is ≤ K folds and cache layers number merges/K.
+    * K = 32 is the MEASURED crossover choice (round-20 A/B on the 10×
+    * replica corpus, local[32], seconds wall per full train, quiet
+    * box; the one contaminated cell re-run clean):
+    *
+    * | merges | never | K=8 | K=16 | K=32 |
+    * |---|---|---|---|---|
+    * |   8 | 4.2–7.7 | (= never: no k < 8 ≡ 0 mod K) | = never | = never |
+    * |  32 | 17.4 | 14.6 | 17.3 | 15.7 (k=32 !< merges ⇒ 0 persists) |
+    * | 128 | 149.1 | 339.6 | 43.4 | 48.8 |
+    *
+    * Readings: the un-persisted chain's O(merges²) recompute is real —
+    * 3.4× at 128 merges — and the crossover sits between 32 and 128
+    * merges (at 32 every variant is within box noise). K = 8 at 128
+    * merges is PATHOLOGICAL (339 s): 16 materialize+insert+release
+    * cache round-trips cost far more than the recompute they save —
+    * exactly the round-19 persist-every-state lesson (2.18 vs 1.87 s
+    * at merges = 8) at the next scale. K = 16 and K = 32 are
+    * equivalent within noise; 32 is chosen because it ALSO performs
+    * zero persists at the benchmarked [[BpeMerges]] = 8, so the
+    * production interval form and the benchmarked small-merge path
+    * are the same code with the same measured optimum (bench flat by
+    * construction).
+    */
+  private[graft] val BpePersistInterval = 32
+
   /** The BPE training loop — p16's body, extracted so [[bpeRules]] can
     * memoize the trained rule list for consumers (p19's encoder)
     * while p16-the-query keeps benchmarking the training itself
-    * (the p09/contaminatedDocs policy).
+    * (the p09/contaminatedDocs policy). `merges` and `persistEvery`
+    * are parameterized for the scale probes only; every declared-query
+    * caller trains the same [[BpeMerges]] rules with the same fold
+    * semantics (a persist changes when a state is recomputed, never
+    * its rows).
     */
-  private def trainBpe(spark: SparkSession,
-      dir: String): Seq[(Int, String, String, Long)] = {
+  private[graft] def trainBpe(spark: SparkSession, dir: String,
+      merges: Int = BpeMerges,
+      persistEvery: Int = BpePersistInterval): Seq[(Int, String, String, Long)] = {
     import spark.implicits._
     // the one corpus-scale job: word frequencies; state = chars joined
     // by ' ' (corpus is ASCII words, asserted by MultimodalSpec)
@@ -786,19 +819,15 @@ object TextAnalysis {
       .persist()
     var state = seed
     val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    // Round-19 A/B: persisting every post-merge state (to cap the
-    // chained-plan recompute at one fold per rule) measured SLOWER at
-    // this merge count — 2.18 vs 1.87 s wall on the same box — because
-    // at BpeMerges = 8 the recomputed fold chain (≤ 36 codegen'd
-    // column passes over the ~|vocab|-row state) costs less than 8
-    // MEMORY_AND_DISK cache inserts + deserializing reads. The lazy
-    // chain IS O(merges²) in fold passes, so a 50k-merge production
-    // run must persist every K-th state (recompute depth ≤ K, cache
-    // layers merges/K — the interval form); at the benchmarked merge
-    // count the un-persisted chain is the measured optimum, so the
-    // code stays with it.
+    // The lazy fold chain is O(merges²) in recomputed fold passes, so
+    // every persistEvery-th post-merge state persists and is
+    // materialized (count) BEFORE the previous layer is released —
+    // releasing first would let the new layer's fill recompute from
+    // the seed through the full chain. See [[BpePersistInterval]] for
+    // the measured crossover behind the default period.
+    var lastLayer: Option[DataFrame] = None
     try {
-      for (k <- 1 to BpeMerges) {
+      for (k <- 1 to merges) {
         val sy = split($"s", " ")
         // single-symbol states contribute no pairs; the guard matters
         // because Spark's sequence(1, 0) DESCENDS ([1, 0]) where the
@@ -816,9 +845,16 @@ object TextAnalysis {
         val (a, b) = (top.getAs[String]("a"), top.getAs[String]("b"))
         rules += ((k, a, b, top.getAs[Long]("cnt")))
         state = state.select(foldMerge($"s", a, b).as("s"), $"f")
+        if (persistEvery > 0 && k % persistEvery == 0 && k < merges) {
+          state.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          state.count()
+          lastLayer.foreach(_.unpersist())
+          lastLayer = Some(state)
+        }
       }
     } finally {
       seed.unpersist()
+      lastLayer.foreach(_.unpersist())
     }
     rules.toSeq
   }

@@ -498,6 +498,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(cnts.zip(cnts.tail).forall { case (x, y) => x >= y })
   }
 
+  test("p16 interval-persist trains the identical rule list (persist moves recompute, never rows)") {
+    // the round-20 interval-persist form: persisting every K-th merge
+    // state must be invisible in the trained rules at ANY K — merge
+    // count chosen > K so layers actually persist, and > BpeMerges so
+    // the test exercises depth the benchmarked query never reaches
+    val never = TextAnalysis.trainBpe(spark, sfDir, merges = 12,
+      persistEvery = 0)
+    val interval = TextAnalysis.trainBpe(spark, sfDir, merges = 12,
+      persistEvery = 4)
+    assert(interval == never,
+      s"interval-persist diverged: $interval vs $never")
+  }
+
   test("p17 winnowing equals a reference implementation, density in bounds") {
     import org.apache.spark.sql.functions.col
     val (k, w) = (TextAnalysis.WinnowK, TextAnalysis.WinnowW)
