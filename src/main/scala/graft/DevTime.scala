@@ -4,11 +4,13 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Throwaway dev timing harness (not part of any contract).
-  * Current shape: the round-20 p16 interval-persist crossover A/B —
-  * trains BPE at merges x persist-interval combinations on the 10x
-  * replica corpus (built here if absent, documents table only; the
-  * `_built` flag is left unset so a later full ScaleProbe run still
-  * writes the other tables).
+  * Current shape: the round-20 d09 aggregation-form head-to-head —
+  * times the r19 sweep (5× countDistinct(when), plans an Expand) and
+  * the r20 two-level form (per-b_id flags, no Expand) INTERLEAVED in
+  * one JVM over the same memoized pair-stats base, so window luck
+  * cannot pick the winner. (The p16 interval-persist crossover grid
+  * that previously lived here is recorded in the BpePersistInterval
+  * scaladoc and OPTIMIZATION_r20.md.)
   */
 object DevTime {
   def main(args: Array[String]): Unit = {
@@ -21,45 +23,43 @@ object DevTime {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val base = "/root/testdata/sf0.1"
-    val out = "/tmp/graft_scale/x10"
-    val fs = new org.apache.hadoop.fs.Path(out)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/documents.parquet"))) {
-      println(s"[devtime] building 10x documents replica at $out")
-      val docs = Tables.documents(spark, base)
-      val maxDoc = docs.agg(max($"doc_id")).head().getLong(0) + 1
-      val ks = spark.range(10).toDF("k")
-      docs.crossJoin(broadcast(ks))
-        .select(
-          ($"doc_id" + $"k" * maxDoc).as("doc_id"),
-          when($"k" === 0, $"text").otherwise(
-            array_join(transform(split(trim($"text"), "\\s+"),
-              t => concat(t, lit("~"), $"k")), " ")).as("text"),
-          $"lang", $"source")
-        .withColumn("n_chars", length($"text"))
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sweep = Seq(70, 75, 80, 85, 90)
+    def qualifies(t: Int) =
+      $"inter" * 100 >= ($"na" + $"nb" - $"inter") * t
+
+    def oldForm() = {
+      val aggs = sweep.flatMap { t =>
+        Seq(sum(when(qualifies(t), 1L).otherwise(0L)).as(s"np_$t"),
+          countDistinct(when(qualifies(t), $"b_id")).as(s"nd_$t"))
+      }
+      pipeline.Dedup.cappedPairStats(spark, dir)
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    def newForm() = {
+      val perB = sweep.flatMap { t =>
+        Seq(sum(when(qualifies(t), 1L).otherwise(0L)).as(s"c_$t"),
+          max(when(qualifies(t), 1L).otherwise(0L)).as(s"q_$t"))
+      }
+      val totals = sweep.flatMap { t =>
+        Seq(sum(col(s"c_$t")).as(s"np_$t"),
+          coalesce(sum(col(s"q_$t")), lit(0L)).as(s"nd_$t"))
+      }
+      pipeline.Dedup.cappedPairStats(spark, dir)
+        .groupBy($"b_id").agg(perB.head, perB.tail: _*)
+        .agg(totals.head, totals.tail: _*)
     }
 
-    // combos override via args: pairs of merges:pe (dev reruns of a
-    // contaminated cell without repeating the grid)
-    val combos =
-      if (args.nonEmpty) args.toSeq.map { a =>
-        val Array(m, p) = a.split(":"); (m.toInt, p.toInt)
+    // warm the shared base once (both forms read the same memo) so the
+    // A/B times ONLY the sweep aggregation
+    pipeline.Dedup.cappedPairStats(spark, dir)
+      .write.mode("overwrite").format("noop").save()
+    for (round <- 1 to 6) {
+      for ((name, f) <- Seq("old" -> oldForm _, "new" -> newForm _)) {
+        val t0 = System.nanoTime()
+        f().write.mode("overwrite").format("noop").save()
+        println(f"D09AB round=$round form=$name sec=${(System.nanoTime() - t0) / 1e9}%7.3f")
       }
-      else Seq(
-        (8, 0), (8, 32),
-        (32, 0), (32, 8), (32, 16), (32, 32),
-        (128, 8), (128, 16), (128, 32), (128, 0))
-    for ((merges, pe) <- combos) {
-      pipeline.TextAnalysis.invalidateCaches()
-      System.gc()
-      val t0 = System.nanoTime()
-      val rules = pipeline.TextAnalysis.trainBpe(spark, out, merges, pe)
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"P16AB merges=$merges%3d pe=$pe%3d sec=$dt%8.2f " +
-        s"last=${rules.last}")
     }
     spark.stop()
   }

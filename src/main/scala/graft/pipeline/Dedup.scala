@@ -171,7 +171,9 @@ object Dedup {
     * index — (a_id, b_id, inter, na, nb) for every pair sharing >= 1
     * capped shingle. d02 cuts it at Jaccard 0.8; d09 sweeps the cut.
     */
-  private def cappedPairStats(spark: SparkSession, dir: String): DataFrame = {
+  // private[graft]: DevTime's d09 aggregation-form A/B times both
+  // sweep shapes over this one shared base (round 20)
+  private[graft] def cappedPairStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = cappedShingles(spark, dir)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
@@ -572,37 +574,31 @@ object Dedup {
     import spark.implicits._
     def qualifies(t: Int): Column =
       $"inter" * 100 >= ($"na" + $"nb" - $"inter") * t
-    // Two-level aggregation instead of 5 countDistinct(when(...)) in
-    // one global agg: multiple distinct aggregates plan as an Expand
-    // that multiplies every pair-stats row by (sweep size + 1) BEFORE
-    // the shuffle (6x rows through the first hash aggregate, measured
-    // in the r19 plan/profile — d09's task time ran ~2.5x d02's over
-    // the same pair stats). Level 1 groups by b_id with plain
-    // sum/max aggregates — map-side partial combine collapses the
-    // pair list to one row per distinct b_id before the exchange —
-    // and level 2 reduces those flags to the same integers:
-    // nd_t = countDistinct(b_id where qualifies(t)) = sum over b_ids
-    // of max(qualifies(t)); np_t = sum of per-b_id qualifying counts.
-    // Guide §2.3 (aggregate before you shuffle / shuffle fewer bytes).
-    val perB = ThresholdSweep.flatMap { t =>
-      Seq(sum(when(qualifies(t), 1L).otherwise(0L)).as(s"c_$t"),
-        max(when(qualifies(t), 1L).otherwise(0L)).as(s"q_$t"))
-    }
-    // coalesce on nd only: countDistinct over an empty input was 0
-    // where sum is NULL, and the old np (a sum) was NULL there too —
-    // the empty-input corner matches the r19 form bit for bit
-    val totals = ThresholdSweep.flatMap { t =>
-      Seq(sum(col(s"c_$t")).as(s"np_$t"),
-        coalesce(sum(col(s"q_$t")), lit(0L)).as(s"nd_$t"))
+    // The multi-distinct aggregate plans an Expand that multiplies
+    // every pair-stats row by (sweep size + 1) before the first hash
+    // aggregate. A round-20 rewrite removed it with a two-level form
+    // (per-b_id sum/max flags, then global sums — identical integers,
+    // nd_t = Σ_b max(qualifies)) and MEASURED SLOWER at sf0.1: the
+    // interleaved same-JVM A/B (DevTime, 6 rounds, quiet box) settled
+    // at old ≈ 1.95 s vs two-level ≈ 2.6 s wall — the Expand's cost
+    // is pure map-side CPU that partial aggregation absorbs before
+    // any exchange (task-time was indeed lower two-level, 5.5 → 2.3
+    // s, but the extra aggregate's stage latency outweighs it at
+    // this volume), so this keeps the guide-§1.1 measured optimum.
+    // At a scale where the 6× row pass dominates, the two-level form
+    // in that A/B harness is the drop-in replacement; the Expand
+    // multiplies rows into a map-side combine, never shuffle bytes,
+    // so it is not a scale cliff.
+    val aggs = ThresholdSweep.flatMap { t =>
+      Seq(sum(when(qualifies(t), 1L).otherwise(0L)).as(s"np_$t"),
+        countDistinct(when(qualifies(t), $"b_id")).as(s"nd_$t"))
     }
     val stackExpr = s"stack(${ThresholdSweep.size}, " +
       ThresholdSweep.map(t => s"CAST($t AS BIGINT), np_$t, nd_$t")
         .mkString(", ") +
       ") AS (threshold_pct, n_pairs, n_docs_dropped)"
     cappedPairStats(spark, dir)
-      .groupBy($"b_id")
-      .agg(perB.head, perB.tail: _*)
-      .agg(totals.head, totals.tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
       .select(expr(stackExpr))
       .orderBy($"threshold_pct")
   }
